@@ -1,0 +1,148 @@
+"""Code-aware tokenizer — ONE kernel shared by index side and query side.
+
+Analog of the reference's IndexAnalyzer/QueryAnalyzerImpl string pipeline
+(/root/reference/src/main/java/me/osm/gazetteer/search/query/IndexAnalyzer.java:33-160,
+QueryAnalyzerImpl.java:96-223): diacritics fold (A1), lowercase + char folding
+(A2), separator split (A3), variant expansion (A4), transliteration-style
+doubling of the token stream — here the camelCase/snake_case *sub-token split
+plus joined-identifier doubling* required for code search.
+
+Pipeline (applied identically at index time and query time — the reference's
+index/search analyzer split, IndexAnalyzer.java:24-28 vs
+QueryAnalyzerImpl.java:92-93, is a known bug source we avoid by construction):
+
+1. Unicode NFD normalize, strip combining marks ("Bebić" -> "Bebic").
+2. Insert breaks at camelCase boundaries:  getUserName -> get User Name,
+   HTTPServer -> HTTP Server.
+3. Insert breaks at letter<->digit boundaries: utf8Parser -> utf 8 Parser.
+4. Lowercase.
+5. Split on runs of non-[a-z0-9] (covers snake_case, punctuation, brackets).
+6. Drop empty tokens.
+7. For every source identifier that split into >=2 sub-tokens, ALSO emit the
+   joined lowercase identifier ("getusername") — exact-identifier matching,
+   the analog of the reference's transliterated token doubling
+   (IndexAnalyzer.java:60-78).
+
+Three entry points, one semantics:
+- ``tokenize_pandas``    vectorized pandas kernel (Arrow batches; no per-row
+                         Python in the Spark sense) -> index build UDF
+- ``tokenize_text``      driver-side single string -> query analyzer
+                         (delegates to the SAME pandas kernel)
+- ``native_tokens_expr`` / ``duckdb_tokens_sql``: the simple-pipeline subset
+  (steps 2-6, no NFD / no joined-identifier doubling) expressed as native
+  Catalyst columns and as DuckDB SQL — byte-identical to the kernel on
+  plain prose/word text, used for JVM-only hot paths and the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Ordered regex pipeline. IMPORTANT: the same patterns back the pandas kernel,
+# the Catalyst expression, and the DuckDB oracle SQL.
+_CAMEL_ACRONYM = (r"([A-Z]+)([A-Z][a-z])", r"\1 \2")  # HTTPServer -> HTTP Server
+_CAMEL_LOWER_UPPER = (r"([a-z0-9])([A-Z])", r"\1 \2")  # getUser -> get User
+_LETTER_DIGIT = (r"([A-Za-z])([0-9])", r"\1 \2")
+_DIGIT_LETTER = (r"([0-9])([A-Za-z])", r"\1 \2")
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+_IDENT_RE = re.compile(r"[A-Za-z0-9_]+")
+_COMBINING_RE = re.compile("[\\u0300-\\u036f]")
+
+_STEPS = [_CAMEL_ACRONYM, _CAMEL_LOWER_UPPER, _LETTER_DIGIT, _DIGIT_LETTER]
+
+
+def _fold_series(s: pd.Series) -> pd.Series:
+    """NFD fold + camel/digit breaks + lowercase, vectorized."""
+    s = s.fillna("").astype(str)
+    s = s.str.normalize("NFD").str.replace(_COMBINING_RE, "", regex=True)
+    for pat, repl in _STEPS:
+        s = s.str.replace(pat, repl, regex=True)
+    return s.str.lower()
+
+
+def tokenize_pandas(s: pd.Series, joined_identifiers: bool = True) -> pd.Series:
+    """Series[str] -> Series[list[str]]. Vectorized (pandas C string ops over
+    the whole Arrow batch; no Spark row-at-a-time Python)."""
+    s = s.fillna("").astype(str)
+    sub_lists = _fold_series(s).str.split(TOKEN_SPLIT_RE, regex=True)
+    # remove empty tokens (leading/trailing separators)
+    sub_lists = sub_lists.map(lambda xs: [t for t in xs if t])
+    if not joined_identifiers:
+        return sub_lists
+
+    # joined-identifier doubling: explode identifiers, vectorized transform,
+    # regroup. Only identifiers that actually split (contain a case/underscore
+    # /digit boundary) contribute an extra token.
+    idents = s.str.findall(_IDENT_RE)
+    ex = idents.explode().dropna()
+    if len(ex):
+        ex = ex.astype(str)
+        joined = ex.str.replace("_", "", regex=False).str.lower()
+        n_subs = (
+            _fold_series(ex)
+            .str.split(TOKEN_SPLIT_RE, regex=True)
+            .map(lambda xs: sum(1 for t in xs if t))
+        )
+        extra = joined[(n_subs > 1) & (joined != "")]
+        extra_by_row: dict[int, list[str]] = {}
+        for idx, tok in extra.items():
+            extra_by_row.setdefault(idx, []).append(tok)
+    else:
+        extra_by_row = {}
+
+    if extra_by_row:
+        out = []
+        for idx, toks in sub_lists.items():
+            add = extra_by_row.get(idx)
+            out.append(toks + add if add else toks)
+        return pd.Series(out, index=sub_lists.index)
+    return sub_lists
+
+
+def tokenize_text(text: str, joined_identifiers: bool = True) -> list[str]:
+    """Driver-side single-string tokenize — same kernel as the index path."""
+    return list(tokenize_pandas(pd.Series([text]), joined_identifiers).iloc[0])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokens_pandas_udf(s: pd.Series) -> pd.Series:
+    return tokenize_pandas(s, joined_identifiers=True)
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def tokens_simple_pandas_udf(s: pd.Series) -> pd.Series:
+    return tokenize_pandas(s, joined_identifiers=False)
+
+
+def native_tokens_expr(col: Column) -> Column:
+    """Simple-pipeline tokens as a pure Catalyst expression (JVM-side,
+    whole-stage-codegen'd; no Python). Equals the kernel output (minus NFD and
+    joined-identifier doubling) — identical on plain word text."""
+    c = col
+    for pat, repl in _STEPS:
+        # Catalyst regexp_replace uses $1-style group refs
+        c = F.regexp_replace(c, pat, repl.replace("\\1", "$1").replace("\\2", "$2"))
+    c = F.lower(c)
+    toks = F.split(c, TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def duckdb_tokens_sql(col_sql: str) -> str:
+    """Same simple pipeline as ``native_tokens_expr`` in DuckDB SQL: an
+    expression of type VARCHAR[] — the independent-oracle formulation (the
+    analog of the reference's PostgreSQL twin, src/test/resources/search/*.sql)."""
+    c = col_sql
+    for pat, repl in _STEPS:
+        r = repl.replace("\\1", "\\1").replace("\\2", "\\2")
+        c = f"regexp_replace({c}, '{pat}', '{r}', 'g')"
+    c = f"lower({c})"
+    return (
+        f"list_filter(regexp_split_to_array({c}, '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+    )

@@ -1,0 +1,419 @@
+"""Inverted-index build: docs / postings / term_stats / corpus_stats / manifest.
+
+The native replacement for everything the reference hands to ElasticSearch at
+import time (/root/reference/src/main/java/me/osm/gazetteer/search/imp/addr/
+AddressesImporter.java:119-263 buffers rows and bulk-posts them; Lucene builds
+the actual index). Here the whole build is one declarative Spark pipeline:
+
+    corpus --tokenize (Arrow pandas UDF)--> docs(+tokens)
+           --explode+groupBy(term,doc_id)--> term freqs        (shuffle 1)
+           --groupBy(term)--> term_stats                        (shuffle 2)
+           --join(df)+salt--> groupBy(term,salt) applyInPandas  (shuffle 3)
+           --> delta+varbyte blocks w/ block-max metadata --> parquet
+
+Scale design:
+- **Skew**: a hot term ("def" at 10^12-file scale) would put its whole posting
+  list in one task. Salting splits each term's postings into
+  ``nsalts = ceil(df / postings_per_group)`` *contiguous docID ranges*
+  (salt = doc_id * nsalts / (max_doc_id+1)), so every pack task is bounded AND
+  the per-salt blocks concatenate into a globally docID-sorted posting list
+  with no merge pass (block metadata carries min/max docID; readers order by
+  min_doc_id). ``merge_fan_in`` per partition is recorded in the manifest.
+- **Layout**: postings are written partitionBy(term_bucket) (term_bucket =
+  crc32(term) % n_buckets) and sorted by (term, block) within files, so a
+  query for a handful of terms prunes to a few directory partitions and gets
+  row-group skipping on term (parquet min/max stats).
+- **Checkpoint/resume** (north_rule; the ImportMeta-generation analog,
+  AddressesImporter.java:193-212): the manifest table records one row per
+  term_bucket with status + metrics (docs, postings, bytes, merge_fan_in).
+  A re-run skips buckets already 'done' and rebuilds only the rest, using
+  dynamic partition overwrite so a partially-written bucket is replaced
+  atomically at partition granularity.
+- Per-posting BM25 scores are precomputed (query-independent given the
+  corpus) as native column arithmetic and stored as float64 block payloads —
+  query time never recomputes tf-norms nor joins doc lengths.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from dataclasses import dataclass
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gazetteer_search_spark.index import codec
+from gazetteer_search_spark.search import bm25
+
+SALT_SHIFT = 20  # block_id = salt << SALT_SHIFT | local ordinal
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("term_bucket", T.IntegerType(), False),
+        T.StructField("block_id", T.LongType(), False),
+        T.StructField("doc_count", T.IntegerType(), False),
+        T.StructField("doc_ids_delta_varbyte", T.BinaryType(), False),
+        T.StructField("tfs_varbyte", T.BinaryType(), False),
+        T.StructField("scores_f64", T.BinaryType(), False),
+        T.StructField("block_max_score", T.FloatType(), False),
+        T.StructField("min_doc_id", T.LongType(), False),
+        T.StructField("max_doc_id", T.LongType(), False),
+    ]
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("docs", T.LongType(), True),
+        T.StructField("postings", T.LongType(), True),
+        T.StructField("bytes", T.LongType(), True),
+        T.StructField("merge_fan_in", T.IntegerType(), True),
+        T.StructField("started", T.TimestampType(), True),
+        T.StructField("finished", T.TimestampType(), True),
+    ]
+)
+
+
+def term_bucket_py(term: str, n_buckets: int) -> int:
+    """crc32-based bucket — identical to the Spark-side expression, so the
+    driver can prune partitions for query terms without touching the cluster."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def term_bucket_col(term: F.Column, n_buckets: int) -> F.Column:
+    return F.pmod(F.crc32(F.col(term) if isinstance(term, str) else term), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.root, "term_stats")
+
+    @property
+    def corpus_stats(self) -> str:
+        return os.path.join(self.root, "corpus_stats")
+
+    @property
+    def manifest(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+
+@dataclass
+class Index:
+    paths: IndexPaths
+    docs: DataFrame
+    postings: DataFrame
+    term_stats: DataFrame
+    n_docs: int
+    avg_doc_len: float
+    n_buckets: int
+
+
+def _pack_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (term, salt) group -> block rows.
+
+    Pure numpy over the group's arrays; the only Python loop is per *block*
+    (>=128 postings each), never per row.
+    """
+    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+    ids = pdf["doc_id"].to_numpy()[order]
+    tfs = pdf["tf"].to_numpy()[order]
+    scores = pdf["score"].to_numpy()[order]
+    term = pdf["term"].iloc[0]
+    bucket = int(pdf["term_bucket"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+
+    n = ids.size
+    bs = codec.BLOCK_SIZE
+    rows = []
+    for b in range(0, n, bs):
+        bids = ids[b : b + bs]
+        btfs = tfs[b : b + bs]
+        bsc = scores[b : b + bs]
+        mn, mx = int(bids[0]), int(bids[-1])
+        rows.append(
+            (
+                term,
+                bucket,
+                (salt << SALT_SHIFT) | (b // bs),
+                int(bids.size),
+                codec.delta_varbyte_encode(bids, mn),
+                codec.varbyte_encode(btfs),
+                codec.f64_encode(bsc),
+                float(bsc.max()),
+                mn,
+                mx,
+            )
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    tokenizer: str = "pandas",
+    n_buckets: int = 16,
+    postings_per_group: int = 1 << 20,
+    resume: bool = True,
+    max_buckets_per_commit: int | None = None,
+    fail_after_commits: int | None = None,
+) -> Index:
+    """Build (or resume) the full index under ``out_dir``.
+
+    ``max_buckets_per_commit`` bounds each commit unit (default: all pending
+    buckets in one shuffle job). ``fail_after_commits`` is the fault-injection
+    hook for the kill/resume test (FIXTURES.md §5).
+    """
+    paths = IndexPaths(out_dir)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    # ---- stage 1: docs table (idempotent; skipped on resume) ----------------
+    docs_done = resume and _exists(spark, paths.docs)
+    if not docs_done:
+        docs_full = bm25.doc_table(corpus, tokenizer)
+        (
+            docs_full.drop("tokens")
+            .repartitionByRange(max(spark.sparkContext.defaultParallelism, 4), "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(paths.docs)
+        )
+    docs = spark.read.parquet(paths.docs)
+
+    # ---- stage 2: corpus stats ----------------------------------------------
+    if not (resume and _exists(spark, paths.corpus_stats)):
+        bm25.corpus_stats(docs).write.mode("overwrite").parquet(paths.corpus_stats)
+    cs = spark.read.parquet(paths.corpus_stats).collect()[0]
+    n_docs, avg_dl, max_doc_id = int(cs.n_docs), float(cs.avg_doc_len), int(cs.max_doc_id)
+
+    # term freqs are recomputed on resume (cheap relative to the packing
+    # shuffle; at cluster scale this frame would be checkpointed to scratch
+    # storage instead — same manifest logic applies).
+    docs_tok = bm25.doc_table(corpus, tokenizer)
+    tf = bm25.term_freqs(docs_tok)
+
+    # ---- stage 3: term stats -------------------------------------------------
+    if not (resume and _exists(spark, paths.term_stats)):
+        ts = bm25.term_stats(tf).withColumn(
+            "term_bucket", term_bucket_col(F.col("term"), n_buckets)
+        )
+        ts.repartition(n_buckets, "term_bucket").sortWithinPartitions(
+            "term"
+        ).write.mode("overwrite").partitionBy("term_bucket").parquet(paths.term_stats)
+    tstats = spark.read.parquet(paths.term_stats)
+
+    # ---- stage 4: postings, per-bucket commits with manifest gating ---------
+    done = _done_buckets(spark, paths)
+    pending = [b for b in range(n_buckets) if b not in done]
+    chunk = max_buckets_per_commit or len(pending) or 1
+
+    scored = (
+        bm25.scored_postings(tf, tstats.drop("term_bucket"), n_docs, avg_dl)
+        .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+        .withColumn(
+            "nsalts",
+            F.ceil(F.col("df") / F.lit(postings_per_group)).cast("long"),
+        )
+        .withColumn(
+            "salt",
+            F.floor(
+                F.col("doc_id") * F.col("nsalts") / F.lit(max_doc_id + 1)
+            ).cast("int"),
+        )
+    )
+
+    commits = 0
+    for i in range(0, len(pending), chunk):
+        if fail_after_commits is not None and commits >= fail_after_commits:
+            raise RuntimeError(
+                f"fault injection: stopping after {commits} commits "
+                f"({len(pending) - i} buckets pending)"
+            )
+        batch = pending[i : i + chunk]
+        started = pd.Timestamp.utcnow().tz_localize(None)
+
+        part = scored.filter(F.col("term_bucket").isin(batch))
+        packed = part.groupBy("term", "term_bucket", "salt").applyInPandas(
+            _pack_groups, schema=POSTINGS_SCHEMA
+        )
+        (
+            packed.repartition(len(batch), "term_bucket")
+            .sortWithinPartitions("term", "block_id")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(paths.postings)
+        )
+
+        # metrics from the written data (also validates the write)
+        written = spark.read.parquet(paths.postings).filter(
+            F.col("term_bucket").isin(batch)
+        )
+        per_term_fanin = written.groupBy("term_bucket", "term").agg(
+            F.countDistinct(F.shiftright("block_id", SALT_SHIFT)).alias("fan_in")
+        )
+        m = (
+            written.groupBy("term_bucket")
+            .agg(
+                F.sum("doc_count").alias("postings"),
+                (
+                    F.sum(F.length("doc_ids_delta_varbyte"))
+                    + F.sum(F.length("tfs_varbyte"))
+                    + F.sum(F.length("scores_f64"))
+                ).alias("bytes"),
+            )
+            .join(
+                per_term_fanin.groupBy("term_bucket").agg(
+                    F.max("fan_in").alias("merge_fan_in")
+                ),
+                "term_bucket",
+            )
+            .collect()
+        )
+        # distinct docs per bucket from the written blocks (decode read-back —
+        # never recomputes the upstream tokenize/shuffle lineage)
+        docs_per_bucket = {
+            r.term_bucket: r.docs
+            for r in decode_postings(written, extra_cols=("term_bucket",))
+            .groupBy("term_bucket")
+            .agg(F.countDistinct("doc_id").alias("docs"))
+            .collect()
+        }
+        finished = pd.Timestamp.utcnow().tz_localize(None)
+        rows = [
+            (
+                int(r.term_bucket),
+                "done",
+                int(docs_per_bucket.get(r.term_bucket, 0)),
+                int(r.postings),
+                int(r.bytes),
+                int(r.merge_fan_in),
+                started.to_pydatetime(),
+                finished.to_pydatetime(),
+            )
+            for r in m
+        ]
+        # buckets with zero postings still need a manifest row
+        got = {r[0] for r in rows}
+        rows += [
+            (b, "done", 0, 0, 0, 0, started.to_pydatetime(), finished.to_pydatetime())
+            for b in batch
+            if b not in got
+        ]
+        spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(paths.manifest)
+        commits += 1
+
+    return load_index(spark, out_dir, n_buckets=n_buckets)
+
+
+def load_index(spark: SparkSession, out_dir: str, n_buckets: int | None = None) -> Index:
+    paths = IndexPaths(out_dir)
+    cs = spark.read.parquet(paths.corpus_stats).collect()[0]
+    postings = spark.read.parquet(paths.postings)
+    if n_buckets is None:
+        n_buckets = (
+            spark.read.parquet(paths.manifest)
+            .agg(F.max("partition_id"))
+            .collect()[0][0]
+            + 1
+        )
+    return Index(
+        paths=paths,
+        docs=spark.read.parquet(paths.docs),
+        postings=postings,
+        term_stats=spark.read.parquet(paths.term_stats),
+        n_docs=int(cs.n_docs),
+        avg_doc_len=float(cs.avg_doc_len),
+        n_buckets=n_buckets,
+    )
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path).limit(1).collect()
+        return True
+    except Exception:
+        return False
+
+
+def _done_buckets(spark: SparkSession, paths: IndexPaths) -> set[int]:
+    if not _exists(spark, paths.manifest):
+        return set()
+    rows = (
+        spark.read.parquet(paths.manifest)
+        .filter(F.col("status") == "done")
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    return {r.partition_id for r in rows}
+
+
+def decode_postings(
+    postings: DataFrame, with_tf: bool = False, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Decode block rows back to (term, doc_id, score[, tf][, extras]) via
+    mapInPandas (Arrow-batched numpy; no per-row Python). ``extra_cols`` are
+    block-level columns repeated per posting (e.g. term_bucket)."""
+    fields = [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+    if with_tf:
+        fields.append(T.StructField("tf", T.LongType(), False))
+    in_schema = postings.schema
+    for c in extra_cols:
+        fields.append(T.StructField(c, in_schema[c].dataType, True))
+    out_schema = T.StructType(fields)
+
+    def _decode(batches: Iterable[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            counts = pdf["doc_count"].to_numpy()
+            terms = np.repeat(pdf["term"].to_numpy(), counts)
+            ids = np.concatenate(
+                [
+                    codec.delta_varbyte_decode(buf, int(n), int(mn))
+                    for buf, n, mn in zip(
+                        pdf["doc_ids_delta_varbyte"], counts, pdf["min_doc_id"]
+                    )
+                ]
+            )
+            scores = np.concatenate(
+                [codec.f64_decode(buf, int(n)) for buf, n in zip(pdf["scores_f64"], counts)]
+            )
+            data = {"term": terms, "doc_id": ids, "score": scores}
+            if with_tf:
+                data["tf"] = np.concatenate(
+                    [
+                        codec.varbyte_decode(buf, int(n))
+                        for buf, n in zip(pdf["tfs_varbyte"], counts)
+                    ]
+                )
+            for c in extra_cols:
+                data[c] = np.repeat(pdf[c].to_numpy(), counts)
+            yield pd.DataFrame(data)
+
+    return postings.mapInPandas(_decode, schema=out_schema)

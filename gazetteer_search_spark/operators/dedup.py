@@ -1,0 +1,302 @@
+"""Deduplication operators over a document table.
+
+Scale design notes (100 TB target):
+- exact dedup: one shuffle on the content hash; the window variant keeps a
+  deterministic representative (the G4 by_name_agg_index analog,
+  /root/reference/src/main/java/me/osm/gazetteer/search/imp/addr/ImportObjectParser.java:215-237).
+- n-gram Jaccard: shingle explode -> self-join on shingle. The shingle join is
+  the classic skew risk: ubiquitous shingles behave like stop terms, so we
+  drop shingles above a document-frequency cap before joining (hot-key
+  suppression, same policy as the posting build's salting).
+- MinHash+LSH: signatures via native xxhash64 min-aggregation (no Python),
+  banded bucketing -> bucket equi-join -> exact Jaccard verification of
+  candidates only. This is the sub-quadratic scale path.
+- SimHash: 64-bit signature from per-token hash bits weighted by tf, banded
+  Hamming join for near-dup candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one deterministic representative per exact content hash
+    (dup_ordinal = 0 row, cf. DistinctNameFilter == by_name_agg_index 0)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("dup_ordinal", F.row_number().over(w) - 1)
+        .filter(F.col("dup_ordinal") == 0)
+        .drop("dup_ordinal")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content_sha256, n_dups, keep_id) for groups with >1 member."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("content_sha256"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def _word_shingles(text: Column, n: int) -> Column:
+    """Distinct word n-grams as an array column — native expressions only."""
+    words = F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+    if n == 1:
+        return F.array_distinct(words)
+    # slide a window over the word array with transform(sequence(...));
+    # docs shorter than n words produce no shingles
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    return F.when(F.size(words) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: |A ∩ B| / |A ∪ B| >= threshold.
+
+    ``max_shingle_df`` drops ubiquitous shingles before the self-join (hot-key
+    suppression — at 100 TB a shingle shared by 10^9 docs would explode the
+    join; dropping it only loses pairs whose entire similarity rests on
+    boilerplate)."""
+    sh = shingle_table(df, text_col, id_col, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        sh = sh.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(doc_id, sig array<long>) — sig[i] = min over shingles of
+    xxhash64(i, shingle). Pure JVM hash aggregation, one shuffle."""
+    sh = shingle_table(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Banded LSH candidate generation + exact Jaccard verification.
+
+    Candidates = pairs agreeing on at least one band (rows_per_band =
+    num_hashes/bands). Verification recomputes true n-gram Jaccard only for
+    candidates — the sub-quadratic scale path for near-dup at 100 TB."""
+    assert num_hashes % bands == 0
+    rpb = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig")[b * rpb + r] for r in range(rpb)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+    a = band_rows.alias("a")
+    b_ = band_rows.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    ia = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    ib = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(ia, "id_a").join(ib, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(doc_id, simhash long): sign-aggregated token-hash bits weighted by tf.
+    64 native aggregate expressions in one hash-aggregation — no Python."""
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    tok = (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("term"))
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*bit_aggs)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i).cast("long") if i < 63 else F.when(
+            F.col(f"b{i}") > 0, F.lit(-(1 << 63)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, via banded join:
+    a pair within Hamming k < bands must agree exactly on at least one of the
+    ``bands`` 16-bit slices (pigeonhole), so candidates come from band-equal
+    equi-joins, verified by popcount."""
+    assert bands > max_hamming  # pigeonhole: <=k flips across >k bands leaves one band equal
+    sig = simhash(df, text_col, id_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "simhash", "bs.band", "bs.slice")
+
+    a, b_ = slices.alias("a"), slices.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

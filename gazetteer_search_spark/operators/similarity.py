@@ -1,0 +1,137 @@
+"""Embedding similarity search over an array<float> column.
+
+- ``cosine_topk_query``: brute-force cosine top-k for one query vector —
+  native ``zip_with``/``aggregate`` arithmetic (JVM, codegen'd), the exact
+  baseline every ANN variant is verified against.
+- ``cosine_similar_pairs``: all-pairs above a threshold (exact; for the
+  near-dup-by-embedding use case). O(n^2) — bounded corpora / verification.
+- ``lsh_ann_topk``: random-hyperplane LSH scale path: deterministic planes
+  (seeded numpy, broadcast as literals), banded signature buckets prune the
+  candidate set, exact cosine re-ranks candidates. Recall<1 by construction;
+  verified for recall against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_query(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector. One scan, no shuffle
+    except the final TakeOrderedAndProject."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col), q), 9).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def cosine_similar_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (embedding near-dup)."""
+    n = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = n.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
+    """Packed sign bits of plane dot-products (one long per <=64 planes)."""
+    bits = None
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(1 << i).cast("long")
+        bits = bit if bits is None else bits + bit
+    return bits
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: candidates = vectors agreeing with the query on at least one band
+    of sign bits; exact cosine re-rank of candidates only. At cluster scale
+    the signature is precomputed/persisted and the probe is a semi-join."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    width = n_planes // bands
+    mask = (1 << width) - 1
+
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(qv @ plane) >= 0:
+            qsig |= 1 << i
+
+    sig = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
+    cond = None
+    for b in range(bands):
+        qslice = (qsig >> (b * width)) & mask
+        c = (
+            F.shiftrightunsigned("_sig", b * width).bitwiseAND(F.lit(mask))
+            == F.lit(qslice)
+        )
+        cond = c if cond is None else (cond | c)
+    cands = sig.filter(cond)
+    return cosine_topk_query(cands, query_vec, k, vec_col, id_col)

@@ -1,0 +1,83 @@
+"""Text analysis operators: language-ID heuristic, quality scoring, token
+counting, document fingerprinting. All pure Catalyst column expressions —
+each has an exact ANSI-SQL twin for the DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker-word sets for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "of", "and", "to", "in", "is", "it", "on"]
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "[^a-z0-9]+"), lambda t: t != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace-ish token count (BPE-ish regex split)."""
+    return F.size(words_col(text))
+
+
+def marker_hits(text: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.array_intersect(F.array_distinct(words_col(text)), arr))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language guess: argmax of marker-word hits, 'unknown' if no
+    marker matches. Deterministic tie-break by language name order."""
+    best_lang = F.lit("unknown")
+    best_hits = F.lit(0)
+    for lg in sorted(LANG_MARKERS):
+        h = marker_hits(text, LANG_MARKERS[lg])
+        better = h > best_hits
+        best_lang = F.when(better, F.lit(lg)).otherwise(best_lang)
+        best_hits = F.when(better, h).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality in [0,1]: length band + alnum ratio + stopword ratio.
+    (The base_score/DefaultScoreBuilder analog — a static per-doc quality
+    prior, reference imp/DefaultScoreBuilder.java:37-92.)"""
+    n_chars = F.length(text)
+    n_tokens = token_count(text)
+    alnum = F.length(F.regexp_replace(text, "[^a-zA-Z0-9]", ""))
+    alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_tokens > 0, marker_hits(text, STOPWORDS_EN) / n_tokens
+    ).otherwise(F.lit(0.0))
+    len_band = (
+        F.when((n_tokens >= 20) & (n_tokens <= 10000), F.lit(1.0))
+        .when(n_tokens > 0, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    return F.round(0.4 * len_band + 0.4 * alnum_ratio + 0.2 * stop_ratio, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical-form fingerprint: md5 of the sorted distinct word set —
+    robust to word order/whitespace (the shingle-free near-exact key)."""
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(words_col(text))))
+    return F.md5(canon)
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.length(t).alias("n_chars"),
+        lang_id(t).alias("lang_guess"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

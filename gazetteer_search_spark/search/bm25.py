@@ -1,0 +1,110 @@
+"""Okapi BM25 (k1=1.2, b=0.75) as native Catalyst column expressions.
+
+The reference delegates scoring to Lucene's BM25 similarity (ES 6.2 default;
+client pinned at /root/reference/pom.xml:84-88). Formula (Lucene classic):
+
+    idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tf_norm(t,d)= tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score(t,d)  = idf(t) * tf_norm(t,d)
+
+Everything here is whole-stage-codegen'd column arithmetic — scoring never
+enters Python. These same expressions back BOTH the brute-force oracle path
+(explode -> join -> groupBy -> sum; the analog of the reference's independent
+PostgreSQL twin, /root/reference/src/test/resources/search/basic.sql) and the
+per-posting precomputed scores stored in the compressed index blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark import BM25_B, BM25_K1
+from gazetteer_search_spark.analyzer.tokenizer import (
+    native_tokens_expr,
+    tokens_pandas_udf,
+)
+
+
+def idf_col(df_: Column, n_docs: Column | int) -> Column:
+    n = F.lit(n_docs) if isinstance(n_docs, int) else n_docs
+    return F.log(
+        1.0 + (n.cast("double") - df_ + 0.5) / (df_.cast("double") + 0.5)
+    )
+
+
+def tf_norm_col(tf: Column, doc_len: Column, avg_dl: Column | float) -> Column:
+    a = F.lit(avg_dl) if isinstance(avg_dl, float) else avg_dl
+    return (tf.cast("double") * (BM25_K1 + 1.0)) / (
+        tf.cast("double")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * doc_len.cast("double") / a)
+    )
+
+
+def tokens_col(content: Column, tokenizer: str = "pandas") -> Column:
+    """tokenizer='pandas': full code-aware kernel (Arrow-batched).
+    tokenizer='native': simple pipeline, pure JVM (identical on word text)."""
+    if tokenizer == "pandas":
+        return tokens_pandas_udf(content)
+    if tokenizer == "native":
+        return native_tokens_expr(content)
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def doc_table(corpus: DataFrame, tokenizer: str = "pandas") -> DataFrame:
+    """corpus(doc_id, repo, path, commit, lang, content) ->
+    docs + tokens + doc_len + content_sha256 (per-row invariant, north_rule)."""
+    return corpus.withColumn("tokens", tokens_col(F.col("content"), tokenizer)).select(
+        "doc_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        "tokens",
+        F.size("tokens").alias("doc_len"),
+    )
+
+
+def term_freqs(docs: DataFrame) -> DataFrame:
+    """docs(doc_id, tokens, doc_len, lang, ...) -> (term, doc_id, tf, doc_len, lang).
+
+    The G5 analog (SURVEY §2.4): one shuffle on (term, doc_id) with map-side
+    partial aggregation (hash agg) — the key is near-unique so no skew here;
+    skew lives in the per-term packing stage, handled by salting in builder.py.
+    """
+    return (
+        docs.select("doc_id", "doc_len", "lang", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.first("doc_len").alias("doc_len"),
+            F.first("lang").alias("lang"),
+        )
+    )
+
+
+def term_stats(tf: DataFrame) -> DataFrame:
+    """(term, df, cf) — ts_stat analog (reference init.sql:180-190)."""
+    return tf.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("doc_len").alias("avg_doc_len"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def scored_postings(
+    tf: DataFrame, tstats: DataFrame, n_docs: int, avg_dl: float
+) -> DataFrame:
+    """Per-posting BM25 score precomputed at index time (query-independent):
+    (term, doc_id, tf, doc_len, df, score)."""
+    return tf.join(tstats, "term").withColumn(
+        "score",
+        idf_col(F.col("df"), n_docs) * tf_norm_col(F.col("tf"), F.col("doc_len"), avg_dl),
+    )

@@ -1,0 +1,305 @@
+"""Index-backed BM25 top-k query engine.
+
+The native replacement for the reference's query assembly + ES execution
+(/root/reference/src/main/java/me/osm/gazetteer/search/api/search/
+MainAddressQueryBuilder.java:115-168 builds bool/match/prefix/dis_max trees;
+ESCoalesce.java:30-68 runs the relaxation ladder; Lucene scores). Semantics
+mapping (SURVEY §2.2):
+
+- match (P2)                 postings join + per-doc BM25 sum
+- bool must / should (P1)    required-group count gate + score sum
+- minimum_should_match (P1)  ``matched_required >= msm``
+- dis_max (P8)               per-(doc, group) max over the group's term
+                             variants (synonyms, fuzzy & prefix expansions)
+- prefix (P3)                term-dictionary range scan -> expansion group
+- fuzzy<=1 (P15)             levenshtein join against the term dictionary
+- constant_score/function_score (P9/P10)  native column arithmetic
+- coalesce ladder (U1)       driver loop, early exit on first non-empty rung
+- top-k (T1)                 orderBy(score desc, doc_id asc).limit(k); ranks
+                             deterministic via 1e-9 score rounding before sort
+
+Two interchangeable scorers feed the same gating/ranking tail:
+``SearchEngine`` decodes compressed posting blocks (partition-pruned by
+term_bucket + parquet min/max on term); ``oracle_topk`` recomputes scores from
+the raw corpus with no index (the independent-oracle formulation, analog of
+the reference's PostgreSQL twin src/test/resources/search/basic.sql). Tests
+assert rank-identity between the two.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gazetteer_search_spark.analyzer.query_ir import Query, analyze_query
+from gazetteer_search_spark.index.builder import Index, decode_postings, term_bucket_py
+from gazetteer_search_spark.search import bm25
+
+MAX_PREFIX_EXPANSIONS = 128
+MAX_FUZZY_EXPANSIONS = 32
+
+
+@dataclass
+class SearchOptions:
+    """Analog of reference SearchOptions (api/search/SearchOptions.java:7-14):
+    prefix / fuzzy / coalesce default on; k=20 (ESDefaultSearch.java:147)."""
+
+    k: int = 20
+    prefix: bool = True
+    fuzzy: bool = True
+    coalesce: bool = True
+    lang: str | None = None  # doc-type filter analog (SURVEY §1.4)
+    repo: str | None = None  # refs/bbox filter analog (P12/P13)
+    path_prefix: str | None = None
+    lang_boosts: dict[str, float] = field(default_factory=dict)  # base_score analog
+
+
+@dataclass
+class TermGroup:
+    """One query token -> the set of index terms that can satisfy it
+    (text + synonym/replacer variants + fuzzy/prefix expansions), scored
+    dis_max within the group."""
+
+    group_id: int
+    terms: tuple[str, ...]
+    required: bool
+    weight: float = 1.0
+    is_prefix: bool = False
+
+
+GROUPS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("group_id", T.IntegerType(), False),
+        T.StructField("required", T.BooleanType(), False),
+        T.StructField("weight", T.DoubleType(), False),
+    ]
+)
+
+
+def _groups_df(spark: SparkSession, groups: list[TermGroup]) -> DataFrame:
+    rows = [
+        (t, g.group_id, g.required, g.weight) for g in groups for t in set(g.terms)
+    ]
+    return spark.createDataFrame(rows, GROUPS_SCHEMA)
+
+
+def topk_from_scored(
+    scored: DataFrame,
+    groups_df: DataFrame,
+    n_required: int,
+    msm: int,
+    k: int,
+    docs: DataFrame | None = None,
+    options: SearchOptions | None = None,
+) -> DataFrame:
+    """Shared ranking tail: (term, doc_id, score) x groups -> gated, boosted,
+    deterministic top-k. All native Catalyst expressions."""
+    options = options or SearchOptions()
+
+    per_group = (
+        scored.join(F.broadcast(groups_df), "term")
+        .groupBy("doc_id", "group_id", "required")
+        .agg((F.max("score") * F.first("weight")).alias("gscore"))  # dis_max P8
+    )
+    per_doc = per_group.groupBy("doc_id").agg(
+        F.sum("gscore").alias("score"),
+        F.sum(F.when(F.col("required"), 1).otherwise(0)).alias("matched_required"),
+    )
+    gated = per_doc.filter(F.col("matched_required") >= F.lit(min(msm, n_required)))
+
+    if docs is not None:
+        d = docs
+        if options.lang:
+            d = d.filter(F.col("lang") == options.lang)
+        if options.repo:
+            d = d.filter(F.col("repo") == options.repo)
+        if options.path_prefix:
+            d = d.filter(F.col("path").startswith(options.path_prefix))
+        gated = gated.join(d.select("doc_id", "repo", "path", "lang"), "doc_id")
+        if options.lang_boosts:
+            boost = F.lit(1.0)
+            for lg, w in options.lang_boosts.items():
+                boost = F.when(F.col("lang") == lg, F.lit(float(w))).otherwise(boost)
+            gated = gated.withColumn("score", F.col("score") * boost)
+
+    ranked = (
+        gated.withColumn("_s", F.round(F.col("score"), 9))
+        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .drop("_s")
+    )
+    return ranked
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index: Index):
+        self.spark = spark
+        self.index = index
+        # small at test scale; at cluster scale the term dictionary stays a
+        # distributed table and these expansions are pruned range scans
+        self._term_stats = index.term_stats
+
+    # ---- expansions ---------------------------------------------------------
+    def expand_prefix(self, prefix: str) -> list[str]:
+        """Term-dictionary range scan (P3): sorted dict makes startswith a
+        range predicate; cap expansions by df like Lucene's rewrite cap."""
+        rows = (
+            self._term_stats.filter(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(MAX_PREFIX_EXPANSIONS)
+            .select("term")
+            .collect()
+        )
+        return [r.term for r in rows]
+
+    def expand_fuzzy(self, term: str) -> list[str]:
+        """Damerau-ish edit-distance<=1 expansion against the term dictionary
+        (P15, fuzziness "1" at MainAddressQueryBuilder.java:291-293). A join
+        against the (small) dict, never a corpus scan; length pruning keeps it
+        a partial scan."""
+        n = len(term)
+        rows = (
+            self._term_stats.filter(F.length("term").between(n - 1, n + 1))
+            .filter(F.levenshtein(F.col("term"), F.lit(term)) <= 1)
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(MAX_FUZZY_EXPANSIONS)
+            .select("term")
+            .collect()
+        )
+        return [r.term for r in rows]
+
+    # ---- rung assembly (the ladder) ----------------------------------------
+    def _build_groups(
+        self, query: Query, options: SearchOptions, fuzzy: bool, with_prefix: bool
+    ) -> tuple[list[TermGroup], int]:
+        groups: list[TermGroup] = []
+        gid = 0
+        for tok in query.tokens:
+            terms = list(tok.all_forms())
+            if fuzzy and not tok.optional and not tok.numbers_only:
+                terms += self.expand_fuzzy(tok.text)
+            groups.append(
+                TermGroup(
+                    group_id=gid,
+                    terms=tuple(dict.fromkeys(terms)),
+                    required=not tok.optional,
+                    # optional terms only boost, at reduced weight (the
+                    # reference boosts optional shoulds at 0.5-ish weights)
+                    weight=1.0 if not tok.optional else 0.5,
+                )
+            )
+            gid += 1
+        if with_prefix and query.prefix:
+            exp = self.expand_prefix(query.prefix)
+            if exp:
+                groups.append(
+                    TermGroup(
+                        group_id=gid,
+                        terms=tuple(exp),
+                        required=True,
+                        is_prefix=True,
+                    )
+                )
+        return groups, sum(1 for g in groups if g.required)
+
+    # ---- scoring ------------------------------------------------------------
+    def _scored_for_terms(self, terms: list[str]) -> DataFrame:
+        buckets = sorted({term_bucket_py(t, self.index.n_buckets) for t in terms})
+        pruned = self.index.postings.filter(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        return decode_postings(pruned)
+
+    def search_rung(
+        self, groups: list[TermGroup], msm: int, options: SearchOptions
+    ) -> DataFrame:
+        terms = sorted({t for g in groups for t in g.terms})
+        if not terms:
+            # match_all + filters (P14, empty-query path
+            # ESDefaultSearch.java:111-114)
+            d = self.index.docs
+            if options.lang:
+                d = d.filter(F.col("lang") == options.lang)
+            if options.repo:
+                d = d.filter(F.col("repo") == options.repo)
+            if options.path_prefix:
+                d = d.filter(F.col("path").startswith(options.path_prefix))
+            return (
+                d.select(
+                    "doc_id",
+                    F.lit(0.0).alias("score"),
+                    F.lit(0).alias("matched_required"),
+                    "repo",
+                    "path",
+                    "lang",
+                )
+                .orderBy("doc_id")
+                .limit(options.k)
+            )
+        scored = self._scored_for_terms(terms)
+        groups_df = _groups_df(self.spark, groups)
+        n_required = sum(1 for g in groups if g.required)
+        return topk_from_scored(
+            scored, groups_df, n_required, msm, options.k, self.index.docs, options
+        )
+
+    def search(self, q: str | Query, options: SearchOptions | None = None) -> DataFrame:
+        """The coalesce ladder (U1, ESCoalesce.java:30-68): strict AND ->
+        AND-without-prefix-gate + fuzzy -> OR with minimum_should_match=2;
+        first non-empty rung wins (its k<=20 rows are the answer)."""
+        options = options or SearchOptions()
+        query = analyze_query(q, prefix=options.prefix) if isinstance(q, str) else q
+
+        rungs: list[tuple[list[TermGroup], int]] = []
+        g1, n1 = self._build_groups(query, options, fuzzy=False, with_prefix=True)
+        rungs.append((g1, n1))
+        if options.coalesce:
+            g2, n2 = self._build_groups(
+                query, options, fuzzy=options.fuzzy, with_prefix=False
+            )
+            rungs.append((g2, n2))
+            g3, n3 = self._build_groups(
+                query, options, fuzzy=options.fuzzy, with_prefix=False
+            )
+            # OR rung: minimum_should_match=2 like the reference's min-2-terms
+            # gate (MainAddressQueryBuilder.java:274-309), but a <=2-term query
+            # must actually relax below the AND rung -> msm=1
+            rungs.append((g3, 1 if n3 <= 2 else 2))
+
+        last = None
+        for groups, msm in rungs:
+            result = self.search_rung(groups, msm, options)
+            last = result
+            if result.limit(1).count() > 0:
+                return result
+        return last
+
+
+def oracle_topk(
+    corpus: DataFrame,
+    groups: list[TermGroup],
+    msm: int,
+    k: int = 20,
+    options: SearchOptions | None = None,
+    tokenizer: str = "pandas",
+) -> DataFrame:
+    """Brute-force scorer, no index: explode -> join -> groupBy -> sum, scores
+    straight from the corpus (SURVEY §7.1 step 4). The correctness oracle."""
+    spark = corpus.sparkSession
+    docs = bm25.doc_table(corpus, tokenizer)
+    tf = bm25.term_freqs(docs)
+    tstats = bm25.term_stats(tf)
+    cs = bm25.corpus_stats(docs).collect()[0]
+    scored_all = bm25.scored_postings(tf, tstats, int(cs.n_docs), float(cs.avg_doc_len))
+    terms = sorted({t for g in groups for t in g.terms})
+    scored = scored_all.filter(F.col("term").isin(terms)).select(
+        "term", "doc_id", "score"
+    )
+    n_required = sum(1 for g in groups if g.required)
+    return topk_from_scored(
+        scored, _groups_df(spark, groups), n_required, msm, k, docs.drop("tokens"), options
+    )

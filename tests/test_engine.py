@@ -1,0 +1,127 @@
+"""Query engine vs brute-force oracle: rank-identical top-k (FIXTURES.md §3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.index import builder
+from gazetteer_search_spark.search.engine import (
+    SearchEngine,
+    SearchOptions,
+    TermGroup,
+    oracle_topk,
+)
+from gazetteer_search_spark.sources import synthetic_corpus
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_corpus(spark, N_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_engine"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=8, postings_per_group=128)
+    return SearchEngine(spark, idx)
+
+
+def assert_rank_identical(got_df, want_df):
+    got = [(r.doc_id, r.score) for r in got_df.collect()]
+    want = [(r.doc_id, r.score) for r in want_df.collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9), (gd, gs, ws)
+
+
+def _grp(gid, terms, required=True, weight=1.0):
+    return TermGroup(group_id=gid, terms=tuple(terms), required=required, weight=weight)
+
+
+@pytest.mark.parametrize(
+    "groups,msm",
+    [
+        # single-term ranked retrieval (search/single-term.sql analog)
+        ([_grp(0, ["postings"])], 1),
+        # multi-term AND (street-match.json analog)
+        ([_grp(0, ["merge"]), _grp(1, ["postings"])], 2),
+        # minimum_should_match=2 of 3 (city-street.json analog)
+        ([_grp(0, ["merge"]), _grp(1, ["score"]), _grp(2, ["index"])], 2),
+        # dis_max variant group (HousenumbersPart dis_max analog)
+        ([_grp(0, ["merge", "mergepostings"]), _grp(1, ["block"])], 2),
+        # optional demotion: keyword boosts but doesn't gate
+        ([_grp(0, ["postings"]), _grp(1, ["def"], required=False, weight=0.5)], 1),
+    ],
+)
+def test_index_matches_oracle(spark, corpus, engine, groups, msm):
+    got = engine.search_rung(groups, msm, SearchOptions(k=20))
+    want = oracle_topk(corpus, groups, msm, k=20)
+    assert_rank_identical(got, want)
+
+
+def test_search_end_to_end_and(engine):
+    res = engine.search("mergePostings blockMax", SearchOptions(k=10, prefix=False))
+    rows = res.collect()
+    assert rows
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_prefix_expansion(engine):
+    """Search-as-you-type: 'post' as prefix must reach posting-bearing docs
+    via the term-dictionary range scan."""
+    exp = engine.expand_prefix("post")
+    assert "postings" in exp
+    res = engine.search("merge post", SearchOptions(k=10))
+    assert res.count() > 0
+
+
+def test_fuzzy_expansion(engine):
+    exp = engine.expand_fuzzy("postngs")  # deletion typo
+    assert "postings" in exp
+
+
+def test_coalesce_ladder_falls_through(engine):
+    """Strict AND on a nonsense+real pair yields nothing; the ladder's OR rung
+    (msm capped) still returns the real term's docs (ESCoalesce.java:30-64)."""
+    strict = engine.search(
+        "zzzqqq postings", SearchOptions(k=10, prefix=False, coalesce=False)
+    )
+    assert strict.count() == 0
+    relaxed = engine.search("zzzqqq postings", SearchOptions(k=10, prefix=False))
+    assert relaxed.count() > 0
+
+
+def test_lang_filter_and_boost(spark, corpus, engine):
+    opts = SearchOptions(k=20, lang="python")
+    groups = [_grp(0, ["postings"])]
+    got = engine.search_rung(groups, 1, opts)
+    rows = got.collect()
+    assert rows and all(r.lang == "python" for r in rows)
+    want = oracle_topk(corpus, groups, 1, k=20, options=opts)
+    assert_rank_identical(got, want)
+
+    boosted = engine.search_rung(
+        groups, 1, SearchOptions(k=20, lang_boosts={"python": 3.0})
+    )
+    want_b = oracle_topk(
+        corpus, groups, 1, k=20, options=SearchOptions(k=20, lang_boosts={"python": 3.0})
+    )
+    assert_rank_identical(boosted, want_b)
+
+
+def test_match_all_with_filters(engine):
+    res = engine.search("", SearchOptions(k=15, lang="go"))
+    rows = res.collect()
+    assert 0 < len(rows) <= 15
+    assert all(r.lang == "go" for r in rows)
+
+
+def test_repo_filter(spark, corpus, engine):
+    opts = SearchOptions(k=20, repo="org1/repo1")
+    got = engine.search_rung([_grp(0, ["postings"])], 1, opts)
+    rows = got.collect()
+    assert all(r.repo == "org1/repo1" for r in rows)

@@ -1,0 +1,133 @@
+"""Index build: postings round-trip vs direct computation, block invariants,
+salted skew handling, manifest metrics, checkpoint/resume (FIXTURES.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.index import builder
+from gazetteer_search_spark.search import bm25
+from gazetteer_search_spark.sources import synthetic_corpus
+
+N_DOCS = 300
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_corpus(spark, N_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    # tiny postings_per_group forces multi-salt packing for hot keyword terms
+    return builder.build_index(
+        spark, corpus, out, n_buckets=N_BUCKETS, postings_per_group=64
+    )
+
+
+def test_postings_roundtrip_matches_direct(spark, corpus, index):
+    decoded = builder.decode_postings(index.postings, with_tf=True)
+    direct = bm25.term_freqs(bm25.doc_table(corpus, "pandas")).select(
+        "term", "doc_id", "tf"
+    )
+    got = {(r.term, r.doc_id): r.tf for r in decoded.collect()}
+    want = {(r.term, r.doc_id): r.tf for r in direct.collect()}
+    assert got == want
+
+
+def test_block_invariants(index):
+    rows = index.postings.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.doc_count <= builder.codec.BLOCK_SIZE
+        assert r.min_doc_id <= r.max_doc_id
+        assert r.block_max_score > 0
+        assert len(r.scores_f64) == 8 * r.doc_count
+    # per term, block doc ranges within a salt are disjoint and ordered
+    by_term: dict[str, list] = {}
+    for r in rows:
+        by_term.setdefault(r.term, []).append(r)
+    for term, blocks in by_term.items():
+        blocks.sort(key=lambda b: (b.min_doc_id, b.block_id))
+        for a, b in zip(blocks, blocks[1:]):
+            assert a.max_doc_id < b.min_doc_id, term
+
+
+def test_salting_splits_hot_terms(spark, index):
+    """Hot keyword terms (df > postings_per_group) must be packed by multiple
+    salts — bounded task size at any scale (SURVEY §7.4.2)."""
+    fan = (
+        index.postings.groupBy("term")
+        .agg(
+            F.countDistinct(F.shiftright("block_id", builder.SALT_SHIFT)).alias("nsalts"),
+            F.sum("doc_count").alias("df"),
+        )
+        .collect()
+    )
+    hot = [r for r in fan if r.df > 64]
+    assert hot, "synthetic corpus should contain hot keyword terms"
+    assert all(r.nsalts > 1 for r in hot)
+    cold = [r for r in fan if r.df <= 64]
+    assert all(r.nsalts == 1 for r in cold)
+
+
+def test_manifest_metrics(spark, index):
+    m = spark.read.parquet(index.paths.manifest).collect()
+    assert {r.partition_id for r in m} == set(range(N_BUCKETS))
+    assert all(r.status == "done" for r in m)
+    nonempty = [r for r in m if r.postings > 0]
+    assert nonempty
+    for r in nonempty:
+        assert r.docs > 0 and r.bytes > 0 and r.merge_fan_in >= 1
+        assert r.started is not None and r.finished is not None
+    total_postings = sum(r.postings for r in m)
+    assert total_postings == builder.decode_postings(index.postings).count()
+
+
+def test_term_stats_consistency(spark, corpus, index):
+    ts = {r.term: (r.df, r.cf) for r in index.term_stats.collect()}
+    direct = {
+        r.term: (r.df, r.cf)
+        for r in bm25.term_stats(
+            bm25.term_freqs(bm25.doc_table(corpus, "pandas"))
+        ).collect()
+    }
+    assert ts == direct
+
+
+def test_checkpoint_resume(spark, corpus, tmp_path_factory):
+    """Kill after 3 committed partitions; resume; index identical to an
+    uninterrupted build (north_rule resumability)."""
+    out_a = str(tmp_path_factory.mktemp("idx_resume"))
+    out_b = str(tmp_path_factory.mktemp("idx_full"))
+
+    with pytest.raises(RuntimeError, match="fault injection"):
+        builder.build_index(
+            spark, corpus, out_a, n_buckets=N_BUCKETS, postings_per_group=64,
+            max_buckets_per_commit=1, fail_after_commits=3,
+        )
+    m = spark.read.parquet(builder.IndexPaths(out_a).manifest).collect()
+    assert len({r.partition_id for r in m}) == 3  # 3 committed, rest pending
+
+    idx_a = builder.build_index(
+        spark, corpus, out_a, n_buckets=N_BUCKETS, postings_per_group=64
+    )
+    idx_b = builder.build_index(
+        spark, corpus, out_b, n_buckets=N_BUCKETS, postings_per_group=64
+    )
+
+    key = ["term", "block_id"]
+    a = {tuple(r[k] for k in key): (r.doc_count, bytes(r.doc_ids_delta_varbyte),
+                                    bytes(r.tfs_varbyte), r.min_doc_id, r.max_doc_id)
+         for r in idx_a.postings.collect()}
+    b = {tuple(r[k] for k in key): (r.doc_count, bytes(r.doc_ids_delta_varbyte),
+                                    bytes(r.tfs_varbyte), r.min_doc_id, r.max_doc_id)
+         for r in idx_b.postings.collect()}
+    assert a == b  # byte-identical blocks
+
+    # resumed manifest: 3 buckets from the first run + the rest from resume
+    m2 = spark.read.parquet(builder.IndexPaths(out_a).manifest).collect()
+    assert {r.partition_id for r in m2} == set(range(N_BUCKETS))

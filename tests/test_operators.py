@@ -1,0 +1,129 @@
+"""Dedup / similarity / textstats / multimodal operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+        (3, "completely different content about spark engines"),
+        (4, "el perro y el gato de la casa que ladra y los vecinos"),
+        (5, "the quick brown fox jumps over the lazy dog today"),  # near dup
+        (6, "short"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup(docs):
+    kept = dedup.exact_dedup(docs)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 0 in ids and 1 not in ids  # representative = min doc_id
+    assert ids == {0, 2, 3, 4, 5, 6}
+    groups = dedup.exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0].n_dups == 2 and groups[0].keep_id == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs  # one-word change in a 9-word doc
+    assert not any({a, b} == {0, 3} for a, b in pairs)
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=3, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    # verification step keeps jaccard exact: no false positives below threshold
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert pairs <= exact
+
+
+def test_simhash_pairs(docs):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert sig[0] == sig[1]  # identical text -> identical signature
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(docs, max_hamming=12, bands=16).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_cosine_topk_and_pairs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    top = similarity.cosine_topk_query(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in top] == [0, 1]
+    assert top[0].cosine == pytest.approx(1.0)
+
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_similar_pairs(emb, threshold=0.9).collect()
+    }
+    assert (0, 1) in pairs and len(pairs) == 1
+
+
+def test_lsh_ann_recall(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        ["vec_id", "embedding"],
+    )
+    q = [float(x) for x in base[0]]
+    exact = [r.vec_id for r in similarity.cosine_topk_query(emb, q, k=5).collect()]
+    ann = [r.vec_id for r in similarity.lsh_ann_topk(emb, q, k=5, n_planes=16, bands=8).collect()]
+    assert exact[0] == 0 and ann[0] == 0  # self is always found (band match guaranteed)
+    recall = len(set(exact) & set(ann)) / 5
+    assert recall >= 0.4  # LSH is approximate; self + near neighbors survive
+
+
+def test_text_stats(docs):
+    st = {r.doc_id: r for r in textstats.text_stats(docs).collect()}
+    assert st[0].n_tokens == 9
+    assert st[0].lang_guess == "en"
+    assert st[4].lang_guess == "es"
+    assert st[0].fingerprint == st[1].fingerprint  # order-insensitive canon
+    assert all(0.0 <= r.quality <= 1.0 for r in st.values())
+    # the short doc misses the length band both docs share otherwise
+    assert st[6].quality != st[0].quality
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, 30)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x <= 1.0 for x in r.features)
+    # determinism: same payload bytes -> same features
+    again = {r.media_id: r.features for r in multimodal.extract_features(media).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+    plan = multimodal.frame_sample_plan(media, every_n=5)
+    assert plan.filter(F.col("frame_no") % 5 != 0).count() == 0

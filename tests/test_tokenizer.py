@@ -1,0 +1,97 @@
+"""Tokenizer goldens (FIXTURES.md §4) + kernel/native-expr/DuckDB equivalence."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.analyzer.tokenizer import (
+    duckdb_tokens_sql,
+    native_tokens_expr,
+    tokenize_pandas,
+    tokenize_text,
+)
+from gazetteer_search_spark.analyzer.query_ir import analyze_query
+
+
+GOLDENS = [
+    # camelCase split + joined identifier (reference transliteration-doubling
+    # analog, IndexAnalyzer.java:60-78)
+    ("getUserName", ["get", "user", "name", "getusername"]),
+    # snake_case
+    ("parse_query_token", ["parse", "query", "token", "parsequerytoken"]),
+    # acronym boundary
+    ("HTTPServer", ["http", "server", "httpserver"]),
+    # digit boundaries
+    ("utf8Parser", ["utf", "8", "parser", "utf8parser"]),
+    # NFD diacritics fold (IndexAnalyzer.removeDiactrics, :33-36)
+    ("Bebić", ["bebic"]),
+    # punctuation separators / brackets
+    ("try { run(); } catch (e) {}", ["try", "run", "catch", "e"]),
+    # plain single word: no doubling
+    ("spark", ["spark"]),
+    ("", []),
+]
+
+
+@pytest.mark.parametrize("text,expected", GOLDENS)
+def test_goldens(text, expected):
+    assert tokenize_text(text) == expected
+
+
+def test_batch_matches_single():
+    texts = [t for t, _ in GOLDENS]
+    batch = tokenize_pandas(pd.Series(texts))
+    for t, got in zip(texts, batch):
+        assert got == tokenize_text(t)
+
+
+def test_native_expr_matches_kernel_on_plain_text(spark):
+    texts = [
+        "key agg row scan slow fast table value",
+        "the quick brown fox 42 jumps",
+        "spark sql window",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["content"])
+    native = [
+        r.toks
+        for r in df.select(native_tokens_expr(F.col("content")).alias("toks")).collect()
+    ]
+    kernel = [tokenize_text(t, joined_identifiers=False) for t in texts]
+    assert native == kernel
+
+
+def test_duckdb_sql_matches_kernel_on_plain_text():
+    texts = ["key agg row scan slow fast", "camelCase splitsHere too", "a_b c1d"]
+    expr = duckdb_tokens_sql("t")
+    for t in texts:
+        got = duckdb.sql(f"select {expr} as toks from (select ? as t)", params=[t]).fetchone()[0]
+        assert got == tokenize_text(t, joined_identifiers=False), t
+
+
+def test_query_ir_typing():
+    q = analyze_query("def mergePostings retries 42 ")
+    texts = [t.text for t in q.tokens]
+    assert q.prefix is None  # trailing space disables prefix (Query.java:178-185)
+    assert "merge" in texts and "postings" in texts and "mergepostings" in texts
+    by_text = {t.text: t for t in q.tokens}
+    assert by_text["def"].optional  # stop token gates nothing
+    assert by_text["42"].numbers_only and by_text["42"].has_numbers
+    assert not by_text["merge"].optional
+
+
+def test_query_ir_prefix():
+    q = analyze_query("spark table getUserNam")
+    assert q.prefix == "nam"  # last sub-token of the mid-typed identifier
+    texts = [t.text for t in q.tokens]
+    assert texts == ["spark", "table", "get", "user"]
+
+
+def test_query_ir_synonym_variants():
+    q = analyze_query("str config ")
+    by_text = {t.text: t for t in q.tokens}
+    assert "string" in by_text["str"].variants
+    assert "cfg" in by_text["config"].variants
