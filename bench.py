@@ -1,0 +1,197 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling``: run the identical index-build + query job at local[8] and
+local[32] on the same input (the sandbox evidence for the north_rule's
+N-vs-4N-executor scaling criterion) and write BENCH/BASELINE.md.
+
+Suite contents:
+- index_build      docs/sec building the compressed posting index over a
+                   deterministic synthetic source-code corpus (SPARK_GRAFT_BUILD_DOCS,
+                   default 100k docs) — the import-throughput analog
+                   (reference AddressesImporter ms/line logging)
+- q_*              query latency (warm, best of 2) through the index engine
+                   on the sf documents corpus: single term, multi-term AND,
+                   min_should_match=2, prefix, ladder (the reference query-set
+                   shapes: prefix / multi-term AND / ranked retrieval)
+- dedup_minhash    MinHash-LSH near-dup pass over documents
+- cosine_topk      brute-force embedding top-k
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BUILD_DOCS = int(os.environ.get("SPARK_GRAFT_BUILD_DOCS", "100000"))
+
+
+def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.session import get_spark
+    from gazetteer_search_spark.index import builder
+    from gazetteer_search_spark.operators import dedup, similarity
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions, TermGroup
+    from gazetteer_search_spark.sources import documents_as_corpus, synthetic_corpus
+
+    spark = get_spark("gss-bench", cpus=cpus, shuffle_partitions=cpus)
+    timings: dict[str, float] = {}
+
+    # ---- index build throughput (synthetic corpus, deterministic) ----------
+    corpus = synthetic_corpus(spark, build_docs)
+    out = tempfile.mkdtemp(prefix=f"gss_bench_idx_{cpus}_")
+    t0 = time.perf_counter()
+    builder.build_index(
+        spark, corpus, out, tokenizer="pandas", n_buckets=max(cpus, 8),
+        postings_per_group=1 << 18,
+    )
+    t_build = time.perf_counter() - t0
+    timings["index_build"] = t_build
+    build_docs_per_sec = build_docs / t_build
+
+    # ---- query latency on the sf documents corpus ---------------------------
+    qout = tempfile.mkdtemp(prefix=f"gss_bench_qidx_{cpus}_")
+    idx = builder.build_index(
+        spark, documents_as_corpus(spark, sf_dir), qout,
+        tokenizer="pandas", n_buckets=8, postings_per_group=1 << 16,
+    )
+    eng = SearchEngine(spark, idx)
+
+    def g(gid, terms, required=True, weight=1.0):
+        return TermGroup(group_id=gid, terms=tuple(terms), required=required, weight=weight)
+
+    def bench_query(name, fn, runs=2):
+        best = float("inf")
+        for _ in range(runs):
+            t = time.perf_counter()
+            fn().collect()
+            best = min(best, time.perf_counter() - t)
+        timings[name] = best
+
+    bench_query("q_single_term", lambda: eng.search_rung([g(0, ["spark"])], 1, SearchOptions()))
+    bench_query(
+        "q_multi_term_and",
+        lambda: eng.search_rung([g(0, ["merge"]), g(1, ["sort"])], 2, SearchOptions()),
+    )
+    bench_query(
+        "q_min_should_match_2",
+        lambda: eng.search_rung(
+            [g(0, ["merge"]), g(1, ["vector"]), g(2, ["window"])], 2, SearchOptions()
+        ),
+    )
+    bench_query(
+        "q_prefix",
+        lambda: eng.search_rung(
+            [g(0, ["window"]), g(1, eng.expand_prefix("sca"))], 2, SearchOptions()
+        ),
+    )
+    bench_query(
+        "q_ladder",
+        lambda: eng.search("zzzqqq merge", SearchOptions(k=20, prefix=False, fuzzy=False)),
+    )
+
+    # ---- training-data ops ---------------------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    t = time.perf_counter()
+    dedup.minhash_lsh_pairs(docs, n=1, num_hashes=32, bands=8, threshold=0.8).count()
+    timings["dedup_minhash"] = time.perf_counter() - t
+
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    t = time.perf_counter()
+    similarity.cosine_topk_query(emb, qv, k=10).collect()
+    timings["cosine_topk"] = time.perf_counter() - t
+
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(qout, ignore_errors=True)
+    spark.stop()
+
+    return {
+        "cpus": cpus,
+        "build_docs": build_docs,
+        "build_docs_per_sec": build_docs_per_sec,
+        "timings": timings,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--build-docs", type=int, default=BUILD_DOCS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--subprocess-json", action="store_true", help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for c in (8, 32):
+            proc = subprocess.run(
+                [
+                    sys.executable, __file__, "--cpus", str(c),
+                    "--sf-dir", args.sf_dir, "--build-docs", str(args.build_docs),
+                    "--subprocess-json",
+                ],
+                capture_output=True, text=True, check=True,
+            )
+            results[c] = json.loads(proc.stdout.strip().splitlines()[-1])
+        t8 = results[8]["build_docs_per_sec"]
+        t32 = results[32]["build_docs_per_sec"]
+        eff = (t32 / t8) / (32 / 8)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(
+                "# BENCH/BASELINE — scaling evidence (local[8] vs local[32])\n\n"
+                "Same deterministic input, same job (full index build: tokenize ->\n"
+                "term-freq shuffle -> salted pack -> parquet), two parallelism levels —\n"
+                "the sandbox stand-in for the north_rule's N vs 4N executor criterion.\n\n"
+                f"| parallelism | build docs | docs/sec | wall sec |\n|---|---|---|---|\n"
+                f"| local[8] | {results[8]['build_docs']} | {t8:.0f} | {results[8]['timings']['index_build']:.2f} |\n"
+                f"| local[32] | {results[32]['build_docs']} | {t32:.0f} | {results[32]['timings']['index_build']:.2f} |\n\n"
+                f"**Scaling efficiency (8 -> 32 cores, 4x): {eff:.3f}** "
+                f"(target >= 0.8)\n\n"
+                "Query latencies (sec, warm best-of-2):\n\n"
+                "| query | local[8] | local[32] |\n|---|---|---|\n"
+                + "".join(
+                    f"| {k} | {results[8]['timings'][k]:.3f} | {results[32]['timings'][k]:.3f} |\n"
+                    for k in results[8]["timings"]
+                    if k != "index_build"
+                )
+            )
+        print(json.dumps({"scaling_efficiency": eff, "docs_per_sec": {"8": t8, "32": t32}}))
+        return
+
+    res = run_suite(args.cpus, args.sf_dir, args.build_docs)
+    queries = {k: round(v, 4) for k, v in res["timings"].items()}
+    out = {
+        "metric": "bench_suite_seconds",
+        "value": round(sum(res["timings"].values()), 4),
+        "unit": "sec",
+        "queries": queries,
+        "sf": args.sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": args.cpus,
+        "build_docs": args.build_docs,
+        "index_build_docs_per_sec": round(res["build_docs_per_sec"], 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""spark-submit entry point — CLI parity with the reference's subcommands
+(/root/reference/src/main/java/me/osm/gazetteer/search/GazetteerSearch.java:27-66:
+import / doc-import / serve / geocode-csv / count-streets-refs).
+
+    spark-submit --py-files gazetteer_search_spark.zip -m gazetteer_search_spark.cli \\
+        build-index --source /path/corpus.parquet --out /path/index
+    ... query --index /path/index --q "mergePostings blockMax" --k 20
+    ... stats --index /path/index
+    ... batch-query --index /path/index --queries q.csv --out results.parquet
+
+On a real cluster the same module runs unchanged — only master/deploy-mode
+change (SparkSession.getOrCreate picks up spark-submit's conf).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _spark(app: str) -> SparkSession:
+    return SparkSession.builder.appName(app).getOrCreate()
+
+
+def cmd_build_index(args: argparse.Namespace) -> None:
+    from gazetteer_search_spark.index.builder import build_index
+
+    spark = _spark("gss-build-index")
+    corpus = spark.read.parquet(args.source)
+    if "doc_id" not in corpus.columns:
+        # deterministic hash docID (collision probability documented in
+        # builder docstring; dense assignment available for bounded corpora)
+        corpus = corpus.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit").bitwiseAND(F.lit((1 << 62) - 1))
+        )
+    t0 = time.time()
+    idx = build_index(
+        spark, corpus, args.out,
+        tokenizer=args.tokenizer, n_buckets=args.n_buckets,
+        postings_per_group=args.postings_per_group,
+        max_buckets_per_commit=args.max_buckets_per_commit,
+    )
+    print(json.dumps({
+        "out": args.out, "n_docs": idx.n_docs,
+        "avg_doc_len": idx.avg_doc_len, "seconds": round(time.time() - t0, 2),
+        "docs_per_sec": round(idx.n_docs / (time.time() - t0), 2),
+    }))
+
+
+def cmd_query(args: argparse.Namespace) -> None:
+    from gazetteer_search_spark.index.builder import load_index
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+
+    spark = _spark("gss-query")
+    eng = SearchEngine(spark, load_index(spark, args.index))
+    opts = SearchOptions(
+        k=args.k, prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
+        coalesce=not args.no_coalesce, lang=args.lang, repo=args.repo,
+    )
+    t0 = time.time()
+    rows = eng.search(args.q, opts).collect()
+    for i, r in enumerate(rows, 1):
+        print(json.dumps({
+            "rank": i, "doc_id": r.doc_id, "score": round(r.score, 4),
+            "repo": getattr(r, "repo", None), "path": getattr(r, "path", None),
+        }))
+    print(json.dumps({"total_hits": len(rows), "answer_time_ms": round(1000 * (time.time() - t0))}),
+          file=sys.stderr)
+
+
+def cmd_stats(args: argparse.Namespace) -> None:
+    from gazetteer_search_spark.index.builder import IndexPaths, load_index
+
+    spark = _spark("gss-stats")
+    idx = load_index(spark, args.index)
+    manifest = spark.read.parquet(IndexPaths(args.index).manifest)
+    agg = manifest.agg(
+        F.sum("postings").alias("postings"), F.sum("bytes").alias("bytes"),
+        F.max("merge_fan_in").alias("max_merge_fan_in"),
+        F.count("*").alias("partitions"),
+    ).collect()[0]
+    print(json.dumps({
+        "n_docs": idx.n_docs, "avg_doc_len": idx.avg_doc_len,
+        "n_terms": idx.term_stats.count(), "postings": int(agg.postings or 0),
+        "bytes": int(agg.bytes or 0), "max_merge_fan_in": int(agg.max_merge_fan_in or 0),
+        "partitions": int(agg.partitions),
+    }))
+
+
+def cmd_batch_query(args: argparse.Namespace) -> None:
+    """CSV of queries -> parquet of top-k results (the geocode-csv analog,
+    reference csv/CSVGeocode.java:47-95)."""
+    from gazetteer_search_spark.index.builder import load_index
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+
+    spark = _spark("gss-batch-query")
+    eng = SearchEngine(spark, load_index(spark, args.index))
+    queries = [r[0] for r in spark.read.csv(args.queries).collect()]
+    t0 = time.time()
+    outs = []
+    for qi, q in enumerate(queries):
+        res = eng.search(q, SearchOptions(k=args.k, prefix=False))
+        outs.append(res.withColumn("query_id", F.lit(qi)))
+    all_res = outs[0]
+    for o in outs[1:]:
+        all_res = all_res.unionByName(o)
+    all_res.write.mode("overwrite").parquet(args.out)
+    dt = time.time() - t0
+    print(json.dumps({
+        "queries": len(queries), "ms_per_query": round(1000 * dt / max(len(queries), 1), 2),
+    }))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="gazetteer_search_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index")
+    b.add_argument("--source", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--tokenizer", default="pandas", choices=["pandas", "native"])
+    b.add_argument("--n-buckets", type=int, default=64)
+    b.add_argument("--postings-per-group", type=int, default=1 << 20)
+    b.add_argument("--max-buckets-per-commit", type=int, default=None)
+    b.set_defaults(fn=cmd_build_index)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True)
+    q.add_argument("--k", type=int, default=20)
+    q.add_argument("--no-prefix", action="store_true")
+    q.add_argument("--no-fuzzy", action="store_true")
+    q.add_argument("--no-coalesce", action="store_true")
+    q.add_argument("--lang")
+    q.add_argument("--repo")
+    q.set_defaults(fn=cmd_query)
+
+    s = sub.add_parser("stats")
+    s.add_argument("--index", required=True)
+    s.set_defaults(fn=cmd_stats)
+
+    bq = sub.add_parser("batch-query")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("--queries", required=True)
+    bq.add_argument("--out", required=True)
+    bq.add_argument("--k", type=int, default=20)
+    bq.set_defaults(fn=cmd_batch_query)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -205,11 +205,11 @@ def build_index(
     cs = spark.read.parquet(paths.corpus_stats).collect()[0]
     n_docs, avg_dl, max_doc_id = int(cs.n_docs), float(cs.avg_doc_len), int(cs.max_doc_id)
 
-    # term freqs are recomputed on resume (cheap relative to the packing
-    # shuffle; at cluster scale this frame would be checkpointed to scratch
-    # storage instead — same manifest logic applies).
+    # term freqs: tokenized + shuffled ONCE, persisted across the downstream
+    # stages (term_stats, scored postings); at cluster scale this persist is a
+    # scratch-storage checkpoint — same manifest logic applies.
     docs_tok = bm25.doc_table(corpus, tokenizer)
-    tf = bm25.term_freqs(docs_tok)
+    tf = bm25.term_freqs(docs_tok).persist()
 
     # ---- stage 3: term stats -------------------------------------------------
     if not (resume and _exists(spark, paths.term_stats)):
@@ -263,37 +263,34 @@ def build_index(
             .parquet(paths.postings)
         )
 
-        # metrics from the written data (also validates the write)
+        # metrics: ONE read-back scan of the written blocks (two-level agg —
+        # also validates the write), plus distinct-docs from the persisted tf
+        # lineage (no payload decode needed)
         written = spark.read.parquet(paths.postings).filter(
             F.col("term_bucket").isin(batch)
         )
-        per_term_fanin = written.groupBy("term_bucket", "term").agg(
-            F.countDistinct(F.shiftright("block_id", SALT_SHIFT)).alias("fan_in")
-        )
         m = (
-            written.groupBy("term_bucket")
+            written.groupBy("term_bucket", "term")
             .agg(
-                F.sum("doc_count").alias("postings"),
+                F.sum("doc_count").alias("postings_t"),
                 (
                     F.sum(F.length("doc_ids_delta_varbyte"))
                     + F.sum(F.length("tfs_varbyte"))
                     + F.sum(F.length("scores_f64"))
-                ).alias("bytes"),
+                ).alias("bytes_t"),
+                F.countDistinct(F.shiftright("block_id", SALT_SHIFT)).alias("fan_in"),
             )
-            .join(
-                per_term_fanin.groupBy("term_bucket").agg(
-                    F.max("fan_in").alias("merge_fan_in")
-                ),
-                "term_bucket",
+            .groupBy("term_bucket")
+            .agg(
+                F.sum("postings_t").alias("postings"),
+                F.sum("bytes_t").alias("bytes"),
+                F.max("fan_in").alias("merge_fan_in"),
             )
             .collect()
         )
-        # distinct docs per bucket from the written blocks (decode read-back —
-        # never recomputes the upstream tokenize/shuffle lineage)
         docs_per_bucket = {
             r.term_bucket: r.docs
-            for r in decode_postings(written, extra_cols=("term_bucket",))
-            .groupBy("term_bucket")
+            for r in part.groupBy("term_bucket")
             .agg(F.countDistinct("doc_id").alias("docs"))
             .collect()
         }
@@ -323,6 +320,7 @@ def build_index(
         ).parquet(paths.manifest)
         commits += 1
 
+    tf.unpersist()
     return load_index(spark, out_dir, n_buckets=n_buckets)
 
 

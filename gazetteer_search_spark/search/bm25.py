@@ -41,11 +41,18 @@ def tf_norm_col(tf: Column, doc_len: Column, avg_dl: Column | float) -> Column:
     )
 
 
+# Marked nondeterministic ON PURPOSE (it is deterministic): stops Catalyst's
+# CollapseProject from inlining the UDF invocation into every downstream
+# reference (tokens + size(tokens) would otherwise become TWO ArrowEvalPython
+# evaluations of the whole kernel — observed 2x tokenize cost in the plan).
+_tokens_udf_once = tokens_pandas_udf.asNondeterministic()
+
+
 def tokens_col(content: Column, tokenizer: str = "pandas") -> Column:
     """tokenizer='pandas': full code-aware kernel (Arrow-batched).
     tokenizer='native': simple pipeline, pure JVM (identical on word text)."""
     if tokenizer == "pandas":
-        return tokens_pandas_udf(content)
+        return _tokens_udf_once(content)
     if tokenizer == "native":
         return native_tokens_expr(content)
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
@@ -73,14 +80,13 @@ def term_freqs(docs: DataFrame) -> DataFrame:
     partial aggregation (hash agg) — the key is near-unique so no skew here;
     skew lives in the per-term packing stage, handled by salting in builder.py.
     """
+    # doc_len/lang are functionally dependent on doc_id: putting them in the
+    # grouping key (instead of first()) keeps the aggregation hash-based —
+    # first() forces a SortAggregate (sort per partition, measured ~10x slower)
     return (
         docs.select("doc_id", "doc_len", "lang", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count("*").alias("tf"),
-            F.first("doc_len").alias("doc_len"),
-            F.first("lang").alias("lang"),
-        )
+        .groupBy("term", "doc_id", "doc_len", "lang")
+        .agg(F.count("*").alias("tf"))
     )
 
 

@@ -98,8 +98,6 @@ def topk_from_scored(
 ) -> DataFrame:
     """Shared ranking tail: (term, doc_id, score) x groups -> gated, boosted,
     deterministic top-k. All native Catalyst expressions."""
-    options = options or SearchOptions()
-
     per_group = (
         scored.join(F.broadcast(groups_df), "term")
         .groupBy("doc_id", "group_id", "required")
@@ -109,30 +107,55 @@ def topk_from_scored(
         F.sum("gscore").alias("score"),
         F.sum(F.when(F.col("required"), 1).otherwise(0)).alias("matched_required"),
     )
-    gated = per_doc.filter(F.col("matched_required") >= F.lit(min(msm, n_required)))
+    return finalize_ranked(per_doc, min(msm, n_required), k, docs, options)
 
-    if docs is not None:
-        d = docs
-        if options.lang:
-            d = d.filter(F.col("lang") == options.lang)
-        if options.repo:
-            d = d.filter(F.col("repo") == options.repo)
-        if options.path_prefix:
-            d = d.filter(F.col("path").startswith(options.path_prefix))
-        gated = gated.join(d.select("doc_id", "repo", "path", "lang"), "doc_id")
-        if options.lang_boosts:
-            boost = F.lit(1.0)
-            for lg, w in options.lang_boosts.items():
-                boost = F.when(F.col("lang") == lg, F.lit(float(w))).otherwise(boost)
-            gated = gated.withColumn("score", F.col("score") * boost)
 
-    ranked = (
-        gated.withColumn("_s", F.round(F.col("score"), 9))
-        .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
-        .limit(k)
-        .drop("_s")
-    )
-    return ranked
+def finalize_ranked(
+    per_doc: DataFrame,
+    msm: int,
+    k: int,
+    docs: DataFrame | None = None,
+    options: SearchOptions | None = None,
+) -> DataFrame:
+    """Gate + doc filters + static boost + deterministic rank/limit over a
+    (doc_id, score, matched_required) frame. Shared by the DataFrame scorer
+    and the block-max WAND operator."""
+    options = options or SearchOptions()
+    gated = per_doc.filter(F.col("matched_required") >= F.lit(msm))
+
+    def _rank(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_s", F.round(F.col("score"), 9))
+            .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .drop("_s")
+        )
+
+    doc_side = options.lang or options.repo or options.path_prefix or options.lang_boosts
+    if docs is None:
+        return _rank(gated)
+
+    if not doc_side:
+        # rank FIRST, join docs metadata on the k winners only — at cluster
+        # scale this turns a docs-table join of every match into a k-row
+        # broadcast lookup (TakeOrderedAndProject then tiny join)
+        topk = _rank(gated)
+        return _rank(topk.join(docs.select("doc_id", "repo", "path", "lang"), "doc_id"))
+
+    d = docs
+    if options.lang:
+        d = d.filter(F.col("lang") == options.lang)
+    if options.repo:
+        d = d.filter(F.col("repo") == options.repo)
+    if options.path_prefix:
+        d = d.filter(F.col("path").startswith(options.path_prefix))
+    gated = gated.join(d.select("doc_id", "repo", "path", "lang"), "doc_id")
+    if options.lang_boosts:
+        boost = F.lit(1.0)
+        for lg, w in options.lang_boosts.items():
+            boost = F.when(F.col("lang") == lg, F.lit(float(w))).otherwise(boost)
+        gated = gated.withColumn("score", F.col("score") * boost)
+    return _rank(gated)
 
 
 class SearchEngine:

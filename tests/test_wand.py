@@ -1,0 +1,71 @@
+"""Block-max WAND operator: rank-identical to the brute-force oracle and the
+DataFrame engine path (SURVEY §7.2 stage 6 — the 'hard' rank-identity gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from gazetteer_search_spark.index import builder
+from gazetteer_search_spark.search.engine import (
+    SearchEngine,
+    SearchOptions,
+    TermGroup,
+    oracle_topk,
+)
+from gazetteer_search_spark.search.wand import wand_topk
+from gazetteer_search_spark.sources import synthetic_corpus
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_corpus(spark, N_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_wand"))
+    return builder.build_index(spark, corpus, out, n_buckets=8, postings_per_group=128)
+
+
+def _grp(gid, terms, required=True, weight=1.0):
+    return TermGroup(group_id=gid, terms=tuple(terms), required=required, weight=weight)
+
+
+def assert_rank_identical(got_df, want_df):
+    got = [(r.doc_id, r.score) for r in got_df.collect()]
+    want = [(r.doc_id, r.score) for r in want_df.collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for (gd, gs), (_, ws) in zip(got, want):
+        assert gs == pytest.approx(ws, rel=1e-9), gd
+
+
+CASES = [
+    ([_grp(0, ["postings"])], 1),  # single term
+    ([_grp(0, ["merge"]), _grp(1, ["postings"])], 2),  # AND intersection
+    ([_grp(0, ["merge"]), _grp(1, ["score"]), _grp(2, ["index"])], 3),  # 3-way AND
+    ([_grp(0, ["merge"]), _grp(1, ["score"]), _grp(2, ["index"])], 2),  # msm path
+    ([_grp(0, ["merge", "mergepostings"]), _grp(1, ["block"])], 2),  # dis_max in AND
+    ([_grp(0, ["postings"]), _grp(1, ["def"], required=False, weight=0.5)], 1),
+]
+
+
+@pytest.mark.parametrize("groups,msm", CASES)
+def test_wand_matches_oracle(spark, corpus, index, groups, msm):
+    got = wand_topk(spark, index, groups, msm, k=20, n_ranges=16)
+    want = oracle_topk(corpus, groups, msm, k=20)
+    assert_rank_identical(got, want)
+
+
+def test_wand_matches_engine_with_filters_and_boosts(spark, index, corpus):
+    groups = [_grp(0, ["postings"])]
+    opts = SearchOptions(k=20, lang="python", lang_boosts={"python": 2.0})
+    got = wand_topk(spark, index, groups, 1, k=20, options=opts, n_ranges=16)
+    want = oracle_topk(corpus, groups, 1, k=20, options=opts)
+    assert_rank_identical(got, want)
+
+
+def test_wand_empty_intersection(spark, index):
+    groups = [_grp(0, ["postings"]), _grp(1, ["zzznotaterm"])]
+    assert wand_topk(spark, index, groups, 2, k=20, n_ranges=16).count() == 0
