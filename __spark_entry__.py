@@ -58,7 +58,7 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             n_buckets=8,
             postings_per_group=1 << 14,
         )
-        _ENGINES[sf_dir] = SearchEngine(spark, idx)
+        _ENGINES[sf_dir] = SearchEngine(spark, idx, cache=True)
     return _ENGINES[sf_dir]
 
 
@@ -224,7 +224,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _topk_out(res)
 
+    def union_weighted(spark, sf):  # U2: weighted UNION ALL + distinct-on
+        # (the PG-twin formulation, reference search/basic-union.sql:20-40)
+        from gazetteer_search_spark.analyzer.tokenizer import native_tokens_expr
+
+        d = _docs(spark, sf).withColumn("toks", native_tokens_expr(F.col("text")))
+        has = lambda t: F.array_contains("toks", t)
+        b1 = d.filter(has("merge") & has("sort")).select(
+            "doc_id", F.lit(100).alias("wt")
+        )
+        b2 = d.filter(has("merge")).select("doc_id", F.lit(75).alias("wt"))
+        b3 = d.filter(has("sort")).select("doc_id", F.lit(50).alias("wt"))
+        u = b1.unionByName(b2).unionByName(b3)
+        win = Window.partitionBy("doc_id").orderBy(F.col("wt").desc())
+        return (
+            u.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", F.col("wt").alias("weight"))
+            .orderBy(F.col("weight").desc(), "doc_id")
+            .limit(20)
+        )
+
+    def trim(spark, sf):  # P16 post-retrieval trim (ESDefaultSearch.java:281-313)
+        eng = _engine(spark, sf)
+        res = eng.search_rung(
+            [_grp(0, ["merge"]), _grp(1, ["vector"])], 1, SearchOptions()
+        )
+        rows = res.collect()
+        if rows:
+            best = rows[0].matched_required
+            cut = next(
+                (i for i, r in enumerate(rows) if r.matched_required < best), len(rows)
+            )
+            rows = rows[:cut]
+        return _topk_out(spark.createDataFrame(rows, res.schema))
+
     q.update(
+        union_weighted=union_weighted,
+        trim=trim,
         single_term=single_term,
         multi_term_and=multi_term_and,
         min_should_match_2=min_should_match_2,
@@ -478,6 +515,45 @@ def oracle_sql() -> dict[str, str]:
         "SELECT * FROM r3 WHERE NOT EXISTS (SELECT 1 FROM r1)"
     )
 
+    o["union_weighted"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+m AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'merge'),
+s AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'sort'),
+u AS (
+  SELECT doc_id, 100 AS wt FROM m JOIN s USING (doc_id)
+  UNION ALL SELECT doc_id, 75 FROM m
+  UNION ALL SELECT doc_id, 50 FROM s
+),
+d AS (SELECT doc_id, wt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY wt DESC) AS rn FROM u)
+SELECT doc_id, wt::INT AS weight FROM d WHERE rn = 1
+ORDER BY weight DESC, doc_id LIMIT 20
+"""
+    o["trim"] = f"""
+WITH {_BM25_CTES},
+grp AS ({_values_groups([("merge", 0, True, 1.0), ("vector", 1, True, 1.0)])}),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score) * max(g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS score,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score, matched_required,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
+  FROM per_doc WHERE matched_required >= 1
+),
+cut AS (
+  SELECT min(rn) AS c FROM ranked
+  WHERE matched_required < (SELECT matched_required FROM ranked WHERE rn = 1)
+)
+SELECT doc_id, round(score, 4) AS score FROM ranked
+WHERE rn <= 20 AND rn < coalesce((SELECT c FROM cut), 9223372036854775807)
+"""
     o["term_stats_top"] = f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term)

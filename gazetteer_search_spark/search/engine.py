@@ -55,6 +55,7 @@ class SearchOptions:
     repo: str | None = None  # refs/bbox filter analog (P12/P13)
     path_prefix: str | None = None
     lang_boosts: dict[str, float] = field(default_factory=dict)  # base_score analog
+    trim: bool = False  # P16 post-retrieval trim (ESDefaultSearch.java:281-313)
 
 
 @dataclass
@@ -159,9 +160,17 @@ def finalize_ranked(
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index: Index):
+    def __init__(self, spark: SparkSession, index: Index, cache: bool = False):
+        """``cache=True`` persists postings/docs/term_stats in executor memory
+        (spill-to-disk) — the serving-mode analog of ES/Lucene keeping the
+        index hot. At 100 TB you'd scope this to hot term_buckets; the option
+        is per-engine so batch pipelines skip it."""
         self.spark = spark
         self.index = index
+        if cache:
+            index.postings = index.postings.persist()
+            index.docs = index.docs.persist()
+            index.term_stats = index.term_stats.persist()
         # small at test scale; at cluster scale the term dictionary stays a
         # distributed table and these expansions are pruned range scans
         self._term_stats = index.term_stats
@@ -296,9 +305,23 @@ class SearchEngine:
         last = None
         for groups, msm in rungs:
             result = self.search_rung(groups, msm, options)
-            last = result
-            if result.limit(1).count() > 0:
-                return result
+            # execute the rung ONCE: materialize its <=k rows and rewrap, so
+            # the non-empty check and the caller's collect don't re-run jobs
+            rows = result.collect()
+            if rows and options.trim:
+                # P16 trim: walking the ranked page, cut at the first hit of
+                # coarser granularity than the top hit (the reference cuts at
+                # locality-only matches on street queries using per-clause
+                # _name flags; our flag is matched_required)
+                best = rows[0].matched_required
+                cut = next(
+                    (i for i, r in enumerate(rows) if r.matched_required < best),
+                    len(rows),
+                )
+                rows = rows[:cut]
+            last = self.spark.createDataFrame(rows, result.schema)
+            if rows:
+                return last
         return last
 
 
