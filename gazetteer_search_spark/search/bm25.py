@@ -80,12 +80,13 @@ def term_freqs(docs: DataFrame) -> DataFrame:
     partial aggregation (hash agg) — the key is near-unique so no skew here;
     skew lives in the per-term packing stage, handled by salting in builder.py.
     """
-    # doc_len/lang are functionally dependent on doc_id: putting them in the
-    # grouping key (instead of first()) keeps the aggregation hash-based —
-    # first() forces a SortAggregate (sort per partition, measured ~10x slower)
+    # doc_len is functionally dependent on doc_id: putting it in the grouping
+    # key (instead of first()) keeps the aggregation hash-based — first()
+    # forces a SortAggregate (sort per partition, measured ~10x slower).
+    # Only the columns BM25 needs go through this (the biggest) shuffle.
     return (
-        docs.select("doc_id", "doc_len", "lang", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "doc_len", "lang")
+        docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "doc_len")
         .agg(F.count("*").alias("tf"))
     )
 

@@ -96,13 +96,52 @@ def topk_from_scored(
     k: int,
     docs: DataFrame | None = None,
     options: SearchOptions | None = None,
+    groups: list[TermGroup] | None = None,
 ) -> DataFrame:
     """Shared ranking tail: (term, doc_id, score) x groups -> gated, boosted,
-    deterministic top-k. All native Catalyst expressions."""
-    per_group = (
-        scored.join(F.broadcast(groups_df), "term")
-        .groupBy("doc_id", "group_id", "required")
-        .agg((F.max("score") * F.first("weight")).alias("gscore"))  # dis_max P8
+    deterministic top-k. All native Catalyst expressions.
+
+    Fast paths (fewer shuffles per query — this is the serving hot path):
+    - term->group mapping as a projection (CASE chain) instead of a broadcast
+      join, whenever no term belongs to two groups;
+    - dis_max collapse: if every group has a single term, per-(doc,group) max
+      is the identity, so one hash aggregation computes the whole per-doc
+      score + required-match count (2 shuffles -> 1).
+    """
+    mapped = None
+    if groups is not None:
+        term2groups: dict[str, list[TermGroup]] = {}
+        for g in groups:
+            for t in set(g.terms):
+                term2groups.setdefault(t, []).append(g)
+        disjoint = all(len(gs) == 1 for gs in term2groups.values())
+        if disjoint:
+            gid_e, req_e, w_e = None, None, None
+            for t, (g,) in term2groups.items():
+                c = F.col("term") == t
+                gid_e = F.lit(g.group_id) if gid_e is None else F.when(c, g.group_id).otherwise(gid_e)
+                req_e = F.lit(g.required) if req_e is None else F.when(c, g.required).otherwise(req_e)
+                w_e = F.lit(g.weight) if w_e is None else F.when(c, float(g.weight)).otherwise(w_e)
+            mapped = scored.select(
+                "doc_id", "score",
+                gid_e.alias("group_id"), req_e.alias("required"), w_e.alias("weight"),
+            )
+            if all(len(set(g.terms)) == 1 for g in groups):
+                # singleton groups: dis_max is identity -> single aggregation
+                per_doc = mapped.groupBy("doc_id").agg(
+                    F.sum(F.col("score") * F.col("weight")).alias("score"),
+                    F.sum(F.when(F.col("required"), 1).otherwise(0)).alias(
+                        "matched_required"
+                    ),
+                )
+                return finalize_ranked(per_doc, min(msm, n_required), k, docs, options)
+
+    if mapped is None:
+        mapped = scored.join(F.broadcast(groups_df), "term").select(
+            "doc_id", "score", "group_id", "required", "weight"
+        )
+    per_group = mapped.groupBy("doc_id", "group_id", "required").agg(
+        (F.max("score") * F.first("weight")).alias("gscore")  # dis_max P8
     )
     per_doc = per_group.groupBy("doc_id").agg(
         F.sum("gscore").alias("score"),
@@ -276,7 +315,8 @@ class SearchEngine:
         groups_df = _groups_df(self.spark, groups)
         n_required = sum(1 for g in groups if g.required)
         return topk_from_scored(
-            scored, groups_df, n_required, msm, options.k, self.index.docs, options
+            scored, groups_df, n_required, msm, options.k, self.index.docs, options,
+            groups=groups,
         )
 
     def search(self, q: str | Query, options: SearchOptions | None = None) -> DataFrame:
@@ -347,5 +387,6 @@ def oracle_topk(
     )
     n_required = sum(1 for g in groups if g.required)
     return topk_from_scored(
-        scored, _groups_df(spark, groups), n_required, msm, k, docs.drop("tokens"), options
+        scored, _groups_df(spark, groups), n_required, msm, k, docs.drop("tokens"),
+        options, groups=groups,
     )

@@ -85,6 +85,15 @@ def synthetic_corpus(
         F.array(*[F.lit(_EXT[lg]) for lg in LANGS]),
         (F.pmod(F.col("doc_id"), F.lit(len(LANGS))) + 1).cast("int"),
     )
+    # long-tail identifiers unique-ish per doc (real code has mostly-unique
+    # symbol names on top of the hot-keyword head — this is what makes the
+    # posting build's group-by-term naturally parallel at scale)
+    tail = F.format_string(
+        "sym%d id%d fn%d",
+        F.pmod("doc_id", F.lit(50021)),
+        F.pmod(F.col("doc_id") * 31, F.lit(9973)),
+        F.pmod(F.col("doc_id") * 17, F.lit(29989)),
+    )
     return df.select(
         "doc_id",
         F.format_string(
@@ -96,7 +105,7 @@ def synthetic_corpus(
         ).alias("path"),
         F.sha1(F.col("doc_id").cast("string")).alias("commit"),
         lang.alias("lang"),
-        F.concat_ws(" ", *pieces).alias("content"),
+        F.concat_ws(" ", *pieces, tail).alias("content"),
     )
 
 
