@@ -224,6 +224,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _topk_out(res)
 
+    def wand_and(spark, sf):  # block-max WAND top-k (scale path), same
+        # semantics as multi_term_and — rank-identical by construction
+        from gazetteer_search_spark.search.wand import wand_topk
+
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return _topk_out(wand_topk(spark, eng.index, g, 2, k=20, n_ranges=16))
+
     def union_weighted(spark, sf):  # U2: weighted UNION ALL + distinct-on
         # (the PG-twin formulation, reference search/basic-union.sql:20-40)
         from gazetteer_search_spark.analyzer.tokenizer import native_tokens_expr
@@ -260,6 +268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_out(spark.createDataFrame(rows, res.schema))
 
     q.update(
+        wand_and=wand_and,
         union_weighted=union_weighted,
         trim=trim,
         single_term=single_term,
@@ -463,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
     o["multi_term_and"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 2
     )
+    o["wand_and"] = o["multi_term_and"]
     o["min_should_match_2"] = _search_sql(
         _values_groups(
             [("merge", 0, True, 1.0), ("vector", 1, True, 1.0), ("window", 2, True, 1.0)]

@@ -114,6 +114,14 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         "q_ladder",
         lambda: eng.search("zzzqqq merge", SearchOptions(k=20, prefix=False, fuzzy=False)),
     )
+    from gazetteer_search_spark.search.wand import wand_topk
+
+    bench_query(
+        "q_wand_and",
+        lambda: wand_topk(
+            spark, idx, [g(0, ["merge"]), g(1, ["sort"])], 2, k=20, n_ranges=cpus
+        ),
+    )
 
     # ---- training-data ops ---------------------------------------------------
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
