@@ -35,6 +35,10 @@ from gazetteer_search_spark.search.engine import (
 from gazetteer_search_spark.sources import documents_as_corpus
 
 DEFAULT_SF = "/root/testdata/sf0.001"
+# hot-shingle suppression bound for the exact-Jaccard entry (mirrored in the
+# oracle SQL). At the test scale factors no shingle reaches it (max df =
+# n_docs < 10^5), so it only changes behavior where it must: at scale.
+JACCARD_MAX_SHINGLE_DF = 100_000
 
 # ---------------------------------------------------------------------------
 # index cache (one build per sf_dir per process; manifest makes re-entry a
@@ -47,8 +51,16 @@ _ENGINES: dict[str, SearchEngine] = {}
 def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     if sf_dir not in _ENGINES:
         tag = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+        # corpus fingerprint in the cache key: a regenerated documents.parquet
+        # at the same path must NOT silently reuse a stale index
+        src = os.path.join(sf_dir, "documents.parquet")
+        try:
+            st = os.stat(src)
+            fp = f"{st.st_size}_{int(st.st_mtime)}"
+        except OSError:
+            fp = "na"
         out = os.path.join(
-            tempfile.gettempdir(), f"gss_index_v{__version__}_{tag}"
+            tempfile.gettempdir(), f"gss_index_v{__version__}_{tag}_{fp}"
         )
         idx = builder.build_index(
             spark,
@@ -126,7 +138,7 @@ def _search_sql(
 WITH {_BM25_CTES},
 grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({groups_sql})),
 per_group AS (
-  SELECT s.doc_id, g.group_id, g.required, max(s.score) * max(g.weight) AS gscore
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
   FROM scored s JOIN grp g USING (term)
   GROUP BY s.doc_id, g.group_id, g.required
 ),
@@ -400,8 +412,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- training-data ops --------------------------------------------------
     def jaccard_pairs(spark, sf):
+        # max_shingle_df is the hot-key suppression bound (at 100 TB an
+        # uncapped shingle self-join blows up on boilerplate shingles);
+        # the oracle SQL applies the IDENTICAL cap
         return dedup.ngram_jaccard_pairs(
-            _docs(spark, sf), n=1, threshold=0.8
+            _docs(spark, sf), n=1, threshold=0.8, max_shingle_df=JACCARD_MAX_SHINGLE_DF
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
     def minhash_lsh(spark, sf):  # rows-only check (hash fn not in ANSI SQL)
@@ -543,7 +558,7 @@ ORDER BY weight DESC, doc_id LIMIT 20
 WITH {_BM25_CTES},
 grp AS ({_values_groups([("merge", 0, True, 1.0), ("vector", 1, True, 1.0)])}),
 per_group AS (
-  SELECT s.doc_id, g.group_id, g.required, max(s.score) * max(g.weight) AS gscore
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
   FROM scored s JOIN grp g USING (term)
   GROUP BY s.doc_id, g.group_id, g.required
 ),
@@ -620,7 +635,12 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk FROM (
 
     _w = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
     o["jaccard_pairs"] = f"""
-WITH sh AS (SELECT DISTINCT doc_id, unnest({_w}) AS shingle FROM documents),
+WITH sh0 AS (SELECT DISTINCT doc_id, unnest({_w}) AS shingle FROM documents),
+sh AS (
+  SELECT sh0.* FROM sh0 JOIN (
+    SELECT shingle FROM sh0 GROUP BY shingle
+    HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}
+  ) ok USING (shingle)),
 sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i

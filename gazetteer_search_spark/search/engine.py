@@ -69,6 +69,22 @@ class TermGroup:
     required: bool
     weight: float = 1.0
     is_prefix: bool = False
+    # Per-term boosts (same length as ``terms``) for cross-field groups
+    # (P11 "name^5" analog, reference MainAddressQueryBuilder.java:459-464):
+    # the effective weight of terms[i] is weight * term_weights[i]. None means
+    # every term carries ``weight``.
+    term_weights: tuple[float, ...] | None = None
+
+    def per_term_weights(self) -> dict[str, float]:
+        """term -> effective weight, deduped keeping the max boost (a term
+        reachable through two fields scores through the better one)."""
+        tw = self.term_weights or (1.0,) * len(self.terms)
+        out: dict[str, float] = {}
+        for t, w in zip(self.terms, tw):
+            eff = self.weight * w
+            if t not in out or eff > out[t]:
+                out[t] = eff
+        return out
 
 
 GROUPS_SCHEMA = T.StructType(
@@ -83,7 +99,9 @@ GROUPS_SCHEMA = T.StructType(
 
 def _groups_df(spark: SparkSession, groups: list[TermGroup]) -> DataFrame:
     rows = [
-        (t, g.group_id, g.required, g.weight) for g in groups for t in set(g.terms)
+        (t, g.group_id, g.required, w)
+        for g in groups
+        for t, w in g.per_term_weights().items()
     ]
     return spark.createDataFrame(rows, GROUPS_SCHEMA)
 
@@ -110,18 +128,18 @@ def topk_from_scored(
     """
     mapped = None
     if groups is not None:
-        term2groups: dict[str, list[TermGroup]] = {}
+        term2groups: dict[str, list[tuple[TermGroup, float]]] = {}
         for g in groups:
-            for t in set(g.terms):
-                term2groups.setdefault(t, []).append(g)
+            for t, w in g.per_term_weights().items():
+                term2groups.setdefault(t, []).append((g, w))
         disjoint = all(len(gs) == 1 for gs in term2groups.values())
         if disjoint:
             gid_e, req_e, w_e = None, None, None
-            for t, (g,) in term2groups.items():
+            for t, ((g, w),) in term2groups.items():
                 c = F.col("term") == t
                 gid_e = F.lit(g.group_id) if gid_e is None else F.when(c, g.group_id).otherwise(gid_e)
                 req_e = F.lit(g.required) if req_e is None else F.when(c, g.required).otherwise(req_e)
-                w_e = F.lit(g.weight) if w_e is None else F.when(c, float(g.weight)).otherwise(w_e)
+                w_e = F.lit(float(w)) if w_e is None else F.when(c, float(w)).otherwise(w_e)
             mapped = scored.select(
                 "doc_id", "score",
                 gid_e.alias("group_id"), req_e.alias("required"), w_e.alias("weight"),
@@ -140,8 +158,11 @@ def topk_from_scored(
         mapped = scored.join(F.broadcast(groups_df), "term").select(
             "doc_id", "score", "group_id", "required", "weight"
         )
+    # dis_max P8 with per-term weights: max over the group's (possibly
+    # field-boosted) term contributions. Equivalent to max(score)*weight when
+    # the weight is constant across the group's terms.
     per_group = mapped.groupBy("doc_id", "group_id", "required").agg(
-        (F.max("score") * F.first("weight")).alias("gscore")  # dis_max P8
+        F.max(F.col("score") * F.col("weight")).alias("gscore")
     )
     per_doc = per_group.groupBy("doc_id").agg(
         F.sum("gscore").alias("score"),
@@ -343,7 +364,18 @@ class SearchEngine:
             rungs.append((g3, 1 if n3 <= 2 else 2))
 
         last = None
+        seen_rungs: set[tuple] = set()
         for groups, msm in rungs:
+            # a rung identical to an already-executed one (same groups, same
+            # msm) cannot produce different rows — e.g. rung 2 == rung 1 when
+            # there is no prefix gate and fuzzy adds no expansions
+            key = (
+                tuple((g.terms, g.required, g.weight, g.term_weights) for g in groups),
+                msm,
+            )
+            if key in seen_rungs:
+                continue
+            seen_rungs.add(key)
             result = self.search_rung(groups, msm, options)
             # execute the rung ONCE: materialize its <=k rows and rewrap, so
             # the non-empty check and the caller's collect don't re-run jobs

@@ -108,7 +108,7 @@ def make_range_kernel(
             }
         )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         rng = int(key[0])
         lo, hi = rng * range_width, (rng + 1) * range_width
         by_gid = {int(g): sub for g, sub in pdf.groupby("group_id")}
@@ -208,7 +208,8 @@ def wand_topk(
         raise ValueError("wand_topk requires at least one term")
     buckets = sorted({term_bucket_py(t, index.n_buckets) for t in terms})
 
-    range_width = max(1, -(-(index.docs.agg(F.max("doc_id")).collect()[0][0] + 1) // n_ranges))
+    # max_doc_id is loaded from corpus_stats with the index — no docs scan here
+    range_width = max(1, -(-(index.max_doc_id + 1) // n_ranges))
 
     blocks = index.postings.filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
