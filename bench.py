@@ -64,7 +64,7 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     corpus = synthetic_corpus(spark, build_docs)
     out = tempfile.mkdtemp(prefix=f"gss_bench_idx_{cpus}_")
     t0 = time.perf_counter()
-    builder.build_index(
+    idx_syn = builder.build_index(
         spark, corpus, out, tokenizer="pandas", n_buckets=max(cpus, 8),
         # fine salting: hot keyword terms split into many doc-range groups so
         # the pack stage parallelizes regardless of vocabulary shape
@@ -114,12 +114,37 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         "q_ladder",
         lambda: eng.search("zzzqqq merge", SearchOptions(k=20, prefix=False, fuzzy=False)),
     )
-    from gazetteer_search_spark.search.wand import wand_topk
+    from gazetteer_search_spark.search.wand import WandCounters, wand_topk
 
+    # df hints (a term-dictionary lookup a serving tier keeps cached) let the
+    # auto range-gate skip its metadata pre-pass for dense-term AND queries
+    wand_df_hints = {
+        r.term: r.df
+        for r in idx.term_stats.filter(F.col("term").isin("merge", "sort")).collect()
+    }
     bench_query(
         "q_wand_and",
         lambda: wand_topk(
-            spark, idx, [g(0, ["merge"]), g(1, ["sort"])], 2, k=20, n_ranges=cpus
+            spark, idx, [g(0, ["merge"]), g(1, ["sort"])], 2, k=20, n_ranges=cpus,
+            df_hints=wand_df_hints,
+        ),
+    )
+    # OR rung through the block-max path on the SYNTHETIC index — its term
+    # distribution is Zipfian (hot keywords + long-tail symbols), the shape
+    # where theta pruning pays. The counters are the pruning evidence: hot-term
+    # blocks outside the rare terms' docID bands are never decoded. The
+    # documents corpus is df-uniform (40-word vocabulary), so an OR there has
+    # nothing to skip — same reason Lucene's BMW shows no win on uniform df.
+    wand_counters = WandCounters.create(spark)
+    bench_query(
+        "q_wand_or",
+        lambda: wand_topk(
+            spark, idx_syn,
+            # k <= rare-term df so theta lands on rare+hot docs and the hot
+            # list's out-of-band blocks die (k above that would legitimately
+            # need hot-only docs, which forbids skipping)
+            [g(0, ["def"]), g(1, ["sym123"]), g(2, ["id77"])], 1,
+            k=10, n_ranges=cpus, counters=wand_counters,
         ),
     )
 
@@ -148,6 +173,8 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         "build_docs": build_docs,
         "build_docs_per_sec": build_docs_per_sec,
         "timings": timings,
+        "wand_blocks_decoded": wand_counters.decoded.value,
+        "wand_blocks_skipped": wand_counters.skipped.value,
     }
 
 
@@ -236,6 +263,8 @@ def main() -> None:
         "cpus": args.cpus,
         "build_docs": args.build_docs,
         "index_build_docs_per_sec": round(res["build_docs_per_sec"], 2),
+        "wand_blocks_decoded": res["wand_blocks_decoded"],
+        "wand_blocks_skipped": res["wand_blocks_skipped"],
     }
     print(json.dumps(out))
 

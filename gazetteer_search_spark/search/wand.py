@@ -1,4 +1,4 @@
-"""Block-max WAND-style top-k over compressed posting blocks.
+"""Block-max WAND top-k over compressed posting blocks.
 
 The native replacement for the dynamic-pruning retrieval the reference gets
 from Lucene's WAND/BlockMaxWAND (delegated via ES; SURVEY §4.2). Distributed
@@ -10,22 +10,41 @@ shape:
   2. Assign each block to docID *ranges* (width = doc space / n_ranges); a
      block straddling a boundary goes to both ranges, its postings clipped in
      the kernel — so every doc meets all its terms in exactly one range task.
-  3. **Metadata-level gate pruning** (the block-max skip): a range where
-     fewer than ``msm`` required groups have any block is discarded before a
-     single payload byte is decoded — for AND queries this is the posting-list
-     intersection pruning that makes selective queries cheap.
-  4. Arrow-batched numpy kernel per surviving range: progressive
-     rarest-first intersection for AND (only blocks overlapping the shrinking
-     candidate id-range are decoded — block skipping via min/max metadata),
-     dis_max within groups, BM25 sum across groups, local k-heap.
-  5. Global k-way: union of per-range top-k -> deterministic
+  3. **Metadata-level gate pruning**: a range where fewer than ``msm``
+     required groups have any block is discarded before a single payload byte
+     is decoded.
+  4. Arrow-batched numpy kernel per surviving range:
+     - strict-AND: progressive rarest-first intersection (blocks outside the
+       shrinking candidate id-window are skipped on min/max metadata);
+     - OR / min_should_match: **block-max theta pruning** (the BMW analog).
+       Block boundaries partition the range's docID space into intervals on
+       which the covering block set is constant. Each interval gets a score
+       upper bound Σ_groups max(block_max_score · weight) and a
+       required-coverage count; intervals failing msm coverage die
+       immediately, and the rest are processed in descending upper-bound
+       order while maintaining theta = the running k-th best *exact* score.
+       Once every remaining interval's upper bound is below theta, the
+       kernel stops — the dense groups' blocks in those intervals are never
+       decoded. Small groups are decoded upfront and their interval bounds
+       refined from metadata to *exact* per-interval maxima, so one sparse
+       posting list spanning the whole range (a single wide block) does not
+       inflate the bound everywhere — the same role Lucene's per-block max
+       impacts play for its tail terms.
+  5. Global k-way: union of per-range survivors -> deterministic
      orderBy(round(score,9) desc, doc_id) limit k (tiny).
 
-Rank-identical to the brute-force oracle (verified in tests); determinism from
-fixed group-ordered summation and (score, doc_id) tie-breaks.
+Rank-identical to the brute-force oracle (verified in tests): theta pruning
+uses a 1e-9 rounding margin, and local truncation keeps score ties at the
+k-th rounded score (a superset of the exact top-k under either rounding
+rule), so the deterministic global rank sees every potential winner.
+
+``WandCounters`` (Spark accumulators, updated inside the kernel) report
+blocks decoded vs skipped — the bench's evidence that pruning fires.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -47,33 +66,32 @@ PER_DOC_SCHEMA = T.StructType(
         T.StructField("doc_id", T.LongType(), False),
         T.StructField("score", T.DoubleType(), False),
         T.StructField("matched_required", T.LongType(), False),
+        T.StructField("matched_mask", T.LongType(), False),
     ]
 )
 
+# groups whose in-range posting count is at or below this decode upfront; the
+# rest ("dense" groups — the hot, stop-term-like lists) stay metadata-only
+# until an interval that needs them survives theta
+UPFRONT_MAX_POSTINGS = 4096
+# intervals scored per theta-update round
+CHUNK_INTERVALS = 8
+# rounding margin: global rank orders by round(score, 9); a doc whose upper
+# bound is more than 1e-9 below theta cannot round into a tie with it
+THETA_MARGIN = 1e-9
 
-def _decode_clip(rows: pd.DataFrame, lo: int, hi: int, id_lo=None, id_hi=None):
-    """Decode a group's blocks, skipping blocks outside [lo,hi) and outside
-    the candidate id window [id_lo, id_hi] (block skipping on metadata)."""
-    ids_parts, sc_parts = [], []
-    for buf, n, mn, mx, sbuf in zip(
-        rows["doc_ids_delta_varbyte"], rows["doc_count"], rows["min_doc_id"],
-        rows["max_doc_id"], rows["scores_f64"],
-    ):
-        if mx < lo or mn >= hi:
-            continue
-        if id_lo is not None and (mx < id_lo or mn > id_hi):
-            continue
-        ids = codec.delta_varbyte_decode(buf, int(n), int(mn))
-        sc = codec.f64_decode(sbuf, int(n))
-        m = (ids >= lo) & (ids < hi)
-        if id_lo is not None:
-            m &= (ids >= id_lo) & (ids <= id_hi)
-        if m.any():
-            ids_parts.append(ids[m])
-            sc_parts.append(np.asarray(sc)[m])
-    if not ids_parts:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
-    return np.concatenate(ids_parts), np.concatenate(sc_parts)
+
+@dataclass
+class WandCounters:
+    """Block decode/skip accumulators (kernel-side evidence of pruning)."""
+
+    decoded: object
+    skipped: object
+
+    @classmethod
+    def create(cls, spark: SparkSession) -> "WandCounters":
+        sc = spark.sparkContext
+        return cls(decoded=sc.accumulator(0), skipped=sc.accumulator(0))
 
 
 def _dismax(ids: np.ndarray, scores: np.ndarray):
@@ -86,16 +104,31 @@ def _dismax(ids: np.ndarray, scores: np.ndarray):
     return uids, out
 
 
+def _truncate_keep_ties(arrs: list[np.ndarray], k: int) -> list[np.ndarray]:
+    """Local top-k keeping every row tied (within the 1e-9 rounding margin)
+    with the k-th rounded score — a superset of the exact global top-k under
+    either rounding rule, so the deterministic global rank decides ties."""
+    sc = arrs[1]
+    if sc.size <= k:
+        return arrs
+    key9 = np.round(sc, 9)
+    kth = np.partition(key9, key9.size - k)[key9.size - k]
+    keep = key9 >= kth - THETA_MARGIN
+    return [a[keep] for a in arrs]
+
+
 def make_range_kernel(
     group_meta: dict[int, tuple[bool, float]],
     msm: int,
     k: int,
     range_width: int,
     truncate: bool,
+    counters: WandCounters | None = None,
 ):
     """Build the applyInPandas kernel (closure over broadcast-size query
     metadata only). ``truncate=False`` when doc-level filters/boosts must be
-    applied downstream (local truncation would be rank-unsafe)."""
+    applied downstream (local truncation and theta pruning would be
+    rank-unsafe); msm-coverage interval gating still applies."""
     required_gids = sorted(g for g, (req, _) in group_meta.items() if req)
     all_gids = sorted(group_meta)
 
@@ -105,90 +138,264 @@ def make_range_kernel(
                 "doc_id": pd.Series(dtype="int64"),
                 "score": pd.Series(dtype="float64"),
                 "matched_required": pd.Series(dtype="int64"),
+                "matched_mask": pd.Series(dtype="int64"),
             }
         )
 
-    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        rng = int(key[0])
-        lo, hi = rng * range_width, (rng + 1) * range_width
-        by_gid = {int(g): sub for g, sub in pdf.groupby("group_id")}
+    def _count(decoded: int, skipped: int) -> None:
+        if counters is not None:
+            if decoded:
+                counters.decoded.add(int(decoded))
+            if skipped:
+                counters.skipped.add(int(skipped))
 
-        strict_and = msm == len(required_gids) and required_gids
+    def _out(ids, sc, matched, maskv) -> pd.DataFrame:
+        if truncate and ids.size > k:
+            ids, sc, matched, maskv = _truncate_keep_ties([ids, sc, matched, maskv], k)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "score": sc,
+                "matched_required": matched,
+                "matched_mask": maskv,
+            }
+        )
+
+    def _decode_clip(rows: pd.DataFrame, lo: int, hi: int, id_lo=None, id_hi=None):
+        """Decode a group's blocks, skipping blocks outside [lo,hi) and
+        outside the candidate id window [id_lo, id_hi] (metadata skipping)."""
+        ids_parts, sc_parts = [], []
+        n_dec = n_skip = 0
+        for buf, n, mn, mx, sbuf in zip(
+            rows["doc_ids_delta_varbyte"], rows["doc_count"], rows["min_doc_id"],
+            rows["max_doc_id"], rows["scores_f64"],
+        ):
+            if mx < lo or mn >= hi or (
+                id_lo is not None and (mx < id_lo or mn > id_hi)
+            ):
+                n_skip += 1
+                continue
+            n_dec += 1
+            ids = codec.delta_varbyte_decode(buf, int(n), int(mn))
+            sc = codec.f64_decode(sbuf, int(n))
+            m = (ids >= lo) & (ids < hi)
+            if id_lo is not None:
+                m &= (ids >= id_lo) & (ids <= id_hi)
+            if m.any():
+                ids_parts.append(ids[m])
+                sc_parts.append(np.asarray(sc)[m])
+        _count(n_dec, n_skip)
+        if not ids_parts:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        return np.concatenate(ids_parts), np.concatenate(sc_parts)
+
+    def _kernel_and(lo: int, hi: int, by_gid: dict[int, pd.DataFrame]) -> pd.DataFrame:
+        """Rarest-first progressive intersection with id-window block skipping."""
+        order = sorted(
+            required_gids,
+            key=lambda g: int(by_gid[g]["doc_count"].sum()) if g in by_gid else 0,
+        )
+        if any(g not in by_gid for g in order):
+            _count(0, sum(len(s) for s in by_gid.values()))
+            return _empty()
         acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        cand = None
+        for g in order:
+            id_lo = int(cand.min()) if cand is not None and cand.size else None
+            id_hi = int(cand.max()) if cand is not None and cand.size else None
+            if cand is not None and cand.size == 0:
+                break
+            ids, sc = _dismax(*_decode_clip(by_gid[g], lo, hi, id_lo, id_hi))
+            acc[g] = (ids, sc)
+            cand = ids if cand is None else cand[np.isin(cand, ids)]
+        if cand is None or cand.size == 0:
+            _count(0, sum(len(by_gid[g]) for g in by_gid if g not in acc))
+            return _empty()
+        score = np.zeros(cand.size)
+        maskv = np.zeros(cand.size, dtype=np.int64)
+        for g in all_gids:
+            _, w = group_meta[g]
+            if g in acc:
+                ids, sc = acc[g]
+            elif g in by_gid:
+                ids, sc = _dismax(
+                    *_decode_clip(by_gid[g], lo, hi, int(cand.min()), int(cand.max()))
+                )
+            else:
+                continue
+            if ids.size == 0:
+                continue
+            pos = np.searchsorted(ids, cand)
+            ok = (pos < ids.size) & (ids[np.minimum(pos, ids.size - 1)] == cand)
+            score[ok] += sc[np.minimum(pos, ids.size - 1)][ok] * w
+            maskv[ok] |= np.int64(1 << g)
+        matched = np.full(cand.size, len(required_gids), dtype=np.int64)
+        return _out(cand, score, matched, maskv)
 
-        if strict_and:
-            # rarest-first progressive intersection with block skipping
-            order = sorted(
-                required_gids,
-                key=lambda g: int(by_gid[g]["doc_count"].sum()) if g in by_gid else 0,
+    def _kernel_bmw(lo: int, hi: int, by_gid: dict[int, pd.DataFrame]) -> pd.DataFrame:
+        """OR / min_should_match path: interval-grid block-max theta pruning."""
+        gids = [g for g in all_gids if g in by_gid]
+        if not gids:
+            return _empty()
+
+        # ---- block metadata, clipped to the range -------------------------
+        # per group: parallel arrays over its blocks
+        bmeta: dict[int, dict] = {}
+        edge_parts: list[np.ndarray] = []
+        for g in gids:
+            sub = by_gid[g].reset_index(drop=True)
+            w = group_meta[g][1]
+            mn = np.maximum(sub["min_doc_id"].to_numpy(), lo)
+            mx = np.minimum(sub["max_doc_id"].to_numpy(), hi - 1)
+            ub = sub["block_max_score"].to_numpy().astype(np.float64) * w
+            bmeta[g] = {"sub": sub, "mn": mn, "mx": mx, "ub": ub}
+            edge_parts += [mn, mx + 1]
+        edges = np.unique(np.concatenate(edge_parts))
+        n_i = edges.size - 1
+        if n_i <= 0:
+            return _empty()
+
+        # block -> covered interval span [l, r)
+        for g in gids:
+            m = bmeta[g]
+            m["l"] = np.searchsorted(edges, m["mn"], side="left")
+            m["r"] = np.searchsorted(edges, m["mx"] + 1, side="left")
+
+        # ---- decode bookkeeping -------------------------------------------
+        # decoded[g] = list of (ids, weighted_scores, interval_idx)
+        decoded: dict[int, list] = {g: [] for g in gids}
+        pending: dict[int, np.ndarray] = {}  # g -> undecoded block indices
+
+        def _decode_block(g: int, bi: int) -> None:
+            sub = bmeta[g]["sub"]
+            n = int(sub["doc_count"].iloc[bi])
+            ids = codec.delta_varbyte_decode(
+                sub["doc_ids_delta_varbyte"].iloc[bi], n, int(sub["min_doc_id"].iloc[bi])
             )
-            if any(g not in by_gid for g in order):
-                return _empty()
-            cand = None
-            for g in order:
-                id_lo = int(cand.min()) if cand is not None and cand.size else None
-                id_hi = int(cand.max()) if cand is not None and cand.size else None
-                if cand is not None and cand.size == 0:
-                    return _empty()
-                ids, sc = _dismax(*_decode_clip(by_gid[g], lo, hi, id_lo, id_hi))
-                acc[g] = (ids, sc)
-                cand = ids if cand is None else cand[np.isin(cand, ids)]
-            if cand is None or cand.size == 0:
-                return _empty()
-            # optional groups score only surviving candidates
-            score = np.zeros(cand.size)
-            for g in all_gids:
-                req, w = group_meta[g]
-                if g in acc:
-                    ids, sc = acc[g]
-                elif g in by_gid:
-                    ids, sc = _dismax(
-                        *_decode_clip(by_gid[g], lo, hi, int(cand.min()), int(cand.max()))
+            sc = np.asarray(codec.f64_decode(sub["scores_f64"].iloc[bi], n))
+            m = (ids >= lo) & (ids < hi)
+            if not m.all():
+                ids, sc = ids[m], sc[m]
+            iidx = np.searchsorted(edges, ids, side="right") - 1
+            decoded[g].append((ids, sc * group_meta[g][1], iidx))
+            _count(1, 0)
+
+        # ---- per-interval upper bounds & msm coverage ----------------------
+        ub_rows: dict[int, np.ndarray] = {}
+        for g in gids:
+            m = bmeta[g]
+            n_blocks = len(m["sub"])
+            total_postings = int(m["sub"]["doc_count"].sum())
+            row = np.zeros(n_i)
+            if total_postings <= UPFRONT_MAX_POSTINGS:
+                # sparse group: decode now, use EXACT per-interval maxima so a
+                # single wide block doesn't inflate the bound across the range
+                for bi in range(n_blocks):
+                    _decode_block(g, bi)
+                pending[g] = np.empty(0, dtype=np.int64)
+                for ids, ws, iidx in decoded[g]:
+                    np.maximum.at(row, iidx, ws)
+            else:
+                for bi in range(n_blocks):
+                    np.maximum(
+                        row[m["l"][bi] : m["r"][bi]],
+                        m["ub"][bi],
+                        out=row[m["l"][bi] : m["r"][bi]],
                     )
-                else:
-                    continue
-                if ids.size == 0:
-                    continue
-                pos = np.searchsorted(ids, cand)
-                ok = (pos < ids.size) & (ids[np.minimum(pos, ids.size - 1)] == cand)
-                score[ok] += sc[np.minimum(pos, ids.size - 1)][ok] * w
-            out_ids, out_sc = cand, score
-            matched = np.full(cand.size, len(required_gids), dtype=np.int64)
-        else:
-            # OR / min_should_match path: decode all groups in range
+                pending[g] = np.arange(n_blocks, dtype=np.int64)
+            ub_rows[g] = row
+
+        cover_req = np.zeros(n_i, dtype=np.int64)
+        for g in gids:
+            if group_meta[g][0]:
+                cover_req += ub_rows[g] > 0
+        total_ub = np.zeros(n_i)
+        for g in gids:
+            total_ub += ub_rows[g]
+        if msm > 0:
+            total_ub[cover_req < msm] = 0.0  # interval-level msm gate
+
+        order = np.flatnonzero(total_ub > 0)
+        order = order[np.argsort(-total_ub[order], kind="stable")]
+
+        # ---- theta loop -----------------------------------------------------
+        res: list[tuple] = []
+        n_res = 0
+        theta: float | None = None
+        pos = 0
+        while pos < order.size:
+            if (
+                truncate
+                and theta is not None
+                and n_res >= k
+                and total_ub[order[pos]] < theta - THETA_MARGIN
+            ):
+                break
+            chunk = order[pos : pos + CHUNK_INTERVALS]
+            pos += CHUNK_INTERVALS
+            chosen = np.zeros(n_i, dtype=bool)
+            chosen[chunk] = True
+            csum = np.concatenate(([0], np.cumsum(chosen)))
+            # decode dense-group blocks that overlap a chosen interval
+            for g in gids:
+                if pending[g].size:
+                    l, r = bmeta[g]["l"][pending[g]], bmeta[g]["r"][pending[g]]
+                    hit = (csum[r] - csum[l]) > 0
+                    for bi in pending[g][hit]:
+                        _decode_block(g, int(bi))
+                    pending[g] = pending[g][~hit]
+            # exact scores for docs in the chunk's intervals
             parts = []
-            for g in all_gids:
-                if g not in by_gid:
-                    continue
-                req, w = group_meta[g]
-                ids, sc = _dismax(*_decode_clip(by_gid[g], lo, hi))
-                if ids.size:
-                    parts.append((ids, sc * w, req))
+            for g in gids:
+                segs_i, segs_s = [], []
+                for ids, ws, iidx in decoded[g]:
+                    m2 = chosen[iidx]
+                    if m2.any():
+                        segs_i.append(ids[m2])
+                        segs_s.append(ws[m2])
+                if segs_i:
+                    gi_, gs_ = _dismax(
+                        np.concatenate(segs_i), np.concatenate(segs_s)
+                    )
+                    parts.append((gi_, gs_, group_meta[g][0], g))
             if not parts:
-                return _empty()
+                continue
             all_ids = np.concatenate([p[0] for p in parts])
             all_sc = np.concatenate([p[1] for p in parts])
             all_req = np.concatenate(
                 [np.full(p[0].size, 1 if p[2] else 0, dtype=np.int64) for p in parts]
+            )
+            all_bit = np.concatenate(
+                [np.full(p[0].size, np.int64(1 << p[3]), dtype=np.int64) for p in parts]
             )
             uids, inv = np.unique(all_ids, return_inverse=True)
             score = np.zeros(uids.size)
             np.add.at(score, inv, all_sc)
             matched = np.zeros(uids.size, dtype=np.int64)
             np.add.at(matched, inv, all_req)
+            maskv = np.zeros(uids.size, dtype=np.int64)
+            np.bitwise_or.at(maskv, inv, all_bit)
             keep = matched >= msm
-            out_ids, out_sc, matched = uids[keep], score[keep], matched[keep]
+            if keep.any():
+                res.append((uids[keep], score[keep], matched[keep], maskv[keep]))
+                n_res += int(keep.sum())
+                if truncate and n_res >= k:
+                    key9 = np.round(np.concatenate([r[1] for r in res]), 9)
+                    theta = float(np.partition(key9, key9.size - k)[key9.size - k])
 
-        if out_ids.size == 0:
+        _count(0, sum(int(p.size) for p in pending.values()))
+        if not res:
             return _empty()
-        if truncate and out_ids.size > k:
-            # local k-heap: keep top-k by (round(score,9) desc, doc_id asc)
-            key_sc = np.round(out_sc, 9)
-            order = np.lexsort((out_ids, -key_sc))[:k]
-            out_ids, out_sc, matched = out_ids[order], out_sc[order], matched[order]
-        return pd.DataFrame(
-            {"doc_id": out_ids, "score": out_sc, "matched_required": matched}
-        )
+        return _out(*[np.concatenate([r[j] for r in res]) for j in range(4)])
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        rng = int(key[0])
+        lo, hi = rng * range_width, (rng + 1) * range_width
+        by_gid = {int(g): sub for g, sub in pdf.groupby("group_id")}
+        strict_and = msm == len(required_gids) and required_gids
+        if strict_and:
+            return _kernel_and(lo, hi, by_gid)
+        return _kernel_bmw(lo, hi, by_gid)
 
     return kernel
 
@@ -201,8 +408,26 @@ def wand_topk(
     k: int = 20,
     options: SearchOptions | None = None,
     n_ranges: int = 64,
+    counters: WandCounters | None = None,
+    range_gate: bool | str = "auto",
+    df_hints: dict[str, int] | None = None,
 ) -> DataFrame:
+    """``range_gate``: the Spark-side metadata pre-pass that discards whole
+    docID ranges that cannot satisfy msm BEFORE their block payloads are
+    shuffled to kernel tasks. It pays exactly when a required group is rare
+    (most ranges die, so most of the hot lists' payload bytes never move) and
+    costs one extra metadata-only stage when nothing dies. "auto": on for
+    msm >= 2, unless ``df_hints`` (term -> document frequency, e.g. from
+    term_stats) prove every required group dense (> 5% of the doc space), in
+    which case no range can die and the stage is pure overhead. The kernel
+    re-checks coverage per range either way — the gate is a shuffle-volume
+    optimization, never a correctness dependency."""
     options = options or SearchOptions()
+    if any(g.term_weights for g in groups):
+        raise ValueError(
+            "wand_topk scores per-group weights; use the DataFrame engine for "
+            "per-term (cross-field) boosted groups"
+        )
     terms = sorted({t for g in groups for t in g.terms})
     if not terms:
         raise ValueError("wand_topk requires at least one term")
@@ -214,8 +439,23 @@ def wand_topk(
     blocks = index.postings.filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    gmap = _groups_df(spark, groups)
-    blocks = blocks.join(F.broadcast(gmap), "term")
+    term2group: dict[str, list[TermGroup]] = {}
+    for g in groups:
+        for t in set(g.terms):
+            term2group.setdefault(t, []).append(g)
+    if all(len(gs) == 1 for gs in term2group.values()):
+        # term -> group as a projection (CASE chain): no broadcast exchange on
+        # the serving hot path. Falls back to a broadcast join only when a
+        # term belongs to several groups (then one block row must fan out).
+        gid_e, req_e = None, None
+        for t, (g,) in term2group.items():
+            c = F.col("term") == t
+            gid_e = F.lit(g.group_id) if gid_e is None else F.when(c, g.group_id).otherwise(gid_e)
+            req_e = F.lit(g.required) if req_e is None else F.when(c, g.required).otherwise(req_e)
+        blocks = blocks.withColumn("group_id", gid_e).withColumn("required", req_e)
+    else:
+        gmap = _groups_df(spark, groups)
+        blocks = blocks.join(F.broadcast(gmap), "term")
 
     # a block spans [min_doc_id, max_doc_id]; emit one row per overlapped range
     blocks = blocks.withColumn(
@@ -231,9 +471,25 @@ def wand_topk(
     n_required = sum(1 for g in groups if g.required)
     eff_msm = min(msm, n_required) if n_required else 0
 
+    if range_gate == "auto":
+        use_gate = eff_msm >= 2
+        if use_gate and df_hints:
+            doc_space = index.max_doc_id + 1
+            min_group_df = min(
+                (
+                    sum(df_hints.get(t, 0) for t in g.terms)
+                    for g in groups
+                    if g.required
+                ),
+                default=0,
+            )
+            use_gate = min_group_df < 0.05 * doc_space
+    else:
+        use_gate = bool(range_gate)
+
     # metadata-level gate pruning: ranges that cannot satisfy msm die before
     # any payload decode
-    if eff_msm > 0:
+    if use_gate and eff_msm > 0:
         ok = (
             blocks.filter(F.col("required"))
             .groupBy("range_id")
@@ -248,7 +504,8 @@ def wand_topk(
         options.lang or options.repo or options.path_prefix or options.lang_boosts
     )
     kernel = make_range_kernel(
-        group_meta, eff_msm, k, range_width, truncate=not has_doc_side
+        group_meta, eff_msm, k, range_width, truncate=not has_doc_side,
+        counters=counters,
     )
     per_doc = blocks.groupBy("range_id").applyInPandas(kernel, schema=PER_DOC_SCHEMA)
     return finalize_ranked(per_doc, eff_msm, k, index.docs, options)

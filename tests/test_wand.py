@@ -12,7 +12,7 @@ from gazetteer_search_spark.search.engine import (
     TermGroup,
     oracle_topk,
 )
-from gazetteer_search_spark.search.wand import wand_topk
+from gazetteer_search_spark.search.wand import WandCounters, wand_topk
 from gazetteer_search_spark.sources import synthetic_corpus
 
 N_DOCS = 400
@@ -48,6 +48,8 @@ CASES = [
     ([_grp(0, ["merge"]), _grp(1, ["score"]), _grp(2, ["index"])], 2),  # msm path
     ([_grp(0, ["merge", "mergepostings"]), _grp(1, ["block"])], 2),  # dis_max in AND
     ([_grp(0, ["postings"]), _grp(1, ["def"], required=False, weight=0.5)], 1),
+    ([_grp(0, ["merge"]), _grp(1, ["postings"])], 1),  # pure OR (BMW path)
+    ([_grp(0, ["def"]), _grp(1, ["score"]), _grp(2, ["postings"])], 2),  # hot OR
 ]
 
 
@@ -69,3 +71,42 @@ def test_wand_matches_engine_with_filters_and_boosts(spark, index, corpus):
 def test_wand_empty_intersection(spark, index):
     groups = [_grp(0, ["postings"]), _grp(1, ["zzznotaterm"])]
     assert wand_topk(spark, index, groups, 2, k=20, n_ranges=16).count() == 0
+
+
+def test_blockmax_theta_pruning_skips_blocks(spark, tmp_path_factory):
+    """The BMW criterion (VERDICT r1 #1): on an OR query with a hot term and
+    a locally-clustered rare term, the theta threshold must leave the hot
+    term's out-of-band blocks undecoded — and stay rank-identical."""
+    from pyspark.sql import functions as F
+
+    n = 6000  # hot term posting count > UPFRONT_MAX_POSTINGS -> metadata group
+    corpus = (
+        spark.range(0, n, 1, 8)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("r").alias("repo"),
+            F.format_string("f/%d.py", "id").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.when(
+                F.col("id").between(1000, 1009),
+                F.lit("common filler tokens raregem here"),
+            )
+            .otherwise(F.lit("common filler tokens steady here"))
+            .alias("content"),
+        )
+        .cache()
+    )
+    out = str(tmp_path_factory.mktemp("idx_bmw"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4, postings_per_group=1 << 20)
+
+    groups = [_grp(0, ["common"]), _grp(1, ["raregem"])]
+    counters = WandCounters.create(spark)
+    got = wand_topk(spark, idx, groups, 1, k=5, n_ranges=1, counters=counters)
+    want = oracle_topk(corpus, groups, 1, k=5)
+    assert_rank_identical(got, want)
+    # the hot list spans ~47 blocks; only the rare band's intervals survive
+    assert counters.skipped.value > 10, (
+        counters.decoded.value, counters.skipped.value
+    )
+    assert counters.decoded.value >= 1
