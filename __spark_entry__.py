@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from gazetteer_search_spark import __version__
-from gazetteer_search_spark.analyzer.tokenizer import duckdb_tokens_sql
+from gazetteer_search_spark.analyzer.tokenizer import duckdb_tokens_full_sql
 from gazetteer_search_spark.index import builder
 from gazetteer_search_spark.operators import dedup, similarity, textstats
 from gazetteer_search_spark.search.engine import (
@@ -101,7 +101,10 @@ def _topk_out(df: DataFrame) -> DataFrame:
 # fuzzy expansions, rounding, tie-breaks)
 # ---------------------------------------------------------------------------
 
-_TOKS = duckdb_tokens_sql("text")
+# FULL-kernel tokens (incl. joined-identifier doubling + accent strip): the
+# oracle stays equivalent to the pandas-built index on arbitrary text, not
+# just plain lowercase prose (ADVICE r1 #1)
+_TOKS = duckdb_tokens_full_sql("text")
 
 _BM25_CTES = f"""
 tok AS (

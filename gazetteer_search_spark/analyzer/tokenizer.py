@@ -138,11 +138,45 @@ def duckdb_tokens_sql(col_sql: str) -> str:
     """Same simple pipeline as ``native_tokens_expr`` in DuckDB SQL: an
     expression of type VARCHAR[] — the independent-oracle formulation (the
     analog of the reference's PostgreSQL twin, src/test/resources/search/*.sql)."""
-    c = col_sql
-    for pat, repl in _STEPS:
-        r = repl.replace("\\1", "\\1").replace("\\2", "\\2")
-        c = f"regexp_replace({c}, '{pat}', '{r}', 'g')"
-    c = f"lower({c})"
+    c = _duckdb_fold_sql(col_sql, accents=False)
     return (
         f"list_filter(regexp_split_to_array({c}, '{TOKEN_SPLIT_RE}'), t -> t <> '')"
     )
+
+
+def _duckdb_fold_sql(col_sql: str, accents: bool) -> str:
+    """The fold pipeline (optional accent strip + camel/digit breaks +
+    lowercase) as a DuckDB scalar expression."""
+    c = f"strip_accents({col_sql})" if accents else col_sql
+    for pat, _repl in _STEPS:
+        c = f"regexp_replace({c}, '{pat}', '\\1 \\2', 'g')"
+    return f"lower({c})"
+
+
+def duckdb_tokens_full_sql(col_sql: str) -> str:
+    """The FULL kernel (``tokenize_pandas`` semantics) in DuckDB SQL: accent
+    strip, camel/digit breaks, lowercase, split, PLUS the joined-identifier
+    doubling — every ``[A-Za-z0-9_]+`` identifier of the raw string that folds
+    into >= 2 sub-tokens also emits lower(identifier minus underscores).
+
+    This is what makes the DuckDB oracle equivalent to the index-side pandas
+    kernel on ARBITRARY text, not just plain lowercase prose (ADVICE r1 #1):
+    any BM25 oracle built on these tokens sees the same doc_len / tf / df as
+    the engine."""
+    folded = _duckdb_fold_sql(col_sql, accents=True)
+    base = (
+        f"list_filter(regexp_split_to_array({folded}, '{TOKEN_SPLIT_RE}'),"
+        f" t -> t <> '')"
+    )
+    folded_x = _duckdb_fold_sql("x", accents=True)
+    n_subs = (
+        f"len(list_filter(regexp_split_to_array({folded_x}, '{TOKEN_SPLIT_RE}'),"
+        f" t -> t <> ''))"
+    )
+    extras = (
+        f"list_transform(list_filter("
+        f"regexp_extract_all({col_sql}, '[A-Za-z0-9_]+'),"
+        f" x -> {n_subs} >= 2 AND lower(replace(x, '_', '')) <> ''),"
+        f" x -> lower(replace(x, '_', '')))"
+    )
+    return f"list_concat({base}, {extras})"

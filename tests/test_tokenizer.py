@@ -95,3 +95,63 @@ def test_query_ir_synonym_variants():
     by_text = {t.text: t for t in q.tokens}
     assert "string" in by_text["str"].variants
     assert "cfg" in by_text["config"].variants
+
+
+# ---------------------------------------------------------------------------
+# full-kernel DuckDB SQL equivalence (the oracle-side tokenizer): bag-equal to
+# the pandas kernel on arbitrary text — camelCase, digits, underscores,
+# accents — so BM25 oracles see the same doc_len/tf/df as the engine
+# ---------------------------------------------------------------------------
+
+GOLDEN_FULL = [
+    "getUserName setVal", "HTTPServer parse", "utf8Parser v2",
+    "snake_case_id foo", "__init__ self", "Bebić naïveCache", "результат ok",
+    "a_B_c9 X", "MAX_RETRIES 0x1f", "(tokens, flags)",
+    "try { run(); } catch (e) {}", "merge sort window", "", "   ",
+    "x = 42 y=3.14", "A", "camelCase_mixed_Snake99", "München Straße",
+    "éclair_Éclair", "foo123bar", "_",
+]
+
+
+def _duckdb_full_tokens(texts):
+    import duckdb
+
+    from gazetteer_search_spark.analyzer.tokenizer import duckdb_tokens_full_sql
+
+    con = duckdb.connect()
+    sql = duckdb_tokens_full_sql("t")
+    return [
+        con.execute(f"SELECT {sql} FROM (SELECT ? AS t)", [s]).fetchone()[0]
+        for s in texts
+    ]
+
+
+def test_duckdb_full_sql_matches_pandas_kernel_goldens():
+    import pandas as pd
+
+    from gazetteer_search_spark.analyzer.tokenizer import tokenize_pandas
+
+    duck = _duckdb_full_tokens(GOLDEN_FULL)
+    kern = tokenize_pandas(pd.Series(GOLDEN_FULL))
+    for s, d, k in zip(GOLDEN_FULL, duck, kern):
+        assert sorted(d) == sorted(k), s
+
+
+def test_duckdb_full_sql_matches_pandas_kernel_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import pandas as pd
+
+    from gazetteer_search_spark.analyzer.tokenizer import tokenize_pandas
+
+    alphabet = "aB9_ (.;/Ä{é-\t\n" + "zQ0"
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=40))
+    def check(s):
+        d = _duckdb_full_tokens([s])[0]
+        k = list(tokenize_pandas(pd.Series([s])).iloc[0])
+        assert sorted(d) == sorted(k), repr(s)
+
+    check()
