@@ -23,7 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from gazetteer_search_spark import __version__
-from gazetteer_search_spark.analyzer.tokenizer import duckdb_tokens_full_sql
+from gazetteer_search_spark.analyzer.tokenizer import (
+    duckdb_tokens_full_sql,
+    duckdb_tokens_sql,
+)
 from gazetteer_search_spark.index import builder
 from gazetteer_search_spark.operators import dedup, similarity, textstats
 from gazetteer_search_spark.search.engine import (
@@ -69,6 +72,10 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             tokenizer="pandas",
             n_buckets=8,
             postings_per_group=1 << 14,
+            # per-field postings for cross-field search (P11): the synthetic
+            # path (first two content words as directories) is the name-field
+            # analog of the reference's address name
+            extra_fields={"name": "path"},
         )
         _ENGINES[sf_dir] = SearchEngine(spark, idx, cache=True)
     return _ENGINES[sf_dir]
@@ -122,6 +129,32 @@ scored AS (
 )"""
 
 
+# name-field BM25 CTEs: the oracle reconstructs the synthetic path exactly as
+# documents_as_corpus does (simple-pipeline first two words), tokenizes it
+# with the full kernel SQL, and scores it with the field's own df/doc_len/
+# avgdl — per-field BM25, term keys prefixed "name:" like the index.
+_STOKS = duckdb_tokens_sql("text")
+_NPATH = (
+    f"'docs/' || coalesce(({_STOKS})[1], 'na') || '/' || "
+    f"coalesce(({_STOKS})[2], 'na') || '/' || doc_id || '.txt'"
+)
+_NTOKS = duckdb_tokens_full_sql("npath")
+_NAME_CTES = f""",
+nm AS (SELECT doc_id, {_NPATH} AS npath FROM documents),
+ntok AS (SELECT doc_id, unnest({_NTOKS}) AS term FROM nm),
+ntf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ntok GROUP BY doc_id, term),
+ndl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM ntok GROUP BY doc_id),
+ncst AS (SELECT avg(doc_len) AS avgdl FROM ndl),
+ndf AS (SELECT term, count(*)::BIGINT AS df FROM ntf GROUP BY term),
+nscored AS (
+  SELECT ntf.doc_id, 'name:' || ntf.term AS term,
+         ln(1 + (cst.n_docs - ndf.df + 0.5) / (ndf.df + 0.5))
+         * (ntf.tf * 2.2) / (ntf.tf + 1.2 * (0.25 + 0.75 * ndl.doc_len / ncst.avgdl)) AS score
+  FROM ntf JOIN ndf USING (term) JOIN ndl USING (doc_id) CROSS JOIN ncst CROSS JOIN cst
+),
+scored_all AS (SELECT * FROM scored UNION ALL SELECT * FROM nscored)"""
+
+
 def _values_groups(groups: list[tuple[str, int, bool, float]]) -> str:
     vals = ", ".join(
         f"('{t}', {g}, {'TRUE' if r else 'FALSE'}, {w})" for t, g, r, w in groups
@@ -135,14 +168,16 @@ def _search_sql(
     k: int = 20,
     lang: str | None = None,
     boost_case: str = "",
+    scored_src: str = "scored",
+    extra_ctes: str = "",
 ) -> str:
     lang_f = f"AND d.lang = '{lang}'" if lang else ""
     return f"""
-WITH {_BM25_CTES},
+WITH {_BM25_CTES}{extra_ctes},
 grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({groups_sql})),
 per_group AS (
   SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
-  FROM scored s JOIN grp g USING (term)
+  FROM {scored_src} s JOIN grp g USING (term)
   GROUP BY s.doc_id, g.group_id, g.required
 ),
 per_doc AS (
@@ -282,7 +317,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows = rows[:cut]
         return _topk_out(spark.createDataFrame(rows, res.schema))
 
+    def cross_fields_boost(spark, sf):  # P11 multi_match cross_fields name^5
+        # term-centric: each query token is one group whose dis_max spans the
+        # boosted name-field term and the content term (ESMainMultyMatch.java:
+        # 10-68; "name^5" per-field boosts MainAddressQueryBuilder.java:459-464)
+        def xf(gid: int, w: str) -> TermGroup:
+            return TermGroup(
+                group_id=gid, terms=(f"name:{w}", w), required=True,
+                term_weights=(5.0, 1.0),
+            )
+
+        return _topk_out(
+            _engine(spark, sf).search_rung(
+                [xf(0, "merge"), xf(1, "sort")], 2, SearchOptions()
+            )
+        )
+
     q.update(
+        cross_fields_boost=cross_fields_boost,
         wand_and=wand_and,
         union_weighted=union_weighted,
         trim=trim,
@@ -526,6 +578,19 @@ def oracle_sql() -> dict[str, str]:
     o["lang_filter"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0)]), 1, lang="en"
     )
+    o["cross_fields_boost"] = _search_sql(
+        _values_groups(
+            [
+                ("name:merge", 0, True, 5.0),
+                ("merge", 0, True, 1.0),
+                ("name:sort", 1, True, 5.0),
+                ("sort", 1, True, 1.0),
+            ]
+        ),
+        2,
+        scored_src="scored_all",
+        extra_ctes=_NAME_CTES,
+    )
     o["match_all_filters"] = (
         "SELECT doc_id, lang FROM documents WHERE lang = 'zh' "
         "ORDER BY doc_id LIMIT 20"
@@ -582,8 +647,12 @@ cut AS (
 SELECT doc_id, round(score, 4) AS score FROM ranked
 WHERE rn <= 20 AND rn < coalesce((SELECT c FROM cut), 9223372036854775807)
 """
+    # the term dictionary spans content terms AND "name:"-prefixed field terms
     o["term_stats_top"] = f"""
-WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+WITH tokc AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+nm AS (SELECT doc_id, {_NPATH} AS npath FROM documents),
+tokn AS (SELECT doc_id, 'name:' || unnest({_NTOKS}) AS term FROM nm),
+tok AS (SELECT * FROM tokc UNION ALL SELECT * FROM tokn),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term)
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
 FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 25

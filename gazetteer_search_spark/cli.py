@@ -38,12 +38,14 @@ def cmd_build_index(args: argparse.Namespace) -> None:
         corpus = corpus.withColumn(
             "doc_id", F.xxhash64("repo", "path", "commit").bitwiseAND(F.lit((1 << 62) - 1))
         )
+    extra_fields = dict(f.split("=", 1) for f in args.field or [])
     t0 = time.time()
     idx = build_index(
         spark, corpus, args.out,
         tokenizer=args.tokenizer, n_buckets=args.n_buckets,
         postings_per_group=args.postings_per_group,
         max_buckets_per_commit=args.max_buckets_per_commit,
+        extra_fields=extra_fields or None,
     )
     print(json.dumps({
         "out": args.out, "n_docs": idx.n_docs,
@@ -127,6 +129,10 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--n-buckets", type=int, default=64)
     b.add_argument("--postings-per-group", type=int, default=1 << 20)
     b.add_argument("--max-buckets-per-commit", type=int, default=None)
+    b.add_argument(
+        "--field", action="append", metavar="NAME=COL",
+        help="extra per-field postings, e.g. --field name=path (repeatable)",
+    )
     b.set_defaults(fn=cmd_build_index)
 
     q = sub.add_parser("query")

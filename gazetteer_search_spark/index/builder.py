@@ -198,12 +198,24 @@ def build_index(
     resume: bool = True,
     max_buckets_per_commit: int | None = None,
     fail_after_commits: int | None = None,
+    extra_fields: dict[str, str] | None = None,
 ) -> Index:
     """Build (or resume) the full index under ``out_dir``.
 
     ``max_buckets_per_commit`` bounds each commit unit (default: all pending
     buckets in one shuffle job). ``fail_after_commits`` is the fault-injection
     hook for the kill/resume test (FIXTURES.md §5).
+
+    ``extra_fields`` maps field name -> corpus column: per-field postings for
+    cross-field search (P11 — the reference indexes name/full_text/... as
+    separate ES text fields, es_mappings/addr_row.json, and boosts name^5 in
+    its main multi_match, ESMainMultyMatch.java:10-68). A field term is keyed
+    ``"<field>:<term>"`` in the SAME postings/term_stats tables — the ':'
+    namespace is unreachable from content tokens (the tokenizer never emits
+    ':'), so field postings ride the identical bucket/salt/pack pipeline and
+    partition layout with zero extra shuffle structure. Each field gets its
+    own BM25 statistics (df per field term, field doc_len, field avgdl), the
+    standard per-field BM25 that term-centric cross_fields scoring needs.
     """
     import time as _time
 
@@ -252,6 +264,29 @@ def build_index(
     # narrow high-row-count frame. Tokenize itself never re-runs.
     tf = bm25.term_freqs(docs_full)
 
+    if extra_fields:
+        # per-field tf rows union into the same pipeline; avg_dl becomes a
+        # per-row column so BM25 length-norm uses each field's own average
+        tf = tf.withColumn("avg_dl", F.lit(avg_dl))
+        field_stats_rows = []
+        for fname, colname in sorted(extra_fields.items()):
+            fdocs = docs_full.select(
+                "doc_id", bm25.tokens_col(F.col(colname), tokenizer).alias("tokens")
+            ).select("doc_id", "tokens", F.size("tokens").alias("doc_len"))
+            favg = fdocs.agg(F.avg("doc_len")).collect()[0][0]
+            favg = float(favg) if favg else 1.0
+            ftf = (
+                bm25.term_freqs(fdocs)
+                .withColumn("term", F.concat(F.lit(fname + ":"), F.col("term")))
+                .withColumn("avg_dl", F.lit(favg))
+            )
+            tf = tf.unionByName(ftf)
+            field_stats_rows.append((fname, colname, favg))
+        if not (resume and _exists(spark, paths.root + "/field_stats")):
+            spark.createDataFrame(
+                field_stats_rows, "field string, source_col string, avg_len double"
+            ).coalesce(1).write.mode("overwrite").parquet(paths.root + "/field_stats")
+
     # ---- stage 3: term stats -------------------------------------------------
     if not (resume and _exists(spark, paths.term_stats)):
         ts = bm25.term_stats(tf).withColumn(
@@ -269,7 +304,12 @@ def build_index(
     chunk = max_buckets_per_commit or len(pending) or 1
 
     scored = (
-        bm25.scored_postings(tf, tstats.drop("term_bucket"), n_docs, avg_dl)
+        bm25.scored_postings(
+            tf,
+            tstats.drop("term_bucket"),
+            n_docs,
+            F.col("avg_dl") if extra_fields else avg_dl,
+        )
         .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
         .withColumn(
             "nsalts",

@@ -232,8 +232,11 @@ class SearchEngine:
             index.docs = index.docs.persist()
             index.term_stats = index.term_stats.persist()
         # small at test scale; at cluster scale the term dictionary stays a
-        # distributed table and these expansions are pruned range scans
-        self._term_stats = index.term_stats
+        # distributed table and these expansions are pruned range scans.
+        # Field-qualified terms ("name:foo") are excluded: prefix/fuzzy
+        # expansion operates on the content-token dictionary, never across
+        # the field namespace.
+        self._term_stats = index.term_stats.filter(~F.col("term").contains(":"))
 
     # ---- expansions ---------------------------------------------------------
     def expand_prefix(self, prefix: str) -> list[str]:

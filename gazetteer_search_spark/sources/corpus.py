@@ -114,12 +114,27 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Adapt the driver's documents table to the input_hint corpus shape."""
+    """Adapt the driver's documents table to the input_hint corpus shape.
+
+    The synthetic ``path`` carries the document's first two content words as
+    directory components — a deterministic, oracle-reproducible "name" field
+    (the filename analog of the reference's address *name*), so per-field
+    postings and cross-field boosts (P11, name^5) have something real to
+    match. Separators are '/' and '.' only: no identifier in the path folds
+    into sub-tokens, so path tokens are identical under the simple and full
+    tokenizer pipelines."""
+    from gazetteer_search_spark.analyzer.tokenizer import native_tokens_expr
+
     d = load_documents(spark, sf_dir)
+    toks = native_tokens_expr(F.col("text"))
+    w1 = F.coalesce(F.element_at(toks, 1), F.lit("na"))
+    w2 = F.coalesce(F.element_at(toks, 2), F.lit("na"))
     return d.select(
         F.col("doc_id"),
         F.col("source").alias("repo"),
-        F.format_string("docs/%d.txt", F.col("doc_id")).alias("path"),
+        F.concat_ws(
+            "/", F.lit("docs"), w1, w2, F.concat(F.col("doc_id").cast("string"), F.lit(".txt"))
+        ).alias("path"),
         F.sha1(F.col("doc_id").cast("string")).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
