@@ -304,15 +304,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def trim(spark, sf):  # P16 post-retrieval trim (ESDefaultSearch.java:281-313)
+        # clause-level cut: "vector" is an OPTIONAL clause, so every hit has
+        # matched_required == 1 and a count-based trim could not cut at all;
+        # the per-hit matched_mask (matched_queries[] analog) can — the page
+        # ends at the first hit whose clause set doesn't cover the top hit's.
         eng = _engine(spark, sf)
         res = eng.search_rung(
-            [_grp(0, ["merge"]), _grp(1, ["vector"])], 1, SearchOptions()
+            [_grp(0, ["merge"]), _grp(1, ["vector"], required=False, weight=1.0)],
+            1,
+            SearchOptions(),
         )
         rows = res.collect()
         if rows:
-            best = rows[0].matched_required
+            best = rows[0].matched_mask
             cut = next(
-                (i for i, r in enumerate(rows) if r.matched_required < best), len(rows)
+                (i for i, r in enumerate(rows) if (r.matched_mask & best) != best),
+                len(rows),
             )
             rows = rows[:cut]
         return _topk_out(spark.createDataFrame(rows, res.schema))
@@ -624,7 +631,7 @@ ORDER BY weight DESC, doc_id LIMIT 20
 """
     o["trim"] = f"""
 WITH {_BM25_CTES},
-grp AS ({_values_groups([("merge", 0, True, 1.0), ("vector", 1, True, 1.0)])}),
+grp AS ({_values_groups([("merge", 0, True, 1.0), ("vector", 1, False, 1.0)])}),
 per_group AS (
   SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
   FROM scored s JOIN grp g USING (term)
@@ -632,17 +639,19 @@ per_group AS (
 ),
 per_doc AS (
   SELECT doc_id, sum(gscore) AS score,
-         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required,
+         sum(1::BIGINT << group_id)::BIGINT AS matched_mask
   FROM per_group GROUP BY doc_id
 ),
 ranked AS (
-  SELECT doc_id, score, matched_required,
+  SELECT doc_id, score, matched_mask,
          row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
   FROM per_doc WHERE matched_required >= 1
 ),
 cut AS (
   SELECT min(rn) AS c FROM ranked
-  WHERE matched_required < (SELECT matched_required FROM ranked WHERE rn = 1)
+  WHERE (matched_mask & (SELECT matched_mask FROM ranked WHERE rn = 1))
+        <> (SELECT matched_mask FROM ranked WHERE rn = 1)
 )
 SELECT doc_id, round(score, 4) AS score FROM ranked
 WHERE rn <= 20 AND rn < coalesce((SELECT c FROM cut), 9223372036854775807)

@@ -151,6 +151,7 @@ def topk_from_scored(
                     F.sum(F.when(F.col("required"), 1).otherwise(0)).alias(
                         "matched_required"
                     ),
+                    F.sum(_group_bit()).alias("matched_mask"),
                 )
                 return finalize_ranked(per_doc, min(msm, n_required), k, docs, options)
 
@@ -167,8 +168,17 @@ def topk_from_scored(
     per_doc = per_group.groupBy("doc_id").agg(
         F.sum("gscore").alias("score"),
         F.sum(F.when(F.col("required"), 1).otherwise(0)).alias("matched_required"),
+        F.sum(_group_bit()).alias("matched_mask"),
     )
     return finalize_ranked(per_doc, min(msm, n_required), k, docs, options)
+
+
+def _group_bit() -> F.Column:
+    """2^group_id as a per-(doc,group) row contribution: summed per doc it is
+    the matched-clause bitmask — the per-hit ``matched_queries[]`` analog
+    (reference ResultsWrapper.java:10-151) that clause-level trim cuts on.
+    Input rows are unique per (doc_id, group_id) in both call sites."""
+    return F.expr("shiftleft(CAST(1 AS BIGINT), group_id)")
 
 
 def finalize_ranked(
@@ -328,6 +338,7 @@ class SearchEngine:
                     "doc_id",
                     F.lit(0.0).alias("score"),
                     F.lit(0).alias("matched_required"),
+                    F.lit(0).cast("long").alias("matched_mask"),
                     "repo",
                     "path",
                     "lang",
@@ -385,12 +396,18 @@ class SearchEngine:
             rows = result.collect()
             if rows and options.trim:
                 # P16 trim: walking the ranked page, cut at the first hit of
-                # coarser granularity than the top hit (the reference cuts at
-                # locality-only matches on street queries using per-clause
-                # _name flags; our flag is matched_required)
-                best = rows[0].matched_required
+                # coarser granularity than the top hit — "coarser" = its
+                # matched-clause set does not cover the top hit's clauses
+                # (the reference cuts locality-only matches on street queries
+                # using per-clause _name flags, ESDefaultSearch.java:281-313;
+                # matched_mask is the per-hit matched_queries[] analog)
+                best = rows[0].matched_mask
                 cut = next(
-                    (i for i, r in enumerate(rows) if r.matched_required < best),
+                    (
+                        i
+                        for i, r in enumerate(rows)
+                        if (r.matched_mask & best) != best
+                    ),
                     len(rows),
                 )
                 rows = rows[:cut]
