@@ -416,6 +416,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_orders"))
         )
 
+    def dim_two_phase(spark, sf):  # J1 two-phase class-dim search
+        # phase 1: query tokens probed against the class dimension ("english"
+        # -> class 'en'); the matched class becomes a filter, the matched
+        # token is demoted to optional (ESDefaultSearch.java:90-100,227-279)
+        from gazetteer_search_spark.sources.dims import lang_class_dim
+
+        eng = _engine(spark, sf)
+        res = eng.search_two_phase(
+            "merge english",
+            lang_class_dim(spark),
+            SearchOptions(k=20, prefix=False, fuzzy=False, coalesce=False),
+        )
+        return _topk_out(res)
+
+    q.update(dim_two_phase=dim_two_phase)
+
     def dim_join(spark, sf):  # POI-class broadcast-dim analog (J1)
         c = spark.read.parquet(f"{sf}/customer.parquet")
         n = spark.read.parquet(f"{sf}/nation.parquet")
@@ -657,6 +673,39 @@ SELECT doc_id, round(score, 4) AS score FROM ranked
 WHERE rn <= 20 AND rn < coalesce((SELECT c FROM cut), 9223372036854775807)
 """
     # the term dictionary spans content terms AND "name:"-prefixed field terms
+    from gazetteer_search_spark.sources.dims import LANG_CLASS_ROWS
+
+    _dim_vals = ", ".join(f"('{t}', '{c}')" for t, c in LANG_CLASS_ROWS)
+    o["dim_two_phase"] = f"""
+WITH {_BM25_CTES},
+dim(term, class) AS (VALUES {_dim_vals}),
+qtok(token, gid) AS (VALUES ('merge', 0), ('english', 1)),
+m AS (
+  SELECT DISTINCT token, class FROM qtok JOIN dim
+  ON dim.term = token OR (starts_with(dim.term, token) AND length(token) >= 4)
+),
+grp AS (
+  SELECT token AS term, gid AS group_id,
+         token NOT IN (SELECT token FROM m) AS required,
+         CASE WHEN token IN (SELECT token FROM m) THEN 0.5 ELSE 1.0 END AS weight
+  FROM qtok
+),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term) GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+final AS (
+  SELECT p.doc_id, p.raw AS score FROM per_doc p JOIN documents d USING (doc_id)
+  WHERE p.matched_required >= 1 AND d.lang IN (SELECT class FROM m)
+)
+SELECT doc_id, round(score, 4) AS score FROM final
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 20
+"""
     o["term_stats_top"] = f"""
 WITH tokc AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 nm AS (SELECT doc_id, {_NPATH} AS npath FROM documents),

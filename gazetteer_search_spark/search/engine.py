@@ -354,6 +354,64 @@ class SearchEngine:
             groups=groups,
         )
 
+    # ---- two-phase dimension lookup (J1) -------------------------------------
+    def two_phase_plan(
+        self, q: str | Query, dim: DataFrame, options: SearchOptions | None = None
+    ) -> tuple[Query, SearchOptions]:
+        """Phase 1 of the reference's class-dimension search
+        (ESDefaultSearch.java:90-100,227-279; MainAddressQueryBuilder.java:
+        209-228): match query tokens against a broadcast-size class dimension
+        (exact term, or token-as-prefix of a dimension term for tokens of
+        length >= 4, the poi-class-prefix.json behavior). Matched classes
+        become a filter (single class) or boosts (several); matched tokens are
+        demoted to optional so they stop gating the main match. Returns the
+        rewritten (query, options) so tests can assert the demotion."""
+        from dataclasses import replace as _replace
+
+        options = options or SearchOptions()
+        query = analyze_query(q, prefix=options.prefix) if isinstance(q, str) else q
+        if not query.tokens:
+            return query, options
+        toks = self.spark.createDataFrame(
+            [(t.text,) for t in query.tokens], "token string"
+        )
+        hits = (
+            toks.join(
+                F.broadcast(dim),
+                (F.col("term") == F.col("token"))
+                | (
+                    F.col("term").startswith(F.col("token"))
+                    & (F.length("token") >= 4)
+                ),
+            )
+            .select("token", "class")
+            .collect()
+        )
+        matched_tokens = {r.token for r in hits}
+        classes = sorted({getattr(r, "class") for r in hits})
+        new_tokens = [
+            _replace(t, optional=True) if t.text in matched_tokens else t
+            for t in query.tokens
+        ]
+        prefix = query.prefix if query.prefix not in matched_tokens else None
+        query2 = Query(original=query.original, tokens=new_tokens, prefix=prefix)
+        if len(classes) == 1:
+            options2 = _replace(options, lang=classes[0])
+        elif classes:
+            options2 = _replace(
+                options,
+                lang_boosts={**options.lang_boosts, **{c: 1.5 for c in classes}},
+            )
+        else:
+            options2 = options
+        return query2, options2
+
+    def search_two_phase(
+        self, q: str | Query, dim: DataFrame, options: SearchOptions | None = None
+    ) -> DataFrame:
+        query2, options2 = self.two_phase_plan(q, dim, options)
+        return self.search(query2, options2)
+
     def search(self, q: str | Query, options: SearchOptions | None = None) -> DataFrame:
         """The coalesce ladder (U1, ESCoalesce.java:30-68): strict AND ->
         AND-without-prefix-gate + fuzzy -> OR with minimum_should_match=2;

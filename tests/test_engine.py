@@ -125,3 +125,26 @@ def test_repo_filter(spark, corpus, engine):
     got = engine.search_rung([_grp(0, ["postings"])], 1, opts)
     rows = got.collect()
     assert all(r.repo == "org1/repo1" for r in rows)
+
+
+def test_two_phase_dim_demotion(spark, engine):
+    """J1: dim-matched tokens demote to optional; single matched class becomes
+    a filter; token-as-prefix of a dim term (len >= 4) also matches."""
+    from gazetteer_search_spark.sources.dims import lang_class_dim
+
+    dim = lang_class_dim(spark)
+    q2, o2 = engine.two_phase_plan(
+        "merge english", dim, SearchOptions(prefix=False)
+    )
+    by_text = {t.text: t for t in q2.tokens}
+    assert by_text["english"].optional and not by_text["merge"].optional
+    assert o2.lang == "en"
+
+    # prefix-of-dimension-term match ("engli" -> "english")
+    q3, o3 = engine.two_phase_plan("merge engli", dim, SearchOptions(prefix=False))
+    assert {t.text: t.optional for t in q3.tokens} == {"merge": False, "engli": True}
+    assert o3.lang == "en"
+
+    # no dim hit -> query unchanged
+    q4, o4 = engine.two_phase_plan("merge sort", dim, SearchOptions(prefix=False))
+    assert all(not t.optional for t in q4.tokens) and o4.lang is None
