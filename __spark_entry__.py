@@ -394,7 +394,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id")
         )
 
-    q.update(dedup_ordinal=dedup_ordinal, fingerprint_dedup=fingerprint_dedup)
+    def update_derived(spark, sf):  # S5 partial-document update sink
+        # maintenance job: compute a derived column (how many docs share this
+        # doc's two-word name key — the streets-usage count analog,
+        # UpdateStreetsUsage.java:104-113) and MERGE it onto a partitioned
+        # docs table at partition granularity; the query returns the
+        # post-update read-back so the oracle validates the written values
+        from gazetteer_search_spark.analyzer.tokenizer import native_tokens_expr
+        from gazetteer_search_spark.index.update import update_docs_columns
+
+        tag = re.sub(r"\W+", "_", sf.rstrip("/"))
+        try:
+            st = os.stat(os.path.join(sf, "documents.parquet"))
+            fp = f"{st.st_size}_{int(st.st_mtime)}"
+        except OSError:
+            fp = "na"
+        path = os.path.join(
+            tempfile.gettempdir(), f"gss_docs_upd_v{__version__}_{tag}_{fp}"
+        )
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            (
+                _docs(spark, sf)
+                .select(
+                    "doc_id",
+                    "lang",
+                    F.lit(0).cast("long").alias("ref_count"),
+                    F.pmod("doc_id", F.lit(16)).cast("int").alias("doc_part"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("doc_part")
+                .parquet(path)
+            )
+        d = _docs(spark, sf)
+        toks = native_tokens_expr(F.col("text"))
+        key = F.concat_ws(
+            " ",
+            F.coalesce(F.element_at(toks, 1), F.lit("na")),
+            F.coalesce(F.element_at(toks, 2), F.lit("na")),
+        )
+        keyed = d.select("doc_id", key.alias("k"))
+        counts = keyed.groupBy("k").agg(F.count("*").alias("ref_count"))
+        derived = keyed.join(counts, "k").select("doc_id", "ref_count")
+        update_docs_columns(spark, path, derived, n_doc_parts=16)
+        return spark.read.parquet(path).select("doc_id", "ref_count")
+
+    q.update(
+        dedup_ordinal=dedup_ordinal,
+        fingerprint_dedup=fingerprint_dedup,
+        update_derived=update_derived,
+    )
 
     # ---- aggregations (G2/G3) + joins (J1/J2) ------------------------------
     def lang_histogram(spark, sf):  # terms-agg minDocCount/size analog (G2)
@@ -733,6 +781,13 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(n), 6) AS avg_doc_len FROM dl
         f"SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
         f"(PARTITION BY {_fp} ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1"
     )
+    o["update_derived"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(({_STOKS})[1], 'na') || ' ' || coalesce(({_STOKS})[2], 'na') AS k
+  FROM documents)
+SELECT doc_id, count(*) OVER (PARTITION BY k)::BIGINT AS ref_count FROM t
+"""
     o["lang_histogram"] = (
         "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang "
         "HAVING count(*) >= 10 ORDER BY n DESC, lang LIMIT 25"

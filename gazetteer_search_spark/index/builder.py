@@ -199,6 +199,7 @@ def build_index(
     max_buckets_per_commit: int | None = None,
     fail_after_commits: int | None = None,
     extra_fields: dict[str, str] | None = None,
+    n_doc_parts: int = 16,
 ) -> Index:
     """Build (or resume) the full index under ``out_dir``.
 
@@ -240,12 +241,22 @@ def build_index(
     # scratch-storage checkpoint — same manifest logic applies.
     docs_full = bm25.doc_table(corpus, tokenizer).persist()
 
+    # docs are hash-partitioned on doc_part = doc_id % n_doc_parts so the
+    # partial-document update sink (S5, index/update.py) can rewrite ONLY the
+    # partitions containing touched docs. ref_count is the maintained derived
+    # column (the streets-usage analog, UpdateStreetsUsage.java:104-113),
+    # defaulted at import so every partition shares one schema.
     docs_done = resume and _exists(spark, paths.docs)
     if not docs_done:
         (
             docs_full.drop("tokens")
+            .withColumn("ref_count", F.lit(0).cast("long"))
+            .withColumn(
+                "doc_part", F.pmod(F.col("doc_id"), F.lit(n_doc_parts)).cast("int")
+            )
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
+            .partitionBy("doc_part")
             .parquet(paths.docs)
         )
     docs = spark.read.parquet(paths.docs)
