@@ -77,7 +77,10 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             # analog of the reference's address name
             extra_fields={"name": "path"},
         )
-        _ENGINES[sf_dir] = SearchEngine(spark, idx, cache=True)
+        # serving=True: the driver's correctness gate runs the PRODUCT serving
+        # path (driver-side pruned-parquet lookups, rank-identical to the
+        # Spark path — equivalence asserted in tests/test_fastpath.py)
+        _ENGINES[sf_dir] = SearchEngine(spark, idx, cache=True, serving=True)
     return _ENGINES[sf_dir]
 
 

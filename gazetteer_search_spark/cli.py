@@ -59,13 +59,15 @@ def cmd_query(args: argparse.Namespace) -> None:
     from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
 
     spark = _spark("gss-query")
-    eng = SearchEngine(spark, load_index(spark, args.index))
+    # serving=True: indexes that fit a serving node answer driver-side in
+    # milliseconds (zero Spark jobs per query); larger ones use the Spark path
+    eng = SearchEngine(spark, load_index(spark, args.index), serving=True)
     opts = SearchOptions(
         k=args.k, prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
         coalesce=not args.no_coalesce, lang=args.lang, repo=args.repo,
     )
     t0 = time.time()
-    rows = eng.search(args.q, opts).collect()
+    rows = eng.search_hits(args.q, opts)
     for i, r in enumerate(rows, 1):
         print(json.dumps({
             "rank": i, "doc_id": r.doc_id, "score": round(r.score, 4),
@@ -101,7 +103,7 @@ def cmd_batch_query(args: argparse.Namespace) -> None:
     from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
 
     spark = _spark("gss-batch-query")
-    eng = SearchEngine(spark, load_index(spark, args.index))
+    eng = SearchEngine(spark, load_index(spark, args.index), serving=True)
     queries = [r[0] for r in spark.read.csv(args.queries).collect()]
     t0 = time.time()
     outs = []

@@ -229,14 +229,49 @@ def finalize_ranked(
     return _rank(gated)
 
 
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("matched_required", T.LongType(), False),
+        T.StructField("matched_mask", T.LongType(), False),
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index: Index, cache: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index: Index,
+        cache: bool = False,
+        serving: bool = False,
+        serving_max_docs: int = 5_000_000,
+    ):
         """``cache=True`` persists postings/docs/term_stats in executor memory
         (spill-to-disk) — the serving-mode analog of ES/Lucene keeping the
         index hot. At 100 TB you'd scope this to hot term_buckets; the option
-        is per-engine so batch pipelines skip it."""
+        is per-engine so batch pipelines skip it.
+
+        ``serving=True`` additionally enables the driver-side point-lookup
+        executor (search/fastpath.py) when the docs table fits a serving node
+        (<= serving_max_docs): queries answer in milliseconds from pruned
+        parquet row groups with zero Spark jobs, rank-identical to the Spark
+        path. Larger indexes keep the distributed path (at scale, serving
+        shards by bucket and runs one LocalExecutor per shard)."""
         self.spark = spark
         self.index = index
+        self._local = None
+        if serving and index.n_docs <= serving_max_docs:
+            try:
+                from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+                self._local = LocalExecutor(index)
+            except Exception:
+                self._local = None  # non-local FS without pyarrow support etc.
         if cache:
             index.postings = index.postings.persist()
             index.docs = index.docs.persist()
@@ -252,6 +287,8 @@ class SearchEngine:
     def expand_prefix(self, prefix: str) -> list[str]:
         """Term-dictionary range scan (P3): sorted dict makes startswith a
         range predicate; cap expansions by df like Lucene's rewrite cap."""
+        if self._local is not None:
+            return self._local.expand_prefix(prefix)
         rows = (
             self._term_stats.filter(F.col("term").startswith(prefix))
             .orderBy(F.col("df").desc(), F.col("term"))
@@ -266,6 +303,8 @@ class SearchEngine:
         (P15, fuzziness "1" at MainAddressQueryBuilder.java:291-293). A join
         against the (small) dict, never a corpus scan; length pruning keeps it
         a partial scan."""
+        if self._local is not None:
+            return self._local.expand_fuzzy(term)
         n = len(term)
         rows = (
             self._term_stats.filter(F.length("term").between(n - 1, n + 1))
@@ -322,6 +361,9 @@ class SearchEngine:
     def search_rung(
         self, groups: list[TermGroup], msm: int, options: SearchOptions
     ) -> DataFrame:
+        if self._local is not None:
+            rows = self._local.search_rung(groups, msm, options)
+            return self.spark.createDataFrame(rows, RESULT_SCHEMA)
         terms = sorted({t for g in groups for t in g.terms})
         if not terms:
             # match_all + filters (P14, empty-query path
@@ -412,10 +454,13 @@ class SearchEngine:
         query2, options2 = self.two_phase_plan(q, dim, options)
         return self.search(query2, options2)
 
-    def search(self, q: str | Query, options: SearchOptions | None = None) -> DataFrame:
-        """The coalesce ladder (U1, ESCoalesce.java:30-68): strict AND ->
-        AND-without-prefix-gate + fuzzy -> OR with minimum_should_match=2;
-        first non-empty rung wins (its k<=20 rows are the answer)."""
+    def search_hits(self, q: str | Query, options: SearchOptions | None = None) -> list:
+        """The coalesce ladder (U1, ESCoalesce.java:30-68) returning finalized
+        hit rows: strict AND -> AND-without-prefix-gate + fuzzy -> OR with
+        minimum_should_match=2; first non-empty rung wins (its k<=20 rows are
+        the answer). This is the SERVING surface: with the local executor
+        active the whole ladder runs driver-side in milliseconds with zero
+        Spark jobs; otherwise each rung is one Spark job, executed once."""
         options = options or SearchOptions()
         query = analyze_query(q, prefix=options.prefix) if isinstance(q, str) else q
 
@@ -435,7 +480,7 @@ class SearchEngine:
             # must actually relax below the AND rung -> msm=1
             rungs.append((g3, 1 if n3 <= 2 else 2))
 
-        last = None
+        last: list = []
         seen_rungs: set[tuple] = set()
         for groups, msm in rungs:
             # a rung identical to an already-executed one (same groups, same
@@ -448,10 +493,7 @@ class SearchEngine:
             if key in seen_rungs:
                 continue
             seen_rungs.add(key)
-            result = self.search_rung(groups, msm, options)
-            # execute the rung ONCE: materialize its <=k rows and rewrap, so
-            # the non-empty check and the caller's collect don't re-run jobs
-            rows = result.collect()
+            rows = self.search_rung_rows(groups, msm, options)
             if rows and options.trim:
                 # P16 trim: walking the ranked page, cut at the first hit of
                 # coarser granularity than the top hit — "coarser" = its
@@ -469,10 +511,23 @@ class SearchEngine:
                     len(rows),
                 )
                 rows = rows[:cut]
-            last = self.spark.createDataFrame(rows, result.schema)
+            last = rows
             if rows:
-                return last
+                return rows
         return last
+
+    def search_rung_rows(
+        self, groups: list[TermGroup], msm: int, options: SearchOptions
+    ) -> list:
+        """One rung as finalized rows — local executor when active (zero Spark
+        jobs), else one executed Spark job."""
+        if self._local is not None:
+            return self._local.search_rung(groups, msm, options)
+        return self.search_rung(groups, msm, options).collect()
+
+    def search(self, q: str | Query, options: SearchOptions | None = None) -> DataFrame:
+        """DataFrame facade over ``search_hits`` (the harness/batch contract)."""
+        return self.spark.createDataFrame(self.search_hits(q, options), RESULT_SCHEMA)
 
 
 def oracle_topk(

@@ -1,0 +1,250 @@
+"""Serving fast path: driver-side point lookups over the SAME index files.
+
+The reference serves interactive queries from an always-on ES node; a Spark
+job costs ~0.5-1 s of scheduling before any data is touched — 2 orders above
+a serving budget (SURVEY §8). For indexes (or, at scale, per-node bucket
+shards) whose docs table fits a serving node, ``LocalExecutor`` answers
+queries without launching a single Spark job:
+
+- postings: ``pyarrow.dataset`` over the postings directory — hive partition
+  pruning on term_bucket plus parquet row-group statistics on ``term`` (the
+  files are written sorted by term) reduce a query to a handful of row
+  groups; payloads decode with the same numpy codec kernels.
+- term dictionary + docs metadata: loaded once, cached as numpy arrays
+  (a serving tier memory-maps exactly these per assigned bucket shard).
+- scoring: identical math to the DataFrame engine — per-group dis_max with
+  per-term (cross-field) weights, score sum, msm gate, matched-clause mask,
+  doc-side filters/boosts, round(score,9)/doc_id deterministic rank.
+
+The Spark path stays the batch/scale formulation over the same files; every
+query answered here is rank-identical to it (asserted in tests and by the
+driver's oracle gate, which runs the serving path). At 100 TB the docs table
+exceeds one node, so serving shards by term_bucket/doc_part — the per-shard
+executor is this same class pointed at a bucket subset.
+"""
+
+from __future__ import annotations
+
+from collections import namedtuple
+
+import numpy as np
+import pandas as pd
+
+from gazetteer_search_spark.index import codec
+from gazetteer_search_spark.index.builder import Index, term_bucket_py
+
+# finalize-shaped hit — field names match the Spark path's result columns, so
+# trim / CLI / createDataFrame treat both paths identically
+Hit = namedtuple(
+    "Hit", ["doc_id", "score", "matched_required", "matched_mask", "repo", "path", "lang"]
+)
+
+MAX_PREFIX_EXPANSIONS = 128
+MAX_FUZZY_EXPANSIONS = 32
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic edit distance — same function as Spark's levenshtein and
+    DuckDB's (the fuzzy oracle)."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class LocalExecutor:
+    def __init__(self, index: Index):
+        import pyarrow.dataset as ds
+
+        self.index = index
+        self._ds = ds.dataset(index.paths.postings, partitioning="hive")
+        self._term_stats: pd.DataFrame | None = None
+        self._docs: dict | None = None
+
+    # ---- lazy caches ---------------------------------------------------------
+    def _load_term_stats(self) -> pd.DataFrame:
+        if self._term_stats is None:
+            import pyarrow.dataset as ds
+
+            t = ds.dataset(self.index.paths.term_stats, partitioning="hive").to_table(
+                columns=["term", "df"]
+            )
+            self._term_stats = t.to_pandas()
+        return self._term_stats
+
+    def _load_docs(self) -> dict:
+        if self._docs is None:
+            import pyarrow.dataset as ds
+
+            t = ds.dataset(self.index.paths.docs, partitioning="hive").to_table(
+                columns=["doc_id", "repo", "path", "lang"]
+            )
+            pdf = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+            self._docs = {
+                "ids": pdf["doc_id"].to_numpy(),
+                "repo": pdf["repo"].to_numpy(),
+                "path": pdf["path"].to_numpy(),
+                "lang": pdf["lang"].to_numpy(),
+            }
+        return self._docs
+
+    # ---- expansions (mirror engine.expand_* exactly) -------------------------
+    def expand_prefix(self, prefix: str) -> list[str]:
+        ts = self._load_term_stats()
+        m = ts[ts["term"].str.startswith(prefix) & ~ts["term"].str.contains(":")]
+        m = m.sort_values(["df", "term"], ascending=[False, True])
+        return m["term"].head(MAX_PREFIX_EXPANSIONS).tolist()
+
+    def expand_fuzzy(self, term: str) -> list[str]:
+        ts = self._load_term_stats()
+        n = len(term)
+        lens = ts["term"].str.len()
+        cand = ts[(lens >= n - 1) & (lens <= n + 1) & ~ts["term"].str.contains(":")]
+        keep = [
+            _levenshtein(t, term) <= 1 for t in cand["term"].tolist()
+        ]
+        cand = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
+        cand = cand.sort_values(["df", "term"], ascending=[False, True])
+        return cand["term"].head(MAX_FUZZY_EXPANSIONS).tolist()
+
+    # ---- postings ------------------------------------------------------------
+    def _decode_terms(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        import pyarrow.dataset as ds_mod
+
+        buckets = sorted({term_bucket_py(t, self.index.n_buckets) for t in terms})
+        f = ds_mod.field("term").isin(terms) & ds_mod.field("term_bucket").isin(buckets)
+        tbl = self._ds.to_table(
+            filter=f,
+            columns=[
+                "term", "doc_count", "min_doc_id", "doc_ids_delta_varbyte",
+                "scores_f64",
+            ],
+        ).to_pandas()
+        out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for term, sub in tbl.groupby("term"):
+            ids = np.concatenate(
+                [
+                    codec.delta_varbyte_decode(buf, int(n), int(mn))
+                    for buf, n, mn in zip(
+                        sub["doc_ids_delta_varbyte"], sub["doc_count"], sub["min_doc_id"]
+                    )
+                ]
+            )
+            sc = np.concatenate(
+                [
+                    np.asarray(codec.f64_decode(buf, int(n)))
+                    for buf, n in zip(sub["scores_f64"], sub["doc_count"])
+                ]
+            )
+            out[term] = (ids, sc)
+        return out
+
+    # ---- search --------------------------------------------------------------
+    def search_rung(self, groups, msm: int, options) -> list[Hit]:
+        """Returns finalize-shaped ``Hit`` rows (same fields, same order, same
+        rounding/tie-break as the Spark path's result columns)."""
+        terms = sorted({t for g in groups for t in g.terms})
+        if not terms:
+            return self._match_all(options)
+        decoded = self._decode_terms(terms)
+
+        parts = []
+        for g in groups:
+            segs_i, segs_s = [], []
+            for t, w in g.per_term_weights().items():
+                if t in decoded:
+                    ids, sc = decoded[t]
+                    segs_i.append(ids)
+                    segs_s.append(sc * w)
+            if not segs_i:
+                continue
+            gids = np.concatenate(segs_i)
+            gsc = np.concatenate(segs_s)
+            uids, inv = np.unique(gids, return_inverse=True)
+            gmax = np.full(uids.size, -np.inf)
+            np.maximum.at(gmax, inv, gsc)  # dis_max (P8)
+            parts.append((uids, gmax, g.required, g.group_id))
+        if not parts:
+            return []
+
+        all_ids = np.concatenate([p[0] for p in parts])
+        all_sc = np.concatenate([p[1] for p in parts])
+        all_req = np.concatenate(
+            [np.full(p[0].size, 1 if p[2] else 0, dtype=np.int64) for p in parts]
+        )
+        all_bit = np.concatenate(
+            [np.full(p[0].size, np.int64(1 << p[3]), dtype=np.int64) for p in parts]
+        )
+        uids, inv = np.unique(all_ids, return_inverse=True)
+        score = np.zeros(uids.size)
+        np.add.at(score, inv, all_sc)
+        matched = np.zeros(uids.size, dtype=np.int64)
+        np.add.at(matched, inv, all_req)
+        maskv = np.zeros(uids.size, dtype=np.int64)
+        np.bitwise_or.at(maskv, inv, all_bit)
+
+        n_required = sum(1 for g in groups if g.required)
+        eff_msm = min(msm, n_required) if n_required else 0
+        keep = matched >= eff_msm
+        uids, score, matched, maskv = uids[keep], score[keep], matched[keep], maskv[keep]
+        if uids.size == 0:
+            return []
+
+        docs = self._load_docs()
+        pos = np.searchsorted(docs["ids"], uids)
+        pos = np.minimum(pos, docs["ids"].size - 1)
+        ok = docs["ids"][pos] == uids
+        uids, score, matched, maskv, pos = (
+            uids[ok], score[ok], matched[ok], maskv[ok], pos[ok]
+        )
+        repo, path, lang = docs["repo"][pos], docs["path"][pos], docs["lang"][pos]
+
+        # doc-side filters then boosts, exactly like finalize_ranked
+        m = np.ones(uids.size, dtype=bool)
+        if options.lang:
+            m &= lang == options.lang
+        if options.repo:
+            m &= repo == options.repo
+        if options.path_prefix:
+            m &= np.char.startswith(path.astype(str), options.path_prefix)
+        uids, score, matched, maskv = uids[m], score[m], matched[m], maskv[m]
+        repo, path, lang = repo[m], path[m], lang[m]
+        if options.lang_boosts:
+            boost = np.ones(uids.size)
+            for lg, w in options.lang_boosts.items():
+                boost = np.where(lang == lg, float(w), boost)
+            score = score * boost
+
+        order = np.lexsort((uids, -np.round(score, 9)))[: options.k]
+        return [
+            Hit(
+                int(uids[i]), float(score[i]), int(matched[i]), int(maskv[i]),
+                str(repo[i]), str(path[i]), str(lang[i]),
+            )
+            for i in order
+        ]
+
+    def _match_all(self, options) -> list[Hit]:
+        docs = self._load_docs()
+        m = np.ones(docs["ids"].size, dtype=bool)
+        if options.lang:
+            m &= docs["lang"] == options.lang
+        if options.repo:
+            m &= docs["repo"] == options.repo
+        if options.path_prefix:
+            m &= np.char.startswith(docs["path"].astype(str), options.path_prefix)
+        idx = np.flatnonzero(m)[: options.k]
+        return [
+            Hit(
+                int(docs["ids"][i]), 0.0, 0, 0,
+                str(docs["repo"][i]), str(docs["path"][i]), str(docs["lang"][i]),
+            )
+            for i in idx
+        ]
