@@ -186,22 +186,48 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of candidates only
-    sh = shingle_table(df, text_col, id_col, n)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    ia = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    ib = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        cand.join(ia, "id_a").join(ib, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    # Exact verification of candidates only, from per-doc shingle sets. Two
+    # deliberate choices vs the r1 formulation (which joined candidate pairs
+    # against the full shingle table — every pair fanned out to all of doc A's
+    # shingles before matching B; 8x slower measured at sf0.1):
+    # - candidates are materialized once (persist + count): both downstream
+    #   branches (the doc-id semi-join and the pair join) reuse the band join
+    #   instead of recomputing it — the checkpoint you'd also take at 100 TB;
+    # - sets are SORTED INT64 xxhash64(shingle) arrays, not strings: the
+    #   per-pair intersection compares 8-byte words and the pair shuffle
+    #   shrinks several-fold. Jaccard over hashed sets equals shingle Jaccard
+    #   unless xxhash64 collides within a doc pair's union (~2^-64 per pair).
+    cand = cand.persist()
+    cand.count()
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    sh = shingle_table(df, text_col, id_col, n).withColumn("h", F.xxhash64("shingle"))
+    sets = (
+        sh.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("h")).alias("sh_set"))
+        .withColumn("n_shingles", F.size("sh_set"))
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sh_set").alias("set_a"),
+        F.col("n_shingles").alias("na"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sh_set").alias("set_b"),
+        F.col("n_shingles").alias("nb"),
+    )
     return (
-        inter.join(sa, "id_a")
+        cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
