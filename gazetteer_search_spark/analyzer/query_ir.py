@@ -18,6 +18,7 @@ Tokenization uses the SAME kernel as the index build (analyzer symmetry).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from gazetteer_search_spark.analyzer import rules
@@ -43,6 +44,10 @@ class Query:
     original: str
     tokens: list[QToken] = field(default_factory=list)
     prefix: str | None = None  # A12 / Query.findPrefix
+    # A7: tokens REMOVED by the pre-pass (pure function words) — excluded from
+    # matching entirely, but kept here like the reference keeps its removed
+    # set on the query object (QueryAnalyzerImpl.java:114-120,282-298)
+    removed: list[str] = field(default_factory=list)
 
     # --- functional slices, Query.java:40-143 analog -------------------------
     def required(self) -> list[QToken]:
@@ -85,28 +90,58 @@ def _type_token(text: str) -> QToken:
     )
 
 
+# A5: bracketed spans -> optional tokens (IndexAnalyzer.java:105-110,143-152:
+# "Main Street (old)" indexes/matches "old" as optional)
+_BRACKET_RE = re.compile(r"[(\[{]([^)\]}]*)[)\]}]")
+
+
 def analyze_query(q: str, prefix: bool = True) -> Query:
     """Free text -> Query IR. ``prefix=True`` enables search-as-you-type
-    (gated like SearchOptions.prefix, reference SearchOptions.java:7-14)."""
+    (gated like SearchOptions.prefix, reference SearchOptions.java:7-14).
+
+    Pipeline: bracket extraction (A5: bracketed tokens become optional) ->
+    tokenize + type -> removal pre-pass (A7: pure function words drop out of
+    matching, kept on ``Query.removed``)."""
     query = Query(original=q)
-    words = q.split()
+    bracket_text = " ".join(m.group(1) for m in _BRACKET_RE.finditer(q))
+    main = _BRACKET_RE.sub(" ", q)
+    words = main.split()
 
     prefix_tok: str | None = None
-    if prefix and words and not q.endswith((" ", "\t", "\n")):
-        # the prefix candidate is the last sub-token of the last raw word
-        # (mid-typed camelCase identifier => its final sub-token is the prefix;
-        # its earlier sub-tokens stay required; no joined form is emitted for
-        # the incomplete identifier)
+    if prefix and words and not (main[-1:].isspace() or main == ""):
+        # the prefix candidate is the last sub-token of the last raw word of
+        # the UNBRACKETED text (mid-typed camelCase identifier => its final
+        # sub-token is the prefix; its earlier sub-tokens stay required; no
+        # joined form is emitted for the incomplete identifier). A query
+        # ending in a bracket group has no prefix (main then ends in space).
         last_subs = tokenize_text(words[-1], joined_identifiers=False)
         if last_subs and not any(c.isdigit() for c in last_subs[-1]):
             prefix_tok = last_subs[-1]
             head = " ".join(words[:-1])
             toks = tokenize_text(head, joined_identifiers=True) + last_subs[:-1]
         else:
-            toks = tokenize_text(q, joined_identifiers=True)
+            toks = tokenize_text(main, joined_identifiers=True)
     else:
-        toks = tokenize_text(q, joined_identifiers=True)
+        toks = tokenize_text(main, joined_identifiers=True)
 
-    query.tokens = [_type_token(t) for t in toks]
+    tokens = [_type_token(t) for t in toks]
+    for t in tokenize_text(bracket_text, joined_identifiers=True):
+        typed = _type_token(t)
+        tokens.append(
+            QToken(
+                text=typed.text,
+                variants=typed.variants,
+                optional=True,  # A5: bracketed => never gates
+                has_numbers=typed.has_numbers,
+                numbers_only=typed.numbers_only,
+            )
+        )
+
+    # A7 removal pre-pass
+    query.removed = [t.text for t in tokens if t.text in rules.REMOVED_TOKENS]
+    query.tokens = [t for t in tokens if t.text not in rules.REMOVED_TOKENS]
+    if prefix_tok in rules.REMOVED_TOKENS:
+        query.removed.append(prefix_tok)
+        prefix_tok = None
     query.prefix = prefix_tok
     return query

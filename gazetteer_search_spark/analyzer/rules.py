@@ -29,9 +29,16 @@ STOP_TOKENS: frozenset[str] = frozenset(
     continue import from package func var let const new this self super null
     none nil true false try except catch finally raise throw throws lambda
     yield async await with as in is not and or pass type interface struct
-    map chan go defer range the a an of to
+    map chan go defer range
     """.split()
 )
+
+# Removal pre-pass (A7): pure function words are REMOVED from the match set
+# entirely before group assembly — they neither gate nor boost — but the
+# removed set is kept on the Query IR, mirroring the reference's removed-term
+# bookkeeping (QueryAnalyzerImpl.java:114-120,282-298; language keywords above
+# stay indexed/optional instead because they carry some signal in code).
+REMOVED_TOKENS: frozenset[str] = frozenset("the a an of to".split())
 
 # Synonym chains (a=b=c): lookup of any member yields the whole chain as
 # variants (QueryAnalyzerImpl.java:225-280 walks chains, cycle-capped).
@@ -44,6 +51,43 @@ SYNONYM_CHAINS: list[list[str]] = [
     ["dir", "directory", "folder"],
     ["init", "initialize", "initialise"],
     ["config", "configuration", "cfg"],
+    # round-2 widening (VERDICT r1 #7): the common code abbreviations, the
+    # street-type-synonym analog of config/synonims/*.syn
+    ["impl", "implementation"],
+    ["util", "utility", "utils"],
+    ["mgr", "manager"],
+    ["ctx", "context"],
+    ["db", "database"],
+    ["auth", "authentication"],
+    ["msg", "message"],
+    ["num", "number"],
+    ["tmp", "temp", "temporary"],
+    ["val", "value"],
+    ["var", "variable"],
+    ["obj", "object"],
+    ["ptr", "pointer"],
+    ["idx", "index"],
+    ["len", "length"],
+    ["src", "source"],
+    ["dst", "dest", "destination"],
+    ["cmd", "command"],
+    ["env", "environment"],
+    ["lib", "library"],
+    ["doc", "document", "documentation"],
+    ["err", "error"],
+    ["exc", "exception"],
+    ["buf", "buffer"],
+    ["addr", "address"],
+    ["gen", "generate", "generator"],
+    ["max", "maximum"],
+    ["min", "minimum"],
+    ["repo", "repository"],
+    ["pkg", "package"],
+    ["iter", "iterator", "iteration"],
+    ["del", "delete"],
+    ["upd", "update"],
+    ["sync", "synchronize", "synchronise"],
+    ["calc", "calculate", "calculation"],
 ]
 
 SYNONYMS: dict[str, tuple[str, ...]] = {}
@@ -60,6 +104,10 @@ VARIANT_RULES: list[tuple[re.Pattern[str], str]] = [
     (re.compile(r"^v(\d+)$"), r"\1"),
     # leading-zero number "007" -> "7"
     (re.compile(r"^0+(\d+)$"), r"\1"),
+    # plural fold variants (the street-type singular/plural replacer analog):
+    # an extra dis_max variant only — a nonsense singular matches nothing
+    (re.compile(r"^([a-z]{2,})ies$"), r"\1y"),
+    (re.compile(r"^([a-z]{3,}[^s])s$"), r"\1"),
 ]
 
 

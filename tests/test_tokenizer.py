@@ -155,3 +155,41 @@ def test_duckdb_full_sql_matches_pandas_kernel_fuzz():
         assert sorted(d) == sorted(k), repr(s)
 
     check()
+
+
+def test_bracket_optional_extraction():
+    """A5 (IndexAnalyzer.java:105-110,143-152): bracketed tokens are optional."""
+    q = analyze_query("mergeSort (legacy variant)", prefix=False)
+    by_text = {t.text: t for t in q.tokens}
+    assert not by_text["merge"].optional and not by_text["sort"].optional
+    assert by_text["legacy"].optional and by_text["variant"].optional
+    # a query ending in a bracket group has no search-as-you-type prefix
+    q2 = analyze_query("mergeSort (legacy)", prefix=True)
+    assert q2.prefix is None
+    # without brackets the same last word WOULD be a prefix
+    q3 = analyze_query("mergeSort legacy", prefix=True)
+    assert q3.prefix == "legacy"
+
+
+def test_removed_pre_pass_keeps_removed_set():
+    """A7 (QueryAnalyzerImpl.java:114-120,282-298): pure function words are
+    removed from matching but kept on the IR; keywords stay as optional."""
+    q = analyze_query("the merge of postings", prefix=False)
+    assert [t.text for t in q.tokens] == ["merge", "postings"]
+    assert sorted(q.removed) == ["of", "the"]
+    # language keywords are OPTIONAL (still boost), not removed
+    q2 = analyze_query("def merge", prefix=False)
+    assert {t.text: t.optional for t in q2.tokens} == {"def": True, "merge": False}
+    # a removed word never becomes the prefix
+    q3 = analyze_query("merge the", prefix=True)
+    assert q3.prefix is None and "the" in q3.removed
+
+
+def test_variant_rules_widened():
+    from gazetteer_search_spark.analyzer.rules import expand_variants
+
+    assert "implementation" in expand_variants("impl")
+    assert "context" in expand_variants("ctx")
+    assert "posting" in expand_variants("postings")  # plural fold variant
+    assert "utility" in expand_variants("utilities")  # ies -> y
+    assert "2" in expand_variants("v2")
