@@ -164,15 +164,22 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     # documents corpus is df-uniform (40-word vocabulary), so an OR there has
     # nothing to skip — same reason Lucene's BMW shows no win on uniform df.
     wand_counters = WandCounters.create(spark)
+    or_hints = {
+        r.term: r.df
+        for r in idx_syn.term_stats.filter(
+            F.col("term").isin("def", "sym123", "id77")
+        ).collect()
+    }
     bench_query(
         "q_wand_or",
         lambda: wand_topk(
             spark, idx_syn,
             # k <= rare-term df so theta lands on rare+hot docs and the hot
             # list's out-of-band blocks die (k above that would legitimately
-            # need hot-only docs, which forbids skipping)
+            # need hot-only docs, which forbids skipping); df hints enable the
+            # rarest-group theta seed that carries the bound across ranges
             [g(0, ["def"]), g(1, ["sym123"]), g(2, ["id77"])], 1,
-            k=10, n_ranges=cpus, counters=wand_counters,
+            k=10, n_ranges=cpus, counters=wand_counters, df_hints=or_hints,
         ),
     )
 

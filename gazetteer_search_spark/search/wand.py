@@ -70,10 +70,11 @@ PER_DOC_SCHEMA = T.StructType(
     ]
 )
 
-# groups whose in-range posting count is at or below this decode upfront; the
+# groups whose in-range posting count is at or below max(this, 4k) decode
+# upfront (their wide blocks need exact per-interval refinement anyway); the
 # rest ("dense" groups — the hot, stop-term-like lists) stay metadata-only
 # until an interval that needs them survives theta
-UPFRONT_MAX_POSTINGS = 4096
+UPFRONT_MIN_POSTINGS = 512
 # intervals scored per theta-update round
 CHUNK_INTERVALS = 8
 # rounding margin: global rank orders by round(score, 9); a doc whose upper
@@ -124,6 +125,7 @@ def make_range_kernel(
     range_width: int,
     truncate: bool,
     counters: WandCounters | None = None,
+    initial_theta: float | None = None,
 ):
     """Build the applyInPandas kernel (closure over broadcast-size query
     metadata only). ``truncate=False`` when doc-level filters/boosts must be
@@ -282,12 +284,13 @@ def make_range_kernel(
 
         # ---- per-interval upper bounds & msm coverage ----------------------
         ub_rows: dict[int, np.ndarray] = {}
+        upfront_cap = max(UPFRONT_MIN_POSTINGS, 4 * k)
         for g in gids:
             m = bmeta[g]
             n_blocks = len(m["sub"])
             total_postings = int(m["sub"]["doc_count"].sum())
             row = np.zeros(n_i)
-            if total_postings <= UPFRONT_MAX_POSTINGS:
+            if total_postings <= upfront_cap:
                 # sparse group: decode now, use EXACT per-interval maxima so a
                 # single wide block doesn't inflate the bound across the range
                 for bi in range(n_blocks):
@@ -316,6 +319,13 @@ def make_range_kernel(
             total_ub[cover_req < msm] = 0.0  # interval-level msm gate
 
         order = np.flatnonzero(total_ub > 0)
+        if truncate and initial_theta is not None:
+            # cross-range theta seed (the rarest-group first pass): k docs are
+            # already known GLOBALLY to score >= initial_theta, so intervals
+            # bounded below it are dead in every range — this is what lets a
+            # range holding only the hot lists skip everything, which the
+            # per-range local theta alone can never conclude
+            order = order[total_ub[order] >= initial_theta - THETA_MARGIN]
         order = order[np.argsort(-total_ub[order], kind="stable")]
 
         # ---- theta loop -----------------------------------------------------
@@ -471,6 +481,51 @@ def wand_topk(
     n_required = sum(1 for g in groups if g.required)
     eff_msm = min(msm, n_required) if n_required else 0
 
+    # ---- theta seeding: first pass over the rarest group ---------------------
+    # Valid when eff_msm <= 1 and the seed group is required (or nothing
+    # gates): each of the seed group's top-k docs passes the gate and its
+    # TOTAL score >= its seed-group contribution alone (all contributions are
+    # >= 0), so the k-th such contribution is a certified global lower bound
+    # on the k-th best final score. Worth one tiny partition-pruned job only
+    # when the df gap says dense lists will actually die (hints-driven).
+    initial_theta: float | None = None
+    strict_and = eff_msm == n_required and n_required > 0
+    doc_side = bool(
+        options.lang or options.repo or options.path_prefix or options.lang_boosts
+    )
+    if df_hints and eff_msm <= 1 and k > 0 and not strict_and and not doc_side:
+        cand_groups = [g for g in groups if g.required] or list(groups)
+
+        def _gdf(g: TermGroup) -> int:
+            return sum(df_hints.get(t, 0) for t in g.terms)
+
+        # the seed group must hold >= k docs (its k-th contribution is only a
+        # certified bound if k seed docs exist) — take the smallest such group
+        eligible = [g for g in cand_groups if k <= _gdf(g) <= 100_000]
+        g_star = min(eligible, key=_gdf) if eligible else None
+        df_star = _gdf(g_star) if g_star is not None else 0
+        if g_star is not None and max(_gdf(g) for g in groups) >= 4 * df_star:
+            star_buckets = sorted(
+                {term_bucket_py(t, index.n_buckets) for t in g_star.terms}
+            )
+            from gazetteer_search_spark.index.builder import decode_postings
+
+            star = decode_postings(
+                index.postings.filter(
+                    F.col("term_bucket").isin(star_buckets)
+                    & F.col("term").isin(list(g_star.terms))
+                )
+            )
+            rows = (
+                star.groupBy("doc_id")
+                .agg(F.max("score").alias("s"))
+                .orderBy(F.col("s").desc())
+                .limit(k)
+                .collect()
+            )
+            if len(rows) == k:
+                initial_theta = float(rows[-1].s) * g_star.weight
+
     if range_gate == "auto":
         use_gate = eff_msm >= 2
         if use_gate and df_hints:
@@ -505,7 +560,7 @@ def wand_topk(
     )
     kernel = make_range_kernel(
         group_meta, eff_msm, k, range_width, truncate=not has_doc_side,
-        counters=counters,
+        counters=counters, initial_theta=initial_theta,
     )
     per_doc = blocks.groupBy("range_id").applyInPandas(kernel, schema=PER_DOC_SCHEMA)
     return finalize_ranked(per_doc, eff_msm, k, index.docs, options)
