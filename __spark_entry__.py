@@ -537,7 +537,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n"))
         )
 
-    q.update(events_hourly=events_hourly, events_json=events_json)
+    def sessionize_q(spark, sf):  # stateful session windows (§2.10); the
+        # streaming twin (watermark-evicted state) is pytest-covered
+        from gazetteer_search_spark.streaming.sessions import sessionize
+
+        return sessionize(spark.read.parquet(f"{sf}/events.parquet"))
+
+    def events_dedup(spark, sf):  # exactly-once event dedup (batch twin of
+        # dropDuplicatesWithinWatermark); self-union makes the dedup real
+        from gazetteer_search_spark.streaming.sessions import dedup_events
+
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            dedup_events(e.unionByName(e))
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .orderBy("event_type")
+        )
+
+    q.update(
+        events_hourly=events_hourly,
+        events_json=events_json,
+        sessionize=sessionize_q,
+        events_dedup=events_dedup,
+    )
 
     # ---- training-data ops --------------------------------------------------
     def jaccard_pairs(spark, sf):
@@ -575,6 +598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cosine", 4).alias("cosine")
         )
 
+    def ann_ivf(spark, sf):  # rows-only check (kmeans training not in SQL)
+        emb = _emb(spark, sf)
+        qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        return similarity.ivf_ann_topk(
+            emb, qv, k=10, n_centroids=8, n_probe=3
+        ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
     def text_stats_q(spark, sf):
         return textstats.text_stats(_docs(spark, sf))
 
@@ -598,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cosine_topk=cosine_topk,
         cosine_pairs=cosine_pairs,
         ann_lsh=ann_lsh,
+        ann_ivf=ann_ivf,
         text_stats=text_stats_q,
         sha256_invariant=sha256_invariant,
         token_totals=token_totals,
@@ -819,6 +850,26 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk FROM (
     o["events_json"] = (
         "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
         "count(*)::BIGINT AS n FROM events GROUP BY k"
+    )
+    # gaps-and-islands twin of Spark's session_window (break at diff >= gap)
+    o["sessionize"] = """
+WITH x AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events),
+y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess FROM x)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total
+FROM y GROUP BY user_id, sess
+"""
+    # the self-union dedups back to the original events (event_id is the key)
+    o["events_dedup"] = (
+        "SELECT event_type, count(*)::BIGINT AS n FROM events "
+        "GROUP BY event_type ORDER BY event_type"
     )
 
     _w = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"

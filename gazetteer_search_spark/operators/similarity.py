@@ -130,6 +130,86 @@ def add_lsh_signature(
     return df.withColumn(sig_col, lsh_signature_col(F.col(vec_col), planes))
 
 
+def _kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, seed: int = 42, iters: int = 5
+) -> np.ndarray:
+    """Deterministic Lloyd iterations over a driver-side sample (IVF training
+    is tiny relative to the corpus; at 100 TB you train on a bounded sample
+    exactly like this and broadcast the centroids)."""
+    rng = np.random.RandomState(seed)
+    c = sample[rng.choice(sample.shape[0], size=n_centroids, replace=False)]
+    for _ in range(iters):
+        # cosine-ish assignment on normalized vectors
+        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(sn @ cn.T, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                c[j] = sample[m].mean(axis=0)
+    return c
+
+
+def add_ivf_cluster(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid — the IVF ingest
+    step; persisted, it makes probes partition-prunable cluster filters."""
+    cn = (centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )).T.copy()
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        m = np.array(v.tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cn, axis=1).astype(np.int32))
+
+    return df.withColumn(cluster_col, _assign(F.col(vec_col)))
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 512,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (trained on a deterministic sample),
+    query probes its ``n_probe`` nearest centroids, exact cosine re-ranks only
+    those clusters' vectors. The scale path: with ``add_ivf_cluster``
+    persisted (and the table partitioned/bucketed by cluster) the probe scan
+    prunes to n_probe/n_centroids of the corpus."""
+    sample = np.array(
+        [
+            r[0]
+            for r in df.select(vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    cents = _kmeans_centroids(sample, min(n_centroids, sample.shape[0]), seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    probes = [int(i) for i in np.argsort(-(cn @ qn))[:n_probe]]
+
+    clustered = add_ivf_cluster(df, cents, vec_col)
+    cands = clustered.filter(F.col("ivf_cluster").isin(probes))
+    return cosine_topk_query(cands, query_vec, k, vec_col, id_col)
+
+
 def lsh_ann_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -127,3 +127,34 @@ def test_multimodal_plumbing(spark):
     assert all(again[r.media_id] == r.features for r in rows)
     plan = multimodal.frame_sample_plan(media, every_n=5)
     assert plan.filter(F.col("frame_no") % 5 != 0).count() == 0
+
+
+def test_ivf_ann_recall(spark):
+    """IVF coarse quantizer + n_probe clusters + exact rerank: high recall vs
+    the brute-force baseline at these settings."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((300, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        ["vec_id", "embedding"],
+    )
+    qv = [float(x) for x in base[0]]
+    want = [r.vec_id for r in similarity.cosine_topk_query(emb, qv, k=10).collect()]
+    got = [
+        r.vec_id
+        for r in similarity.ivf_ann_topk(
+            emb, qv, k=10, n_centroids=8, n_probe=3
+        ).collect()
+    ]
+    overlap = len(set(got) & set(want))
+    assert overlap >= 6, (overlap, got, want)
+    # deterministic across invocations (seeded sample + kmeans)
+    again = [
+        r.vec_id
+        for r in similarity.ivf_ann_topk(
+            emb, qv, k=10, n_centroids=8, n_probe=3
+        ).collect()
+    ]
+    assert got == again
