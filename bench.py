@@ -184,6 +184,9 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     )
 
     # ---- training-data ops ---------------------------------------------------
+    # drop the query engine's cached index frames first: the dedup pass should
+    # be measured against free executor memory, not while evicting them
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")

@@ -96,6 +96,36 @@ def cmd_stats(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_serve(args: argparse.Namespace) -> None:
+    """Interactive serving loop — the reference's `serve` HTTP subcommand
+    analog (GazetteerSearch.java:27-66 starts an ES-backed REST server; here
+    the driver-side LocalExecutor answers each stdin line in milliseconds
+    with zero Spark jobs). One JSON line per query with hits + latency."""
+    from gazetteer_search_spark.index.builder import load_index
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+
+    spark = _spark("gss-serve")
+    eng = SearchEngine(spark, load_index(spark, args.index), serving=True)
+    opts = SearchOptions(k=args.k, prefix=not args.no_prefix)
+    eng.search_hits("warmup", opts)  # load term dict / docs caches
+    print(json.dumps({"ready": True, "serving_local": eng._local is not None}),
+          flush=True)
+    for line in sys.stdin:
+        q = line.strip()
+        if not q:
+            continue
+        t0 = time.time()
+        rows = eng.search_hits(q, opts)
+        print(json.dumps({
+            "q": q,
+            "ms": round(1000 * (time.time() - t0), 1),
+            "hits": [
+                {"doc_id": r.doc_id, "score": round(r.score, 4), "path": r.path}
+                for r in rows
+            ],
+        }), flush=True)
+
+
 def cmd_batch_query(args: argparse.Namespace) -> None:
     """CSV of queries -> parquet of top-k results (the geocode-csv analog,
     reference csv/CSVGeocode.java:47-95)."""
@@ -151,6 +181,12 @@ def main(argv: list[str] | None = None) -> None:
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    sv = sub.add_parser("serve")
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--k", type=int, default=20)
+    sv.add_argument("--no-prefix", action="store_true")
+    sv.set_defaults(fn=cmd_serve)
 
     bq = sub.add_parser("batch-query")
     bq.add_argument("--index", required=True)

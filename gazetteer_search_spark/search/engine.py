@@ -464,25 +464,32 @@ class SearchEngine:
         options = options or SearchOptions()
         query = analyze_query(q, prefix=options.prefix) if isinstance(q, str) else q
 
-        rungs: list[tuple[list[TermGroup], int]] = []
-        g1, n1 = self._build_groups(query, options, fuzzy=False, with_prefix=True)
-        rungs.append((g1, n1))
-        if options.coalesce:
-            g2, n2 = self._build_groups(
+        # rungs are built LAZILY: rung 1 usually wins, and rungs 2/3 pay the
+        # fuzzy term-dictionary expansion — no reason to expand before the
+        # stricter rung has actually come back empty
+        def _rung1() -> tuple[list[TermGroup], int]:
+            return self._build_groups(query, options, fuzzy=False, with_prefix=True)
+
+        def _rung2() -> tuple[list[TermGroup], int]:
+            return self._build_groups(
                 query, options, fuzzy=options.fuzzy, with_prefix=False
             )
-            rungs.append((g2, n2))
-            g3, n3 = self._build_groups(
-                query, options, fuzzy=options.fuzzy, with_prefix=False
-            )
+
+        def _rung3() -> tuple[list[TermGroup], int]:
             # OR rung: minimum_should_match=2 like the reference's min-2-terms
             # gate (MainAddressQueryBuilder.java:274-309), but a <=2-term query
             # must actually relax below the AND rung -> msm=1
-            rungs.append((g3, 1 if n3 <= 2 else 2))
+            g3, n3 = self._build_groups(
+                query, options, fuzzy=options.fuzzy, with_prefix=False
+            )
+            return g3, (1 if n3 <= 2 else 2)
+
+        builders = [_rung1] + ([_rung2, _rung3] if options.coalesce else [])
 
         last: list = []
         seen_rungs: set[tuple] = set()
-        for groups, msm in rungs:
+        for build in builders:
+            groups, msm = build()
             # a rung identical to an already-executed one (same groups, same
             # msm) cannot produce different rows — e.g. rung 2 == rung 1 when
             # there is no prefix gate and fuzzy adds no expansions

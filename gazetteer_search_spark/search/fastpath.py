@@ -67,6 +67,9 @@ class LocalExecutor:
         self._ds = ds.dataset(index.paths.postings, partitioning="hive")
         self._term_stats: pd.DataFrame | None = None
         self._docs: dict | None = None
+        # expansion memo: a serving node sees the same prefixes/typos over and
+        # over; entries are tiny (term lists)
+        self._expand_cache: dict[tuple[str, str], list[str]] = {}
 
     # ---- lazy caches ---------------------------------------------------------
     def _load_term_stats(self) -> pd.DataFrame:
@@ -97,22 +100,30 @@ class LocalExecutor:
 
     # ---- expansions (mirror engine.expand_* exactly) -------------------------
     def expand_prefix(self, prefix: str) -> list[str]:
-        ts = self._load_term_stats()
-        m = ts[ts["term"].str.startswith(prefix) & ~ts["term"].str.contains(":")]
-        m = m.sort_values(["df", "term"], ascending=[False, True])
-        return m["term"].head(MAX_PREFIX_EXPANSIONS).tolist()
+        key = ("p", prefix)
+        if key not in self._expand_cache:
+            ts = self._load_term_stats()
+            m = ts[ts["term"].str.startswith(prefix) & ~ts["term"].str.contains(":")]
+            m = m.sort_values(["df", "term"], ascending=[False, True])
+            self._expand_cache[key] = m["term"].head(MAX_PREFIX_EXPANSIONS).tolist()
+        return self._expand_cache[key]
 
     def expand_fuzzy(self, term: str) -> list[str]:
-        ts = self._load_term_stats()
-        n = len(term)
-        lens = ts["term"].str.len()
-        cand = ts[(lens >= n - 1) & (lens <= n + 1) & ~ts["term"].str.contains(":")]
-        keep = [
-            _levenshtein(t, term) <= 1 for t in cand["term"].tolist()
-        ]
-        cand = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
-        cand = cand.sort_values(["df", "term"], ascending=[False, True])
-        return cand["term"].head(MAX_FUZZY_EXPANSIONS).tolist()
+        key = ("f", term)
+        if key not in self._expand_cache:
+            ts = self._load_term_stats()
+            n = len(term)
+            lens = ts["term"].str.len()
+            cand = ts[
+                (lens >= n - 1) & (lens <= n + 1) & ~ts["term"].str.contains(":")
+            ]
+            keep = [_levenshtein(t, term) <= 1 for t in cand["term"].tolist()]
+            cand = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
+            cand = cand.sort_values(["df", "term"], ascending=[False, True])
+            self._expand_cache[key] = (
+                cand["term"].head(MAX_FUZZY_EXPANSIONS).tolist()
+            )
+        return self._expand_cache[key]
 
     # ---- postings ------------------------------------------------------------
     def _decode_terms(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
