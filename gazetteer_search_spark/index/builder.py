@@ -379,10 +379,17 @@ def build_index(
             .collect()
         )
         # operational lineage metric — approx distinct (HLL, single pass)
-        # instead of an exact distinct shuffle over every posting
+        # instead of an exact distinct shuffle over every posting. Computed
+        # from the plain term-freq frame, NOT from `scored`: the metric only
+        # needs (term -> bucket, doc_id), so re-running the tstats join + salt
+        # assignment for it was pure waste (~40% of the metrics phase).
         docs_per_bucket = {
             r.term_bucket: r.docs
-            for r in part.groupBy("term_bucket")
+            for r in tf.withColumn(
+                "term_bucket", term_bucket_col(F.col("term"), n_buckets)
+            )
+            .filter(F.col("term_bucket").isin(batch))
+            .groupBy("term_bucket")
             .agg(F.approx_count_distinct("doc_id", 0.02).alias("docs"))
             .collect()
         }
