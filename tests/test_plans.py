@@ -61,3 +61,42 @@ def test_engine_query_no_cartesian(spark, index):
         SearchOptions(),
     )
     assert_no_cartesian(res)
+
+
+def test_wand_plan_no_broadcast_for_groups(spark, index):
+    """The wand serving path maps term->group with a CASE projection, not a
+    broadcast join — no exchange on the hot path; blocks scan stays pruned."""
+    from gazetteer_search_spark.search.engine import TermGroup
+    from gazetteer_search_spark.search.wand import wand_topk
+
+    res = wand_topk(
+        spark, index,
+        [TermGroup(0, ("merge",), True), TermGroup(1, ("postings",), True)],
+        2, k=5, n_ranges=4, range_gate=False,
+    )
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # everything upstream of the kernel (FlatMapGroupsInPandas) is join-free:
+    # term->group is a CASE projection, so the only join in the whole plan is
+    # the k-row docs lookup AFTER the kernel
+    upstream = plan.split("FlatMapGroupsInPandas")[-1]
+    assert "Join" not in upstream, upstream
+    assert "CASE WHEN" in plan
+    assert_no_cartesian(res)
+
+
+def test_field_postings_share_pruned_layout(spark, tmp_path_factory):
+    """Per-field postings live in the same partition layout: a name-field term
+    lookup prunes to its crc32 bucket and pushes the term filter."""
+    out = str(tmp_path_factory.mktemp("idx_plans_f"))
+    idx = builder.build_index(
+        spark, synthetic_corpus(spark, 200), out, n_buckets=8,
+        postings_per_group=128, extra_fields={"name": "path"},
+    )
+    term = "name:src"
+    b = builder.term_bucket_py(term, idx.n_buckets)
+    pruned = idx.postings.filter(
+        (F.col("term_bucket") == b) & (F.col("term") == term)
+    )
+    assert_partition_pruned(pruned, "term_bucket")
+    assert_pushed_filters(pruned, "EqualTo(term,name:src)")
+    assert pruned.count() > 0
