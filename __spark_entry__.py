@@ -343,8 +343,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def composite_query(spark, sf):  # city-street-hn.json analog — the
+        # reference's most composite shape in ONE query: cross-field boosted
+        # group (name^5) + dis_max variant group + optional weighted should +
+        # minimum_should_match gate + constant_score-style class boost
+        # (base_score script_score analog)
+        g = [
+            TermGroup(
+                group_id=0, terms=("name:merge", "merge"), required=True,
+                term_weights=(5.0, 1.0),
+            ),
+            TermGroup(group_id=1, terms=("sort", "order"), required=True),
+            TermGroup(group_id=2, terms=("data",), required=False, weight=0.5),
+        ]
+        res = _engine(spark, sf).search_rung(
+            g, 2, SearchOptions(lang_boosts={"en": 1.5})
+        )
+        return _topk_out(res)
+
     q.update(
         cross_fields_boost=cross_fields_boost,
+        composite_query=composite_query,
         wand_and=wand_and,
         union_weighted=union_weighted,
         trim=trim,
@@ -494,6 +513,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_customers"))
             .orderBy("r_name")
         )
+
+    def range_filter(spark, sf):  # P6 range predicate (between)
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        return (
+            o.filter(F.col("o_totalprice").between(1000.0, 5000.0))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    q.update(range_filter=range_filter)
 
     def window_topn(spark, sf):  # T1 top-k per key via window (§2.9)
         o = spark.read.parquet(f"{sf}/orders.parquet")
@@ -695,6 +728,27 @@ def oracle_sql() -> dict[str, str]:
         2,
         scored_src="scored_all",
         extra_ctes=_NAME_CTES,
+    )
+    o["composite_query"] = _search_sql(
+        _values_groups(
+            [
+                ("name:merge", 0, True, 5.0),
+                ("merge", 0, True, 1.0),
+                ("sort", 1, True, 1.0),
+                ("order", 1, True, 1.0),
+                ("data", 2, False, 0.5),
+            ]
+        ),
+        2,
+        boost_case="* (CASE WHEN d.lang = 'en' THEN 1.5 ELSE 1.0 END)",
+        scored_src="scored_all",
+        extra_ctes=_NAME_CTES,
+    )
+    o["range_filter"] = (
+        "SELECT o_orderpriority, count(*)::BIGINT AS n, "
+        "round(avg(o_totalprice), 4) AS avg_price FROM orders "
+        "WHERE o_totalprice BETWEEN 1000.0 AND 5000.0 "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
     )
     o["match_all_filters"] = (
         "SELECT doc_id, lang FROM documents WHERE lang = 'zh' "

@@ -221,6 +221,8 @@ def build_index(
     import time as _time
 
     paths = IndexPaths(out_dir)
+    if corpus.isEmpty():
+        raise ValueError("build_index: corpus is empty — nothing to index")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     _t0 = _time.perf_counter()
     _phase = {}

@@ -131,3 +131,15 @@ def test_checkpoint_resume(spark, corpus, tmp_path_factory):
     # resumed manifest: 3 buckets from the first run + the rest from resume
     m2 = spark.read.parquet(builder.IndexPaths(out_a).manifest).collect()
     assert {r.partition_id for r in m2} == set(range(N_BUCKETS))
+
+
+def test_empty_corpus_raises_clearly(spark, tmp_path):
+    import pytest as _pytest
+
+    from gazetteer_search_spark.sources import synthetic_corpus
+
+    with _pytest.raises(ValueError, match="empty"):
+        builder.build_index(
+            spark, synthetic_corpus(spark, 0), str(tmp_path / "idx_empty"),
+            n_buckets=2,
+        )
