@@ -93,3 +93,56 @@ def test_local_warm_latency_under_100ms(local_eng):
     hits = local_eng.search_hits("merge postings", SearchOptions(k=10))
     dt = time.perf_counter() - t0
     assert hits and dt < 0.1, f"warm ladder took {dt * 1000:.0f} ms"
+
+
+def test_randomized_rank_identity_three_ways(spark, index, spark_eng, local_eng):
+    """Seeded random sweep: arbitrary group structures (variants, optional
+    weights, msm, cross-field boosts) must rank identically through the
+    distributed engine, the serving executor, and the no-index oracle."""
+    import random
+
+    from gazetteer_search_spark.search.engine import oracle_topk
+    from gazetteer_search_spark.sources import synthetic_corpus
+
+    corpus = synthetic_corpus(spark, 500).cache()
+    vocab = [
+        "postings", "merge", "score", "index", "block", "def", "return",
+        "buffer", "stream", "checkpoint", "mergepostings", "name:src",
+        "name:mod7", "zzznope",
+    ]
+    rng = random.Random(1234)
+    for trial in range(12):
+        n_groups = rng.randint(1, 4)
+        groups = []
+        for gid in range(n_groups):
+            terms = tuple(rng.sample(vocab, rng.randint(1, 3)))
+            tw = (
+                tuple(rng.choice([1.0, 2.0, 5.0]) for _ in terms)
+                if rng.random() < 0.4
+                else None
+            )
+            groups.append(
+                TermGroup(
+                    group_id=gid,
+                    terms=terms,
+                    required=rng.random() < 0.8,
+                    weight=rng.choice([1.0, 0.5, 2.0]),
+                    term_weights=tw,
+                )
+            )
+        n_req = sum(1 for g in groups if g.required)
+        msm = rng.randint(0, max(n_req, 1))
+        opts = SearchOptions(k=rng.choice([5, 10, 20]))
+
+        a = spark_eng.search_rung(groups, msm, opts).collect()
+        b = local_eng.search_rung(groups, msm, opts).collect()
+        assert [r.doc_id for r in a] == [r.doc_id for r in b], (trial, groups, msm)
+        for x, y in zip(a, b):
+            assert x.score == pytest.approx(y.score, rel=1e-9), (trial, x, y)
+            assert x.matched_required == y.matched_required
+
+        # the no-index oracle covers content-only groups (it has no fields)
+        if all(":" not in t for g in groups for t in g.terms):
+            c = oracle_topk(corpus, groups, msm, k=opts.k, options=opts)
+            cc = c.collect()
+            assert [r.doc_id for r in a] == [r.doc_id for r in cc], (trial, groups)
