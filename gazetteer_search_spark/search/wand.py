@@ -126,6 +126,7 @@ def make_range_kernel(
     truncate: bool,
     counters: WandCounters | None = None,
     initial_theta: float | None = None,
+    allowed_ids: np.ndarray | None = None,
 ):
     """Build the applyInPandas kernel (closure over broadcast-size query
     metadata only). ``truncate=False`` when doc-level filters/boosts must be
@@ -163,6 +164,14 @@ def make_range_kernel(
             }
         )
 
+    def _allowed_mask(ids: np.ndarray) -> np.ndarray:
+        """Membership in the pushed-down allowed-doc set (sorted array)."""
+        if allowed_ids.size == 0:
+            return np.zeros(ids.size, dtype=bool)
+        pos = np.searchsorted(allowed_ids, ids)
+        pos = np.minimum(pos, allowed_ids.size - 1)
+        return allowed_ids[pos] == ids
+
     def _decode_clip(rows: pd.DataFrame, lo: int, hi: int, id_lo=None, id_hi=None):
         """Decode a group's blocks, skipping blocks outside [lo,hi) and
         outside the candidate id window [id_lo, id_hi] (metadata skipping)."""
@@ -183,6 +192,8 @@ def make_range_kernel(
             m = (ids >= lo) & (ids < hi)
             if id_lo is not None:
                 m &= (ids >= id_lo) & (ids <= id_hi)
+            if allowed_ids is not None:
+                m &= _allowed_mask(ids)
             if m.any():
                 ids_parts.append(ids[m])
                 sc_parts.append(np.asarray(sc)[m])
@@ -276,6 +287,8 @@ def make_range_kernel(
             )
             sc = np.asarray(codec.f64_decode(sub["scores_f64"].iloc[bi], n))
             m = (ids >= lo) & (ids < hi)
+            if allowed_ids is not None:
+                m &= _allowed_mask(ids)
             if not m.all():
                 ids, sc = ids[m], sc[m]
             iidx = np.searchsorted(edges, ids, side="right") - 1
@@ -421,6 +434,7 @@ def wand_topk(
     counters: WandCounters | None = None,
     range_gate: bool | str = "auto",
     df_hints: dict[str, int] | None = None,
+    filter_pushdown_max: int = 2_000_000,
 ) -> DataFrame:
     """``range_gate``: the Spark-side metadata pre-pass that discards whole
     docID ranges that cannot satisfy msm BEFORE their block payloads are
@@ -558,9 +572,40 @@ def wand_topk(
     has_doc_side = bool(
         options.lang or options.repo or options.path_prefix or options.lang_boosts
     )
+
+    # ---- selective doc-filter pushdown --------------------------------------
+    # The reference's main queries always carry type filters; without pushdown
+    # a filtered top-k must decode everything (local truncation and theta
+    # pruning are rank-unsafe when an unknown subset of docs will be dropped
+    # downstream). For SELECTIVE filters the allowed-doc set is small — the
+    # 100-TB design is exactly this semi-join pushdown: ship the sorted
+    # allowed-id set to the kernels, which then filter at decode time, so the
+    # msm gate, local truncation and theta pruning all operate on the true
+    # candidate universe. Boost-only options don't qualify (boosts rescale
+    # scores downstream, which no fixed theta survives).
+    allowed_ids = None
+    filters_only = bool(
+        (options.lang or options.repo or options.path_prefix)
+        and not options.lang_boosts
+    )
+    if filters_only and filter_pushdown_max > 0:
+        d = index.docs
+        if options.lang:
+            d = d.filter(F.col("lang") == options.lang)
+        if options.repo:
+            d = d.filter(F.col("repo") == options.repo)
+        if options.path_prefix:
+            d = d.filter(F.col("path").startswith(options.path_prefix))
+        rows = d.select("doc_id").limit(filter_pushdown_max + 1).collect()
+        if len(rows) <= filter_pushdown_max:
+            allowed_ids = np.sort(np.fromiter(
+                (r.doc_id for r in rows), dtype=np.int64, count=len(rows)
+            ))
+
     kernel = make_range_kernel(
-        group_meta, eff_msm, k, range_width, truncate=not has_doc_side,
-        counters=counters, initial_theta=initial_theta,
+        group_meta, eff_msm, k, range_width,
+        truncate=(not has_doc_side) or allowed_ids is not None,
+        counters=counters, initial_theta=initial_theta, allowed_ids=allowed_ids,
     )
     per_doc = blocks.groupBy("range_id").applyInPandas(kernel, schema=PER_DOC_SCHEMA)
     return finalize_ranked(per_doc, eff_msm, k, index.docs, options)

@@ -110,3 +110,56 @@ def test_blockmax_theta_pruning_skips_blocks(spark, tmp_path_factory):
         counters.decoded.value, counters.skipped.value
     )
     assert counters.decoded.value >= 1
+
+
+def test_wand_filter_pushdown_rank_identical(spark, index, corpus):
+    """Selective doc-filter pushdown: the kernel filters at decode time and
+    local truncation re-enables — results stay rank-identical to the oracle
+    with the same filter applied downstream."""
+    groups = [_grp(0, ["postings"]), _grp(1, ["merge"])]
+    opts = SearchOptions(k=10, lang="python")
+    got = wand_topk(spark, index, groups, 1, k=10, options=opts, n_ranges=8)
+    want = oracle_topk(corpus, groups, 1, k=10, options=opts)
+    assert_rank_identical(got, want)
+    # empty allowed set -> empty result, no crash
+    opts2 = SearchOptions(k=5, repo="nope/none")
+    assert wand_topk(spark, index, groups, 1, k=5, options=opts2).count() == 0
+
+
+def test_wand_filtered_theta_pruning(spark, tmp_path_factory):
+    """With pushdown, theta pruning works UNDER a filter: hot-term blocks in
+    ranges holding no allowed rare docs are skipped."""
+    from pyspark.sql import functions as F
+
+    n = 6000
+    corpus = (
+        spark.range(0, n, 1, 8)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("r").alias("repo"),
+            F.format_string("f/%d.py", "id").alias("path"),
+            F.lit("c").alias("commit"),
+            F.when(F.col("id") % 2 == 0, "python").otherwise("java").alias("lang"),
+            F.when(
+                F.col("id").between(1000, 1019),
+                F.lit("common filler tokens raregem here"),
+            )
+            .otherwise(F.lit("common filler tokens steady here"))
+            .alias("content"),
+        )
+        .cache()
+    )
+    out = str(tmp_path_factory.mktemp("idx_bmwf"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4, postings_per_group=1 << 20)
+
+    groups = [_grp(0, ["common"]), _grp(1, ["raregem"])]
+    opts = SearchOptions(k=5, lang="python")
+    counters = WandCounters.create(spark)
+    got = wand_topk(
+        spark, idx, groups, 1, k=5, options=opts, n_ranges=1, counters=counters
+    )
+    want = oracle_topk(corpus, groups, 1, k=5, options=opts)
+    assert_rank_identical(got, want)
+    assert counters.skipped.value > 10, (
+        counters.decoded.value, counters.skipped.value
+    )
