@@ -97,3 +97,53 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     n_unique = spark.read.parquet(f"{SF}/events.parquet").count()
     assert spark.table("t_dedup").count() == n_unique
+
+
+def test_custom_stateful_operator_accumulates_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-user running stats match the batch agg
+    after one run, and a SECOND run from the same checkpoint accumulates on
+    top of the restored state (the state store is part of the checkpoint)."""
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.streaming.events import read_events_stream
+    from gazetteer_search_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "st_in"
+    src.mkdir()
+    shutil.copy(f"{SF}/events.parquet", src / "a.parquet")
+    ckpt = str(tmp_path / "st_ckpt")
+
+    def run(table):
+        # foreachBatch: the update-mode-compatible fault-tolerant sink shape
+        # (memory sink cannot recover a checkpoint in update mode)
+        results: dict = {}
+
+        def sink(df, _bid):
+            for r in df.collect():
+                results[r.user_id] = (r.n, round(r.total, 4))
+
+        q = (
+            running_user_stats(read_events_stream(spark, str(src)))
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return results
+
+    got = run("t_state_1")
+    want = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # second file, same checkpoint: restored state + new increments
+    shutil.copy(f"{SF}/events.parquet", src / "b.parquet")
+    got2 = run("t_state_2")
+    assert got2 == {u: (2 * n, round(2 * t, 4)) for u, (n, t) in want.items()}
