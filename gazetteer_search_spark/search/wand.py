@@ -177,9 +177,9 @@ def make_range_kernel(
         outside the candidate id window [id_lo, id_hi] (metadata skipping)."""
         ids_parts, sc_parts = [], []
         n_dec = n_skip = 0
-        for buf, n, mn, mx, sbuf in zip(
+        for buf, n, mn, mx, sbuf, w_row in zip(
             rows["doc_ids_delta_varbyte"], rows["doc_count"], rows["min_doc_id"],
-            rows["max_doc_id"], rows["scores_f64"],
+            rows["max_doc_id"], rows["scores_f64"], rows["weight"],
         ):
             if mx < lo or mn >= hi or (
                 id_lo is not None and (mx < id_lo or mn > id_hi)
@@ -196,7 +196,7 @@ def make_range_kernel(
                 m &= _allowed_mask(ids)
             if m.any():
                 ids_parts.append(ids[m])
-                sc_parts.append(np.asarray(sc)[m])
+                sc_parts.append(np.asarray(sc)[m] * float(w_row))
         _count(n_dec, n_skip)
         if not ids_parts:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
@@ -227,7 +227,6 @@ def make_range_kernel(
         score = np.zeros(cand.size)
         maskv = np.zeros(cand.size, dtype=np.int64)
         for g in all_gids:
-            _, w = group_meta[g]
             if g in acc:
                 ids, sc = acc[g]
             elif g in by_gid:
@@ -240,7 +239,7 @@ def make_range_kernel(
                 continue
             pos = np.searchsorted(ids, cand)
             ok = (pos < ids.size) & (ids[np.minimum(pos, ids.size - 1)] == cand)
-            score[ok] += sc[np.minimum(pos, ids.size - 1)][ok] * w
+            score[ok] += sc[np.minimum(pos, ids.size - 1)][ok]
             maskv[ok] |= np.int64(1 << g)
         matched = np.full(cand.size, len(required_gids), dtype=np.int64)
         return _out(cand, score, matched, maskv)
@@ -257,10 +256,12 @@ def make_range_kernel(
         edge_parts: list[np.ndarray] = []
         for g in gids:
             sub = by_gid[g].reset_index(drop=True)
-            w = group_meta[g][1]
             mn = np.maximum(sub["min_doc_id"].to_numpy(), lo)
             mx = np.minimum(sub["max_doc_id"].to_numpy(), hi - 1)
-            ub = sub["block_max_score"].to_numpy().astype(np.float64) * w
+            ub = (
+                sub["block_max_score"].to_numpy().astype(np.float64)
+                * sub["weight"].to_numpy().astype(np.float64)
+            )
             bmeta[g] = {"sub": sub, "mn": mn, "mx": mx, "ub": ub}
             edge_parts += [mn, mx + 1]
         edges = np.unique(np.concatenate(edge_parts))
@@ -292,7 +293,7 @@ def make_range_kernel(
             if not m.all():
                 ids, sc = ids[m], sc[m]
             iidx = np.searchsorted(edges, ids, side="right") - 1
-            decoded[g].append((ids, sc * group_meta[g][1], iidx))
+            decoded[g].append((ids, sc * float(sub["weight"].iloc[bi]), iidx))
             _count(1, 0)
 
         # ---- per-interval upper bounds & msm coverage ----------------------
@@ -447,11 +448,6 @@ def wand_topk(
     re-checks coverage per range either way — the gate is a shuffle-volume
     optimization, never a correctness dependency."""
     options = options or SearchOptions()
-    if any(g.term_weights for g in groups):
-        raise ValueError(
-            "wand_topk scores per-group weights; use the DataFrame engine for "
-            "per-term (cross-field) boosted groups"
-        )
     terms = sorted({t for g in groups for t in g.terms})
     if not terms:
         raise ValueError("wand_topk requires at least one term")
@@ -463,20 +459,26 @@ def wand_topk(
     blocks = index.postings.filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    term2group: dict[str, list[TermGroup]] = {}
+    term2group: dict[str, list[tuple[TermGroup, float]]] = {}
     for g in groups:
-        for t in set(g.terms):
-            term2group.setdefault(t, []).append(g)
+        for t, w in g.per_term_weights().items():
+            term2group.setdefault(t, []).append((g, w))
     if all(len(gs) == 1 for gs in term2group.values()):
-        # term -> group as a projection (CASE chain): no broadcast exchange on
-        # the serving hot path. Falls back to a broadcast join only when a
-        # term belongs to several groups (then one block row must fan out).
-        gid_e, req_e = None, None
-        for t, (g,) in term2group.items():
+        # term -> (group, effective weight) as a projection (CASE chain): no
+        # broadcast exchange on the serving hot path. Falls back to a
+        # broadcast join only when a term belongs to several groups (then one
+        # block row must fan out).
+        gid_e, req_e, w_e = None, None, None
+        for t, ((g, w),) in term2group.items():
             c = F.col("term") == t
             gid_e = F.lit(g.group_id) if gid_e is None else F.when(c, g.group_id).otherwise(gid_e)
             req_e = F.lit(g.required) if req_e is None else F.when(c, g.required).otherwise(req_e)
-        blocks = blocks.withColumn("group_id", gid_e).withColumn("required", req_e)
+            w_e = F.lit(float(w)) if w_e is None else F.when(c, float(w)).otherwise(w_e)
+        blocks = (
+            blocks.withColumn("group_id", gid_e)
+            .withColumn("required", req_e)
+            .withColumn("weight", w_e)
+        )
     else:
         gmap = _groups_df(spark, groups)
         blocks = blocks.join(F.broadcast(gmap), "term")
@@ -530,15 +532,20 @@ def wand_topk(
                     & F.col("term").isin(list(g_star.terms))
                 )
             )
+            w_map = g_star.per_term_weights()
+            w_e = None
+            for t, w in w_map.items():
+                c = F.col("term") == t
+                w_e = F.lit(float(w)) if w_e is None else F.when(c, float(w)).otherwise(w_e)
             rows = (
                 star.groupBy("doc_id")
-                .agg(F.max("score").alias("s"))
+                .agg(F.max(F.col("score") * w_e).alias("s"))
                 .orderBy(F.col("s").desc())
                 .limit(k)
                 .collect()
             )
             if len(rows) == k:
-                initial_theta = float(rows[-1].s) * g_star.weight
+                initial_theta = float(rows[-1].s)
 
     if range_gate == "auto":
         use_gate = eff_msm >= 2

@@ -50,6 +50,14 @@ CASES = [
     ([_grp(0, ["postings"]), _grp(1, ["def"], required=False, weight=0.5)], 1),
     ([_grp(0, ["merge"]), _grp(1, ["postings"])], 1),  # pure OR (BMW path)
     ([_grp(0, ["def"]), _grp(1, ["score"]), _grp(2, ["postings"])], 2),  # hot OR
+    # per-term (cross-field-style) weights inside a dis_max group
+    (
+        [
+            TermGroup(0, ("merge", "postings"), True, term_weights=(2.0, 1.0)),
+            _grp(1, ["block"], weight=0.5),
+        ],
+        1,
+    ),
 ]
 
 
