@@ -526,7 +526,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("o_orderpriority")
         )
 
-    q.update(range_filter=range_filter)
+    def search_after_page2(spark, sf):  # T3/S4 keyset pagination: cursor =
+        # (score, doc_id) of page 1's last hit; page 2 resumes strictly after
+        # it in the deterministic total order — offset-free, depth-stable
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["spark"])]
+        page1 = eng.search_rung(g, 1, SearchOptions(k=20)).collect()
+        last = page1[-1]
+        res = eng.search_rung(
+            g, 1, SearchOptions(k=20, after=(last.score, last.doc_id))
+        )
+        return _topk_out(res)
+
+    q.update(range_filter=range_filter, search_after_page2=search_after_page2)
 
     def window_topn(spark, sf):  # T1 top-k per key via window (§2.9)
         o = spark.read.parquet(f"{sf}/orders.parquet")
@@ -744,6 +756,28 @@ def oracle_sql() -> dict[str, str]:
         scored_src="scored_all",
         extra_ctes=_NAME_CTES,
     )
+    # keyset page 2 == rows 21..40 of the deterministic total order
+    _sq = _values_groups([("spark", 0, True, 1.0)])
+    o["search_after_page2"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_sq})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term) GROUP BY 1, 2, 3
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS score,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS mr
+  FROM per_group GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rn
+  FROM per_doc WHERE mr >= 1
+)
+SELECT doc_id, round(score, 4) AS score FROM ranked
+WHERE rn > 20 AND rn <= 40
+"""
     o["range_filter"] = (
         "SELECT o_orderpriority, count(*)::BIGINT AS n, "
         "round(avg(o_totalprice), 4) AS avg_price FROM orders "

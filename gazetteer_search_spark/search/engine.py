@@ -56,6 +56,10 @@ class SearchOptions:
     path_prefix: str | None = None
     lang_boosts: dict[str, float] = field(default_factory=dict)  # base_score analog
     trim: bool = False  # P16 post-retrieval trim (ESDefaultSearch.java:281-313)
+    # keyset pagination (T3/S4): resume strictly after this (score, doc_id)
+    # cursor in the deterministic rank order — the search_after analog; under
+    # a total order it is offset-free and stable at any depth
+    after: tuple[float, int] | None = None
 
 
 @dataclass
@@ -74,6 +78,13 @@ class TermGroup:
     # the effective weight of terms[i] is weight * term_weights[i]. None means
     # every term carries ``weight``.
     term_weights: tuple[float, ...] | None = None
+    # clause name for matched_queries[]-style reporting (the reference names
+    # its clauses "street"/"locality"/... and reads them per hit,
+    # ResultsWrapper.java:10-151); defaults to "g<group_id>"
+    name: str | None = None
+
+    def clause_name(self) -> str:
+        return self.name or f"g{self.group_id}"
 
     def per_term_weights(self) -> dict[str, float]:
         """term -> effective weight, deduped keeping the max boost (a term
@@ -173,6 +184,12 @@ def topk_from_scored(
     return finalize_ranked(per_doc, min(msm, n_required), k, docs, options)
 
 
+def matched_clause_names(mask: int, groups: list[TermGroup]) -> list[str]:
+    """Decode a per-hit matched_mask into clause names — the
+    ``matched_queries[]`` array the reference's ResultsWrapper exposes."""
+    return [g.clause_name() for g in groups if (mask >> g.group_id) & 1]
+
+
 def _group_bit() -> F.Column:
     """2^group_id as a per-(doc,group) row contribution: summed per doc it is
     the matched-clause bitmask — the per-hit ``matched_queries[]`` analog
@@ -195,9 +212,16 @@ def finalize_ranked(
     gated = per_doc.filter(F.col("matched_required") >= F.lit(msm))
 
     def _rank(df: DataFrame) -> DataFrame:
+        df = df.withColumn("_s", F.round(F.col("score"), 9))
+        if options.after is not None:
+            a_s, a_d = options.after
+            a_key = F.round(F.lit(float(a_s)), 9)
+            df = df.filter(
+                (F.col("_s") < a_key)
+                | ((F.col("_s") == a_key) & (F.col("doc_id") > int(a_d)))
+            )
         return (
-            df.withColumn("_s", F.round(F.col("score"), 9))
-            .orderBy(F.col("_s").desc(), F.col("doc_id").asc())
+            df.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
             .limit(k)
             .drop("_s")
         )
@@ -334,6 +358,7 @@ class SearchEngine:
                     # optional terms only boost, at reduced weight (the
                     # reference boosts optional shoulds at 0.5-ish weights)
                     weight=1.0 if not tok.optional else 0.5,
+                    name=tok.text,
                 )
             )
             gid += 1
@@ -346,6 +371,7 @@ class SearchEngine:
                         terms=tuple(exp),
                         required=True,
                         is_prefix=True,
+                        name="prefix",
                     )
                 )
         return groups, sum(1 for g in groups if g.required)

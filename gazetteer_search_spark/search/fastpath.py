@@ -233,7 +233,17 @@ class LocalExecutor:
                 boost = np.where(lang == lg, float(w), boost)
             score = score * boost
 
-        order = np.lexsort((uids, -np.round(score, 9)))[: options.k]
+        key9 = np.round(score, 9)
+        if options.after is not None:
+            a_s, a_d = options.after
+            a_key = round(float(a_s), 9)
+            keep2 = (key9 < a_key) | ((key9 == a_key) & (uids > int(a_d)))
+            uids, score, matched, maskv = (
+                uids[keep2], score[keep2], matched[keep2], maskv[keep2]
+            )
+            repo, path, lang = repo[keep2], path[keep2], lang[keep2]
+            key9 = key9[keep2]
+        order = np.lexsort((uids, -key9))[: options.k]
         return [
             Hit(
                 int(uids[i]), float(score[i]), int(matched[i]), int(maskv[i]),
@@ -251,6 +261,8 @@ class LocalExecutor:
             m &= docs["repo"] == options.repo
         if options.path_prefix:
             m &= np.char.startswith(docs["path"].astype(str), options.path_prefix)
+        if options.after is not None:
+            m &= docs["ids"] > int(options.after[1])
         idx = np.flatnonzero(m)[: options.k]
         return [
             Hit(

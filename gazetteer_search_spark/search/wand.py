@@ -578,6 +578,7 @@ def wand_topk(
     group_meta = {g.group_id: (g.required, g.weight) for g in groups}
     has_doc_side = bool(
         options.lang or options.repo or options.path_prefix or options.lang_boosts
+        or options.after is not None  # cursor applies downstream of the kernel
     )
 
     # ---- selective doc-filter pushdown --------------------------------------

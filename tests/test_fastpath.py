@@ -146,3 +146,27 @@ def test_randomized_rank_identity_three_ways(spark, index, spark_eng, local_eng)
             c = oracle_topk(corpus, groups, msm, k=opts.k, options=opts)
             cc = c.collect()
             assert [r.doc_id for r in a] == [r.doc_id for r in cc], (trial, groups)
+
+
+def test_search_after_pagination(spark_eng, local_eng):
+    """T3 keyset pagination: page2 via cursor equals rows k+1..2k of a 2k
+    query, identically on both paths; pages are disjoint."""
+    g = [_grp(0, ["postings"])]
+    for eng in (spark_eng, local_eng):
+        full = eng.search_rung(g, 1, SearchOptions(k=20)).collect()
+        p1 = eng.search_rung(g, 1, SearchOptions(k=10)).collect()
+        cur = (p1[-1].score, p1[-1].doc_id)
+        p2 = eng.search_rung(g, 1, SearchOptions(k=10, after=cur)).collect()
+        assert [r.doc_id for r in p1 + p2] == [r.doc_id for r in full]
+        assert not ({r.doc_id for r in p1} & {r.doc_id for r in p2})
+
+
+def test_matched_clause_names(local_eng):
+    from gazetteer_search_spark.search.engine import matched_clause_names
+
+    groups = [
+        TermGroup(0, ("postings",), True, name="body"),
+        TermGroup(1, ("zzznope",), False, name="missing"),
+    ]
+    rows = local_eng.search_rung_rows(groups, 1, SearchOptions(k=3))
+    assert rows and matched_clause_names(rows[0].matched_mask, groups) == ["body"]
