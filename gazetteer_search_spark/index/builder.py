@@ -329,9 +329,19 @@ def build_index(
             F.ceil(F.col("df") / F.lit(postings_per_group)).cast("long"),
         )
         .withColumn(
+            # salt via double-normalized position, NOT doc_id * nsalts (that
+            # product overflows int64 for hash-assigned doc_ids near 2^62 as
+            # soon as a hot term needs nsalts >= 2). The double form is
+            # deterministic and monotone in doc_id, so per-salt blocks remain
+            # contiguous docID ranges; least() clamps the fp edge at 1.0.
             "salt",
-            F.floor(
-                F.col("doc_id") * F.col("nsalts") / F.lit(max_doc_id + 1)
+            F.least(
+                F.floor(
+                    F.col("doc_id").cast("double")
+                    / F.lit(float(max_doc_id) + 1.0)
+                    * F.col("nsalts")
+                ),
+                F.col("nsalts") - 1,
             ).cast("int"),
         )
     )

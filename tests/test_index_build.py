@@ -143,3 +143,38 @@ def test_empty_corpus_raises_clearly(spark, tmp_path):
             spark, synthetic_corpus(spark, 0), str(tmp_path / "idx_empty"),
             n_buckets=2,
         )
+
+
+def test_huge_hash_doc_ids_salted_build(spark, tmp_path):
+    """Hash-assigned doc_ids near 2^62 (the CLI's xxhash64 path) must salt
+    without int64 overflow: hot-term build + query stays rank-identical to
+    the no-index oracle."""
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.search.engine import (
+        SearchEngine,
+        SearchOptions,
+        TermGroup,
+        oracle_topk,
+    )
+    from gazetteer_search_spark.sources import synthetic_corpus
+
+    corpus = (
+        synthetic_corpus(spark, 600)
+        .withColumn("doc_id", F.col("doc_id") + F.lit((1 << 61) + 12345))
+        .cache()
+    )
+    idx = builder.build_index(
+        spark, corpus, str(tmp_path / "idx_huge"), n_buckets=4,
+        # force multi-salt on the hot keyword terms
+        postings_per_group=64,
+    )
+    # salts must be non-negative and blocks contiguous (decode succeeds)
+    assert idx.postings.filter(F.col("block_id") < 0).count() == 0
+    eng = SearchEngine(spark, idx)
+    g = [TermGroup(0, ("def",), True), TermGroup(1, ("postings",), True)]
+    got = eng.search_rung(g, 2, SearchOptions(k=10)).collect()
+    want = oracle_topk(corpus, g, 2, k=10).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+    for a, b in zip(got, want):
+        assert abs(a.score - b.score) < 1e-9
