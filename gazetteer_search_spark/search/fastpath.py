@@ -60,10 +60,16 @@ def _levenshtein(a: str, b: str) -> int:
 
 
 class LocalExecutor:
-    def __init__(self, index: Index):
+    def __init__(self, index: Index, buckets: list[int] | None = None):
+        """``buckets``: serve only this term_bucket subset — the per-node
+        shard of a term-partitioned serving tier. A sharded query collects
+        each shard's per-group partials (``group_parts``) and dis_max-merges
+        them with ``merge_shard_parts`` on a coordinator; with ``None`` the
+        executor serves the whole index."""
         import pyarrow.dataset as ds
 
         self.index = index
+        self.buckets = frozenset(buckets) if buckets is not None else None
         self._ds = ds.dataset(index.paths.postings, partitioning="hive")
         self._term_stats: pd.DataFrame | None = None
         self._docs: dict | None = None
@@ -129,8 +135,19 @@ class LocalExecutor:
     def _decode_terms(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         import pyarrow.dataset as ds_mod
 
-        buckets = sorted({term_bucket_py(t, self.index.n_buckets) for t in terms})
-        f = ds_mod.field("term").isin(terms) & ds_mod.field("term_bucket").isin(buckets)
+        buckets = {term_bucket_py(t, self.index.n_buckets) for t in terms}
+        if self.buckets is not None:
+            buckets &= self.buckets
+            terms = [
+                t
+                for t in terms
+                if term_bucket_py(t, self.index.n_buckets) in buckets
+            ]
+        if not terms:
+            return {}
+        f = ds_mod.field("term").isin(terms) & ds_mod.field("term_bucket").isin(
+            sorted(buckets)
+        )
         tbl = self._ds.to_table(
             filter=f,
             columns=[
@@ -158,14 +175,12 @@ class LocalExecutor:
         return out
 
     # ---- search --------------------------------------------------------------
-    def search_rung(self, groups, msm: int, options) -> list[Hit]:
-        """Returns finalize-shaped ``Hit`` rows (same fields, same order, same
-        rounding/tie-break as the Spark path's result columns)."""
+    def group_parts(self, groups, options) -> list[tuple]:
+        """Per-group dis_max partials over THIS executor's bucket shard:
+        [(doc_ids, group_max_scores, required, group_id)]. The shard-level
+        result a term-partitioned serving tier returns to its coordinator."""
         terms = sorted({t for g in groups for t in g.terms})
-        if not terms:
-            return self._match_all(options)
-        decoded = self._decode_terms(terms)
-
+        decoded = self._decode_terms(terms) if terms else {}
         parts = []
         for g in groups:
             segs_i, segs_s = [], []
@@ -182,6 +197,19 @@ class LocalExecutor:
             gmax = np.full(uids.size, -np.inf)
             np.maximum.at(gmax, inv, gsc)  # dis_max (P8)
             parts.append((uids, gmax, g.required, g.group_id))
+        return parts
+
+    def search_rung(self, groups, msm: int, options) -> list[Hit]:
+        """Returns finalize-shaped ``Hit`` rows (same fields, same order, same
+        rounding/tie-break as the Spark path's result columns)."""
+        terms = sorted({t for g in groups for t in g.terms})
+        if not terms:
+            return self._match_all(options)
+        return self.combine_parts(self.group_parts(groups, options), groups, msm, options)
+
+    def combine_parts(self, parts: list[tuple], groups, msm: int, options) -> list[Hit]:
+        """Gate + filter + boost + rank over per-group partials (one shard's
+        or several shards' merged)."""
         if not parts:
             return []
 
@@ -271,3 +299,35 @@ class LocalExecutor:
             )
             for i in idx
         ]
+
+
+def merge_shard_parts(shard_parts: list[list[tuple]]) -> list[tuple]:
+    """Coordinator-side merge of per-shard group partials. A group's terms can
+    split across term-bucket shards, so the same (doc, group) may carry a
+    partial max from several shards — dis_max re-applies across shards, which
+    is exactly the associativity that makes term-partitioned serving correct:
+    max over shards of (max over shard-local terms) == max over all terms."""
+    by_gid: dict[int, list[tuple]] = {}
+    for parts in shard_parts:
+        for uids, gmax, required, gid in parts:
+            by_gid.setdefault(gid, []).append((uids, gmax, required))
+    merged: list[tuple] = []
+    for gid in sorted(by_gid):
+        chunks = by_gid[gid]
+        ids = np.concatenate([c[0] for c in chunks])
+        sc = np.concatenate([c[1] for c in chunks])
+        uids, inv = np.unique(ids, return_inverse=True)
+        gmax = np.full(uids.size, -np.inf)
+        np.maximum.at(gmax, inv, sc)
+        merged.append((uids, gmax, chunks[0][2], gid))
+    return merged
+
+
+def sharded_search_rung(
+    shards: list[LocalExecutor], groups, msm: int, options
+) -> list[Hit]:
+    """Fan a rung out to bucket-shard executors and merge on the coordinator
+    (the first shard doubles as the doc-store holder here; in a real tier the
+    doc store is its own sharded lookup)."""
+    parts = merge_shard_parts([s.group_parts(groups, options) for s in shards])
+    return shards[0].combine_parts(parts, groups, msm, options)

@@ -170,3 +170,36 @@ def test_matched_clause_names(local_eng):
     ]
     rows = local_eng.search_rung_rows(groups, 1, SearchOptions(k=3))
     assert rows and matched_clause_names(rows[0].matched_mask, groups) == ["body"]
+
+
+def test_bucket_sharded_serving_matches_full(spark, index, local_eng):
+    """Term-bucket sharding: two half-index shard executors, coordinator
+    dis_max-merge — identical hits to the unsharded executor, including a
+    cross-field group whose terms land in different shards."""
+    from gazetteer_search_spark.search.fastpath import (
+        LocalExecutor,
+        sharded_search_rung,
+    )
+
+    n_b = index.n_buckets
+    shard_a = LocalExecutor(index, buckets=list(range(n_b // 2)))
+    shard_b = LocalExecutor(index, buckets=list(range(n_b // 2, n_b)))
+
+    cases = [
+        ([_grp(0, ["postings"])], 1, SearchOptions(k=10)),
+        ([_grp(0, ["merge"]), _grp(1, ["postings"])], 2, SearchOptions(k=10)),
+        (
+            [_grp(0, ["name:mod7", "mod7", "merge"], tw=(5.0, 1.0, 1.0))],
+            1,
+            SearchOptions(k=10),
+        ),
+        (
+            [_grp(0, ["postings"]), _grp(1, ["def"], required=False, weight=0.5)],
+            1,
+            SearchOptions(k=10, lang="python"),
+        ),
+    ]
+    for groups, msm, opts in cases:
+        want = local_eng._local.search_rung(groups, msm, opts)
+        got = sharded_search_rung([shard_a, shard_b], groups, msm, opts)
+        assert got == want, (groups, msm)
