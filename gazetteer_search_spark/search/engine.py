@@ -401,6 +401,10 @@ class SearchEngine:
                 d = d.filter(F.col("repo") == options.repo)
             if options.path_prefix:
                 d = d.filter(F.col("path").startswith(options.path_prefix))
+            if options.after is not None:
+                # match_all ranks by doc_id (scores are constant), so the
+                # keyset cursor degenerates to doc_id > last
+                d = d.filter(F.col("doc_id") > int(options.after[1]))
             return (
                 d.select(
                     "doc_id",

@@ -52,6 +52,7 @@ CASES = [
     ([_grp(0, ["postings"])], 1, SearchOptions(repo="org1/repo1")),
     ([_grp(0, ["name:mod7", "mod7"], tw=(5.0, 1.0))], 1, SearchOptions()),
     ([], 0, SearchOptions(lang="go")),
+    ([], 0, SearchOptions(lang="go", after=(0.0, 50))),  # match_all + cursor
 ]
 
 
