@@ -31,7 +31,13 @@ def cmd_build_index(args: argparse.Namespace) -> None:
     from gazetteer_search_spark.index.builder import build_index
 
     spark = _spark("gss-build-index")
-    corpus = spark.read.parquet(args.source)
+    if args.table:
+        # catalog table (input_hint: an Iceberg table of source-code repos —
+        # with an Iceberg catalog configured on the cluster this is the same
+        # call; Catalyst handles snapshot/partition pruning underneath)
+        corpus = spark.read.table(args.table)
+    else:
+        corpus = spark.read.parquet(args.source)
     if "doc_id" not in corpus.columns:
         # deterministic hash docID (collision probability documented in
         # builder docstring; dense assignment available for bounded corpora)
@@ -155,7 +161,9 @@ def main(argv: list[str] | None = None) -> None:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build-index")
-    b.add_argument("--source", required=True)
+    src = b.add_mutually_exclusive_group(required=True)
+    src.add_argument("--source", help="parquet path of the corpus")
+    src.add_argument("--table", help="catalog table name (e.g. an Iceberg table)")
     b.add_argument("--out", required=True)
     b.add_argument("--tokenizer", default="pandas", choices=["pandas", "native"])
     b.add_argument("--n-buckets", type=int, default=64)

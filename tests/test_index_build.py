@@ -178,3 +178,21 @@ def test_huge_hash_doc_ids_salted_build(spark, tmp_path):
     assert [r.doc_id for r in got] == [r.doc_id for r in want]
     for a, b in zip(got, want):
         assert abs(a.score - b.score) < 1e-9
+
+
+def test_build_from_catalog_table(spark, tmp_path):
+    """Catalog-table ingestion (the Iceberg-table input shape): same build,
+    same stats as the path-based source."""
+    from gazetteer_search_spark.sources import synthetic_corpus
+
+    spark.sql("DROP TABLE IF EXISTS gss_corpus_t")
+    synthetic_corpus(spark, 120).write.mode("overwrite").saveAsTable("gss_corpus_t")
+    try:
+        idx = builder.build_index(
+            spark, spark.read.table("gss_corpus_t"), str(tmp_path / "idx_tbl"),
+            n_buckets=2,
+        )
+        assert idx.n_docs == 120
+        assert idx.term_stats.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS gss_corpus_t")
