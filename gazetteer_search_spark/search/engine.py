@@ -40,6 +40,10 @@ from gazetteer_search_spark.search import bm25
 
 MAX_PREFIX_EXPANSIONS = 128
 MAX_FUZZY_EXPANSIONS = 32
+# matched_mask is a 63-bit clause bitmask (bit 63 is the int64 sign bit: the
+# Spark shiftleft would silently wrap and numpy's 1<<63 overflows) — group ids
+# above this are invalid, and query analysis caps its clause count to fit
+MAX_GROUP_ID = 62
 
 
 @dataclass
@@ -82,6 +86,15 @@ class TermGroup:
     # its clauses "street"/"locality"/... and reads them per hit,
     # ResultsWrapper.java:10-151); defaults to "g<group_id>"
     name: str | None = None
+
+    def __post_init__(self) -> None:
+        if not (0 <= self.group_id <= MAX_GROUP_ID):
+            raise ValueError(
+                f"TermGroup.group_id must be in [0, {MAX_GROUP_ID}] — the "
+                f"matched_mask clause bitmask has 63 usable bits; got "
+                f"{self.group_id}. Cap the query's clause count (search_hits "
+                f"does this automatically)."
+            )
 
     def clause_name(self) -> str:
         return self.name or f"g{self.group_id}"
@@ -346,7 +359,10 @@ class SearchEngine:
     ) -> tuple[list[TermGroup], int]:
         groups: list[TermGroup] = []
         gid = 0
-        for tok in query.tokens:
+        # cap clause count to the 63-bit matched_mask (leave one id for the
+        # prefix group) — a degenerate 100-token query searches on its first
+        # 61 tokens instead of corrupting the mask or crashing the kernels
+        for tok in query.tokens[: MAX_GROUP_ID - 1]:
             terms = list(tok.all_forms())
             if fuzzy and not tok.optional and not tok.numbers_only:
                 terms += self.expand_fuzzy(tok.text)

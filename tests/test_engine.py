@@ -148,3 +148,24 @@ def test_two_phase_dim_demotion(spark, engine):
     # no dim hit -> query unchanged
     q4, o4 = engine.two_phase_plan("merge sort", dim, SearchOptions(prefix=False))
     assert all(not t.optional for t in q4.tokens) and o4.lang is None
+
+
+def test_group_id_mask_bound():
+    """matched_mask is 63 usable bits: group_id 63+ must fail loudly at
+    construction (silent shiftleft wrap corrupts clause trim; numpy 1<<63
+    overflows on the serving path) — ADVICE r2."""
+    import pytest as _pytest
+
+    from gazetteer_search_spark.search.engine import MAX_GROUP_ID
+
+    TermGroup(group_id=MAX_GROUP_ID, terms=("ok",), required=True)  # boundary ok
+    with _pytest.raises(ValueError, match="group_id"):
+        TermGroup(group_id=MAX_GROUP_ID + 1, terms=("t",), required=True)
+
+
+def test_long_query_caps_clause_count(engine):
+    """A degenerate 100-token query must still answer (capped clauses), not
+    crash the mask kernels."""
+    q = " ".join(f"tok{i}" for i in range(100)) + " postings"
+    rows = engine.search_hits(q, SearchOptions(k=5, prefix=False, fuzzy=False))
+    assert isinstance(rows, list)

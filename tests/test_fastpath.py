@@ -204,3 +204,47 @@ def test_bucket_sharded_serving_matches_full(spark, index, local_eng):
         want = local_eng._local.search_rung(groups, msm, opts)
         got = sharded_search_rung([shard_a, shard_b], groups, msm, opts)
         assert got == want, (groups, msm)
+
+
+def test_null_metadata_preserved(spark, tmp_path_factory):
+    """Nullable doc metadata must come back as SQL null on BOTH paths — the
+    serving path used to str()-coerce None into the literal "None" (ADVICE
+    r2); path_prefix filters must treat null as non-matching, not crash."""
+    from pyspark.sql import functions as F
+
+    corpus = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("org/r")).alias("repo"),  # else null
+        F.when(F.col("id") % 3 == 0, F.format_string("src/%d.py", "id")).alias("path"),
+        F.lit("c").alias("commit"),
+        F.when(F.col("id") % 2 == 1, F.lit("python")).alias("lang"),  # else null
+        F.lit("shared nulldoc tokens").alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_nulls"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4)
+    spark_eng = SearchEngine(spark, idx)
+    local_eng = SearchEngine(spark, idx, serving=True)
+    assert local_eng._local is not None
+
+    g = [_grp(0, ["nulldoc"])]
+    for opts in (SearchOptions(k=10), SearchOptions(k=10, path_prefix="src/")):
+        want = spark_eng.search_rung(g, 1, opts).collect()
+        got = local_eng.search_rung(g, 1, opts).collect()
+        assert [r.doc_id for r in got] == [r.doc_id for r in want]
+        for gr, wr in zip(got, want):
+            assert (gr.repo, gr.path, gr.lang) == (wr.repo, wr.path, wr.lang)
+    # nulls really did flow through as None (doc 1: odd -> repo null)
+    hits = local_eng.search_rung(g, 1, SearchOptions(k=10)).collect()
+    assert any(r.repo is None for r in hits) and any(r.lang is None for r in hits)
+
+
+def test_expansion_cache_bounded(local_eng):
+    """LRU bound: a long-lived serving node's expansion memo holds flat."""
+    ex = local_eng._local
+    ex._expand_cache_max = 16
+    for i in range(200):
+        ex.expand_prefix(f"zz{i}x")
+    assert len(ex._expand_cache) <= 16
+    # repeat lookups still hit the memo (most-recent keys retained)
+    ex.expand_prefix("zz199x")
+    assert ("p", "zz199x") in ex._expand_cache

@@ -134,6 +134,25 @@ def test_wand_filter_pushdown_rank_identical(spark, index, corpus):
     assert wand_topk(spark, index, groups, 1, k=5, options=opts2).count() == 0
 
 
+def test_wand_cursor_with_filter_page2(spark, index, corpus):
+    """Keyset cursor + selective filter (ADVICE r2 medium): pushdown must NOT
+    re-enable kernel truncation when a cursor is set — page-2 candidates rank
+    k+1..2k locally and a truncating kernel would discard them."""
+    groups = [_grp(0, ["postings"]), _grp(1, ["merge"])]
+    k = 5
+    opts1 = SearchOptions(k=k, lang="python")
+    page1 = wand_topk(spark, index, groups, 1, k=k, options=opts1, n_ranges=8).collect()
+    assert page1
+    last = page1[-1]
+    opts2 = SearchOptions(k=k, lang="python", after=(last.score, last.doc_id))
+    got = wand_topk(spark, index, groups, 1, k=k, options=opts2, n_ranges=8)
+    want = oracle_topk(corpus, groups, 1, k=k, options=opts2)
+    assert want.count() > 0, "fixture must actually have a second page"
+    assert_rank_identical(got, want)
+    # pages must not overlap
+    assert not ({r.doc_id for r in page1} & {r.doc_id for r in got.collect()})
+
+
 def test_wand_filtered_theta_pruning(spark, tmp_path_factory):
     """With pushdown, theta pruning works UNDER a filter: hot-term blocks in
     ranges holding no allowed rare docs are skipped."""
