@@ -158,3 +158,48 @@ def test_ivf_ann_recall(spark):
         ).collect()
     ]
     assert got == again
+
+
+def test_ann_persisted_path_identical(spark):
+    """The scale form: signatures/clusters persisted at ingest, probes skip
+    retraining — outputs identical to the self-contained form."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    base = rng.standard_normal((250, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        ["vec_id", "embedding"],
+    )
+    qv = [float(x) for x in base[3]]
+
+    # LSH: persisted signature column drives the band filter
+    pre = similarity.add_lsh_signature(emb, n_planes=16, seed=42).cache()
+    want = [
+        r.vec_id
+        for r in similarity.lsh_ann_topk(emb, qv, k=8, n_planes=16, bands=8).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in similarity.lsh_ann_topk(
+            pre, qv, k=8, n_planes=16, bands=8, sig_col="lsh_sig"
+        ).collect()
+    ]
+    assert got == want
+
+    # IVF: trained centroids + persisted cluster column drive the probe
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    clustered = similarity.add_ivf_cluster(emb, cents).cache()
+    want = [
+        r.vec_id
+        for r in similarity.ivf_ann_topk(emb, qv, k=8, n_centroids=8, n_probe=3).collect()
+    ]
+    got = [
+        r.vec_id
+        for r in similarity.ivf_ann_topk(
+            clustered, qv, k=8, n_probe=3, centroids=cents, cluster_col="ivf_cluster"
+        ).collect()
+    ]
+    assert got == want
+    with pytest.raises(ValueError):
+        similarity.ivf_ann_topk(clustered, qv, cluster_col="ivf_cluster")
