@@ -248,3 +248,103 @@ def test_expansion_cache_bounded(local_eng):
     # repeat lookups still hit the memo (most-recent keys retained)
     ex.expand_prefix("zz199x")
     assert ("p", "zz199x") in ex._expand_cache
+
+
+def test_serving_blockmax_pruning_skips_blocks(spark, tmp_path_factory):
+    """Serving-path dynamic pruning (VERDICT r2 next-round #1): on a hot-term
+    OR rare-term query the LocalExecutor must leave the hot list's
+    out-of-band blocks undecoded — and stay identical to the decode-all
+    formulation."""
+    from pyspark.sql import functions as F
+
+    n = 6000
+    corpus = (
+        spark.range(0, n, 1, 8)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("r").alias("repo"),
+            F.format_string("f/%d.py", "id").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.when(
+                F.col("id").between(1000, 1009),
+                F.lit("common filler tokens raregem here"),
+            )
+            .otherwise(F.lit("common filler tokens steady here"))
+            .alias("content"),
+        )
+        .cache()
+    )
+    out = str(tmp_path_factory.mktemp("idx_servebmw"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4, postings_per_group=1 << 20)
+    eng = SearchEngine(spark, idx, serving=True)
+    ex = eng._local
+    assert ex is not None
+
+    groups = [_grp(0, ["common"]), _grp(1, ["raregem"])]
+    opts = SearchOptions(k=5)
+    ex.counters.reset()
+    got = ex.search_rung(groups, 1, opts)
+    pruned_decoded = ex.counters.decoded.value
+    assert ex.counters.skipped.value > 10, (
+        ex.counters.decoded.value, ex.counters.skipped.value
+    )
+    # decode-all formulation (the sharded-partials path) agrees exactly
+    want = ex.combine_parts(ex.group_parts(groups, opts), groups, 1, opts)
+    assert got == want
+    assert pruned_decoded < ex.counters.decoded.value - pruned_decoded, (
+        "pruned path must decode strictly fewer blocks than decode-all"
+    )
+
+    # strict AND also prunes: candidate window from the rare list skips
+    # out-of-window hot blocks
+    ex.counters.reset()
+    got_and = ex.search_rung(groups, 2, opts)
+    want_and = ex.combine_parts(ex.group_parts(groups, opts), groups, 2, opts)
+    assert got_and == want_and
+
+
+def test_serving_latency_df_independent(spark, tmp_path_factory):
+    """Hot-term df grows 8x -> pruned-path latency must NOT grow with it
+    (block decode work is bounded by the rare band, not the hot df)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    def _mk(n, tag):
+        corpus = (
+            spark.range(0, n, 1, 8)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.lit("r").alias("repo"),
+                F.format_string("f/%d.py", "id").alias("path"),
+                F.lit("c").alias("commit"),
+                F.lit("python").alias("lang"),
+                F.when(
+                    F.col("id").between(100, 109),
+                    F.lit("hotword filler raregem here"),
+                )
+                .otherwise(F.lit("hotword filler steady here"))
+                .alias("content"),
+            )
+        )
+        out = str(tmp_path_factory.mktemp(f"idx_dfind_{tag}"))
+        idx = builder.build_index(spark, corpus, out, n_buckets=4, postings_per_group=1 << 20)
+        return SearchEngine(spark, idx, serving=True)._local
+
+    small, big = _mk(4000, "s"), _mk(32000, "b")
+    groups = [_grp(0, ["hotword"]), _grp(1, ["raregem"])]
+    opts = SearchOptions(k=5)
+
+    def _best(ex):
+        ex.search_rung(groups, 1, opts)  # warm
+        best = 1e9
+        for _ in range(5):
+            t0 = _t.perf_counter()
+            ex.search_rung(groups, 1, opts)
+            best = min(best, _t.perf_counter() - t0)
+        return best
+
+    t_small, t_big = _best(small), _best(big)
+    # decoded blocks stay bounded; allow generous noise but catch linear growth
+    assert t_big < 4 * t_small + 0.01, (t_small, t_big)
