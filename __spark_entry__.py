@@ -76,6 +76,10 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             # path (first two content words as directories) is the name-field
             # analog of the reference's address name
             extra_fields={"name": "path"},
+            # name key for the persisted by_name_agg_index analog: the path's
+            # directory part ('docs/<w1>/<w2>') — docs opening with the same
+            # two words share a "name" and collapse under distinct=True
+            name_key=F.regexp_extract(F.col("path"), "^(.*)/[^/]*$", 1),
         )
         # serving=True: the driver's correctness gate runs the PRODUCT serving
         # path (driver-side pruned-parquet lookups, rank-identical to the
@@ -173,6 +177,8 @@ def _search_sql(
     boost_case: str = "",
     scored_src: str = "scored",
     extra_ctes: str = "",
+    extra_join: str = "",
+    extra_where: str = "",
 ) -> str:
     lang_f = f"AND d.lang = '{lang}'" if lang else ""
     return f"""
@@ -190,12 +196,29 @@ per_doc AS (
 ),
 final AS (
   SELECT p.doc_id, p.raw {boost_case} AS score
-  FROM per_doc p JOIN documents d USING (doc_id)
-  WHERE p.matched_required >= {msm} {lang_f}
+  FROM per_doc p JOIN documents d USING (doc_id) {extra_join}
+  WHERE p.matched_required >= {msm} {lang_f} {extra_where}
 )
 SELECT doc_id, round(score, 4) AS score FROM final
 ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {k}
 """
+
+
+# distinct-by-name (DistinctNameFilter analog): the build persists
+# name_ordinal = ordinal among docs sharing a name key (here the synthetic
+# path's directory part, 'docs/<w1>/<w2>' — reconstructed exactly as
+# documents_as_corpus builds it); the query keeps ordinal-0 docs only
+_NKEY = (
+    f"'docs/' || coalesce(({_STOKS})[1], 'na') || '/' || "
+    f"coalesce(({_STOKS})[2], 'na')"
+)
+_ORD_CTE = f""",
+nord AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY {_NKEY} ORDER BY doc_id) - 1
+           AS name_ordinal
+  FROM documents
+)"""
 
 
 _PREFIX_GRP = (
@@ -266,6 +289,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lang_filter(spark, sf):  # type-filter analog (P4/P5)
         g = [_grp(0, ["merge"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 1, SearchOptions(lang="en")))
+
+    def distinct_name(spark, sf):  # DistinctNameFilter analog (G4 at query
+        # time): duplicate-name hits collapse to each name key's ordinal-0 doc
+        g = [_grp(0, ["merge"])]
+        return _topk_out(
+            _engine(spark, sf).search_rung(g, 1, SearchOptions(distinct=True))
+        )
 
     def match_all_filters(spark, sf):  # empty-query + filters (P14)
         res = _engine(spark, sf).search_rung([], 0, SearchOptions(k=20, lang="zh"))
@@ -376,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         optional_demotion=optional_demotion,
         static_boost=static_boost,
         lang_filter=lang_filter,
+        distinct_name=distinct_name,
         match_all_filters=match_all_filters,
         coalesce_ladder=coalesce_ladder,
     )
@@ -735,6 +766,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["lang_filter"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0)]), 1, lang="en"
+    )
+    o["distinct_name"] = _search_sql(
+        _values_groups([("merge", 0, True, 1.0)]),
+        1,
+        extra_ctes=_ORD_CTE,
+        extra_join="JOIN nord USING (doc_id)",
+        extra_where="AND nord.name_ordinal = 0",
     )
     o["cross_fields_boost"] = _search_sql(
         _values_groups(

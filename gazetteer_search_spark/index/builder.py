@@ -200,12 +200,26 @@ def build_index(
     fail_after_commits: int | None = None,
     extra_fields: dict[str, str] | None = None,
     n_doc_parts: int = 16,
+    name_key=None,
 ) -> Index:
     """Build (or resume) the full index under ``out_dir``.
 
     ``max_buckets_per_commit`` bounds each commit unit (default: all pending
     buckets in one shuffle job). ``fail_after_commits`` is the fault-injection
     hook for the kill/resume test (FIXTURES.md §5).
+
+    ``name_key`` (Column expression, default: lowercased path basename) keys
+    the persisted ``name_ordinal`` docs column — the reference's
+    ``by_name_agg_index`` computed at import (imp/addr/
+    ImportObjectParser.java:215-237): ordinal of the doc among all docs
+    sharing its name key, doc_id order. Query-time
+    ``SearchOptions(distinct=True)`` filters ``name_ordinal == 0`` — the
+    DistinctNameFilter analog (backendquery/es/builders/
+    DistinctNameFilter.java:8-11). Null/absent keys never collapse. Scale
+    note: row_number over a hot name key ("__init__.py" at 10^12 files) is a
+    single-task sort; if that bites, the query path only consumes
+    ``ordinal == 0``, which degrades gracefully to a combinable
+    min(doc_id)-per-key agg + join.
 
     ``extra_fields`` maps field name -> corpus column: per-field postings for
     cross-field search (P11 — the reference indexes name/full_text/... as
@@ -250,9 +264,22 @@ def build_index(
     # defaulted at import so every partition shares one schema.
     docs_done = resume and _exists(spark, paths.docs)
     if not docs_done:
+        if name_key is None:
+            name_key = F.lower(F.element_at(F.split(F.col("path"), "/"), -1))
+        # nulls get a per-doc unique key so they never collapse together
+        nk = F.coalesce(
+            name_key.cast("string"),
+            F.concat(F.lit("\x00"), F.col("doc_id").cast("string")),
+        )
+        from pyspark.sql import Window as _W
+
+        ord_w = _W.partitionBy("_name_key").orderBy(F.col("doc_id").asc())
         (
             docs_full.drop("tokens")
             .withColumn("ref_count", F.lit(0).cast("long"))
+            .withColumn("_name_key", nk)
+            .withColumn("name_ordinal", (F.row_number().over(ord_w) - 1).cast("int"))
+            .drop("_name_key")
             .withColumn(
                 "doc_part", F.pmod(F.col("doc_id"), F.lit(n_doc_parts)).cast("int")
             )

@@ -64,6 +64,10 @@ class SearchOptions:
     # cursor in the deterministic rank order — the search_after analog; under
     # a total order it is offset-free and stable at any depth
     after: tuple[float, int] | None = None
+    # distinct-by-name (DistinctNameFilter.java:8-11): keep only each name
+    # key's ordinal-0 doc (the persisted build-time by_name_agg_index analog,
+    # docs.name_ordinal) — collapse duplicate-name hits inside the search
+    distinct: bool = False
 
 
 @dataclass
@@ -211,6 +215,18 @@ def _group_bit() -> F.Column:
     return F.expr("shiftleft(CAST(1 AS BIGINT), group_id)")
 
 
+def _distinct_names(d: DataFrame) -> DataFrame:
+    """``name_ordinal == 0`` — the DistinctNameFilter analog. The column is
+    persisted at build (index/builder.py); indexes built before it existed
+    can't serve distinct queries."""
+    if "name_ordinal" not in d.columns:
+        raise ValueError(
+            "SearchOptions.distinct requires a docs table with the "
+            "name_ordinal column — rebuild the index (builder >= 0.4)"
+        )
+    return d.filter(F.col("name_ordinal") == 0)
+
+
 def finalize_ranked(
     per_doc: DataFrame,
     msm: int,
@@ -239,7 +255,10 @@ def finalize_ranked(
             .drop("_s")
         )
 
-    doc_side = options.lang or options.repo or options.path_prefix or options.lang_boosts
+    doc_side = (
+        options.lang or options.repo or options.path_prefix or options.lang_boosts
+        or options.distinct
+    )
     if docs is None:
         return _rank(gated)
 
@@ -257,6 +276,8 @@ def finalize_ranked(
         d = d.filter(F.col("repo") == options.repo)
     if options.path_prefix:
         d = d.filter(F.col("path").startswith(options.path_prefix))
+    if options.distinct:
+        d = _distinct_names(d)
     gated = gated.join(d.select("doc_id", "repo", "path", "lang"), "doc_id")
     if options.lang_boosts:
         boost = F.lit(1.0)
@@ -417,6 +438,8 @@ class SearchEngine:
                 d = d.filter(F.col("repo") == options.repo)
             if options.path_prefix:
                 d = d.filter(F.col("path").startswith(options.path_prefix))
+            if options.distinct:
+                d = _distinct_names(d)
             if options.after is not None:
                 # match_all ranks by doc_id (scores are constant), so the
                 # keyset cursor degenerates to doc_id > last

@@ -142,15 +142,23 @@ class LocalExecutor:
         if self._docs is None:
             import pyarrow.dataset as ds
 
-            t = ds.dataset(self.index.paths.docs, partitioning="hive").to_table(
-                columns=["doc_id", "repo", "path", "lang"]
-            )
+            dset = ds.dataset(self.index.paths.docs, partitioning="hive")
+            cols = ["doc_id", "repo", "path", "lang"]
+            has_ord = "name_ordinal" in dset.schema.names
+            if has_ord:
+                cols.append("name_ordinal")
+            t = dset.to_table(columns=cols)
             pdf = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
             self._docs = {
                 "ids": pdf["doc_id"].to_numpy(),
                 "repo": pdf["repo"].to_numpy(),
                 "path": pdf["path"].to_numpy(),
                 "lang": pdf["lang"].to_numpy(),
+                "name_ordinal": (
+                    pdf["name_ordinal"].to_numpy(dtype=np.int64)
+                    if has_ord
+                    else None
+                ),
             }
         return self._docs
 
@@ -288,7 +296,7 @@ class LocalExecutor:
             and options.after is None
             and not (
                 options.lang or options.repo or options.path_prefix
-                or options.lang_boosts
+                or options.lang_boosts or getattr(options, "distinct", False)
             )
         ):
             return self._search_pruned(groups, msm, options)
@@ -393,6 +401,8 @@ class LocalExecutor:
             m &= repo == options.repo
         if options.path_prefix:
             m &= _startswith_mask(path, options.path_prefix)
+        if getattr(options, "distinct", False):
+            m &= self._name_ordinal_mask(pos)
         uids, score, matched, maskv = uids[m], score[m], matched[m], maskv[m]
         repo, path, lang = repo[m], path[m], lang[m]
         if options.lang_boosts:
@@ -420,6 +430,17 @@ class LocalExecutor:
             for i in order
         ]
 
+    def _name_ordinal_mask(self, pos: np.ndarray) -> np.ndarray:
+        """distinct-by-name: keep ordinal-0 docs (DistinctNameFilter analog).
+        ``pos`` indexes into the sorted docs arrays."""
+        ords = self._load_docs()["name_ordinal"]
+        if ords is None:
+            raise ValueError(
+                "SearchOptions.distinct requires a docs table with the "
+                "name_ordinal column — rebuild the index (builder >= 0.4)"
+            )
+        return ords[pos] == 0
+
     def _match_all(self, options) -> list[Hit]:
         docs = self._load_docs()
         m = np.ones(docs["ids"].size, dtype=bool)
@@ -429,6 +450,8 @@ class LocalExecutor:
             m &= docs["repo"] == options.repo
         if options.path_prefix:
             m &= _startswith_mask(docs["path"], options.path_prefix)
+        if getattr(options, "distinct", False):
+            m &= self._name_ordinal_mask(np.arange(docs["ids"].size))
         if options.after is not None:
             m &= docs["ids"] > int(options.after[1])
         idx = np.flatnonzero(m)[: options.k]

@@ -522,6 +522,7 @@ def wand_topk(
     strict_and = eff_msm == n_required and n_required > 0
     doc_side = bool(
         options.lang or options.repo or options.path_prefix or options.lang_boosts
+        or options.distinct
     )
     # options.after: with a keyset cursor the kernel must not truncate (page-2
     # candidates rank k+1..2k locally), so initial_theta would go unused — the
@@ -598,6 +599,7 @@ def wand_topk(
     group_meta = {g.group_id: (g.required, g.weight) for g in groups}
     has_doc_side = bool(
         options.lang or options.repo or options.path_prefix or options.lang_boosts
+        or options.distinct
     )
 
     # ---- selective doc-filter pushdown --------------------------------------
@@ -612,7 +614,7 @@ def wand_topk(
     # scores downstream, which no fixed theta survives).
     allowed_bc = None
     filters_only = bool(
-        (options.lang or options.repo or options.path_prefix)
+        (options.lang or options.repo or options.path_prefix or options.distinct)
         and not options.lang_boosts
     )
     if filters_only and filter_pushdown_max > 0:
@@ -623,6 +625,12 @@ def wand_topk(
             d = d.filter(F.col("repo") == options.repo)
         if options.path_prefix:
             d = d.filter(F.col("path").startswith(options.path_prefix))
+        if options.distinct:
+            # pushdown must see the SAME candidate universe the downstream
+            # filter keeps, or local truncation is rank-unsafe
+            from gazetteer_search_spark.search.engine import _distinct_names
+
+            d = _distinct_names(d)
         rows = d.select("doc_id").limit(filter_pushdown_max + 1).collect()
         if len(rows) <= filter_pushdown_max:
             allowed_ids = np.sort(np.fromiter(

@@ -169,3 +169,43 @@ def test_long_query_caps_clause_count(engine):
     q = " ".join(f"tok{i}" for i in range(100)) + " postings"
     rows = engine.search_hits(q, SearchOptions(k=5, prefix=False, fuzzy=False))
     assert isinstance(rows, list)
+
+
+def test_distinct_by_name(spark, tmp_path_factory):
+    """Query-time distinct-by-name (DistinctNameFilter analog, VERDICT r2
+    next-round #3): duplicate-name hits collapse to the ordinal-0 doc, on the
+    Spark path, the serving path, and the WAND path identically."""
+    from gazetteer_search_spark.search.wand import wand_topk
+
+    corpus = spark.range(0, 120).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("org/r"), (F.col("id") % 3).cast("string")).alias("repo"),
+        # 6 distinct basenames -> 20 docs share each name key
+        F.format_string("src/p%d/file%d.py", F.col("id"), F.col("id") % 6).alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat(
+            F.lit("needle shared tokens row "), F.col("id").cast("string")
+        ).alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_distinct"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4)
+    eng = SearchEngine(spark, idx)
+    srv = SearchEngine(spark, idx, serving=True)
+    assert srv._local is not None
+
+    g = [TermGroup(group_id=0, terms=("needle",), required=True)]
+    opts = SearchOptions(k=20, distinct=True)
+    got = eng.search_rung(g, 1, opts).collect()
+    # exactly one hit per name key, and it is that key's min doc_id
+    assert len(got) == 6
+    assert sorted(r.doc_id for r in got) == [0, 1, 2, 3, 4, 5]
+    srv_rows = srv.search_rung(g, 1, opts).collect()
+    assert [r.doc_id for r in srv_rows] == [r.doc_id for r in got]
+    wand_rows = wand_topk(spark, idx, g, 1, k=20, options=opts, n_ranges=4).collect()
+    assert [r.doc_id for r in wand_rows] == [r.doc_id for r in got]
+    # without distinct all 120 match (k caps at 20)
+    assert len(eng.search_rung(g, 1, SearchOptions(k=20)).collect()) == 20
+    # match_all + distinct also collapses
+    ma = srv.search_rung([], 0, SearchOptions(k=50, distinct=True)).collect()
+    assert [r.doc_id for r in ma] == [0, 1, 2, 3, 4, 5]
