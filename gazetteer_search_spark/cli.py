@@ -134,16 +134,38 @@ def cmd_serve(args: argparse.Namespace) -> None:
 
 def cmd_batch_query(args: argparse.Namespace) -> None:
     """CSV of queries -> parquet of top-k results (the geocode-csv analog,
-    reference csv/CSVGeocode.java:47-95)."""
-    from gazetteer_search_spark.index.builder import load_index
-    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
-
+    reference csv/CSVGeocode.java:47-95). With ``--compare golden.csv``
+    (rows: query,expected_doc_id) it becomes the accuracy harness
+    (CSVGeocode.java:130-179): summary counts on stdout, one JSON line per
+    failure on stderr — the post-rebuild "did ranking quality move?" tool."""
     from pyspark.sql import types as T
 
-    from gazetteer_search_spark.search.engine import RESULT_SCHEMA
+    from gazetteer_search_spark.index.builder import load_index
+    from gazetteer_search_spark.search.engine import (
+        RESULT_SCHEMA,
+        SearchEngine,
+        SearchOptions,
+    )
+
+    if not args.compare and not (args.queries and args.out):
+        raise SystemExit("batch-query: need --queries and --out, or --compare")
 
     spark = _spark("gss-batch-query")
     eng = SearchEngine(spark, load_index(spark, args.index), serving=True)
+
+    if args.compare:
+        from gazetteer_search_spark.evaluation import compare_goldens
+
+        goldens = [(r[0], int(r[1])) for r in spark.read.csv(args.compare).collect()]
+        rep = compare_goldens(eng, goldens, SearchOptions(k=args.k, prefix=False))
+        for q, expected, rank, top in rep.failures:
+            print(
+                json.dumps({"q": q, "expected": expected, "rank": rank, "top": top}),
+                file=sys.stderr,
+            )
+        print(json.dumps(rep.summary()))
+        return
+
     queries = [r[0] for r in spark.read.csv(args.queries).collect()]
     t0 = time.time()
     # hits are already driver-side rows (serving path) — accumulate plain
@@ -206,9 +228,14 @@ def main(argv: list[str] | None = None) -> None:
 
     bq = sub.add_parser("batch-query")
     bq.add_argument("--index", required=True)
-    bq.add_argument("--queries", required=True)
-    bq.add_argument("--out", required=True)
+    bq.add_argument("--queries")
+    bq.add_argument("--out")
     bq.add_argument("--k", type=int, default=20)
+    bq.add_argument(
+        "--compare", metavar="GOLDEN_CSV",
+        help="accuracy mode: CSV rows (query, expected_doc_id); prints the "
+        "found_at_1/found_in_page/not_found summary instead of writing results",
+    )
     bq.set_defaults(fn=cmd_batch_query)
 
     args = ap.parse_args(argv)
