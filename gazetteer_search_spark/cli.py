@@ -71,6 +71,7 @@ def cmd_query(args: argparse.Namespace) -> None:
     opts = SearchOptions(
         k=args.k, prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
         coalesce=not args.no_coalesce, lang=args.lang, repo=args.repo,
+        distinct=args.distinct,
     )
     t0 = time.time()
     rows = eng.search_hits(args.q, opts)
@@ -214,6 +215,10 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--no-coalesce", action="store_true")
     q.add_argument("--lang")
     q.add_argument("--repo")
+    q.add_argument(
+        "--distinct", action="store_true",
+        help="collapse duplicate-name hits (DistinctNameFilter analog)",
+    )
     q.set_defaults(fn=cmd_query)
 
     s = sub.add_parser("stats")
