@@ -57,6 +57,31 @@ _COMBINING_RE = re.compile("[\\u0300-\\u036f]")
 
 _STEPS = [_CAMEL_ACRONYM, _CAMEL_LOWER_UPPER, _LETTER_DIGIT, _DIGIT_LETTER]
 
+# Cyrillic/Greek -> Latin transliteration (A9 LITERAL: the reference doubles
+# every token through junidecode, IndexAnalyzer.java:60-78 — a Cyrillic name
+# must be findable by its Latin spelling). Applied post-fold, so NFD has
+# already decomposed й->и, ё->е and stripped Greek accents: the table holds
+# base letters only. unidecode-compatible values; 1->many supported.
+# IMPORTANT: mirrored verbatim into the DuckDB oracle (``duckdb_tokens_full_
+# sql``) — both sides' doc_len/tf/df move together.
+TRANSLIT_MAP = {
+    "а": "a", "б": "b", "в": "v", "г": "g", "д": "d", "е": "e", "ж": "zh",
+    "з": "z", "и": "i", "к": "k", "л": "l", "м": "m", "н": "n", "о": "o",
+    "п": "p", "р": "r", "с": "s", "т": "t", "у": "u", "ф": "f", "х": "kh",
+    "ц": "ts", "ч": "ch", "ш": "sh", "щ": "shch", "ъ": "", "ы": "y",
+    "ь": "", "э": "e", "ю": "yu", "я": "ya",
+    "α": "a", "β": "b", "γ": "g", "δ": "d", "ε": "e", "ζ": "z", "η": "e",
+    "θ": "th", "ι": "i", "κ": "k", "λ": "l", "μ": "m", "ν": "n", "ξ": "x",
+    "ο": "o", "π": "p", "ρ": "r", "σ": "s", "ς": "s", "τ": "t", "υ": "u",
+    "φ": "ph", "χ": "ch", "ψ": "ps", "ω": "o",
+}
+_TRANSLIT_TABLE = str.maketrans(TRANSLIT_MAP)
+# a "non-Latin token" is a run of mapped letters in the folded string; runs
+# double as-is (the original-script token) next to their Latin form. Scripts
+# outside the table keep the old behavior (split away as separators).
+NONLATIN_RUN_RE = "[" + "".join(sorted(TRANSLIT_MAP)) + "]+"
+_NONLATIN_RUN_REC = re.compile(NONLATIN_RUN_RE)
+
 
 def _fold_series(s: pd.Series) -> pd.Series:
     """NFD fold + camel/digit breaks + lowercase, vectorized."""
@@ -71,9 +96,30 @@ def tokenize_pandas(s: pd.Series, joined_identifiers: bool = True) -> pd.Series:
     """Series[str] -> Series[list[str]]. Vectorized (pandas C string ops over
     the whole Arrow batch; no Spark row-at-a-time Python)."""
     s = s.fillna("").astype(str)
-    sub_lists = _fold_series(s).str.split(TOKEN_SPLIT_RE, regex=True)
+    folded = _fold_series(s)
+    # transliteration doubling (A9): rows containing mapped non-Latin letters
+    # (regex containment is one C pass; the common all-Latin batch pays
+    # nothing else) get (a) their folded string transliterated for the base
+    # split and (b) each non-Latin run emitted verbatim as an extra token
+    nonlatin_by_row: dict[int, list[str]] = {}
+    nl_mask = folded.str.contains(_NONLATIN_RUN_REC, regex=True)
+    if nl_mask.any():
+        for idx, runs in folded[nl_mask].str.findall(_NONLATIN_RUN_REC).items():
+            if runs:
+                nonlatin_by_row[idx] = list(runs)
+        folded = folded.copy()
+        folded[nl_mask] = folded[nl_mask].str.translate(_TRANSLIT_TABLE)
+    sub_lists = folded.str.split(TOKEN_SPLIT_RE, regex=True)
     # remove empty tokens (leading/trailing separators)
     sub_lists = sub_lists.map(lambda xs: [t for t in xs if t])
+    if nonlatin_by_row:
+        sub_lists = pd.Series(
+            [
+                (toks + nonlatin_by_row[idx]) if idx in nonlatin_by_row else toks
+                for idx, toks in sub_lists.items()
+            ],
+            index=sub_lists.index,
+        )
     if not joined_identifiers:
         return sub_lists
 
@@ -156,11 +202,23 @@ def _duckdb_fold_sql(col_sql: str, accents: bool) -> str:
     return f"lower({c})"
 
 
+def _duckdb_translit_sql(expr: str) -> str:
+    """TRANSLIT_MAP as a chained-replace DuckDB expression. Source chars are
+    all non-Latin and outputs all Latin, so chain order is irrelevant (the
+    same simultaneity str.translate gives the kernel)."""
+    c = expr
+    for src, dst in TRANSLIT_MAP.items():
+        c = f"replace({c}, '{src}', '{dst}')"
+    return c
+
+
 def duckdb_tokens_full_sql(col_sql: str) -> str:
     """The FULL kernel (``tokenize_pandas`` semantics) in DuckDB SQL: accent
-    strip, camel/digit breaks, lowercase, split, PLUS the joined-identifier
-    doubling — every ``[A-Za-z0-9_]+`` identifier of the raw string that folds
-    into >= 2 sub-tokens also emits lower(identifier minus underscores).
+    strip, camel/digit breaks, lowercase, transliteration doubling (base
+    split over the transliterated string + each non-Latin run verbatim),
+    split, PLUS the joined-identifier doubling — every ``[A-Za-z0-9_]+``
+    identifier of the raw string that folds into >= 2 sub-tokens also emits
+    lower(identifier minus underscores).
 
     This is what makes the DuckDB oracle equivalent to the index-side pandas
     kernel on ARBITRARY text, not just plain lowercase prose (ADVICE r1 #1):
@@ -168,9 +226,11 @@ def duckdb_tokens_full_sql(col_sql: str) -> str:
     the engine."""
     folded = _duckdb_fold_sql(col_sql, accents=True)
     base = (
-        f"list_filter(regexp_split_to_array({folded}, '{TOKEN_SPLIT_RE}'),"
-        f" t -> t <> '')"
+        f"list_filter(regexp_split_to_array({_duckdb_translit_sql(folded)},"
+        f" '{TOKEN_SPLIT_RE}'), t -> t <> '')"
     )
+    nonlatin = f"regexp_extract_all({folded}, '{NONLATIN_RUN_RE}')"
+    base = f"list_concat({base}, {nonlatin})"
     folded_x = _duckdb_fold_sql("x", accents=True)
     n_subs = (
         f"len(list_filter(regexp_split_to_array({folded_x}, '{TOKEN_SPLIT_RE}'),"

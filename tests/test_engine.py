@@ -209,3 +209,24 @@ def test_distinct_by_name(spark, tmp_path_factory):
     # match_all + distinct also collapses
     ma = srv.search_rung([], 0, SearchOptions(k=50, distinct=True)).collect()
     assert [r.doc_id for r in ma] == [0, 1, 2, 3, 4, 5]
+
+
+def test_transliteration_search_recall(spark, tmp_path_factory):
+    """A9 literal (IndexAnalyzer.java:60-78): a Cyrillic identifier is
+    searchable by its Latin spelling AND verbatim, on both scorer paths."""
+    corpus = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.when(F.col("id") == 5, F.lit("вернуть результат функции"))
+        .otherwise(F.lit("plain latin tokens here"))
+        .alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_translit"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4)
+    for eng in (SearchEngine(spark, idx), SearchEngine(spark, idx, serving=True)):
+        for q in ("rezultat", "результат", "REZULTAT"):
+            hits = eng.search_hits(q, SearchOptions(k=5, prefix=False, fuzzy=False))
+            assert [h.doc_id for h in hits] == [5], q

@@ -34,6 +34,11 @@ GOLDENS = [
     # plain single word: no doubling
     ("spark", ["spark"]),
     ("", []),
+    # transliteration doubling (A9 literal, IndexAnalyzer.java:60-78): the
+    # Cyrillic identifier is searchable by its Latin spelling AND verbatim
+    ("результат", ["rezultat", "результат"]),
+    ("Результат èФайл", ["rezultat", "efail", "результат", "фаил"]),
+    ("σ λambda", ["s", "lambda", "σ", "λ"]),
 ]
 
 
@@ -145,7 +150,7 @@ def test_duckdb_full_sql_matches_pandas_kernel_fuzz():
 
     from gazetteer_search_spark.analyzer.tokenizer import tokenize_pandas
 
-    alphabet = "aB9_ (.;/Ä{é-\t\n" + "zQ0"
+    alphabet = "aB9_ (.;/Ä{é-\t\n" + "zQ0" + "жяРёйσλЩ"
 
     @settings(max_examples=150, deadline=None)
     @given(st.text(alphabet=alphabet, max_size=40))
