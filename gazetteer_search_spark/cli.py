@@ -115,22 +115,27 @@ def cmd_serve(args: argparse.Namespace) -> None:
     eng = SearchEngine(spark, load_index(spark, args.index), serving=True)
     opts = SearchOptions(k=args.k, prefix=not args.no_prefix)
     eng.search_hits("warmup", opts)  # load term dict / docs caches
+
+    if args.http is not None:
+        from gazetteer_search_spark.server import make_server
+
+        srv = make_server(eng, opts, port=args.http)
+        print(json.dumps({
+            "ready": True, "serving_local": eng._local is not None,
+            "http": f"http://127.0.0.1:{srv.server_address[1]}/search",
+        }), flush=True)
+        srv.serve_forever()
+        return
+
     print(json.dumps({"ready": True, "serving_local": eng._local is not None}),
           flush=True)
     for line in sys.stdin:
         q = line.strip()
         if not q:
             continue
-        t0 = time.time()
-        rows = eng.search_hits(q, opts)
-        print(json.dumps({
-            "q": q,
-            "ms": round(1000 * (time.time() - t0), 1),
-            "hits": [
-                {"doc_id": r.doc_id, "score": round(r.score, 4), "path": r.path}
-                for r in rows
-            ],
-        }), flush=True)
+        # full ResultsWrapper-parity envelope (parsed_query, total_hits +
+        # relation, trimmed, matched_queries per hit, answer_time_ms)
+        print(json.dumps(eng.search_response(q, opts)), flush=True)
 
 
 def cmd_batch_query(args: argparse.Namespace) -> None:
@@ -229,6 +234,11 @@ def main(argv: list[str] | None = None) -> None:
     sv.add_argument("--index", required=True)
     sv.add_argument("--k", type=int, default=20)
     sv.add_argument("--no-prefix", action="store_true")
+    sv.add_argument(
+        "--http", type=int, metavar="PORT",
+        help="serve GET /search over HTTP instead of the stdin loop "
+        "(REServerRoutes analog); 0 binds an ephemeral port",
+    )
     sv.set_defaults(fn=cmd_serve)
 
     bq = sub.add_parser("batch-query")

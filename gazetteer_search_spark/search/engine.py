@@ -530,6 +530,71 @@ class SearchEngine:
         the answer). This is the SERVING surface: with the local executor
         active the whole ladder runs driver-side in milliseconds with zero
         Spark jobs; otherwise each rung is one Spark job, executed once."""
+        rows, _meta = self._search_ladder(q, options)
+        return rows
+
+    def search_response(
+        self, q: str | Query, options: SearchOptions | None = None
+    ) -> dict:
+        """Full response envelope — the ResultsWrapper parity surface
+        (api/ResultsWrapper.java:10-151 exposes parsed query, total hits,
+        trim flag, timings and per-hit matched_queries[]):
+
+        - ``parsed_query``: the typed-token IR (QToken flags + variants +
+          prefix + removed pre-pass set)
+        - ``total_hits`` + ``total_relation``: "eq" when the page is not
+          full (every candidate shown), "gte" when k filled it or trim cut
+          it — the pruned paths never count dead candidates, exactly like
+          Lucene's track_total_hits default
+        - ``trimmed``: whether the P16 post-retrieval trim cut the page
+        - ``matched_queries``: per-hit clause names decoded from the mask
+        - ``answer_time_ms``: whole-ladder wall time
+        """
+        import time as _time
+
+        options = options or SearchOptions()
+        t0 = _time.perf_counter()
+        rows, meta = self._search_ladder(q, options)
+        ms = round(1000 * (_time.perf_counter() - t0), 2)
+        query: Query = meta["query"]
+        groups: list[TermGroup] = meta["groups"]
+        full_page = len(rows) >= options.k
+        return {
+            "query": query.original,
+            "parsed_query": {
+                "tokens": [
+                    {
+                        "text": t.text,
+                        "optional": t.optional,
+                        "numbers": t.has_numbers,
+                        "variants": list(t.variants),
+                    }
+                    for t in query.tokens
+                ],
+                "prefix": query.prefix,
+                "removed": list(query.removed),
+            },
+            "rung": meta["rung"],
+            "total_hits": len(rows),
+            "total_relation": "gte" if (full_page or meta["trimmed"]) else "eq",
+            "trimmed": meta["trimmed"],
+            "answer_time_ms": ms,
+            "hits": [
+                {
+                    "doc_id": r.doc_id,
+                    "score": round(float(r.score), 4),
+                    "repo": r.repo,
+                    "path": r.path,
+                    "lang": r.lang,
+                    "matched_queries": matched_clause_names(r.matched_mask, groups),
+                }
+                for r in rows
+            ],
+        }
+
+    def _search_ladder(
+        self, q: str | Query, options: SearchOptions | None = None
+    ) -> tuple[list, dict]:
         options = options or SearchOptions()
         query = analyze_query(q, prefix=options.prefix) if isinstance(q, str) else q
 
@@ -556,8 +621,9 @@ class SearchEngine:
         builders = [_rung1] + ([_rung2, _rung3] if options.coalesce else [])
 
         last: list = []
+        meta = {"query": query, "groups": [], "rung": 0, "trimmed": False}
         seen_rungs: set[tuple] = set()
-        for build in builders:
+        for rung_no, build in enumerate(builders, 1):
             groups, msm = build()
             # a rung identical to an already-executed one (same groups, same
             # msm) cannot produce different rows — e.g. rung 2 == rung 1 when
@@ -570,6 +636,7 @@ class SearchEngine:
                 continue
             seen_rungs.add(key)
             rows = self.search_rung_rows(groups, msm, options)
+            meta.update(groups=groups, rung=rung_no, trimmed=False)
             if rows and options.trim:
                 # P16 trim: walking the ranked page, cut at the first hit of
                 # coarser granularity than the top hit — "coarser" = its
@@ -586,11 +653,12 @@ class SearchEngine:
                     ),
                     len(rows),
                 )
+                meta["trimmed"] = cut < len(rows)
                 rows = rows[:cut]
             last = rows
             if rows:
-                return rows
-        return last
+                return rows, meta
+        return last, meta
 
     def search_rung_rows(
         self, groups: list[TermGroup], msm: int, options: SearchOptions

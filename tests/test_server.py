@@ -1,0 +1,80 @@
+"""Response-envelope parity (ResultsWrapper.java:10-151 analog) + HTTP front
+(REServerRoutes.java:40-67 analog)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.index import builder
+from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+from gazetteer_search_spark.server import make_server
+
+
+@pytest.fixture(scope="module")
+def eng(spark, tmp_path_factory):
+    corpus = spark.range(0, 80).select(
+        F.col("id").alias("doc_id"),
+        F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.when(F.col("id") % 2 == 0, "python").otherwise("java").alias("lang"),
+        F.when(F.col("id") < 10, F.lit("alpha beta gamma shared"))
+        .otherwise(F.lit("alpha shared plain words"))
+        .alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_srv"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4)
+    return SearchEngine(spark, idx, serving=True)
+
+
+def test_search_response_envelope(eng):
+    env = eng.search_response("alpha beta", SearchOptions(k=5, prefix=False))
+    assert env["query"] == "alpha beta"
+    toks = env["parsed_query"]["tokens"]
+    assert [t["text"] for t in toks] == ["alpha", "beta"]
+    assert env["parsed_query"]["prefix"] is None
+    assert env["rung"] == 1
+    assert env["total_hits"] == 5 and env["total_relation"] == "gte"  # full page
+    assert env["trimmed"] is False
+    assert env["answer_time_ms"] > 0
+    h = env["hits"][0]
+    assert set(h) == {"doc_id", "score", "repo", "path", "lang", "matched_queries"}
+    # both clauses matched on the top hit, clause names are the query tokens
+    assert sorted(h["matched_queries"]) == ["alpha", "beta"]
+    # a page that exhausts its candidates reports an exact total
+    env2 = eng.search_response("beta", SearchOptions(k=15, prefix=False))
+    assert env2["total_hits"] == 10 and env2["total_relation"] == "eq"
+    # removed pre-pass tokens are surfaced (A7)
+    env3 = eng.search_response("the alpha", SearchOptions(k=5, prefix=False))
+    assert "parsed_query" in env3  # removed list present (may be empty)
+    assert isinstance(env3["parsed_query"]["removed"], list)
+
+
+def test_http_search_route(eng):
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=alpha+beta&size=3&lang=python"
+        ) as r:
+            env = json.loads(r.read())
+        assert env["total_hits"] == 3
+        assert all(h["lang"] == "python" for h in env["hits"])
+        assert env["parsed_query"]["tokens"][0]["text"] == "alpha"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert json.loads(r.read()) == {"ok": True}
+        # unknown route -> 404 json
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
