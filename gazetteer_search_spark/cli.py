@@ -108,11 +108,22 @@ def cmd_serve(args: argparse.Namespace) -> None:
     analog (GazetteerSearch.java:27-66 starts an ES-backed REST server; here
     the driver-side LocalExecutor answers each stdin line in milliseconds
     with zero Spark jobs). One JSON line per query with hits + latency."""
-    from gazetteer_search_spark.index.builder import load_index
+    from gazetteer_search_spark.index.builder import load_index, load_index_local
     from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
 
-    spark = _spark("gss-serve")
-    eng = SearchEngine(spark, load_index(spark, args.index), serving=True)
+    if args.local_only:
+        # Spark-free serving node: pyarrow index handle, no JVM — ~10 s
+        # faster to ready, and the process footprint is the lazy caches
+        eng = SearchEngine(
+            None, load_index_local(args.index), serving=True,
+            lazy_payloads=True,
+        )
+    else:
+        spark = _spark("gss-serve")
+        eng = SearchEngine(
+            spark, load_index(spark, args.index), serving=True,
+            lazy_payloads=args.lazy,
+        )
     opts = SearchOptions(k=args.k, prefix=not args.no_prefix)
     eng.search_hits("warmup", opts)  # load term dict / docs caches
 
@@ -238,6 +249,18 @@ def main(argv: list[str] | None = None) -> None:
         "--http", type=int, metavar="PORT",
         help="serve GET /search over HTTP instead of the stdin loop "
         "(REServerRoutes analog); 0 binds an ephemeral port",
+    )
+    sv.add_argument(
+        "--local-only", action="store_true",
+        help="Spark-free serving: no JVM/SparkSession at all — the index "
+        "loads via pyarrow (load_index_local) and every query runs on the "
+        "local executor; implies lazy payload + doc hydration",
+    )
+    sv.add_argument(
+        "--lazy", action="store_true",
+        help="lazy payload/doc hydration: block metadata only up front, "
+        "payload bytes and hit metadata fetched per decoded block / per hit "
+        "(cold IO tracks decoded blocks, not hot-term df)",
     )
     sv.set_defaults(fn=cmd_serve)
 

@@ -488,6 +488,34 @@ def load_index(spark: SparkSession, out_dir: str, n_buckets: int | None = None) 
     )
 
 
+def load_index_local(out_dir: str, n_buckets: int | None = None) -> Index:
+    """Spark-FREE index handle for the serving tier: ``LocalExecutor`` touches
+    only ``paths``/``n_buckets``/``max_doc_id`` and reads everything through
+    pyarrow, so a serving node needs no JVM or SparkSession at all (the
+    reference's serving node is an ES process, not a Hadoop client —
+    ``server/REServerRoutes.java:40-50``). The DataFrame fields are ``None``;
+    batch/Spark query paths must use :func:`load_index`."""
+    import pyarrow.dataset as ds_mod
+
+    paths = IndexPaths(out_dir)
+    cs = ds_mod.dataset(paths.corpus_stats).to_table().to_pylist()[0]
+    if n_buckets is None:
+        import pyarrow.compute as pc
+
+        man = ds_mod.dataset(paths.manifest).to_table(columns=["partition_id"])
+        n_buckets = int(pc.max(man["partition_id"]).as_py()) + 1
+    return Index(
+        paths=paths,
+        docs=None,
+        postings=None,
+        term_stats=None,
+        n_docs=int(cs["n_docs"]),
+        avg_doc_len=float(cs["avg_doc_len"]),
+        n_buckets=n_buckets,
+        max_doc_id=int(cs["max_doc_id"]),
+    )
+
+
 def _exists(spark: SparkSession, path: str) -> bool:
     """A dataset exists iff a successful write committed it (_SUCCESS marker).
     Probed through the Hadoop FS API — works on any scheme (HDFS/S3A/local)

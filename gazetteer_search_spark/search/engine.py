@@ -308,6 +308,7 @@ class SearchEngine:
         cache: bool = False,
         serving: bool = False,
         serving_max_docs: int = 5_000_000,
+        lazy_payloads: bool = False,
     ):
         """``cache=True`` persists postings/docs/term_stats in executor memory
         (spill-to-disk) — the serving-mode analog of ES/Lucene keeping the
@@ -323,11 +324,15 @@ class SearchEngine:
         self.spark = spark
         self.index = index
         self._local = None
-        if serving and index.n_docs <= serving_max_docs:
+        # spark=None is the Spark-FREE serving form (index from
+        # load_index_local): no JVM on the node, every query must route
+        # through the local executor, so the docs-fit gate is waived — at
+        # that size the operator should have sharded (buckets=) anyway.
+        if serving and (spark is None or index.n_docs <= serving_max_docs):
             try:
                 from gazetteer_search_spark.search.fastpath import LocalExecutor
 
-                self._local = LocalExecutor(index)
+                self._local = LocalExecutor(index, lazy_payloads=lazy_payloads)
             except Exception:
                 self._local = None  # non-local FS without pyarrow support etc.
         if cache:
@@ -338,8 +343,13 @@ class SearchEngine:
         # distributed table and these expansions are pruned range scans.
         # Field-qualified terms ("name:foo") are excluded: prefix/fuzzy
         # expansion operates on the content-token dictionary, never across
-        # the field namespace.
-        self._term_stats = index.term_stats.filter(~F.col("term").contains(":"))
+        # the field namespace. term_stats is None for a Spark-free serving
+        # engine (load_index_local) — every query then routes via _local.
+        self._term_stats = (
+            index.term_stats.filter(~F.col("term").contains(":"))
+            if index.term_stats is not None
+            else None
+        )
 
     # ---- expansions ---------------------------------------------------------
     def expand_prefix(self, prefix: str) -> list[str]:

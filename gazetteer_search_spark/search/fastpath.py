@@ -102,16 +102,31 @@ class LocalCounters:
 
 
 class LocalExecutor:
-    def __init__(self, index: Index, buckets: list[int] | None = None):
+    def __init__(
+        self,
+        index: Index,
+        buckets: list[int] | None = None,
+        lazy_payloads: bool = False,
+    ):
         """``buckets``: serve only this term_bucket subset — the per-node
         shard of a term-partitioned serving tier. A sharded query collects
         each shard's per-group partials (``group_parts``) and dis_max-merges
         them with ``merge_shard_parts`` on a coordinator; with ``None`` the
-        executor serves the whole index."""
+        executor serves the whole index.
+
+        ``lazy_payloads``: block METADATA is read (and cached) without the
+        payload binary columns; payload bytes are fetched per-block, batched
+        once per kernel decode round, only for blocks the pruning actually
+        decodes. Cold-query IO then tracks the DECODED block count (bounded
+        by k and the rare lists), not the hot term's df — at 1M docs a cold
+        hot-term query reads ~20 block payloads instead of ~8k. Eager mode
+        (default) reads payloads inline: best when the whole postings set
+        fits the page cache / block cache anyway."""
         import pyarrow.dataset as ds
 
         self.index = index
         self.buckets = frozenset(buckets) if buckets is not None else None
+        self.lazy_payloads = bool(lazy_payloads)
         self._ds = ds.dataset(index.paths.postings, partitioning="hive")
         self._term_stats: pd.DataFrame | None = None
         self._docs: dict | None = None
@@ -135,6 +150,21 @@ class LocalExecutor:
         self._block_cache: _OD[str, pd.DataFrame] = _OD()
         self._block_cache_bytes = 0
         self.block_cache_max_bytes = 512 << 20
+        # lazy mode: (term, block_id) -> (id_buf, score_buf) payload LRU,
+        # bytes-bounded by the same budget; payload_io_blocks counts actual
+        # per-block payload reads (the IO-bounded-by-decode evidence)
+        self._payload_cache: _OD[tuple[str, int], tuple] = _OD()
+        self._payload_cache_bytes = 0
+        self.payload_io_blocks = 0
+        # lazy mode: doc_id -> (repo, path, lang) point-lookup LRU — final
+        # hits hydrate via partition-pruned reads of the docs table instead
+        # of loading every doc's metadata into memory (1.4 s / ~200 MB at 1M
+        # docs, linear in corpus). Doc-side FILTERED queries still take the
+        # full arrays (they test metadata for every candidate).
+        self._doc_meta_cache: _OD[int, tuple | None] = _OD()
+        self.doc_meta_cache_max = 200_000
+        self._docs_ds = None
+        self._n_doc_parts: int | None = None
 
     # ---- lazy caches ---------------------------------------------------------
     def _load_term_stats(self) -> pd.DataFrame:
@@ -170,6 +200,54 @@ class LocalExecutor:
                 ),
             }
         return self._docs
+
+    def _lookup_doc_meta(self, ids: np.ndarray) -> dict[int, tuple | None]:
+        """Point-lookup (repo, path, lang) for specific doc ids: hive
+        partition pruning on doc_part, row filter on doc_id — reads a few
+        row groups for <= k+ties ids instead of materializing the whole docs
+        table (the serving-tier shape: hit hydration is a keyed GET against
+        the doc store). LRU-cached; a missing id caches as None."""
+        import pyarrow.dataset as ds_mod
+
+        if self._docs_ds is None:
+            self._docs_ds = ds_mod.dataset(
+                self.index.paths.docs, partitioning="hive"
+            )
+            self._n_doc_parts = 1 + max(
+                (
+                    int(f.split("doc_part=")[1].split("/")[0])
+                    for f in self._docs_ds.files
+                    if "doc_part=" in f
+                ),
+                default=0,
+            )
+        want = list(dict.fromkeys(int(x) for x in ids))
+        need = [i for i in want if i not in self._doc_meta_cache]
+        if need:
+            parts = sorted({i % self._n_doc_parts for i in need})
+            f = ds_mod.field("doc_id").isin(need)
+            if "doc_part" in self._docs_ds.schema.names:
+                f &= ds_mod.field("doc_part").isin(parts)
+            tbl = self._docs_ds.to_table(
+                filter=f, columns=["doc_id", "repo", "path", "lang"]
+            )
+            got = {
+                int(d): (r, p, lg)
+                for d, r, p, lg in zip(
+                    tbl["doc_id"].to_pylist(), tbl["repo"].to_pylist(),
+                    tbl["path"].to_pylist(), tbl["lang"].to_pylist(),
+                )
+            }
+            for i in need:
+                self._doc_meta_cache[i] = got.get(i)
+            while len(self._doc_meta_cache) > self.doc_meta_cache_max:
+                self._doc_meta_cache.popitem(last=False)
+        out = {}
+        for i in want:
+            if i in self._doc_meta_cache:
+                self._doc_meta_cache.move_to_end(i)
+                out[i] = self._doc_meta_cache[i]
+        return out
 
     # ---- expansions (mirror engine.expand_* exactly) -------------------------
     def _cache_put(self, key: tuple[str, str], val: list[str]) -> None:
@@ -210,25 +288,85 @@ class LocalExecutor:
     def _read_blocks(self, terms: list[str]) -> pd.DataFrame:
         """One pruned pyarrow read of the given terms' block rows: hive
         partition pruning on term_bucket, parquet row-group statistics on
-        term (files are term-sorted)."""
+        term (files are term-sorted). In lazy mode only metadata columns are
+        read — payload bytes resolve through :meth:`_payload_fetch`."""
         import pyarrow.dataset as ds_mod
 
         buckets = sorted({term_bucket_py(t, self.index.n_buckets) for t in terms})
         f = ds_mod.field("term").isin(terms) & ds_mod.field("term_bucket").isin(
             buckets
         )
-        return self._ds.to_table(
-            filter=f,
-            columns=[
-                "term", "block_id", "doc_count", "min_doc_id", "max_doc_id",
-                "block_max_score", "doc_ids_delta_varbyte", "scores_f64",
-            ],
-        ).to_pandas()
+        cols = [
+            "term", "block_id", "doc_count", "min_doc_id", "max_doc_id",
+            "block_max_score",
+        ]
+        if not self.lazy_payloads:
+            cols += ["doc_ids_delta_varbyte", "scores_f64"]
+        return self._ds.to_table(filter=f, columns=cols).to_pandas()
+
+    def _payload_fetch(
+        self, pairs: list[tuple[str, int]]
+    ) -> dict[tuple[str, int], tuple]:
+        """Payload bytes for specific (term, block_id) blocks — the kernel's
+        lazy-fetch hook. One pruned pyarrow read per call (the kernel batches
+        a decode round's blocks into one call), LRU-cached so a serving
+        node's hot DECODED blocks stay resident while the never-decoded bulk
+        of a hot term's list is never read at all."""
+        import pyarrow.dataset as ds_mod
+
+        out: dict[tuple[str, int], tuple] = {}
+        need = []
+        for p in pairs:
+            hit = self._payload_cache.get(p)
+            if hit is not None:
+                self._payload_cache.move_to_end(p)
+                out[p] = hit
+            else:
+                need.append(p)
+        if need:
+            terms = sorted({t for t, _ in need})
+            bids = sorted({b for _, b in need})
+            buckets = sorted(
+                {term_bucket_py(t, self.index.n_buckets) for t in terms}
+            )
+            f = (
+                ds_mod.field("term").isin(terms)
+                & ds_mod.field("term_bucket").isin(buckets)
+                & ds_mod.field("block_id").isin(bids)
+            )
+            tbl = self._ds.to_table(
+                filter=f,
+                columns=["term", "block_id", "doc_ids_delta_varbyte", "scores_f64"],
+            )
+            got = {
+                (t, int(b)): (ib, sb)
+                for t, b, ib, sb in zip(
+                    tbl["term"].to_pylist(),
+                    tbl["block_id"].to_pylist(),
+                    tbl["doc_ids_delta_varbyte"].to_pylist(),
+                    tbl["scores_f64"].to_pylist(),
+                )
+            }
+            self.payload_io_blocks += len(need)
+            for p in need:
+                bufs = got[p]
+                out[p] = bufs
+                self._payload_cache[p] = bufs
+                self._payload_cache_bytes += len(bufs[0]) + len(bufs[1])
+            while (
+                self._payload_cache_bytes > self.block_cache_max_bytes
+                and len(self._payload_cache) > len(pairs)
+            ):
+                _p, old = self._payload_cache.popitem(last=False)
+                self._payload_cache_bytes -= len(old[0]) + len(old[1])
+        return out
 
     @staticmethod
     def _frame_payload_bytes(pdf: pd.DataFrame) -> int:
-        if pdf.empty:
-            return 0
+        if pdf.empty or "doc_ids_delta_varbyte" not in pdf.columns:
+            # metadata-only frames (lazy mode) cost ~64 B/row — account for
+            # them so a huge hot term's metadata still participates in the LRU
+            return 64 * len(pdf)
         return int(
             sum(len(b) for b in pdf["doc_ids_delta_varbyte"])
             + sum(len(b) for b in pdf["scores_f64"])
@@ -284,21 +422,35 @@ class LocalExecutor:
         tbl = self._load_blocks(terms)
         if tbl.empty:
             return {}
+        if self.lazy_payloads:
+            # decode-all path needs every block of these terms: one batched
+            # payload round (same IO as eager mode — this path exists for
+            # filtered/sharded shapes where pruning is rank-unsafe anyway)
+            bufs = self._payload_fetch(
+                list(zip(tbl["term"], (int(b) for b in tbl["block_id"])))
+            )
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, sub in tbl.groupby("term"):
             self.counters.decoded.add(len(sub))
+            if self.lazy_payloads:
+                pay = [bufs[(term, int(b))] for b in sub["block_id"]]
+                id_bufs = [p[0] for p in pay]
+                sc_bufs = [p[1] for p in pay]
+            else:
+                id_bufs = list(sub["doc_ids_delta_varbyte"])
+                sc_bufs = list(sub["scores_f64"])
             ids = np.concatenate(
                 [
                     codec.delta_varbyte_decode(buf, int(n), int(mn))
                     for buf, n, mn in zip(
-                        sub["doc_ids_delta_varbyte"], sub["doc_count"], sub["min_doc_id"]
+                        id_bufs, sub["doc_count"], sub["min_doc_id"]
                     )
                 ]
             )
             sc = np.concatenate(
                 [
                     np.asarray(codec.f64_decode(buf, int(n)))
-                    for buf, n in zip(sub["scores_f64"], sub["doc_count"])
+                    for buf, n in zip(sc_bufs, sub["doc_count"])
                 ]
             )
             out[term] = (ids, sc)
@@ -390,6 +542,7 @@ class LocalExecutor:
             group_meta, eff_msm, options.k,
             range_width=int(pdf["max_doc_id"].max()) + 1,
             truncate=True, counters=self.counters,
+            payload_fetch=self._payload_fetch if self.lazy_payloads else None,
         )
         out = kernel((0,), pdf)
         return self._rank_and_hydrate(
@@ -441,6 +594,7 @@ class LocalExecutor:
         kernel = make_range_kernel(
             group_meta, eff_msm, options.k, range_width,
             truncate=truncate, counters=self.counters,
+            payload_fetch=self._payload_fetch if self.lazy_payloads else None,
         )
         return kernel((rng_id,), pdf)
 
@@ -485,6 +639,38 @@ class LocalExecutor:
         decode-all and block-max-pruned serving paths."""
         if uids.size == 0:
             return []
+
+        if self.lazy_payloads and not (
+            options.lang or options.repo or options.path_prefix
+            or options.lang_boosts or getattr(options, "distinct", False)
+        ):
+            # no doc-side predicate reads metadata: rank FIRST (cursor is a
+            # (score, doc_id) predicate), then point-hydrate only the <= k
+            # winners — cold hydration cost is k row-group reads, not a full
+            # docs-table materialization
+            key9 = np.round(score, 9)
+            if options.after is not None:
+                a_s, a_d = options.after
+                a_key = round(float(a_s), 9)
+                keep = (key9 < a_key) | ((key9 == a_key) & (uids > int(a_d)))
+                uids, score, matched, maskv, key9 = (
+                    uids[keep], score[keep], matched[keep], maskv[keep], key9[keep]
+                )
+            order = np.lexsort((uids, -key9))[: options.k]
+            meta = self._lookup_doc_meta(uids[order])
+            hits = []
+            for i in order:
+                m_row = meta.get(int(uids[i]))
+                if m_row is None:
+                    continue  # id absent from the doc store (defensive)
+                hits.append(
+                    Hit(
+                        int(uids[i]), float(score[i]), int(matched[i]),
+                        int(maskv[i]), _meta(m_row[0]), _meta(m_row[1]),
+                        _meta(m_row[2]),
+                    )
+                )
+            return hits
 
         docs = self._load_docs()
         pos = np.searchsorted(docs["ids"], uids)

@@ -418,3 +418,78 @@ def test_block_cache_hot_terms_resident(local_eng):
     ex.search_rung([_grp(0, ["merge"])], 1, SearchOptions(k=5))
     assert "merge" in ex._block_cache and len(ex._block_cache) == 1
     ex.block_cache_max_bytes = 512 << 20
+
+
+@pytest.fixture(scope="module")
+def lazy_eng(spark, index):
+    """Lazy serving engine: metadata-only block reads, per-block payload
+    fetch, point-lookup doc hydration."""
+    eng = SearchEngine(spark, index, serving=True, lazy_payloads=True)
+    assert eng._local is not None and eng._local.lazy_payloads
+    return eng
+
+
+@pytest.mark.parametrize("groups,msm,opts", CASES)
+def test_lazy_matches_eager(local_eng, lazy_eng, groups, msm, opts):
+    """Lazy payload + doc hydration is invisible to results: every CASES
+    shape (incl. doc-side filters and match_all, which fall back to full
+    loads) returns identical rows."""
+    want = local_eng._local.search_rung(groups, msm, opts)
+    got = lazy_eng._local.search_rung(groups, msm, opts)
+    assert got == want
+
+
+def test_lazy_payload_io_bounded_by_decode(spark, tmp_path_factory):
+    """Cold lazy query on a skewed index: payload IO blocks == decoded
+    blocks << total hot-term blocks (the df-linear IO term the 10x serving
+    experiment exposed — eager mode reads every matching block's payload)."""
+    from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+    out = str(tmp_path_factory.mktemp("idx_lazyio"))
+    idx = builder.build_index(
+        spark, synthetic_corpus(spark, 6000), out, n_buckets=8,
+        postings_per_group=128,
+    )
+    ex = LocalExecutor(idx, lazy_payloads=True)
+    groups = [_grp(0, ["def"]), _grp(1, ["sym123"]), _grp(2, ["id77"])]
+    got = ex.search_rung(groups, 1, SearchOptions(k=10))
+    assert got  # non-empty
+    assert ex.payload_io_blocks == ex.counters.decoded.value
+    assert ex.counters.skipped.value > 0
+    # the skipped blocks' payloads were never read
+    assert ex.payload_io_blocks < (
+        ex.counters.decoded.value + ex.counters.skipped.value
+    )
+    # identical to the eager executor on the same index
+    want = LocalExecutor(idx).search_rung(groups, 1, SearchOptions(k=10))
+    assert got == want
+
+
+def test_sparkfree_engine_matches_spark_engine(spark_eng, index):
+    """load_index_local + SearchEngine(spark=None): a serving node with no
+    JVM at all answers rank-identically through the full search() lifecycle
+    (analyzer, ladder, expansions, trim)."""
+    from gazetteer_search_spark.index.builder import load_index_local
+
+    idx = load_index_local(index.paths.root)
+    assert (idx.n_docs, idx.n_buckets, idx.max_doc_id) == (
+        index.n_docs, index.n_buckets, index.max_doc_id,
+    )
+    eng = SearchEngine(None, idx, serving=True, lazy_payloads=True)
+    opts = SearchOptions(k=10)
+    for q in ["merge postings", "Mod7 score", "zzzqqq postings"]:
+        want = spark_eng.search(q, opts).collect()
+        got = eng.search_hits(q, opts)
+        assert [h.doc_id for h in got] == [r.doc_id for r in want]
+        for h, w in zip(got, want):
+            assert h.score == pytest.approx(w.score, rel=1e-9)
+            assert (h.path, h.lang) == (w.path, w.lang)
+
+
+def test_doc_meta_cache_bounded(lazy_eng):
+    ex = lazy_eng._local
+    ex._doc_meta_cache.clear()
+    ex.doc_meta_cache_max = 8
+    ex.search_rung([_grp(0, ["postings"])], 1, SearchOptions(k=20))
+    assert 0 < len(ex._doc_meta_cache) <= 8
+    ex.doc_meta_cache_max = 200_000
