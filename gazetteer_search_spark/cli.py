@@ -60,14 +60,65 @@ def cmd_build_index(args: argparse.Namespace) -> None:
     }))
 
 
-def cmd_query(args: argparse.Namespace) -> None:
+def cmd_add_segment(args: argparse.Namespace) -> None:
+    """Incremental upsert (ImportMode.update analog): the batch becomes a new
+    index generation; older docs sharing (repo, path) are tombstoned."""
+    from gazetteer_search_spark.index.segments import add_segment, list_segments
+
+    spark = _spark("gss-add-segment")
+    corpus = (
+        spark.read.table(args.table) if args.table
+        else spark.read.parquet(args.source)
+    )
+    t0 = time.time()
+    idx = add_segment(
+        spark, corpus, args.index, n_buckets=args.n_buckets,
+        key_cols=tuple(args.key.split(",")),
+    )
+    seg = list_segments(args.index)[-1]
+    print(json.dumps({
+        "index": args.index, "seg_id": seg["seg_id"], "n_docs": idx.n_docs,
+        "n_tombstones": seg["n_tombstones"],
+        "seconds": round(time.time() - t0, 2),
+    }))
+
+
+def cmd_compact(args: argparse.Namespace) -> None:
+    """Merge all generations into one exact-statistics index (from index
+    files alone — postings carry tf, so global BM25 re-derives exactly)."""
+    from gazetteer_search_spark.index.segments import compact, list_segments
+
+    spark = _spark("gss-compact")
+    t0 = time.time()
+    idx = compact(spark, args.index, args.out)
+    print(json.dumps({
+        "out": args.out, "n_docs": idx.n_docs,
+        "generations_merged": 1 + len(list_segments(args.index)),
+        "seconds": round(time.time() - t0, 2),
+    }))
+
+
+def _open_engine(spark, index_dir: str, lazy: bool = False):
+    """SearchEngine over the index — multi-generation aware: when segments
+    exist, queries run over base + segments with tombstone masking."""
     from gazetteer_search_spark.index.builder import load_index
-    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.index.segments import list_segments, open_multi_search
+    from gazetteer_search_spark.search.engine import SearchEngine
+
+    if list_segments(index_dir):
+        return open_multi_search(index_dir, spark)
+    return SearchEngine(
+        spark, load_index(spark, index_dir), serving=True, lazy_payloads=lazy
+    )
+
+
+def cmd_query(args: argparse.Namespace) -> None:
+    from gazetteer_search_spark.search.engine import SearchOptions
 
     spark = _spark("gss-query")
     # serving=True: indexes that fit a serving node answer driver-side in
     # milliseconds (zero Spark jobs per query); larger ones use the Spark path
-    eng = SearchEngine(spark, load_index(spark, args.index), serving=True)
+    eng = _open_engine(spark, args.index)
     opts = SearchOptions(
         k=args.k, prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
         coalesce=not args.no_coalesce, lang=args.lang, repo=args.repo,
@@ -111,18 +162,29 @@ def cmd_serve(args: argparse.Namespace) -> None:
     from gazetteer_search_spark.index.builder import load_index, load_index_local
     from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
 
+    from gazetteer_search_spark.index.segments import list_segments, open_multi_search
+
+    has_segments = bool(list_segments(args.index))
     if args.local_only:
         # Spark-free serving node: pyarrow index handle, no JVM — ~10 s
         # faster to ready, and the process footprint is the lazy caches
-        eng = SearchEngine(
-            None, load_index_local(args.index), serving=True,
-            lazy_payloads=True,
+        eng = (
+            open_multi_search(args.index)
+            if has_segments
+            else SearchEngine(
+                None, load_index_local(args.index), serving=True,
+                lazy_payloads=True,
+            )
         )
     else:
         spark = _spark("gss-serve")
-        eng = SearchEngine(
-            spark, load_index(spark, args.index), serving=True,
-            lazy_payloads=args.lazy,
+        eng = (
+            open_multi_search(args.index, spark)
+            if has_segments
+            else SearchEngine(
+                spark, load_index(spark, args.index), serving=True,
+                lazy_payloads=args.lazy,
+            )
         )
     opts = SearchOptions(k=args.k, prefix=not args.no_prefix)
     eng.search_hits("warmup", opts)  # load term dict / docs caches
@@ -157,18 +219,13 @@ def cmd_batch_query(args: argparse.Namespace) -> None:
     failure on stderr — the post-rebuild "did ranking quality move?" tool."""
     from pyspark.sql import types as T
 
-    from gazetteer_search_spark.index.builder import load_index
-    from gazetteer_search_spark.search.engine import (
-        RESULT_SCHEMA,
-        SearchEngine,
-        SearchOptions,
-    )
+    from gazetteer_search_spark.search.engine import RESULT_SCHEMA, SearchOptions
 
     if not args.compare and not (args.queries and args.out):
         raise SystemExit("batch-query: need --queries and --out, or --compare")
 
     spark = _spark("gss-batch-query")
-    eng = SearchEngine(spark, load_index(spark, args.index), serving=True)
+    eng = _open_engine(spark, args.index)
 
     if args.compare:
         from gazetteer_search_spark.evaluation import compare_goldens
@@ -263,6 +320,24 @@ def main(argv: list[str] | None = None) -> None:
         "(cold IO tracks decoded blocks, not hot-term df)",
     )
     sv.set_defaults(fn=cmd_serve)
+
+    sg = sub.add_parser("add-segment")
+    sg.add_argument("--index", required=True)
+    src2 = sg.add_mutually_exclusive_group(required=True)
+    src2.add_argument("--source", help="parquet path of the upsert batch")
+    src2.add_argument("--table", help="catalog table of the upsert batch")
+    sg.add_argument("--n-buckets", type=int, default=8)
+    sg.add_argument(
+        "--key", default="repo,path",
+        help="comma-separated upsert key columns (older docs sharing the key "
+        "are tombstoned; reference ImportMode.update deletes-by-id per batch)",
+    )
+    sg.set_defaults(fn=cmd_add_segment)
+
+    cp = sub.add_parser("compact")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--out", required=True)
+    cp.set_defaults(fn=cmd_compact)
 
     bq = sub.add_parser("batch-query")
     bq.add_argument("--index", required=True)

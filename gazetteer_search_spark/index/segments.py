@@ -1,0 +1,410 @@
+"""Multi-generation (segment) index: incremental upserts without a rebuild.
+
+Reference parity: ``ImportMode.update`` (``imp/ImportMode.java``;
+``imp/addr/AddressesImporter.java:131-156,248-253``) deletes docs by id per
+batch and re-inserts them into the live ES index; Lucene underneath absorbs
+that as new SEGMENTS plus tombstones, merged at query time and physically
+compacted later. This module is the Spark-first analog over the parquet
+index layout:
+
+- ``add_segment`` builds a self-contained mini-index (same builder, same
+  layout) under ``<index>/segments/seg_NNNNN/``, scored with the BASE
+  index's frozen BM25 statistics (``FrozenStats``) so unchanged docs keep
+  identical scores across generations, and writes a TOMBSTONE list: the doc
+  ids of every older-generation doc sharing the segment's upsert key
+  (default ``(repo, path)`` — a new version of a file supersedes the old
+  one, the delete-by-id-then-insert of the reference's update mode).
+- Query time (serving): one ``LocalExecutor`` per generation, each masking
+  the tombstones of NEWER generations at decode (rank-safe under block-max
+  pruning — a dead doc never enters a candidate list or the theta
+  threshold). A live doc exists in exactly one generation, so the
+  coordinator merge is plain hit-list interleaving, the same argument that
+  makes doc-range sharding exact.
+- ``compact`` rebuilds ONE exact-statistics index from the index files
+  alone — no source-table access: the token multiset of every live doc is
+  reconstructed from decoded postings (tf is persisted per posting), field
+  tokens re-derive from the doc columns, and the standard build pipeline
+  re-scores with true global df/N/avgdl. Compacted results are identical to
+  a fresh build over the upserted corpus (builder is deterministic).
+
+Scale notes: a segment build touches only the new batch plus one dim-join
+against the base term dictionary; tombstones are bounded by segment size and
+ship to executors like the allowed-id pushdown (sorted int64 arrays,
+broadcast at cluster scale). Generations are the standard LSM shape — query
+cost grows with generation count, compaction restores it; the
+``segments_manifest`` records the generation lineage.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.index import builder as b
+from gazetteer_search_spark.index.builder import (
+    FrozenStats,
+    Index,
+    IndexPaths,
+    decode_postings,
+    load_index,
+    load_index_local,
+)
+
+SEGMENTS_DIR = "segments"
+
+
+def _seg_root(index_dir: str) -> str:
+    return os.path.join(index_dir, SEGMENTS_DIR)
+
+
+def _seg_manifest(index_dir: str) -> str:
+    return os.path.join(index_dir, "segments_manifest")
+
+
+def list_segments(index_dir: str) -> list[dict]:
+    """Generation lineage, oldest first: [{seg_id, path, n_docs,
+    n_tombstones, created}]."""
+    man = _seg_manifest(index_dir)
+    if not os.path.exists(os.path.join(man, "_SUCCESS")):
+        return []
+    import pyarrow.dataset as ds_mod
+
+    rows = ds_mod.dataset(man).to_table().to_pylist()
+    rows.sort(key=lambda r: r["seg_id"])
+    return rows
+
+
+def _append_seg_manifest(index_dir: str, row: dict) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("seg_id", pa.int32()),
+            pa.field("path", pa.string()),
+            pa.field("n_docs", pa.int64()),
+            pa.field("n_tombstones", pa.int64()),
+            pa.field("created", pa.timestamp("us", tz="UTC")),
+        ]
+    )
+    man = _seg_manifest(index_dir)
+    os.makedirs(man, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pylist([row], schema=schema),
+        os.path.join(man, f"part-{uuid.uuid4().hex}-c000.parquet"),
+    )
+    open(os.path.join(man, "_SUCCESS"), "a").close()
+
+
+def frozen_stats_from_base(spark: SparkSession, index_dir: str) -> FrozenStats:
+    """Freeze the base index's scoring universe for a segment build: the
+    persisted term dictionary (df incl. field:term rows), corpus stats, and
+    per-field average lengths."""
+    paths = IndexPaths(index_dir)
+    cs = spark.read.parquet(paths.corpus_stats).collect()[0]
+    field_avg = {}
+    fs_path = paths.root + "/field_stats"
+    if os.path.exists(os.path.join(fs_path, "_SUCCESS")):
+        field_avg = {
+            r.field: float(r.avg_len)
+            for r in spark.read.parquet(fs_path).collect()
+        }
+    return FrozenStats(
+        term_df=spark.read.parquet(paths.term_stats).select("term", "df"),
+        n_docs=int(cs.n_docs),
+        avg_dl=float(cs.avg_doc_len),
+        field_avg=field_avg,
+    )
+
+
+def _gen_dirs(index_dir: str) -> list[str]:
+    """All generation roots, oldest first (base is generation 0)."""
+    return [index_dir] + [s["path"] for s in list_segments(index_dir)]
+
+
+def add_segment(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    n_buckets: int = 8,
+    postings_per_group: int = 1 << 20,
+    tokenizer: str = "pandas",
+    extra_fields: dict[str, str] | None = None,
+) -> Index:
+    """Upsert ``corpus`` into the index as a new generation.
+
+    Docs in the batch supersede every older-generation doc sharing their
+    ``key_cols`` value (AddressesImporter's per-batch delete-by-id +
+    re-insert, keyed on the stable file identity rather than the
+    content-hashed doc_id). Scores use the base index's frozen statistics.
+    The base index and older segments are never rewritten — only a segment
+    dir and a tombstone list are added, so concurrent readers stay
+    consistent (they see the new generation once the manifest row lands)."""
+    segs = list_segments(index_dir)
+    seg_id = (segs[-1]["seg_id"] + 1) if segs else 1
+    seg_dir = os.path.join(_seg_root(index_dir), f"seg_{seg_id:05d}")
+
+    if "doc_id" not in corpus.columns:
+        corpus = corpus.withColumn(
+            "doc_id",
+            F.xxhash64("repo", "path", "commit").bitwiseAND(
+                F.lit((1 << 62) - 1)
+            ),
+        )
+
+    frozen = frozen_stats_from_base(spark, index_dir)
+    idx = b.build_index(
+        spark,
+        corpus,
+        seg_dir,
+        tokenizer=tokenizer,
+        n_buckets=n_buckets,
+        postings_per_group=postings_per_group,
+        extra_fields=extra_fields,
+        score_stats=frozen,
+    )
+
+    # tombstones: older docs sharing an upsert key with this batch. One
+    # semi-join per generation against the (small) batch key set — broadcast
+    # at scale. Written to the SEGMENT dir: the set applies to strictly
+    # older generations.
+    new_keys = corpus.select(*key_cols).distinct()
+    dead = None
+    for gdir in _gen_dirs(index_dir):
+        old_docs = spark.read.parquet(IndexPaths(gdir).docs)
+        hit = old_docs.join(F.broadcast(new_keys), list(key_cols), "left_semi").select(
+            "doc_id"
+        )
+        dead = hit if dead is None else dead.unionByName(hit)
+    dead = dead.distinct()
+    dead.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(seg_dir, "tombstones")
+    )
+    n_dead = spark.read.parquet(os.path.join(seg_dir, "tombstones")).count()
+
+    import pandas as pd
+
+    _append_seg_manifest(
+        index_dir,
+        {
+            "seg_id": int(seg_id),
+            "path": seg_dir,
+            "n_docs": int(idx.n_docs),
+            "n_tombstones": int(n_dead),
+            "created": pd.Timestamp.utcnow()
+            .tz_localize(None)
+            .to_pydatetime(),
+        },
+    )
+    return idx
+
+
+def _tombstones_local(seg_path: str) -> np.ndarray:
+    import pyarrow.dataset as ds_mod
+
+    t = ds_mod.dataset(os.path.join(seg_path, "tombstones")).to_table(
+        columns=["doc_id"]
+    )
+    return np.sort(t["doc_id"].to_numpy().astype(np.int64))
+
+
+class MultiExecutor:
+    """Serving executor over a multi-generation index: one (lazy)
+    LocalExecutor per generation, each masking the union of all NEWER
+    generations' tombstones at decode, merged by plain hit interleaving —
+    every live doc exists in exactly one generation, so per-generation
+    top-k lists merge exactly (the doc-range-sharding argument). Implements
+    the LocalExecutor surface the engine routes through (search_rung +
+    expansions)."""
+
+    def __init__(self, index_dir: str, lazy_payloads: bool = True):
+        from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+        segs = list_segments(index_dir)
+        tombs = [_tombstones_local(s["path"]) for s in segs]
+        gens = _gen_dirs(index_dir)
+        self.subs = []
+        for g, gdir in enumerate(gens):
+            # tombstones of segments NEWER than generation g (segment i is
+            # generation i+1, so its tombstones apply to generations <= i)
+            newer = [t for i, t in enumerate(tombs) if i + 1 > g]
+            denied = (
+                np.unique(np.concatenate(newer))
+                if newer and sum(t.size for t in newer)
+                else None
+            )
+            self.subs.append(
+                LocalExecutor(
+                    load_index_local(gdir),
+                    lazy_payloads=lazy_payloads,
+                    denied_ids=denied,
+                )
+            )
+        self.index = self.subs[0].index  # base-gen handle (engine metadata)
+
+    @staticmethod
+    def _merge(hit_lists: list[list], k: int) -> list:
+        allh = [h for hl in hit_lists for h in hl]
+        allh.sort(key=lambda h: (-round(h.score, 9), h.doc_id))
+        return allh[:k]
+
+    def search_rung(self, groups, msm: int, options) -> list:
+        return self._merge(
+            [s.search_rung(groups, msm, options) for s in self.subs],
+            options.k,
+        )
+
+    def expand_prefix(self, prefix: str) -> list[str]:
+        from gazetteer_search_spark.search.fastpath import MAX_PREFIX_EXPANSIONS
+
+        out: dict[str, None] = {}
+        for s in self.subs:
+            for t in s.expand_prefix(prefix):
+                out.setdefault(t, None)
+        return list(out)[:MAX_PREFIX_EXPANSIONS]
+
+    def expand_fuzzy(self, term: str) -> list[str]:
+        from gazetteer_search_spark.search.fastpath import MAX_FUZZY_EXPANSIONS
+
+        out: dict[str, None] = {}
+        for s in self.subs:
+            for t in s.expand_fuzzy(term):
+                out.setdefault(t, None)
+        return list(out)[:MAX_FUZZY_EXPANSIONS]
+
+
+def open_multi_search(index_dir: str, spark: SparkSession | None = None):
+    """SearchEngine over base + segments (serving path). Spark-free when
+    ``spark`` is None — the full analyzer/ladder/trim lifecycle runs, every
+    rung answered by the MultiExecutor."""
+    from gazetteer_search_spark.search.engine import SearchEngine
+
+    ex = MultiExecutor(index_dir)
+    idx = (
+        load_index(spark, index_dir)
+        if spark is not None
+        else load_index_local(index_dir)
+    )
+    eng = SearchEngine(spark, idx, serving=True)
+    eng._local = ex
+    return eng
+
+
+def _live_docs_and_tf(spark: SparkSession, index_dir: str):
+    """(live_docs, live_content_tf) across generations: per-generation
+    anti-join against the union of newer tombstones, postings decoded with
+    tf (persisted per posting), field-namespace keys excluded (field tokens
+    re-derive from doc columns)."""
+    segs = list_segments(index_dir)
+    gens = _gen_dirs(index_dir)
+    tomb_dfs = [
+        spark.read.parquet(os.path.join(s["path"], "tombstones")) for s in segs
+    ]
+    live_docs = None
+    live_tf = None
+    for g, gdir in enumerate(gens):
+        paths = IndexPaths(gdir)
+        newer = [t for i, t in enumerate(tomb_dfs) if i + 1 > g]
+        docs_g = spark.read.parquet(paths.docs)
+        post_g = decode_postings(
+            spark.read.parquet(paths.postings), with_tf=True
+        ).filter(~F.col("term").contains(":"))
+        for t in newer:
+            docs_g = docs_g.join(t, "doc_id", "left_anti")
+            post_g = post_g.join(t, "doc_id", "left_anti")
+        live_docs = docs_g if live_docs is None else live_docs.unionByName(docs_g)
+        live_tf = post_g if live_tf is None else live_tf.unionByName(post_g)
+    return live_docs, live_tf
+
+
+def compact(
+    spark: SparkSession,
+    index_dir: str,
+    out_dir: str,
+    n_buckets: int | None = None,
+    postings_per_group: int = 1 << 20,
+    tokenizer: str = "pandas",
+) -> Index:
+    """Merge every generation into one EXACT index at ``out_dir`` — from the
+    index files alone, no source table: live docs keep their stored columns
+    (content_sha256 included), their content-token MULTISET is rebuilt from
+    decoded postings (term repeated tf times; term frequencies are order-
+    independent), field tokens re-derive from doc columns, and the standard
+    build pipeline re-scores with true global statistics. Identical query
+    results to a fresh build over the upserted corpus (deterministic
+    builder); derived columns (ref_count) reset like a fresh import — the
+    update sink re-derives them (UpdateStreetsUsage re-run analog)."""
+    base = load_index_local(index_dir)
+    if n_buckets is None:
+        n_buckets = base.n_buckets
+    live_docs, live_tf = _live_docs_and_tf(spark, index_dir)
+
+    tokens = live_tf.groupBy("doc_id").agg(
+        F.flatten(
+            F.collect_list(F.expr("array_repeat(term, CAST(tf AS INT))"))
+        ).alias("tokens")
+    )
+    docs_full = (
+        live_docs.select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256"
+        )
+        .join(tokens, "doc_id", "left")
+        .withColumn(
+            "tokens",
+            F.coalesce(F.col("tokens"), F.array().cast("array<string>")),
+        )
+        .withColumn("doc_len", F.size("tokens"))
+    )
+
+    extra_fields = None
+    fs_path = os.path.join(index_dir, "field_stats")
+    if os.path.exists(os.path.join(fs_path, "_SUCCESS")):
+        extra_fields = {
+            r.field: r.source_col
+            for r in spark.read.parquet(fs_path).collect()
+        }
+
+    return b.build_index(
+        spark,
+        None,
+        out_dir,
+        tokenizer=tokenizer,
+        n_buckets=n_buckets,
+        postings_per_group=postings_per_group,
+        extra_fields=extra_fields,
+        docs_full=docs_full,
+    )
+
+
+def stream_ingest(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    **segment_kwargs,
+):
+    """Continuous incremental indexing: every micro-batch of the corpus
+    stream becomes one segment generation (foreachBatch — the engine-managed
+    exactly-once batch boundary; a replayed batch would re-supersede the
+    same keys, so the upsert is idempotent at the key level). Returns the
+    StreamingQuery; stop it to stop ingest."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_segment(
+            spark, batch_df, index_dir, key_cols=key_cols, **segment_kwargs
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -107,11 +107,18 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
 
 
 def scored_postings(
-    tf: DataFrame, tstats: DataFrame, n_docs: int, avg_dl: float
+    tf: DataFrame, tstats: DataFrame, n_docs: int, avg_dl: float,
+    score_df_col: str = "df",
 ) -> DataFrame:
     """Per-posting BM25 score precomputed at index time (query-independent):
-    (term, doc_id, tf, doc_len, df, score)."""
+    (term, doc_id, tf, doc_len, df, score).
+
+    ``score_df_col``: which tstats column carries the df used in the idf —
+    segment builds score with the BASE index's frozen df (so unchanged docs
+    keep identical scores across generations) while the plain ``df`` column
+    still reflects the local corpus for salting/partitioning decisions."""
     return tf.join(tstats, "term").withColumn(
         "score",
-        idf_col(F.col("df"), n_docs) * tf_norm_col(F.col("tf"), F.col("doc_len"), avg_dl),
+        idf_col(F.col(score_df_col), n_docs)
+        * tf_norm_col(F.col("tf"), F.col("doc_len"), avg_dl),
     )

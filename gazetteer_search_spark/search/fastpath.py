@@ -107,6 +107,7 @@ class LocalExecutor:
         index: Index,
         buckets: list[int] | None = None,
         lazy_payloads: bool = False,
+        denied_ids: "np.ndarray | None" = None,
     ):
         """``buckets``: serve only this term_bucket subset — the per-node
         shard of a term-partitioned serving tier. A sharded query collects
@@ -121,12 +122,22 @@ class LocalExecutor:
         by k and the rare lists), not the hot term's df — at 1M docs a cold
         hot-term query reads ~20 block payloads instead of ~8k. Eager mode
         (default) reads payloads inline: best when the whole postings set
-        fits the page cache / block cache anyway."""
+        fits the page cache / block cache anyway.
+
+        ``denied_ids``: sorted int64 tombstone set — doc ids masked out at
+        decode on every path (superseded doc versions in a multi-generation
+        index, index/segments.py). Decode-time masking keeps block-max
+        truncation/theta rank-safe, same argument as allowed-id pushdown."""
         import pyarrow.dataset as ds
 
         self.index = index
         self.buckets = frozenset(buckets) if buckets is not None else None
         self.lazy_payloads = bool(lazy_payloads)
+        self.denied_ids = (
+            np.sort(np.asarray(denied_ids, dtype=np.int64))
+            if denied_ids is not None and len(denied_ids)
+            else None
+        )
         self._ds = ds.dataset(index.paths.postings, partitioning="hive")
         self._term_stats: pd.DataFrame | None = None
         self._docs: dict | None = None
@@ -453,8 +464,16 @@ class LocalExecutor:
                     for buf, n in zip(sc_bufs, sub["doc_count"])
                 ]
             )
+            if self.denied_ids is not None:
+                keep = self._not_denied(ids)
+                ids, sc = ids[keep], sc[keep]
             out[term] = (ids, sc)
         return out
+
+    def _not_denied(self, ids: np.ndarray) -> np.ndarray:
+        d = self.denied_ids
+        pos = np.minimum(np.searchsorted(d, ids), d.size - 1)
+        return d[pos] != ids
 
     # ---- search --------------------------------------------------------------
     def group_parts(self, groups, options) -> list[tuple]:
@@ -543,6 +562,7 @@ class LocalExecutor:
             range_width=int(pdf["max_doc_id"].max()) + 1,
             truncate=True, counters=self.counters,
             payload_fetch=self._payload_fetch if self.lazy_payloads else None,
+            denied_ids=self.denied_ids,
         )
         out = kernel((0,), pdf)
         return self._rank_and_hydrate(
@@ -595,6 +615,7 @@ class LocalExecutor:
             group_meta, eff_msm, options.k, range_width,
             truncate=truncate, counters=self.counters,
             payload_fetch=self._payload_fetch if self.lazy_payloads else None,
+            denied_ids=self.denied_ids,
         )
         return kernel((rng_id,), pdf)
 
@@ -732,6 +753,8 @@ class LocalExecutor:
     def _match_all(self, options) -> list[Hit]:
         docs = self._load_docs()
         m = np.ones(docs["ids"].size, dtype=bool)
+        if self.denied_ids is not None:
+            m &= self._not_denied(docs["ids"])
         if options.lang:
             m &= docs["lang"] == options.lang
         if options.repo:

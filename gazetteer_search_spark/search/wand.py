@@ -135,6 +135,7 @@ def make_range_kernel(
     initial_theta: float | None = None,
     allowed_ids: np.ndarray | None = None,
     payload_fetch=None,
+    denied_ids: np.ndarray | None = None,
 ):
     """Build the applyInPandas kernel (closure over broadcast-size query
     metadata only). ``truncate=False`` when doc-level filters/boosts must be
@@ -151,7 +152,13 @@ def make_range_kernel(
     round — so a skipped block's payload bytes are never READ, not merely
     never decoded (the df-linear IO term the 10x serving experiment exposed).
     None = payloads are inline columns (the distributed path, where they rode
-    the shuffle anyway)."""
+    the shuffle anyway).
+
+    ``denied_ids`` (sorted int64 ndarray or Broadcast): doc ids masked OUT at
+    decode — the tombstone set of a multi-generation index (superseded doc
+    versions, index/segments.py). Applying it at decode (like allowed_ids)
+    keeps local truncation and theta pruning rank-safe: a dead doc's score
+    never enters a candidate list or the threshold."""
     required_gids = sorted(g for g, (req, _) in group_meta.items() if req)
     all_gids = sorted(group_meta)
 
@@ -194,6 +201,15 @@ def make_range_kernel(
         pos = np.searchsorted(a, ids)
         pos = np.minimum(pos, a.size - 1)
         return a[pos] == ids
+
+    def _denied_mask(ids: np.ndarray) -> np.ndarray:
+        """True where the id is NOT tombstoned (keep-mask)."""
+        d = denied_ids if isinstance(denied_ids, np.ndarray) else denied_ids.value
+        if d.size == 0:
+            return np.ones(ids.size, dtype=bool)
+        pos = np.searchsorted(d, ids)
+        pos = np.minimum(pos, d.size - 1)
+        return d[pos] != ids
 
     # lazy-payload resolution (serving path): (term, block_id) -> bufs,
     # fetched in batches so IO rounds stay O(decode rounds), not O(blocks)
@@ -243,6 +259,8 @@ def make_range_kernel(
                 m &= (ids >= id_lo) & (ids <= id_hi)
             if allowed_ids is not None:
                 m &= _allowed_mask(ids)
+            if denied_ids is not None:
+                m &= _denied_mask(ids)
             if m.any():
                 ids_parts.append(ids[m])
                 sc_parts.append(np.asarray(sc)[m] * float(wts[i]))
@@ -347,6 +365,8 @@ def make_range_kernel(
             m = (ids >= lo) & (ids < hi)
             if allowed_ids is not None:
                 m &= _allowed_mask(ids)
+            if denied_ids is not None:
+                m &= _denied_mask(ids)
             if not m.all():
                 ids, sc = ids[m], sc[m]
             iidx = np.searchsorted(edges, ids, side="right") - 1

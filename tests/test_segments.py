@@ -1,0 +1,203 @@
+"""Multi-generation (segment) index: incremental upserts, tombstone masking,
+frozen-stats scoring, exact compaction, streaming ingest.
+
+Reference semantics mirrored: ImportMode.update deletes docs by id per batch
+and re-inserts them into the live index (imp/ImportMode.java;
+imp/addr/AddressesImporter.java:131-156,248-253); Lucene absorbs that as
+segments + tombstones and compacts on merge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.index import builder, segments
+from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions, TermGroup
+from gazetteer_search_spark.sources import synthetic_corpus
+
+N = 1500
+
+
+def _hid(df):
+    return df.withColumn(
+        "doc_id",
+        F.xxhash64("repo", "path", "commit").bitwiseAND(F.lit((1 << 62) - 1)),
+    )
+
+
+@pytest.fixture(scope="module")
+def base(spark, tmp_path_factory):
+    """Base index over hash-assigned doc ids (the CLI/segment id form) plus
+    the raw corpus for deriving upsert batches."""
+    root = str(tmp_path_factory.mktemp("seg_base"))
+    corpus0 = synthetic_corpus(spark, N)
+    idx = builder.build_index(
+        spark, _hid(corpus0.drop("doc_id")), root, n_buckets=8,
+        postings_per_group=1 << 16,
+    )
+    return root, corpus0, idx
+
+
+def _v(corpus0, lo, hi, tag, extra=""):
+    """Version `tag` of docs [lo, hi): new commit, optionally new content."""
+    out = (
+        corpus0.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .withColumn(
+            "commit",
+            F.sha1(F.concat(F.col("doc_id").cast("string"), F.lit(tag))),
+        )
+        .drop("doc_id")
+    )
+    if extra:
+        out = out.withColumn("content", F.concat(F.col("content"), F.lit(" " + extra)))
+    return out
+
+
+def test_upsert_supersedes_and_new_docs_visible(spark, base, tmp_path_factory):
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_up"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+
+    batch = _v(corpus0, 0, 80, "v2", extra="zzznewtoken")
+    seg = segments.add_segment(spark, batch, root, n_buckets=4)
+    man = segments.list_segments(root)
+    assert len(man) == 1 and man[0]["n_docs"] == seg.n_docs == 80
+    assert man[0]["n_tombstones"] == 80
+
+    eng = segments.open_multi_search(root)  # Spark-free
+    opts = SearchOptions(k=200, prefix=False, fuzzy=False)
+    hits = eng.search_hits("zzznewtoken", opts)
+    assert len(hits) == 80
+    # every replaced (repo, path) appears exactly once index-wide
+    allhits = eng.search_hits("merge postings", SearchOptions(k=2 * N, prefix=False, fuzzy=False))
+    paths = [h.path for h in allhits]
+    assert len(paths) == len(set(paths))
+
+
+def test_frozen_stats_score_invariance(spark, base, tmp_path_factory):
+    """A doc re-imported with UNCHANGED token content scores identically to
+    its base-generation self on every query (FrozenStats: segment idf /
+    length-norm use the base universe)."""
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_inv"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    segments.add_segment(spark, _v(corpus0, 0, 50, "v2"), root, n_buckets=4)
+
+    base_eng = SearchEngine(
+        None, builder.load_index_local(root0), serving=True, lazy_payloads=True
+    )
+    multi = segments.open_multi_search(root)
+    opts = SearchOptions(k=2 * N, prefix=False, fuzzy=False)
+    for q in ["merge postings", "vector window", "spark sort"]:
+        want = {h.path: round(h.score, 9) for h in base_eng.search_hits(q, opts)}
+        got = {h.path: round(h.score, 9) for h in multi.search_hits(q, opts)}
+        assert got == want, q
+
+
+def test_multiple_generations_latest_wins(spark, base, tmp_path_factory):
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_multi"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    segments.add_segment(spark, _v(corpus0, 0, 60, "v2", "markertwo"), root, n_buckets=4)
+    segments.add_segment(spark, _v(corpus0, 0, 30, "v3", "markerthree"), root, n_buckets=4)
+
+    eng = segments.open_multi_search(root)
+    opts = SearchOptions(k=200, prefix=False, fuzzy=False)
+    # docs 0..29: only v3 lives; docs 30..59: v2 lives
+    assert len(eng.search_hits("markerthree", opts)) == 30
+    assert len(eng.search_hits("markertwo", opts)) == 30
+    allhits = eng.search_hits("merge postings", SearchOptions(k=2 * N, prefix=False, fuzzy=False))
+    assert len([h.path for h in allhits]) == len({h.path for h in allhits})
+
+
+def test_tombstone_masking_is_rank_safe_under_pruning(spark, base, tmp_path_factory):
+    """denied_ids in the kernel: pruned path with tombstones == decode-all
+    path with tombstones, and pruning still skips blocks."""
+    from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+    root0, corpus0, idx = base
+    ex_full = LocalExecutor(builder.load_index_local(root0))
+    docs_ids = ex_full._load_docs()["ids"]
+    denied = np.sort(np.asarray(docs_ids[:: 7], dtype=np.int64))  # kill 1/7th
+
+    ex = LocalExecutor(builder.load_index_local(root0), denied_ids=denied)
+    g = [
+        TermGroup(group_id=0, terms=("merge",), required=True, weight=1.0),
+        TermGroup(group_id=1, terms=("postings",), required=True, weight=1.0),
+    ]
+    opts = SearchOptions(k=10)
+    got = ex.search_rung(g, 1, opts)
+    assert got and all(h.doc_id not in set(denied.tolist()) for h in got)
+    # decode-all formulation with the same tombstones agrees exactly
+    want = ex.combine_parts(ex.group_parts(g, opts), g, 1, opts)
+    assert got == want
+
+
+def test_compaction_exact_vs_fresh_build(spark, base, tmp_path_factory):
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_cmp"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    segments.add_segment(spark, _v(corpus0, 0, 70, "v3", "zzznewtoken"), root, n_buckets=4)
+
+    cdir = str(tmp_path_factory.mktemp("seg_cmp_out"))
+    cidx = segments.compact(spark, root, cdir)
+
+    v3 = (
+        corpus0.filter(F.col("doc_id") < 70)
+        .withColumn("commit", F.sha1(F.concat(F.col("doc_id").cast("string"), F.lit("v3"))))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" zzznewtoken")))
+    )
+    live = _hid(
+        corpus0.filter(F.col("doc_id") >= 70).unionByName(v3).drop("doc_id")
+    )
+    fdir = str(tmp_path_factory.mktemp("seg_cmp_fresh"))
+    fidx = builder.build_index(
+        spark, live, fdir, n_buckets=8, postings_per_group=1 << 16
+    )
+    assert (cidx.n_docs, round(cidx.avg_doc_len, 9)) == (
+        fidx.n_docs, round(fidx.avg_doc_len, 9),
+    )
+    ce = SearchEngine(None, builder.load_index_local(cdir), serving=True)
+    fe = SearchEngine(None, builder.load_index_local(fdir), serving=True)
+    opts = SearchOptions(k=25, prefix=False, fuzzy=False)
+    for q in ["zzznewtoken", "merge postings", "vector window in"]:
+        cw = [(h.doc_id, round(h.score, 9)) for h in ce.search_hits(q, opts)]
+        fw = [(h.doc_id, round(h.score, 9)) for h in fe.search_hits(q, opts)]
+        assert cw == fw, q
+
+
+def test_streaming_ingest_segments(spark, base, tmp_path_factory):
+    """foreachBatch stream ingest: each micro-batch becomes a generation;
+    queries see the latest version after the stream drains."""
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_stream"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    src = str(tmp_path_factory.mktemp("seg_stream_src"))
+    ckpt = str(tmp_path_factory.mktemp("seg_stream_ckpt"))
+
+    batch = _v(corpus0, 0, 40, "vs", "streamedmarker")
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = segments.stream_ingest(spark, stream, root, ckpt, n_buckets=4)
+    q.awaitTermination(300)
+
+    assert len(segments.list_segments(root)) >= 1
+    eng = segments.open_multi_search(root)
+    hits = eng.search_hits("streamedmarker", SearchOptions(k=100, prefix=False, fuzzy=False))
+    assert len(hits) == 40
