@@ -88,6 +88,62 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
     return _ENGINES[sf_dir]
 
 
+_SEG_MARK = "upsertedseg"
+_SEG_ENGINES: dict[str, tuple] = {}
+
+
+def _seg_engines(spark: SparkSession, sf_dir: str):
+    """(multi-generation engine, compacted engine) for the incremental-index
+    entries: a content-only base index over the documents corpus, ONE segment
+    upserting every ``doc_id % 10 == 3`` doc with ``_SEG_MARK`` appended to
+    its content (same doc_id/repo/path, new commit — the ImportMode.update
+    shape), and the exact compaction of the pair. Cached per sf_dir like
+    _engine; the segment add and compaction are guarded so re-entry reuses
+    the on-disk state."""
+    if sf_dir in _SEG_ENGINES:
+        return _SEG_ENGINES[sf_dir]
+    from gazetteer_search_spark.index import segments as segs
+
+    tag = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        fp = "na"
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"gss_segbase_v{__version__}_{tag}_{fp}"
+    )
+    cdir = os.path.join(
+        tempfile.gettempdir(), f"gss_segcomp_v{__version__}_{tag}_{fp}"
+    )
+    corpus = documents_as_corpus(spark, sf_dir)
+    builder.build_index(
+        spark, corpus, base_dir, tokenizer="pandas", n_buckets=8,
+        postings_per_group=1 << 14,
+    )
+    if not segs.list_segments(base_dir):
+        upd = (
+            corpus.filter(F.col("doc_id") % 10 == 3)
+            .withColumn(
+                "content", F.concat(F.col("content"), F.lit(" " + _SEG_MARK))
+            )
+            .withColumn(
+                "commit",
+                F.sha1(F.concat(F.col("doc_id").cast("string"), F.lit("v2"))),
+            )
+        )
+        segs.add_segment(spark, upd, base_dir, n_buckets=4)
+    if not os.path.exists(os.path.join(cdir, "manifest", "_SUCCESS")):
+        segs.compact(spark, base_dir, cdir)
+    multi = segs.open_multi_search(base_dir, spark)
+    compacted = SearchEngine(
+        spark, builder.load_index(spark, cdir), serving=True
+    )
+    _SEG_ENGINES[sf_dir] = (multi, compacted)
+    return _SEG_ENGINES[sf_dir]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -219,6 +275,68 @@ nord AS (
            AS name_ordinal
   FROM documents
 )"""
+
+
+# ---- incremental-index (segment) oracles ---------------------------------
+# the upsert universe: docs with doc_id % 10 == 3 carry _SEG_MARK appended
+# (same doc_id — the batch passes the original id through, so the oracle is
+# pure ANSI SQL; reference ImportMode.update re-inserts under the same id)
+_SEG_PRED = "doc_id % 10 = 3"
+_SEG_DOCS_CTE = f"""docs_v2 AS (
+  SELECT doc_id,
+         CASE WHEN {_SEG_PRED} THEN text || ' {_SEG_MARK}' ELSE text END AS text,
+         lang
+  FROM documents
+)"""
+
+# frozen-stats mechanism (FrozenStats, index/builder.py): segment postings
+# score with the BASE corpus's n_docs/avgdl and the base df where the term
+# exists there (segment-local df only for corpus-new terms); live postings =
+# base scores for non-upserted docs UNION segment scores for upserted ones
+# (their base-generation postings are tombstoned at decode)
+_SEG_MULTI_CTES = f""",
+sv_tok AS (SELECT doc_id, unnest({{toks}}) AS term FROM docs_v2 WHERE {_SEG_PRED}),
+sv_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM sv_tok GROUP BY doc_id, term),
+sv_dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM sv_tok GROUP BY doc_id),
+sv_df AS (SELECT term, count(*)::BIGINT AS df FROM sv_tf GROUP BY term),
+sv_scored AS (
+  SELECT sv_tf.doc_id, sv_tf.term,
+         ln(1 + (cst.n_docs - eff.df + 0.5) / (eff.df + 0.5))
+         * (sv_tf.tf * 2.2)
+         / (sv_tf.tf + 1.2 * (0.25 + 0.75 * sv_dl.doc_len / cst.avgdl)) AS score
+  FROM sv_tf
+  JOIN (SELECT sv_df.term, coalesce(dfreq.df, sv_df.df) AS df
+        FROM sv_df LEFT JOIN dfreq USING (term)) eff USING (term)
+  JOIN sv_dl USING (doc_id) CROSS JOIN cst
+),
+live AS (
+  SELECT * FROM scored WHERE NOT ({_SEG_PRED})
+  UNION ALL SELECT * FROM sv_scored
+)"""
+
+
+def _with_docs_v2(sql: str) -> str:
+    return sql.replace("WITH \ntok AS", f"WITH {_SEG_DOCS_CTE},\ntok AS", 1)
+
+
+def _seg_multi_sql(groups_sql: str, msm: int, k: int = 20) -> str:
+    return _with_docs_v2(
+        _search_sql(
+            groups_sql, msm, k, scored_src="live",
+            extra_ctes=_SEG_MULTI_CTES.format(toks=_TOKS),
+        )
+    )
+
+
+def _seg_compact_sql(groups_sql: str, msm: int, k: int = 20) -> str:
+    """Plain global BM25 over the upserted corpus — compaction re-derives
+    exact statistics, so the standard search oracle applies with documents
+    swapped for docs_v2."""
+    s = _search_sql(groups_sql, msm, k)
+    s = s.replace("FROM documents", "FROM docs_v2").replace(
+        "JOIN documents d", "JOIN docs_v2 d"
+    )
+    return _with_docs_v2(s)
 
 
 _PREFIX_GRP = (
@@ -391,7 +509,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _topk_out(res)
 
+    def segment_upsert(spark, sf):
+        """Multi-generation search after an incremental upsert (ImportMode.
+        update analog): base gen + one segment with frozen-stats scoring and
+        tombstone masking at decode. Oracle encodes the same frozen-stats
+        mechanism (base df/N/avgdl for idf + length-norm; segment-local df
+        for terms new to the corpus)."""
+        multi, _ = _seg_engines(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, [_SEG_MARK])]
+        return _topk_out(multi.search_rung(g, 1, SearchOptions()))
+
+    def segment_compact(spark, sf):
+        """Search the exact compaction of base + segment — global BM25 over
+        the upserted corpus, rebuilt from index files alone (postings carry
+        tf). Oracle: plain BM25 over documents with the upsert applied."""
+        _, compacted = _seg_engines(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, [_SEG_MARK])]
+        return _topk_out(compacted.search_rung(g, 1, SearchOptions()))
+
     q.update(
+        segment_upsert=segment_upsert,
+        segment_compact=segment_compact,
         cross_fields_boost=cross_fields_boost,
         composite_query=composite_query,
         wand_and=wand_and,
@@ -728,6 +866,11 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
     o["single_term"] = _search_sql(_values_groups([("spark", 0, True, 1.0)]), 1)
+    _seg_groups = _values_groups(
+        [("merge", 0, True, 1.0), (_SEG_MARK, 1, True, 1.0)]
+    )
+    o["segment_upsert"] = _seg_multi_sql(_seg_groups, 1)
+    o["segment_compact"] = _seg_compact_sql(_seg_groups, 1)
     o["multi_term_and"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 2
     )
