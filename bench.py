@@ -288,6 +288,36 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     serve_qps_doc_sharded = 1.0 / doc_sharded_lat
     timings["q_serve_doc_sharded_crit"] = doc_sharded_lat
 
+    # ---- incremental indexing (segment generations) -------------------------
+    # upsert 5% of the corpus as one segment (ImportMode.update analog:
+    # frozen-stats mini-build + tombstone join), then the warm multi-gen
+    # serving latency (per-generation kernels + tombstone masks + merge)
+    from gazetteer_search_spark.index import segments as segs
+
+    corpus_q = documents_as_corpus(spark, sf_dir)
+    upd = (
+        corpus_q.filter(F.col("doc_id") % 20 == 3)
+        .withColumn("content", F.concat(F.col("content"), F.lit(" upsertbench")))
+        .withColumn(
+            "commit",
+            F.sha1(F.concat(F.col("doc_id").cast("string"), F.lit("v2"))),
+        )
+    )
+    t = time.perf_counter()
+    seg_idx = segs.add_segment(spark, upd, qout, n_buckets=8)
+    timings["segment_add"] = time.perf_counter() - t
+    seg_docs_per_sec = seg_idx.n_docs / timings["segment_add"]
+    multi = segs.MultiExecutor(qout)  # Spark-free executor stack
+    mg_groups = [g(0, ["merge"]), g(1, ["upsertbench"])]
+    multi.search_rung(mg_groups, 1, SearchOptions())  # warm
+    best = float("inf")
+    for _ in range(3):
+        t = time.perf_counter()
+        rows = multi.search_rung(mg_groups, 1, SearchOptions())
+        best = min(best, time.perf_counter() - t)
+    assert rows
+    timings["q_multi_gen"] = best
+
     # ---- training-data ops ---------------------------------------------------
     # drop the query engine's cached index frames first: the dedup pass should
     # be measured against free executor memory, not while evicting them
@@ -323,6 +353,7 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         "serve_qps_full": serve_qps_full,
         "serve_qps_sharded4": serve_qps_sharded,
         "serve_qps_doc_sharded4": serve_qps_doc_sharded,
+        "segment_docs_per_sec": seg_docs_per_sec,
     }
 
 
@@ -418,6 +449,7 @@ def main() -> None:
         "serve_qps_full": round(res["serve_qps_full"], 1),
         "serve_qps_sharded4": round(res["serve_qps_sharded4"], 1),
         "serve_qps_doc_sharded4": round(res["serve_qps_doc_sharded4"], 1),
+        "segment_docs_per_sec": round(res["segment_docs_per_sec"], 1),
     }
     print(json.dumps(out))
 

@@ -144,7 +144,12 @@ def add_segment(
     content-hashed doc_id). Scores use the base index's frozen statistics.
     The base index and older segments are never rewritten — only a segment
     dir and a tombstone list are added, so concurrent readers stay
-    consistent (they see the new generation once the manifest row lands)."""
+    consistent (they see the new generation once the manifest row lands).
+
+    ``extra_fields`` defaults to the BASE index's field mapping (read from
+    its field_stats) so segment docs carry the same per-field postings and
+    cross-field queries stay uniform across generations; pass ``{}`` to
+    disable explicitly."""
     segs = list_segments(index_dir)
     seg_id = (segs[-1]["seg_id"] + 1) if segs else 1
     seg_dir = os.path.join(_seg_root(index_dir), f"seg_{seg_id:05d}")
@@ -158,6 +163,13 @@ def add_segment(
         )
 
     frozen = frozen_stats_from_base(spark, index_dir)
+    if extra_fields is None:
+        fs_path = os.path.join(index_dir, "field_stats")
+        if os.path.exists(os.path.join(fs_path, "_SUCCESS")):
+            extra_fields = {
+                r.field: r.source_col
+                for r in spark.read.parquet(fs_path).collect()
+            }
     idx = b.build_index(
         spark,
         corpus,
@@ -165,7 +177,7 @@ def add_segment(
         tokenizer=tokenizer,
         n_buckets=n_buckets,
         postings_per_group=postings_per_group,
-        extra_fields=extra_fields,
+        extra_fields=extra_fields or None,
         score_stats=frozen,
     )
 
