@@ -201,3 +201,39 @@ def test_streaming_ingest_segments(spark, base, tmp_path_factory):
     eng = segments.open_multi_search(root)
     hits = eng.search_hits("streamedmarker", SearchOptions(k=100, prefix=False, fuzzy=False))
     assert len(hits) == 40
+
+
+def test_segment_inherits_base_fields(spark, tmp_path_factory):
+    """add_segment defaults extra_fields to the base's field mapping (from
+    field_stats), with the FIELD BM25 universe frozen too: a doc re-imported
+    unchanged keeps its cross-field (name^5) score."""
+    root = str(tmp_path_factory.mktemp("seg_fields"))
+    corpus0 = synthetic_corpus(spark, 600)
+    builder.build_index(
+        spark, _hid(corpus0.drop("doc_id")), root, n_buckets=8,
+        postings_per_group=1 << 16, extra_fields={"name": "path"},
+    )
+    segments.add_segment(spark, _v(corpus0, 0, 40, "v2"), root, n_buckets=4)
+    seg_dir = segments.list_segments(root)[0]["path"]
+    # segment carries field postings (name: namespace) without being asked
+    import pyarrow.dataset as ds_mod
+
+    terms = ds_mod.dataset(
+        segments.IndexPaths(seg_dir).term_stats, partitioning="hive"
+    ).to_table(columns=["term"])["term"].to_pylist()
+    assert any(t.startswith("name:") for t in terms)
+
+    base_eng = SearchEngine(
+        None, builder.load_index_local(root), serving=True, lazy_payloads=True
+    )
+    multi = segments.open_multi_search(root)
+    g = [
+        TermGroup(
+            group_id=0, terms=("name:mod7", "mod7"), required=True,
+            weight=1.0, term_weights=(5.0, 1.0),
+        )
+    ]
+    opts = SearchOptions(k=1200, prefix=False, fuzzy=False)
+    want = {h.path: round(h.score, 9) for h in base_eng._local.search_rung(g, 1, opts)}
+    got = {h.path: round(h.score, 9) for h in multi._local.search_rung(g, 1, opts)}
+    assert got == want
