@@ -86,16 +86,21 @@ def cmd_add_segment(args: argparse.Namespace) -> None:
 def cmd_compact(args: argparse.Namespace) -> None:
     """Merge all generations into one exact-statistics index (from index
     files alone — postings carry tf, so global BM25 re-derives exactly)."""
-    from gazetteer_search_spark.index.segments import compact, list_segments
+    from gazetteer_search_spark.index.segments import compact, list_segments, promote
 
     spark = _spark("gss-compact")
     t0 = time.time()
+    gens = 1 + len(list_segments(args.index))
     idx = compact(spark, args.index, args.out)
-    print(json.dumps({
+    out = {
         "out": args.out, "n_docs": idx.n_docs,
-        "generations_merged": 1 + len(list_segments(args.index)),
+        "generations_merged": gens,
         "seconds": round(time.time() - t0, 2),
-    }))
+    }
+    if args.swap:
+        out["backup"] = promote(args.index, args.out)
+        out["out"] = args.index
+    print(json.dumps(out))
 
 
 def _open_engine(spark, index_dir: str, lazy: bool = False):
@@ -337,6 +342,11 @@ def main(argv: list[str] | None = None) -> None:
     cp = sub.add_parser("compact")
     cp.add_argument("--index", required=True)
     cp.add_argument("--out", required=True)
+    cp.add_argument(
+        "--swap", action="store_true",
+        help="after compacting, atomically replace --index with the compacted "
+        "tree (ImportMode.swap analog); the old tree moves to <index>.pregen",
+    )
     cp.set_defaults(fn=cmd_compact)
 
     bq = sub.add_parser("batch-query")

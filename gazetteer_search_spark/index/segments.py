@@ -393,6 +393,27 @@ def compact(
     )
 
 
+def promote(index_dir: str, compacted_dir: str, keep_backup: bool = True) -> str:
+    """ImportMode.swap analog (imp/ImportMode.java): atomically replace the
+    multi-generation index at ``index_dir`` with the compacted single index
+    at ``compacted_dir``. The old tree (base + segments) is renamed aside —
+    two directory renames on the same filesystem, so a reader either sees
+    the old tree or the new one, never a half-state; long-lived serving
+    executors keep their open handles on the renamed backup until they
+    re-open. Returns the backup path ('' if discarded)."""
+    import shutil as _sh
+
+    backup = index_dir.rstrip("/") + ".pregen"
+    if os.path.exists(backup):
+        _sh.rmtree(backup)
+    os.rename(index_dir, backup)
+    os.rename(compacted_dir, index_dir)
+    if not keep_backup:
+        _sh.rmtree(backup)
+        return ""
+    return backup
+
+
 def stream_ingest(
     spark: SparkSession,
     stream_df: DataFrame,

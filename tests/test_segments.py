@@ -237,3 +237,67 @@ def test_segment_inherits_base_fields(spark, tmp_path_factory):
     want = {h.path: round(h.score, 9) for h in base_eng._local.search_rung(g, 1, opts)}
     got = {h.path: round(h.score, 9) for h in multi._local.search_rung(g, 1, opts)}
     assert got == want
+
+
+def test_promote_swaps_compacted_in_place(spark, base, tmp_path_factory):
+    """ImportMode.swap analog: compact + promote leaves a single-generation
+    index at the original path with identical query results; old tree
+    preserved as backup."""
+    root0, corpus0, _ = base
+    import os
+    import shutil
+
+    work = str(tmp_path_factory.mktemp("seg_swap"))
+    root = os.path.join(work, "idx")
+    shutil.copytree(root0, root)
+    segments.add_segment(spark, _v(corpus0, 0, 30, "v2", "swapmarker"), root, n_buckets=4)
+
+    cdir = os.path.join(work, "compacted")
+    segments.compact(spark, root, cdir)
+    ce = SearchEngine(None, builder.load_index_local(cdir), serving=True)
+    opts = SearchOptions(k=50, prefix=False, fuzzy=False)
+    want = [(h.doc_id, round(h.score, 9)) for h in ce.search_hits("swapmarker", opts)]
+
+    backup = segments.promote(root, cdir)
+    assert os.path.isdir(backup) and not os.path.exists(cdir)
+    assert segments.list_segments(root) == []  # single generation again
+    eng = SearchEngine(None, builder.load_index_local(root), serving=True)
+    got = [(h.doc_id, round(h.score, 9)) for h in eng.search_hits("swapmarker", opts)]
+    assert got == want and len(got) == 30
+
+
+def test_streaming_ingest_two_batches(spark, base, tmp_path_factory):
+    """Two micro-batches -> two generations; the second supersedes the
+    first's overlapping keys (latest wins through the stream)."""
+    root0, corpus0, _ = base
+    import os
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_stream2"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    src = str(tmp_path_factory.mktemp("seg_stream2_src"))
+    ckpt = str(tmp_path_factory.mktemp("seg_stream2_ckpt"))
+
+    b1 = _v(corpus0, 0, 50, "s1", "streamgenone")
+    b1.write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    b2 = _v(corpus0, 25, 50, "s2", "streamgentwo")
+    b2.write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = segments.stream_ingest(spark, stream, root, ckpt, n_buckets=4)
+    q.awaitTermination(600)
+
+    gens = segments.list_segments(root)
+    assert len(gens) >= 2, gens
+    eng = segments.open_multi_search(root)
+    opts = SearchOptions(k=200, prefix=False, fuzzy=False)
+    two = eng.search_hits("streamgentwo", opts)
+    one = eng.search_hits("streamgenone", opts)
+    assert len(two) == 25
+    # gen-one versions of docs 25..49 are superseded by gen two
+    assert len(one) == 25 and len({h.path for h in one + two}) == 50
