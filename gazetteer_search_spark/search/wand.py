@@ -324,11 +324,27 @@ def make_range_kernel(
             sub = by_gid[g].reset_index(drop=True)
             mn = np.maximum(sub["min_doc_id"].to_numpy(), lo)
             mx = np.minimum(sub["max_doc_id"].to_numpy(), hi - 1)
-            ub = (
-                sub["block_max_score"].to_numpy().astype(np.float64)
-                * sub["weight"].to_numpy().astype(np.float64)
-            )
-            bmeta[g] = {"sub": sub, "mn": mn, "mx": mx, "ub": ub}
+            wts = sub["weight"].to_numpy().astype(np.float64)
+            ub = sub["block_max_score"].to_numpy().astype(np.float64) * wts
+            # plain numpy views for the per-block hot paths — pandas .iloc
+            # in _decode_block measured ~40% of warm kernel time at 8k blocks
+            bmeta[g] = {
+                "sub": sub, "mn": mn, "mx": mx, "ub": ub, "wts": wts,
+                "cnts": sub["doc_count"].to_numpy(),
+                "mns_raw": sub["min_doc_id"].to_numpy(),
+                "terms_a": sub["term"].to_numpy(),
+                "bids_a": sub["block_id"].to_numpy(),
+                "idb": (
+                    sub["doc_ids_delta_varbyte"].to_numpy()
+                    if payload_fetch is None
+                    else None
+                ),
+                "scb": (
+                    sub["scores_f64"].to_numpy()
+                    if payload_fetch is None
+                    else None
+                ),
+            }
             edge_parts += [mn, mx + 1]
         edges = np.unique(np.concatenate(edge_parts))
         n_i = edges.size - 1
@@ -347,30 +363,30 @@ def make_range_kernel(
         pending: dict[int, np.ndarray] = {}  # g -> undecoded block indices
 
         def _block_pair(g: int, bi: int) -> tuple[str, int]:
-            sub = bmeta[g]["sub"]
-            return (sub["term"].iloc[bi], int(sub["block_id"].iloc[bi]))
+            m = bmeta[g]
+            return (m["terms_a"][bi], int(m["bids_a"][bi]))
 
         def _decode_block(g: int, bi: int) -> None:
-            sub = bmeta[g]["sub"]
-            n = int(sub["doc_count"].iloc[bi])
+            m = bmeta[g]
+            n = int(m["cnts"][bi])
             if payload_fetch is None:
-                buf = sub["doc_ids_delta_varbyte"].iloc[bi]
-                sbuf = sub["scores_f64"].iloc[bi]
+                buf = m["idb"][bi]
+                sbuf = m["scb"][bi]
             else:
                 pair = _block_pair(g, bi)
                 _prefetch([pair])  # no-op when a batch already pulled it
                 buf, sbuf = _payload_cache[pair]
-            ids = codec.delta_varbyte_decode(buf, n, int(sub["min_doc_id"].iloc[bi]))
+            ids = codec.delta_varbyte_decode(buf, n, int(m["mns_raw"][bi]))
             sc = np.asarray(codec.f64_decode(sbuf, n))
-            m = (ids >= lo) & (ids < hi)
+            keep = (ids >= lo) & (ids < hi)
             if allowed_ids is not None:
-                m &= _allowed_mask(ids)
+                keep &= _allowed_mask(ids)
             if denied_ids is not None:
-                m &= _denied_mask(ids)
-            if not m.all():
-                ids, sc = ids[m], sc[m]
+                keep &= _denied_mask(ids)
+            if not keep.all():
+                ids, sc = ids[keep], sc[keep]
             iidx = np.searchsorted(edges, ids, side="right") - 1
-            decoded[g].append((ids, sc * float(sub["weight"].iloc[bi]), iidx))
+            decoded[g].append((ids, sc * float(m["wts"][bi]), iidx))
             _count(1, 0)
 
         # ---- per-interval upper bounds & msm coverage ----------------------
@@ -400,12 +416,27 @@ def make_range_kernel(
                 for ids, ws, iidx in decoded[g]:
                     np.maximum.at(row, iidx, ws)
             else:
-                for bi in range(n_blocks):
-                    np.maximum(
-                        row[m["l"][bi] : m["r"][bi]],
-                        m["ub"][bi],
-                        out=row[m["l"][bi] : m["r"][bi]],
-                    )
+                order_mn = np.argsort(m["mn"], kind="stable")
+                mn_s, mx_s = m["mn"][order_mn], m["mx"][order_mn]
+                if n_blocks > 1 and bool(np.all(mn_s[1:] > mx_s[:-1])):
+                    # non-overlapping blocks (the common single-term shape:
+                    # salted runs partition the docID space): each interval
+                    # is covered by at most one block — one searchsorted
+                    # paints the whole row instead of n_blocks slice maxima
+                    # (7.9k-iteration Python loop at 1M docs, the warm-path
+                    # hot spot)
+                    left = edges[:-1]
+                    pos = np.searchsorted(mn_s, left, side="right") - 1
+                    pos_c = np.maximum(pos, 0)
+                    covered = (pos >= 0) & (left <= mx_s[pos_c])
+                    row[covered] = m["ub"][order_mn][pos_c[covered]]
+                else:
+                    for bi in range(n_blocks):
+                        np.maximum(
+                            row[m["l"][bi] : m["r"][bi]],
+                            m["ub"][bi],
+                            out=row[m["l"][bi] : m["r"][bi]],
+                        )
                 pending[g] = np.arange(n_blocks, dtype=np.int64)
             ub_rows[g] = row
 
