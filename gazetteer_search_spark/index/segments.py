@@ -232,7 +232,13 @@ class MultiExecutor:
     every live doc exists in exactly one generation, so per-generation
     top-k lists merge exactly (the doc-range-sharding argument). Implements
     the LocalExecutor surface the engine routes through (search_rung +
-    expansions)."""
+    expansions).
+
+    Scoping note: ``SearchOptions.distinct`` collapses duplicate names
+    WITHIN each generation (name_ordinal is computed per import batch) —
+    the same per-import scoping as the reference's by_name_agg_index
+    (ImportObjectParser.java:215-237, counted over the import stream);
+    compaction re-derives a global ordinal."""
 
     def __init__(self, index_dir: str, lazy_payloads: bool = True):
         from gazetteer_search_spark.search.fastpath import LocalExecutor
