@@ -277,6 +277,46 @@ nord AS (
 )"""
 
 
+# near-path proximity sort (the lat/lon geo-distance secondary sort analog,
+# SearchAPIAdapter LAT_PARAM/LON_PARAM -> ESCoalesce.setDistanceSort): prox =
+# leading common '/'-components with the anchor path over a fixed depth-8
+# window, cumulative-AND formula identical to engine.path_proximity_col. The
+# anchor is doc 0's (reconstructed) path — data-derived on BOTH sides.
+def _near_sql(groups_sql: str, msm: int, k: int = 20) -> str:
+    depth = 8
+    prox_terms = []
+    for i in range(1, depth + 1):
+        conj = " AND ".join(
+            f"split_part(f.npath, '/', {j}) = split_part(nr.np0, '/', {j})"
+            for j in range(1, i + 1)
+        )
+        prox_terms.append(f"(CASE WHEN {conj} THEN 1 ELSE 0 END)")
+    prox = " + ".join(prox_terms)
+    return f"""
+WITH {_BM25_CTES},
+nm AS (SELECT doc_id, {_NPATH} AS npath FROM documents),
+nr AS (SELECT npath AS np0 FROM nm WHERE doc_id = 0),
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({groups_sql})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+final AS (
+  SELECT p.doc_id, p.raw AS score, ({prox}) AS prox
+  FROM per_doc p JOIN nm f USING (doc_id) CROSS JOIN nr
+  WHERE p.matched_required >= {msm}
+)
+SELECT doc_id, round(score, 4) AS score, prox FROM final
+ORDER BY round(score, 9) DESC, prox DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # ---- incremental-index (segment) oracles ---------------------------------
 # the upsert universe: docs with doc_id % 10 == 3 carry _SEG_MARK appended
 # (same doc_id — the batch passes the original id through, so the oracle is
@@ -509,6 +549,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _topk_out(res)
 
+    def near_sort(spark, sf):
+        """lat/lon distance re-sort analog (T2 secondary geo sort,
+        ESCoalesce.setDistanceSort): ties break toward docs sharing more
+        leading path components with the anchor (doc 0's path)."""
+        from gazetteer_search_spark.search.engine import path_proximity_col
+
+        eng = _engine(spark, sf)
+        near = (
+            eng.index.docs.filter(F.col("doc_id") == 0)
+            .select("path")
+            .collect()[0][0]
+        )
+        res = eng.search_rung(
+            [_grp(0, ["merge"]), _grp(1, ["sort"])], 1,
+            SearchOptions(near_path=near),
+        )
+        return res.select(
+            "doc_id",
+            F.round("score", 4).alias("score"),
+            path_proximity_col(F.col("path"), near).alias("prox"),
+        )
+
     def segment_upsert(spark, sf):
         """Multi-generation search after an incremental upsert (ImportMode.
         update analog): base gen + one segment with frozen-stats scoring and
@@ -528,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_out(compacted.search_rung(g, 1, SearchOptions()))
 
     q.update(
+        near_sort=near_sort,
         segment_upsert=segment_upsert,
         segment_compact=segment_compact,
         cross_fields_boost=cross_fields_boost,
@@ -871,6 +934,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["segment_upsert"] = _seg_multi_sql(_seg_groups, 1)
     o["segment_compact"] = _seg_compact_sql(_seg_groups, 1)
+    o["near_sort"] = _near_sql(
+        _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 1
+    )
     o["multi_term_and"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 2
     )

@@ -127,7 +127,7 @@ def cmd_query(args: argparse.Namespace) -> None:
     opts = SearchOptions(
         k=args.k, prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
         coalesce=not args.no_coalesce, lang=args.lang, repo=args.repo,
-        distinct=args.distinct,
+        distinct=args.distinct, near_path=args.near,
     )
     t0 = time.time()
     rows = eng.search_hits(args.q, opts)
@@ -293,6 +293,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--no-coalesce", action="store_true")
     q.add_argument("--lang")
     q.add_argument("--repo")
+    q.add_argument(
+        "--near", metavar="PATH",
+        help="proximity re-sort (lat/lon distance-sort analog): ties break "
+        "toward docs sharing more leading path components with PATH",
+    )
     q.add_argument(
         "--distinct", action="store_true",
         help="collapse duplicate-name hits (DistinctNameFilter analog)",

@@ -266,15 +266,33 @@ class MultiExecutor:
         self.index = self.subs[0].index  # base-gen handle (engine metadata)
 
     @staticmethod
-    def _merge(hit_lists: list[list], k: int) -> list:
+    def _merge(hit_lists: list[list], options) -> list:
+        from gazetteer_search_spark.search.fastpath import _path_proximity_np
+
+        near = getattr(options, "near_path", None)
         allh = [h for hl in hit_lists for h in hl]
-        allh.sort(key=lambda h: (-round(h.score, 9), h.doc_id))
-        return allh[:k]
+        if near is not None:
+            import numpy as _np
+
+            allh.sort(
+                key=lambda h: (
+                    -round(h.score, 9),
+                    -int(
+                        _path_proximity_np(
+                            _np.array([h.path], dtype=object), near
+                        )[0]
+                    ),
+                    h.doc_id,
+                )
+            )
+        else:
+            allh.sort(key=lambda h: (-round(h.score, 9), h.doc_id))
+        return allh[: options.k]
 
     def search_rung(self, groups, msm: int, options) -> list:
         return self._merge(
             [s.search_rung(groups, msm, options) for s in self.subs],
-            options.k,
+            options,
         )
 
     def expand_prefix(self, prefix: str) -> list[str]:

@@ -68,6 +68,15 @@ class SearchOptions:
     # key's ordinal-0 doc (the persisted build-time by_name_agg_index analog,
     # docs.name_ordinal) — collapse duplicate-name hits inside the search
     distinct: bool = False
+    # proximity re-sort (the lat/lon geo-distance sort analog,
+    # ESCoalesce.java:49-51 setDistanceSort / SearchAPIAdapter lat+lon
+    # params): secondary sort AFTER score by the number of leading '/'
+    # path components shared with this path (capped at NEAR_SORT_DEPTH),
+    # then doc_id — "closer in the tree" wins ties, exactly as closer on
+    # the map wins ties in the reference. Incompatible with the keyset
+    # cursor (the cursor is a (score, doc_id) key; the reference's
+    # distance-sorted pages use offset paging too).
+    near_path: str | None = None
 
 
 @dataclass
@@ -227,6 +236,31 @@ def _distinct_names(d: DataFrame) -> DataFrame:
     return d.filter(F.col("name_ordinal") == 0)
 
 
+NEAR_SORT_DEPTH = 8
+
+
+def path_proximity_col(path_col: F.Column, near: str) -> F.Column:
+    """Number of leading '/'-separated components ``path_col`` shares with
+    ``near``, compared over a fixed NEAR_SORT_DEPTH window (missing
+    components compare equal to missing — an identical path scores the full
+    depth) — pure Catalyst arithmetic, the haversine-distance column of the
+    transliteration (SURVEY T2). The same cumulative-AND formula is
+    mirrored in the DuckDB oracle (null-safe here == ''-padded split_part
+    there for slash-free components)."""
+    parts = F.split(path_col, "/")
+    comps = near.split("/")
+    prox = F.lit(0)
+    ok = F.lit(True)
+    for i in range(1, NEAR_SORT_DEPTH + 1):
+        comp = comps[i - 1] if i <= len(comps) else None
+        # try_element_at: NULL past the end (element_at throws under ANSI)
+        ok = ok & F.try_element_at(parts, F.lit(i)).eqNullSafe(
+            F.lit(comp).cast("string")
+        )
+        prox = prox + F.when(ok, F.lit(1)).otherwise(F.lit(0))
+    return prox
+
+
 def finalize_ranked(
     per_doc: DataFrame,
     msm: int,
@@ -238,6 +272,8 @@ def finalize_ranked(
     (doc_id, score, matched_required) frame. Shared by the DataFrame scorer
     and the block-max WAND operator."""
     options = options or SearchOptions()
+    if options.near_path is not None and options.after is not None:
+        raise ValueError("near_path sort and the keyset cursor are exclusive")
     gated = per_doc.filter(F.col("matched_required") >= F.lit(msm))
 
     def _rank(df: DataFrame) -> DataFrame:
@@ -249,15 +285,17 @@ def finalize_ranked(
                 (F.col("_s") < a_key)
                 | ((F.col("_s") == a_key) & (F.col("doc_id") > int(a_d)))
             )
-        return (
-            df.orderBy(F.col("_s").desc(), F.col("doc_id").asc())
-            .limit(k)
-            .drop("_s")
-        )
+        keys = [F.col("_s").desc()]
+        drop = ["_s"]
+        if options.near_path is not None and "_prox" in df.columns:
+            keys.append(F.col("_prox").desc())
+            drop.append("_prox")
+        keys.append(F.col("doc_id").asc())
+        return df.orderBy(*keys).limit(k).drop(*drop)
 
     doc_side = (
         options.lang or options.repo or options.path_prefix or options.lang_boosts
-        or options.distinct
+        or options.distinct or options.near_path
     )
     if docs is None:
         return _rank(gated)
@@ -284,6 +322,10 @@ def finalize_ranked(
         for lg, w in options.lang_boosts.items():
             boost = F.when(F.col("lang") == lg, F.lit(float(w))).otherwise(boost)
         gated = gated.withColumn("score", F.col("score") * boost)
+    if options.near_path is not None:
+        gated = gated.withColumn(
+            "_prox", path_proximity_col(F.col("path"), options.near_path)
+        )
     return _rank(gated)
 
 

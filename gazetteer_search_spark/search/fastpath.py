@@ -60,6 +60,31 @@ def _startswith_mask(arr: np.ndarray, prefix: str) -> np.ndarray:
     return sw.to_numpy(dtype=object) == True  # noqa: E712 — None -> False
 
 
+def _path_proximity_np(paths: np.ndarray, near: str) -> np.ndarray:
+    """Leading common '/'-component count vs ``near`` over a fixed
+    NEAR_SORT_DEPTH window (missing == missing counts, matching the padded
+    comparison) — identical to engine.path_proximity_col, the serving twin
+    of the reference's geo-distance secondary sort."""
+    from gazetteer_search_spark.search.engine import NEAR_SORT_DEPTH
+
+    comps = near.split("/")
+    comps = comps + [None] * (NEAR_SORT_DEPTH - len(comps))
+    comps = comps[:NEAR_SORT_DEPTH]
+    out = np.zeros(len(paths), dtype=np.int64)
+    for j, p in enumerate(paths):
+        if not isinstance(p, str):
+            continue
+        pp = p.split("/")
+        pp = pp + [None] * (NEAR_SORT_DEPTH - len(pp))
+        n = 0
+        for a, b in zip(pp[:NEAR_SORT_DEPTH], comps):
+            if a != b:
+                break
+            n += 1
+        out[j] = n
+    return out
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Classic edit distance — same function as Spark's levenshtein and
     DuckDB's (the fuzzy oracle)."""
@@ -660,15 +685,21 @@ class LocalExecutor:
         decode-all and block-max-pruned serving paths."""
         if uids.size == 0:
             return []
+        near = getattr(options, "near_path", None)
+        if near is not None and options.after is not None:
+            raise ValueError("near_path sort and the keyset cursor are exclusive")
 
         if self.lazy_payloads and not (
             options.lang or options.repo or options.path_prefix
             or options.lang_boosts or getattr(options, "distinct", False)
-        ):
+        ) and (near is None or uids.size <= max(4 * options.k, 512)):
             # no doc-side predicate reads metadata: rank FIRST (cursor is a
             # (score, doc_id) predicate), then point-hydrate only the <= k
             # winners — cold hydration cost is k row-group reads, not a full
-            # docs-table materialization
+            # docs-table materialization. With a near_path sort the paths of
+            # ALL candidates are hydrated first (bounded on the pruned path
+            # by the kernel's k+ties truncation; the size guard falls back
+            # to the full-array branch otherwise).
             key9 = np.round(score, 9)
             if options.after is not None:
                 a_s, a_d = options.after
@@ -677,8 +708,21 @@ class LocalExecutor:
                 uids, score, matched, maskv, key9 = (
                     uids[keep], score[keep], matched[keep], maskv[keep], key9[keep]
                 )
-            order = np.lexsort((uids, -key9))[: options.k]
-            meta = self._lookup_doc_meta(uids[order])
+            meta = self._lookup_doc_meta(uids) if near is not None else None
+            if near is not None:
+                paths = np.array(
+                    [
+                        (meta.get(int(u)) or (None, None, None))[1]
+                        for u in uids
+                    ],
+                    dtype=object,
+                )
+                order = np.lexsort(
+                    (uids, -_path_proximity_np(paths, near), -key9)
+                )[: options.k]
+            else:
+                order = np.lexsort((uids, -key9))[: options.k]
+                meta = self._lookup_doc_meta(uids[order])
             hits = []
             for i in order:
                 m_row = meta.get(int(uids[i]))
@@ -730,7 +774,12 @@ class LocalExecutor:
             )
             repo, path, lang = repo[keep2], path[keep2], lang[keep2]
             key9 = key9[keep2]
-        order = np.lexsort((uids, -key9))[: options.k]
+        if near is not None:
+            order = np.lexsort(
+                (uids, -_path_proximity_np(path, near), -key9)
+            )[: options.k]
+        else:
+            order = np.lexsort((uids, -key9))[: options.k]
         return [
             Hit(
                 int(uids[i]), float(score[i]), int(matched[i]), int(maskv[i]),

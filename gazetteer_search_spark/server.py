@@ -56,6 +56,9 @@ def _make_handler(engine, default_opts):
                     distinct=_one("distinct", "false").lower() == "true",
                     prefix=_one("prefix", str(default_opts.prefix)).lower()
                     == "true",
+                    # lat/lon distance-sort analog (SearchAPIAdapter
+                    # LAT_PARAM/LON_PARAM): closer-in-the-tree wins ties
+                    near_path=_one("near"),
                 )
                 self._send(200, engine.search_response(_one("q", ""), opts))
             except Exception as e:  # surface the reason, keep serving

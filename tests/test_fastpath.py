@@ -493,3 +493,40 @@ def test_doc_meta_cache_bounded(lazy_eng):
     ex.search_rung([_grp(0, ["postings"])], 1, SearchOptions(k=20))
     assert 0 < len(ex._doc_meta_cache) <= 8
     ex.doc_meta_cache_max = 200_000
+
+
+def test_near_path_proximity_sort(spark_eng, local_eng, lazy_eng, index):
+    """near_path (the lat/lon geo-distance-sort analog): serving paths ==
+    Spark path under the proximity tie-break, and a same-directory doc
+    outranks an equal-scored doc from elsewhere."""
+    from pyspark.sql import functions as F
+
+    near = (
+        index.docs.filter(F.col("doc_id") == 7).select("path").collect()[0][0]
+    )
+    g = [_grp(0, ["postings"])]
+    opts = SearchOptions(k=15, near_path=near)
+    want = spark_eng.search_rung(g, 1, opts).collect()
+    got_local = local_eng._local.search_rung(g, 1, opts)
+    got_lazy = lazy_eng._local.search_rung(g, 1, opts)
+    assert [h.doc_id for h in got_local] == [r.doc_id for r in want]
+    assert [h.doc_id for h in got_lazy] == [r.doc_id for r in want]
+    # the anchor's own directory wins its tie group: the first hit sharing
+    # the anchor's score must share more leading components than the last
+    from gazetteer_search_spark.search.fastpath import _path_proximity_np
+    import numpy as np
+
+    paths = np.array([h.path for h in got_local], dtype=object)
+    prox = _path_proximity_np(paths, near)
+    scores = [round(h.score, 9) for h in got_local]
+    for i in range(1, len(got_local)):
+        if scores[i - 1] == scores[i]:
+            assert prox[i - 1] >= prox[i]  # prox descending within ties
+
+
+def test_near_path_with_cursor_rejected(local_eng):
+    with pytest.raises(ValueError):
+        local_eng._local.search_rung(
+            [_grp(0, ["postings"])], 1,
+            SearchOptions(k=5, near_path="a/b", after=(1.0, 2)),
+        )
