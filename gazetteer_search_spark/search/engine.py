@@ -586,7 +586,11 @@ class SearchEngine:
         return rows
 
     def search_response(
-        self, q: str | Query, options: SearchOptions | None = None
+        self,
+        q: str | Query,
+        options: SearchOptions | None = None,
+        mark: str | None = None,
+        verbose: bool = False,
     ) -> dict:
         """Full response envelope — the ResultsWrapper parity surface
         (api/ResultsWrapper.java:10-151 exposes parsed query, total hits,
@@ -601,6 +605,11 @@ class SearchEngine:
         - ``trimmed``: whether the P16 post-retrieval trim cut the page
         - ``matched_queries``: per-hit clause names decoded from the mask
         - ``answer_time_ms``: whole-ladder wall time
+        - ``mark``: opaque client token echoed back verbatim (the reference's
+          "mark" request header, ResultsWrapper.java:24,114-115)
+        - ``verbose``: attach full doc detail (commit, content_sha256) to
+          each hit — the verbose_address analog (SearchAPIAdapter
+          VERBOSE_ADDRESS); one point lookup for the <= k winners
         """
         import time as _time
 
@@ -611,7 +620,10 @@ class SearchEngine:
         query: Query = meta["query"]
         groups: list[TermGroup] = meta["groups"]
         full_page = len(rows) >= options.k
-        return {
+        detail: dict[int, dict] = {}
+        if verbose and rows:
+            detail = self._doc_detail([r.doc_id for r in rows])
+        out = {
             "query": query.original,
             "parsed_query": {
                 "tokens": [
@@ -639,10 +651,28 @@ class SearchEngine:
                     "path": r.path,
                     "lang": r.lang,
                     "matched_queries": matched_clause_names(r.matched_mask, groups),
+                    **detail.get(r.doc_id, {}),
                 }
                 for r in rows
             ],
         }
+        if mark is not None:
+            out["mark"] = mark
+        return out
+
+    def _doc_detail(self, ids: list[int]) -> dict[int, dict]:
+        """Full-detail columns for specific winners (verbose_address analog):
+        partition-pruned point read of the docs table, k rows."""
+        import pyarrow.dataset as ds_mod
+
+        dset = ds_mod.dataset(self.index.paths.docs, partitioning="hive")
+        cols = [
+            c for c in ("doc_id", "commit", "content_sha256", "ref_count")
+            if c in dset.schema.names
+        ]
+        f = ds_mod.field("doc_id").isin([int(i) for i in ids])
+        tbl = dset.to_table(filter=f, columns=cols).to_pylist()
+        return {int(r["doc_id"]): {k: v for k, v in r.items() if k != "doc_id"} for r in tbl}
 
     def _search_ladder(
         self, q: str | Query, options: SearchOptions | None = None

@@ -60,7 +60,18 @@ def _make_handler(engine, default_opts):
                     # LAT_PARAM/LON_PARAM): closer-in-the-tree wins ties
                     near_path=_one("near"),
                 )
-                self._send(200, engine.search_response(_one("q", ""), opts))
+                self._send(
+                    200,
+                    engine.search_response(
+                        _one("q", ""),
+                        opts,
+                        # mark: opaque client token echoed back (the
+                        # reference's "mark" header); verbose: full doc
+                        # detail per hit (verbose_address analog)
+                        mark=_one("mark"),
+                        verbose=_one("verbose", "false").lower() == "true",
+                    ),
+                )
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
 
