@@ -478,6 +478,12 @@ class SearchEngine:
     ) -> DataFrame:
         if self._local is not None:
             rows = self._local.search_rung(groups, msm, options)
+            if self.spark is None:
+                raise RuntimeError(
+                    "DataFrame results need a SparkSession — on a Spark-free "
+                    "serving engine use search_rung_rows/search_hits (the "
+                    "rows-level serving surface)"
+                )
             return self.spark.createDataFrame(rows, RESULT_SCHEMA)
         terms = sorted({t for g in groups for t in g.terms})
         if not terms:
@@ -662,7 +668,10 @@ class SearchEngine:
 
     def _doc_detail(self, ids: list[int]) -> dict[int, dict]:
         """Full-detail columns for specific winners (verbose_address analog):
-        partition-pruned point read of the docs table, k rows."""
+        partition-pruned point read of the docs table, k rows. On a
+        multi-generation engine this reads the BASE generation's docs —
+        segment-resident hits simply omit the extra keys (compaction
+        restores full coverage)."""
         import pyarrow.dataset as ds_mod
 
         dset = ds_mod.dataset(self.index.paths.docs, partitioning="hive")
