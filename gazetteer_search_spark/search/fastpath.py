@@ -101,6 +101,32 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+class DecodeCache(dict):
+    """(term, block_id) -> (doc_ids, scores) raw block decodes, bytes-aware
+    (16 B per cached posting: int64 id + float64 score). The kernel only
+    get/sets; the owner calls :meth:`trim` between queries (insertion-order
+    eviction — Python dicts preserve it, so this is FIFO, which is the right
+    cheap policy for append-mostly hot sets)."""
+
+    def __init__(self, max_bytes: int = 256 << 20):
+        super().__init__()
+        self.bytes = 0
+        self.max_bytes = max_bytes
+
+    def __setitem__(self, k, v):
+        old = self.get(k)
+        if old is not None:
+            self.bytes -= 16 * old[0].size
+        super().__setitem__(k, v)
+        self.bytes += 16 * v[0].size
+
+    def trim(self) -> None:
+        while self.bytes > self.max_bytes and len(self):
+            k = next(iter(self))
+            ids, _s = self.pop(k)
+            self.bytes -= 16 * ids.size
+
+
 class _Counter:
     """Duck-typed stand-in for a Spark accumulator (the WAND kernel calls
     ``.add``); single-process, so a plain int suffices."""
@@ -201,6 +227,10 @@ class LocalExecutor:
         self.doc_meta_cache_max = 200_000
         self._docs_ds = None
         self._n_doc_parts: int | None = None
+        # decoded-block cache shared across queries: repeated hot blocks
+        # skip the varbyte/f64 decode entirely (query-independent — weights
+        # and range/filter masks apply per call); trimmed between queries
+        self.decoded_cache = DecodeCache()
 
     # ---- lazy caches ---------------------------------------------------------
     def _load_term_stats(self) -> pd.DataFrame:
@@ -460,45 +490,53 @@ class LocalExecutor:
             return {}
         if self.lazy_payloads:
             # decode-all path needs every block of these terms: one batched
-            # payload round (same IO as eager mode — this path exists for
-            # filtered/sharded shapes where pruning is rank-unsafe anyway)
+            # payload round for the blocks the decode cache doesn't already
+            # hold (same IO as eager mode on a cold cache — this path exists
+            # for filtered/sharded shapes where pruning is rank-unsafe)
             bufs = self._payload_fetch(
-                list(zip(tbl["term"], (int(b) for b in tbl["block_id"])))
+                [
+                    p
+                    for p in zip(tbl["term"], (int(b) for b in tbl["block_id"]))
+                    if p not in self.decoded_cache
+                ]
             )
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, sub in tbl.groupby("term"):
             self.counters.decoded.add(len(sub))
-            if self.lazy_payloads:
-                pay = [bufs[(term, int(b))] for b in sub["block_id"]]
-                id_bufs = [p[0] for p in pay]
-                sc_bufs = [p[1] for p in pay]
-            else:
-                id_bufs = list(sub["doc_ids_delta_varbyte"])
-                sc_bufs = list(sub["scores_f64"])
-            ids = np.concatenate(
-                [
-                    codec.delta_varbyte_decode(buf, int(n), int(mn))
-                    for buf, n, mn in zip(
-                        id_bufs, sub["doc_count"], sub["min_doc_id"]
-                    )
-                ]
-            )
-            sc = np.concatenate(
-                [
-                    np.asarray(codec.f64_decode(buf, int(n)))
-                    for buf, n in zip(sc_bufs, sub["doc_count"])
-                ]
-            )
+            id_parts, sc_parts = [], []
+            for row in sub.itertuples(index=False):
+                key = (term, int(row.block_id))
+                cached = self.decoded_cache.get(key)
+                if cached is not None:
+                    id_parts.append(cached[0])
+                    sc_parts.append(cached[1])
+                    continue
+                if self.lazy_payloads:
+                    buf, sbuf = bufs[key]
+                else:
+                    buf = row.doc_ids_delta_varbyte
+                    sbuf = row.scores_f64
+                ids_b = codec.delta_varbyte_decode(
+                    buf, int(row.doc_count), int(row.min_doc_id)
+                )
+                sc_b = np.asarray(codec.f64_decode(sbuf, int(row.doc_count)))
+                self.decoded_cache[key] = (ids_b, sc_b)
+                id_parts.append(ids_b)
+                sc_parts.append(sc_b)
+            ids = np.concatenate(id_parts)
+            sc = np.concatenate(sc_parts)
             if self.denied_ids is not None:
                 keep = self._not_denied(ids)
                 ids, sc = ids[keep], sc[keep]
             out[term] = (ids, sc)
+        self.decoded_cache.trim()
         return out
 
     def _not_denied(self, ids: np.ndarray) -> np.ndarray:
         d = self.denied_ids
         pos = np.minimum(np.searchsorted(d, ids), d.size - 1)
         return d[pos] != ids
+
 
     # ---- search --------------------------------------------------------------
     def group_parts(self, groups, options) -> list[tuple]:
@@ -588,8 +626,10 @@ class LocalExecutor:
             truncate=True, counters=self.counters,
             payload_fetch=self._payload_fetch if self.lazy_payloads else None,
             denied_ids=self.denied_ids,
+            decode_cache=self.decoded_cache,
         )
         out = kernel((0,), pdf)
+        self.decoded_cache.trim()
         return self._rank_and_hydrate(
             out["doc_id"].to_numpy(dtype=np.int64),
             out["score"].to_numpy(dtype=np.float64),
@@ -641,8 +681,11 @@ class LocalExecutor:
             truncate=truncate, counters=self.counters,
             payload_fetch=self._payload_fetch if self.lazy_payloads else None,
             denied_ids=self.denied_ids,
+            decode_cache=self.decoded_cache,
         )
-        return kernel((rng_id,), pdf)
+        out = kernel((rng_id,), pdf)
+        self.decoded_cache.trim()
+        return out
 
     def combine_parts(self, parts: list[tuple], groups, msm: int, options) -> list[Hit]:
         """Gate + filter + boost + rank over per-group partials (one shard's

@@ -136,6 +136,7 @@ def make_range_kernel(
     allowed_ids: np.ndarray | None = None,
     payload_fetch=None,
     denied_ids: np.ndarray | None = None,
+    decode_cache=None,
 ):
     """Build the applyInPandas kernel (closure over broadcast-size query
     metadata only). ``truncate=False`` when doc-level filters/boosts must be
@@ -158,7 +159,14 @@ def make_range_kernel(
     decode — the tombstone set of a multi-generation index (superseded doc
     versions, index/segments.py). Applying it at decode (like allowed_ids)
     keeps local truncation and theta pruning rank-safe: a dead doc's score
-    never enters a candidate list or the threshold."""
+    never enters a candidate list or the threshold.
+
+    ``decode_cache`` (serving path): a MutableMapping[(term, block_id) ->
+    (ids, scores)] holding RAW (unweighted, unclipped) block decodes — a
+    repeated query's hot blocks skip the varbyte/f64 decode entirely (the
+    caller owns sizing/eviction; masks and weights still apply per call, so
+    cached entries are query-independent). None on the distributed path
+    (task-lifetime kernels have no repeats to amortize)."""
     required_gids = sorted(g for g, (req, _) in group_meta.items() if req)
     all_gids = sorted(group_meta)
 
@@ -218,7 +226,12 @@ def make_range_kernel(
     def _prefetch(pairs: list[tuple[str, int]]) -> None:
         if payload_fetch is None or not pairs:
             return
-        need = [p for p in pairs if p not in _payload_cache]
+        need = [
+            p
+            for p in pairs
+            if p not in _payload_cache
+            and (decode_cache is None or p not in decode_cache)
+        ]
         if need:
             _payload_cache.update(payload_fetch(need))
 
@@ -237,23 +250,39 @@ def make_range_kernel(
         _count(int(keep.size), int(dead.sum()))
         if keep.size == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+        keys = None
+        raw_hits: dict[int, tuple] = {}
+        if decode_cache is not None or payload_fetch is not None:
+            terms_a = rows["term"].to_numpy()
+            bids_a = rows["block_id"].to_numpy()
+            keys = {int(i): (terms_a[i], int(bids_a[i])) for i in keep}
+        if decode_cache is not None:
+            for i in keep:
+                hit = decode_cache.get(keys[int(i)])
+                if hit is not None:
+                    raw_hits[int(i)] = hit
+        need = [i for i in keep if int(i) not in raw_hits]
         if payload_fetch is None:
             idb = rows["doc_ids_delta_varbyte"].to_numpy()
             scb = rows["scores_f64"].to_numpy()
-            bufs = {int(i): (idb[i], scb[i]) for i in keep}
+            bufs = {int(i): (idb[i], scb[i]) for i in need}
         else:
-            terms_a = rows["term"].to_numpy()
-            bids_a = rows["block_id"].to_numpy()
-            pairs = [(terms_a[i], int(bids_a[i])) for i in keep]
+            pairs = [keys[int(i)] for i in need]
             _prefetch(pairs)
             bufs = {
-                int(i): _payload_cache[p] for i, p in zip(keep, pairs)
+                int(i): _payload_cache[p] for i, p in zip(need, pairs)
             }
         ids_parts, sc_parts = [], []
         for i in keep:
-            buf, sbuf = bufs[int(i)]
-            ids = codec.delta_varbyte_decode(buf, int(cnts[i]), int(mns[i]))
-            sc = codec.f64_decode(sbuf, int(cnts[i]))
+            cached = raw_hits.get(int(i))
+            if cached is not None:
+                ids, sc = cached
+            else:
+                buf, sbuf = bufs[int(i)]
+                ids = codec.delta_varbyte_decode(buf, int(cnts[i]), int(mns[i]))
+                sc = codec.f64_decode(sbuf, int(cnts[i]))
+                if decode_cache is not None:
+                    decode_cache[keys[int(i)]] = (ids, sc)
             m = (ids >= lo) & (ids < hi)
             if id_lo is not None:
                 m &= (ids >= id_lo) & (ids <= id_hi)
@@ -368,16 +397,26 @@ def make_range_kernel(
 
         def _decode_block(g: int, bi: int) -> None:
             m = bmeta[g]
-            n = int(m["cnts"][bi])
-            if payload_fetch is None:
-                buf = m["idb"][bi]
-                sbuf = m["scb"][bi]
+            cached = (
+                decode_cache.get(_block_pair(g, bi))
+                if decode_cache is not None
+                else None
+            )
+            if cached is not None:
+                ids, sc = cached
             else:
-                pair = _block_pair(g, bi)
-                _prefetch([pair])  # no-op when a batch already pulled it
-                buf, sbuf = _payload_cache[pair]
-            ids = codec.delta_varbyte_decode(buf, n, int(m["mns_raw"][bi]))
-            sc = np.asarray(codec.f64_decode(sbuf, n))
+                n = int(m["cnts"][bi])
+                if payload_fetch is None:
+                    buf = m["idb"][bi]
+                    sbuf = m["scb"][bi]
+                else:
+                    pair = _block_pair(g, bi)
+                    _prefetch([pair])  # no-op when a batch already pulled it
+                    buf, sbuf = _payload_cache[pair]
+                ids = codec.delta_varbyte_decode(buf, n, int(m["mns_raw"][bi]))
+                sc = np.asarray(codec.f64_decode(sbuf, n))
+                if decode_cache is not None:
+                    decode_cache[_block_pair(g, bi)] = (ids, sc)
             keep = (ids >= lo) & (ids < hi)
             if allowed_ids is not None:
                 keep &= _allowed_mask(ids)
