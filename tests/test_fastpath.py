@@ -530,3 +530,25 @@ def test_near_path_with_cursor_rejected(local_eng):
             [_grp(0, ["postings"])], 1,
             SearchOptions(k=5, near_path="a/b", after=(1.0, 2)),
         )
+
+
+def test_decoded_block_cache_hits_and_bound(local_eng):
+    """Decoded-block cache: second identical query hits raw decodes (no new
+    entries), results identical; bytes bound evicts."""
+    ex = local_eng._local
+    ex.decoded_cache.clear()
+    ex.decoded_cache.bytes = 0
+    g = [_grp(0, ["postings"]), _grp(1, ["merge"])]
+    first = ex.search_rung(g, 2, SearchOptions(k=10))
+    n1, b1 = len(ex.decoded_cache), ex.decoded_cache.bytes
+    assert n1 > 0 and b1 > 0
+    second = ex.search_rung(g, 2, SearchOptions(k=10))
+    assert second == first
+    assert (len(ex.decoded_cache), ex.decoded_cache.bytes) == (n1, b1)
+    # force the bound: everything evicts down to the budget
+    ex.decoded_cache.max_bytes = 0
+    ex.decoded_cache.trim()
+    assert len(ex.decoded_cache) == 0 and ex.decoded_cache.bytes == 0
+    ex.decoded_cache.max_bytes = 256 << 20
+    # and a query still answers identically through an empty cache
+    assert ex.search_rung(g, 2, SearchOptions(k=10)) == first

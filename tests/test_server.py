@@ -78,3 +78,45 @@ def test_http_search_route(eng):
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_http_page_mark_verbose_sendq(eng):
+    """Offset paging (PAGE_PARAM), mark echo, verbose hit detail, and the
+    POST /sendq raw structured-query passthrough (SendQAPI analog)."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/search?q=alpha&size=6") as r:
+            full = json.loads(r.read())["hits"]
+        with urllib.request.urlopen(
+            f"{base}/search?q=alpha&size=3&page=2&mark=tok9&verbose=true"
+        ) as r:
+            env = json.loads(r.read())
+        assert env["page"] == 2 and env["mark"] == "tok9"
+        assert [h["doc_id"] for h in env["hits"]] == [
+            h["doc_id"] for h in full[3:6]
+        ]
+        assert all("content_sha256" in h for h in env["hits"])
+
+        body = json.dumps(
+            {
+                "groups": [
+                    {"group_id": 0, "terms": ["alpha"]},
+                    {"group_id": 1, "terms": ["beta"]},
+                ],
+                "msm": 2,
+                "k": 4,
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{base}/sendq", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            sq = json.loads(r.read())
+        assert 0 < len(sq["hits"]) <= 4
+        assert all("score" in h and "path" in h for h in sq["hits"])
+    finally:
+        srv.shutdown()
