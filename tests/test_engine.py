@@ -230,3 +230,55 @@ def test_transliteration_search_recall(spark, tmp_path_factory):
         for q in ("rezultat", "результат", "REZULTAT"):
             hits = eng.search_hits(q, SearchOptions(k=5, prefix=False, fuzzy=False))
             assert [h.doc_id for h in hits] == [5], q
+
+
+def test_path_proximity_three_way_equivalence(spark):
+    """near_path prox formula: Catalyst column == numpy serving twin ==
+    DuckDB split_part SQL on randomized path shapes (the oracle-equivalence
+    contract for the geo-distance-sort analog)."""
+    import random
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.search.engine import path_proximity_col
+    from gazetteer_search_spark.search.fastpath import _path_proximity_np
+
+    rng = random.Random(77)
+    comps = ["src", "pkg1", "pkg2", "mod", "a", "deep", "x7", "zz", "end"]
+
+    def rand_path():
+        return "/".join(rng.choice(comps) for _ in range(rng.randint(1, 10)))
+
+    for trial in range(6):
+        near = rand_path()
+        paths = [rand_path() for _ in range(40)]
+        want = _path_proximity_np(np.array(paths, dtype=object), near)
+
+        df = spark.createDataFrame([(p,) for p in paths], "path string")
+        got_spark = [
+            r.p
+            for r in df.select(
+                path_proximity_col(F.col("path"), near).alias("p")
+            ).collect()
+        ]
+        assert got_spark == want.tolist(), (trial, near)
+
+        prox_terms = []
+        for i in range(1, 9):
+            conj = " AND ".join(
+                f"split_part(path, '/', {j}) = split_part('{near}', '/', {j})"
+                for j in range(1, i + 1)
+            )
+            prox_terms.append(f"(CASE WHEN {conj} THEN 1 ELSE 0 END)")
+        con = duckdb.connect()
+        con.register("pths", pd.DataFrame({"path": paths}))
+        got_duck = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {' + '.join(prox_terms)} FROM pths"
+            ).fetchall()
+        ]
+        assert got_duck == want.tolist(), (trial, near)
