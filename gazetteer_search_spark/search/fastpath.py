@@ -503,23 +503,27 @@ class LocalExecutor:
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, sub in tbl.groupby("term"):
             self.counters.decoded.add(len(sub))
+            bids = sub["block_id"].to_numpy()
+            cnts = sub["doc_count"].to_numpy()
+            mns = sub["min_doc_id"].to_numpy()
+            idb = (
+                None if self.lazy_payloads
+                else sub["doc_ids_delta_varbyte"].to_numpy()
+            )
+            scb = None if self.lazy_payloads else sub["scores_f64"].to_numpy()
             id_parts, sc_parts = [], []
-            for row in sub.itertuples(index=False):
-                key = (term, int(row.block_id))
+            for i in range(len(sub)):
+                key = (term, int(bids[i]))
                 cached = self.decoded_cache.get(key)
                 if cached is not None:
                     id_parts.append(cached[0])
                     sc_parts.append(cached[1])
                     continue
-                if self.lazy_payloads:
-                    buf, sbuf = bufs[key]
-                else:
-                    buf = row.doc_ids_delta_varbyte
-                    sbuf = row.scores_f64
-                ids_b = codec.delta_varbyte_decode(
-                    buf, int(row.doc_count), int(row.min_doc_id)
+                buf, sbuf = (
+                    bufs[key] if self.lazy_payloads else (idb[i], scb[i])
                 )
-                sc_b = np.asarray(codec.f64_decode(sbuf, int(row.doc_count)))
+                ids_b = codec.delta_varbyte_decode(buf, int(cnts[i]), int(mns[i]))
+                sc_b = np.asarray(codec.f64_decode(sbuf, int(cnts[i])))
                 self.decoded_cache[key] = (ids_b, sc_b)
                 id_parts.append(ids_b)
                 sc_parts.append(sc_b)
