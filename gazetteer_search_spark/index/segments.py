@@ -331,6 +331,17 @@ def open_multi_search(index_dir: str, spark: SparkSession | None = None):
     return eng
 
 
+def live_view(spark: SparkSession, index_dir: str):
+    """(live_docs, live_postings) DataFrames across ALL generations — the
+    BATCH-analytics form of a multi-generation index: per-generation
+    anti-join against the union of newer tombstones, so every live doc
+    appears exactly once. ``live_postings`` rows are (term, doc_id, score,
+    tf) decoded content postings. Spark-side aggregations (term statistics,
+    dedup, exports) run on these without compacting first; interactive
+    search uses MultiExecutor; compaction consumes this same view."""
+    return _live_docs_and_tf(spark, index_dir)
+
+
 def _live_docs_and_tf(spark: SparkSession, index_dir: str):
     """(live_docs, live_content_tf) across generations: per-generation
     anti-join against the union of newer tombstones, postings decoded with

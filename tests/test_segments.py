@@ -301,3 +301,34 @@ def test_streaming_ingest_two_batches(spark, base, tmp_path_factory):
     assert len(two) == 25
     # gen-one versions of docs 25..49 are superseded by gen two
     assert len(one) == 25 and len({h.path for h in one + two}) == 50
+
+
+def test_live_view_batch_analytics(spark, base, tmp_path_factory):
+    """live_view: Spark-side batch analytics over a multi-generation index
+    without compaction — each live doc exactly once, superseded postings
+    absent, new-generation terms present."""
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_live"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    segments.add_segment(spark, _v(corpus0, 0, 40, "v2", "liveviewmarker"), root, n_buckets=4)
+
+    docs, postings = segments.live_view(spark, root)
+    assert docs.count() == N
+    assert docs.select("doc_id").distinct().count() == N
+    # superseded versions carry no postings; the new term does
+    marker_docs = (
+        postings.filter(F.col("term") == "liveviewmarker")
+        .select("doc_id").distinct().count()
+    )
+    assert marker_docs == 40
+    # per-term df over the live view matches a per-doc distinct count
+    df_merge = (
+        postings.filter(F.col("term") == "merge")
+        .select("doc_id").distinct().count()
+    )
+    live_paths = {r.path for r in docs.select("path").collect()}
+    assert len(live_paths) == N  # one live doc per (repo,path)
+    assert df_merge > 0
