@@ -332,3 +332,33 @@ def test_live_view_batch_analytics(spark, base, tmp_path_factory):
     live_paths = {r.path for r in docs.select("path").collect()}
     assert len(live_paths) == N  # one live doc per (repo,path)
     assert df_merge > 0
+
+
+def test_near_sort_across_generations(spark, base, tmp_path_factory):
+    """near_path proximity merge over generations: per-sub hits interleave
+    under the (score, prox, doc_id) key, identical to the same-corpus
+    single-generation ordering contract (prox descending within ties)."""
+    import numpy as np
+
+    from gazetteer_search_spark.search.fastpath import _path_proximity_np
+
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_near"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    segments.add_segment(spark, _v(corpus0, 0, 40, "v2"), root, n_buckets=4)
+
+    multi = segments.open_multi_search(root)
+    near = multi._local.subs[0]._load_docs()["path"][3]
+    opts = SearchOptions(k=25, prefix=False, fuzzy=False, near_path=str(near))
+    hits = multi.search_hits("merge postings", opts)
+    assert hits
+    prox = _path_proximity_np(
+        np.array([h.path for h in hits], dtype=object), str(near)
+    )
+    scores = [round(h.score, 9) for h in hits]
+    for i in range(1, len(hits)):
+        if scores[i - 1] == scores[i]:
+            assert prox[i - 1] >= prox[i], (i, hits[i - 1], hits[i])
