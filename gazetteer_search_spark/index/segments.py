@@ -103,20 +103,24 @@ def _append_seg_manifest(index_dir: str, row: dict) -> None:
 def frozen_stats_from_base(spark: SparkSession, index_dir: str) -> FrozenStats:
     """Freeze the base index's scoring universe for a segment build: the
     persisted term dictionary (df incl. field:term rows), corpus stats, and
-    per-field average lengths."""
+    per-field average lengths. The tiny driver-side stats read via pyarrow
+    (no Spark job — micro-batch ingest pays this per batch); only the term
+    dictionary stays a DataFrame (it joins distributed)."""
+    import pyarrow.dataset as ds_mod
+
     paths = IndexPaths(index_dir)
-    cs = spark.read.parquet(paths.corpus_stats).collect()[0]
+    cs = ds_mod.dataset(paths.corpus_stats).to_table().to_pylist()[0]
     field_avg = {}
     fs_path = paths.root + "/field_stats"
     if os.path.exists(os.path.join(fs_path, "_SUCCESS")):
         field_avg = {
-            r.field: float(r.avg_len)
-            for r in spark.read.parquet(fs_path).collect()
+            r["field"]: float(r["avg_len"])
+            for r in ds_mod.dataset(fs_path).to_table().to_pylist()
         }
     return FrozenStats(
         term_df=spark.read.parquet(paths.term_stats).select("term", "df"),
-        n_docs=int(cs.n_docs),
-        avg_dl=float(cs.avg_doc_len),
+        n_docs=int(cs["n_docs"]),
+        avg_dl=float(cs["avg_doc_len"]),
         field_avg=field_avg,
     )
 
@@ -197,7 +201,10 @@ def add_segment(
     dead.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(seg_dir, "tombstones")
     )
-    n_dead = spark.read.parquet(os.path.join(seg_dir, "tombstones")).count()
+    # row count from the written parquet FOOTERS — no read-back Spark job
+    import pyarrow.dataset as ds_mod
+
+    n_dead = ds_mod.dataset(os.path.join(seg_dir, "tombstones")).count_rows()
 
     import pandas as pd
 
