@@ -552,3 +552,36 @@ def test_decoded_block_cache_hits_and_bound(local_eng):
     ex.decoded_cache.max_bytes = 256 << 20
     # and a query still answers identically through an empty cache
     assert ex.search_rung(g, 2, SearchOptions(k=10)) == first
+
+
+def test_serving_caches_bounded_under_churn(spark, index):
+    """Long-lived serving node: all four per-executor caches (expansion memo,
+    block cache, payload LRU, decoded-block cache, doc-meta LRU) hold their
+    bounds across hundreds of distinct queries — memory stays flat."""
+    from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+    ex = LocalExecutor(index, lazy_payloads=True)
+    ex._expand_cache_max = 64
+    ex.block_cache_max_bytes = 1 << 20
+    ex.decoded_cache.max_bytes = 1 << 20
+    ex.doc_meta_cache_max = 500
+    vocab = [
+        "postings", "merge", "score", "index", "block", "def", "return",
+        "buffer", "stream", "checkpoint", "public", "static", "class",
+    ]
+    import random
+
+    rng = random.Random(9)
+    for i in range(300):
+        t1, t2 = rng.sample(vocab, 2)
+        ex.search_rung(
+            [_grp(0, [t1]), _grp(1, [t2])], rng.choice([1, 2]),
+            SearchOptions(k=rng.choice([5, 10])),
+        )
+        ex.expand_prefix(f"pfx{i}")
+    assert len(ex._expand_cache) <= 64
+    assert ex.decoded_cache.bytes <= ex.decoded_cache.max_bytes
+    assert len(ex._doc_meta_cache) <= 500
+    # block cache: bytes accounting may exceed transiently mid-query but the
+    # steady state respects the bound (eviction keeps current-query terms)
+    assert ex._block_cache_bytes <= ex.block_cache_max_bytes + (1 << 20)
