@@ -362,3 +362,47 @@ def test_near_sort_across_generations(spark, base, tmp_path_factory):
     for i in range(1, len(hits)):
         if scores[i - 1] == scores[i]:
             assert prox[i - 1] >= prox[i], (i, hits[i - 1], hits[i])
+
+
+def test_sharded_generation_inside_multi_tier(spark, base, tmp_path_factory):
+    """Tier composition: generation 0 served by two term-bucket SHARDS
+    (with tombstone masks), cross-generation merge on top — identical to
+    the plain MultiExecutor answer. This is the full production shape:
+    shards within a generation, generations within the tier."""
+    from gazetteer_search_spark.search.fastpath import (
+        LocalExecutor,
+        sharded_search_rung,
+    )
+
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_shard"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    segments.add_segment(spark, _v(corpus0, 0, 50, "v2", "shardmarker"), root, n_buckets=4)
+
+    multi = segments.MultiExecutor(root)
+    gen0, gen1 = multi.subs
+    n_b = gen0.index.n_buckets
+    shards = [
+        LocalExecutor(
+            gen0.index, buckets=list(range(n_b // 2)),
+            denied_ids=gen0.denied_ids,
+        ),
+        LocalExecutor(
+            gen0.index, buckets=list(range(n_b // 2, n_b)),
+            denied_ids=gen0.denied_ids,
+        ),
+    ]
+    g = [
+        TermGroup(group_id=0, terms=("merge",), required=True, weight=1.0),
+        TermGroup(group_id=1, terms=("postings",), required=True, weight=1.0),
+    ]
+    for msm in (1, 2):
+        opts = SearchOptions(k=15)
+        want = multi.search_rung(g, msm, opts)
+        hits0 = sharded_search_rung(shards, g, msm, opts)
+        hits1 = gen1.search_rung(g, msm, opts)
+        got = segments.MultiExecutor._merge([hits0, hits1], opts)
+        assert got == want, msm
