@@ -79,7 +79,9 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             # name key for the persisted by_name_agg_index analog: the path's
             # directory part ('docs/<w1>/<w2>') — docs opening with the same
             # two words share a "name" and collapse under distinct=True
-            name_key=F.regexp_extract(F.col("path"), "^(.*)/[^/]*$", 1),
+            # SQL-string form: persisted in index_meta.json so segments and
+            # compactions key name_ordinal identically (ADVICE r3)
+            name_key="regexp_extract(path, '^(.*)/[^/]*$', 1)",
         )
         # serving=True: the driver's correctness gate runs the PRODUCT serving
         # path (driver-side pruned-parquet lookups, rank-identical to the
@@ -385,10 +387,14 @@ _PREFIX_GRP = (
     "ORDER BY df DESC, term LIMIT 128)"
 )
 
+# damerau_levenshtein: DuckDB's native Damerau distance — at threshold 1 it
+# coincides exactly with OSA and with the engine's levenshtein-OR-adjacent-
+# transposition decomposition (engine.transpositions), so all three fuzzy
+# implementations agree (ES fuzziness=1 counts "teh"->"the" as ONE edit)
 _FUZZY_GRP = (
     "SELECT term, {gid} AS group_id, TRUE AS required, 1.0 AS weight FROM ("
     "SELECT term, df FROM dfreq WHERE length(term) BETWEEN {lo} AND {hi} "
-    "AND levenshtein(term, '{t}') <= 1 ORDER BY df DESC, term LIMIT 32)"
+    "AND damerau_levenshtein(term, '{t}') <= 1 ORDER BY df DESC, term LIMIT 32)"
 )
 
 
@@ -432,6 +438,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         eng = _engine(spark, sf)
         g = [_grp(0, ["merje"] + eng.expand_fuzzy("merje"))]
         return _topk_out(eng.search_rung(g, 1, SearchOptions()))
+
+    def fuzzy_osa(spark, sf):  # Damerau/OSA fuzziness: ES fuzziness=1 counts
+        # an adjacent TRANSPOSITION ("mrege"->"merge") as ONE edit — plain
+        # Levenshtein costs it 2 and misses (VERDICT r3 Missing #2); the
+        # oracle uses DuckDB's native damerau_levenshtein
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["mrege"] + eng.expand_fuzzy("mrege"))]
+        return _topk_out(eng.search_rung(g, 1, SearchOptions()))
+
+    def tag_stats(spark, sf):  # generic tag-statistics agg over an arbitrary
+        # metadata column (TagStatisticsAPI.java:44-100 analog); served over
+        # HTTP as GET /stats?key=
+        return textstats.tag_statistics(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            "source",
+            min_doc_count=2,
+            size=10,
+        )
 
     def optional_demotion(spark, sf):  # optional-term machinery analog (A6)
         g = [_grp(0, ["the"], required=False, weight=0.5), _grp(1, ["merge"])]
@@ -604,6 +628,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dis_max=dis_max,
         prefix=prefix,
         fuzzy_1=fuzzy_1,
+        fuzzy_osa=fuzzy_osa,
+        tag_stats=tag_stats,
         optional_demotion=optional_demotion,
         static_boost=static_boost,
         lang_filter=lang_filter,
@@ -965,6 +991,18 @@ def oracle_sql() -> dict[str, str]:
         + _FUZZY_GRP.format(gid=0, lo=4, hi=6, t="merje"),
         1,
     )
+    o["fuzzy_osa"] = _search_sql(
+        _values_groups([("mrege", 0, True, 1.0)])
+        + " UNION ALL "
+        + _FUZZY_GRP.format(gid=0, lo=4, hi=6, t="mrege"),
+        1,
+    )
+    o["tag_stats"] = """
+SELECT CAST(source AS VARCHAR) AS value, COUNT(*)::BIGINT AS doc_count
+FROM documents WHERE source IS NOT NULL
+GROUP BY 1 HAVING COUNT(*) >= 2
+ORDER BY doc_count DESC, value ASC LIMIT 10
+"""
     o["optional_demotion"] = _search_sql(
         _values_groups([("the", 0, False, 0.5), ("merge", 1, True, 1.0)]), 1
     )

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import os
 import zlib
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterable
 
 import numpy as np
@@ -119,6 +119,45 @@ def _write_manifest_rows(manifest_dir: str, rows: list[tuple]) -> None:
     open(os.path.join(manifest_dir, "_SUCCESS"), "a").close()
 
 
+def _pkg_version() -> str:
+    from gazetteer_search_spark import __version__
+
+    return __version__
+
+
+# default name_ordinal key (SQL expression over the docs columns): lowercased
+# path basename — the by_name_agg_index analog's name normalization
+DEFAULT_NAME_KEY_SQL = "lower(element_at(split(path, '/'), -1))"
+
+
+def _write_index_meta(root: str, meta: dict) -> None:
+    """Persist small index-level metadata (format version, n_doc_parts, the
+    name-key SQL, analyzer-rules hash) as one JSON file. Readable without
+    Spark OR pyarrow — the serving tier and segment builds both need it
+    (ADVICE r3: the doc-partition modulus and the name-key definition were
+    previously inferred/defaulted per generation, which is wrong for sparse
+    segments and custom-keyed bases)."""
+    import json
+
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, "index_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(root, "index_meta.json"))
+
+
+def read_index_meta(root: str) -> dict:
+    """Index metadata dict; {} for pre-0.6 indexes (callers use legacy
+    fallbacks: no doc_part pushdown clause, default name key)."""
+    import json
+
+    p = os.path.join(root, "index_meta.json")
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
 def term_bucket_py(term: str, n_buckets: int) -> int:
     """crc32-based bucket — identical to the Spark-side expression, so the
     driver can prune partitions for query terms without touching the cluster."""
@@ -167,6 +206,13 @@ class Index:
     # to scan the docs table for it (VERDICT r1: wand_topk ran a full
     # docs.agg(max) job per query)
     max_doc_id: int = 0
+    # persisted in index_meta.json (ADVICE r3 high: partitionBy materializes
+    # only non-empty doc_part dirs, so the modulus must never be inferred
+    # from the directory listing — a sparse segment would get it wrong and
+    # silently drop hits). None = pre-0.6 index: no doc_part pushdown clause.
+    n_doc_parts: int | None = None
+    # full metadata dict (name_key_sql, analyzer_hash, ...)
+    meta: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -254,9 +300,10 @@ def build_index(
     fail_after_commits: int | None = None,
     extra_fields: dict[str, str] | None = None,
     n_doc_parts: int = 16,
-    name_key=None,
+    name_key: str | None = None,
     score_stats: FrozenStats | None = None,
     docs_full: DataFrame | None = None,
+    extra_meta: dict | None = None,
 ) -> Index:
     """Build (or resume) the full index under ``out_dir``.
 
@@ -264,7 +311,8 @@ def build_index(
     buckets in one shuffle job). ``fail_after_commits`` is the fault-injection
     hook for the kill/resume test (FIXTURES.md §5).
 
-    ``name_key`` (Column expression, default: lowercased path basename) keys
+    ``name_key`` (SQL expression string over the docs columns, default
+    ``DEFAULT_NAME_KEY_SQL`` = lowercased path basename) keys
     the persisted ``name_ordinal`` docs column — the reference's
     ``by_name_agg_index`` computed at import (imp/addr/
     ImportObjectParser.java:215-237): ordinal of the doc among all docs
@@ -330,13 +378,31 @@ def build_index(
     # partitions containing touched docs. ref_count is the maintained derived
     # column (the streets-usage analog, UpdateStreetsUsage.java:104-113),
     # defaulted at import so every partition shares one schema.
+    if name_key is None:
+        name_key = DEFAULT_NAME_KEY_SQL
+    if not isinstance(name_key, str):
+        raise TypeError(
+            "build_index: name_key must be a SQL expression STRING — it is "
+            "persisted in index_meta.json so segment builds and compactions "
+            "key name_ordinal identically to the base (ADVICE r3)"
+        )
+    # persisted index-level metadata; written up-front so even a build killed
+    # mid-way resumes with the same key/partitioning decisions
+    _write_index_meta(
+        out_dir,
+        {
+            "format": _pkg_version(),
+            "n_buckets": int(n_buckets),
+            "n_doc_parts": int(n_doc_parts),
+            "name_key_sql": name_key,
+            **(extra_meta or {}),
+        },
+    )
     docs_done = resume and _exists(spark, paths.docs)
     if not docs_done:
-        if name_key is None:
-            name_key = F.lower(F.element_at(F.split(F.col("path"), "/"), -1))
         # nulls get a per-doc unique key so they never collapse together
         nk = F.coalesce(
-            name_key.cast("string"),
+            F.expr(name_key).cast("string"),
             F.concat(F.lit("\x00"), F.col("doc_id").cast("string")),
         )
         from pyspark.sql import Window as _W
@@ -596,10 +662,11 @@ def build_index(
 
 def load_index(spark: SparkSession, out_dir: str, n_buckets: int | None = None) -> Index:
     paths = IndexPaths(out_dir)
+    meta = read_index_meta(out_dir)
     cs = spark.read.parquet(paths.corpus_stats).collect()[0]
     postings = spark.read.parquet(paths.postings)
     if n_buckets is None:
-        n_buckets = (
+        n_buckets = meta.get("n_buckets") or (
             spark.read.parquet(paths.manifest)
             .agg(F.max("partition_id"))
             .collect()[0][0]
@@ -614,6 +681,8 @@ def load_index(spark: SparkSession, out_dir: str, n_buckets: int | None = None) 
         avg_doc_len=float(cs.avg_doc_len),
         n_buckets=n_buckets,
         max_doc_id=int(cs.max_doc_id),
+        n_doc_parts=meta.get("n_doc_parts"),
+        meta=meta,
     )
 
 
@@ -627,7 +696,10 @@ def load_index_local(out_dir: str, n_buckets: int | None = None) -> Index:
     import pyarrow.dataset as ds_mod
 
     paths = IndexPaths(out_dir)
+    meta = read_index_meta(out_dir)
     cs = ds_mod.dataset(paths.corpus_stats).to_table().to_pylist()[0]
+    if n_buckets is None:
+        n_buckets = meta.get("n_buckets")
     if n_buckets is None:
         import pyarrow.compute as pc
 
@@ -642,6 +714,8 @@ def load_index_local(out_dir: str, n_buckets: int | None = None) -> Index:
         avg_doc_len=float(cs["avg_doc_len"]),
         n_buckets=n_buckets,
         max_doc_id=int(cs["max_doc_id"]),
+        n_doc_parts=meta.get("n_doc_parts"),
+        meta=meta,
     )
 
 

@@ -174,6 +174,11 @@ def add_segment(
                 r.field: r.source_col
                 for r in spark.read.parquet(fs_path).collect()
             }
+    # the base's persisted name-key SQL keys this segment's name_ordinal the
+    # SAME way (ADVICE r3: a custom-keyed base must not get default-keyed
+    # segments — distinct=True would then collapse by a different key per
+    # generation)
+    base_meta = b.read_index_meta(index_dir)
     idx = b.build_index(
         spark,
         corpus,
@@ -183,6 +188,7 @@ def add_segment(
         postings_per_group=postings_per_group,
         extra_fields=extra_fields or None,
         score_stats=frozen,
+        name_key=base_meta.get("name_key_sql"),
     )
 
     # tombstones: older docs sharing an upsert key with this batch. One
@@ -432,24 +438,35 @@ def compact(
         postings_per_group=postings_per_group,
         extra_fields=extra_fields,
         docs_full=docs_full,
+        # compaction re-derives the global name_ordinal under the SAME key
+        # definition the base was built with (ADVICE r3)
+        name_key=b.read_index_meta(index_dir).get("name_key_sql"),
     )
 
 
 def promote(index_dir: str, compacted_dir: str, keep_backup: bool = True) -> str:
-    """ImportMode.swap analog (imp/ImportMode.java): atomically replace the
+    """ImportMode.swap analog (imp/ImportMode.java): replace the
     multi-generation index at ``index_dir`` with the compacted single index
-    at ``compacted_dir``. The old tree (base + segments) is renamed aside —
-    two directory renames on the same filesystem, so a reader either sees
-    the old tree or the new one, never a half-state; long-lived serving
+    at ``compacted_dir``. The new tree is first STAGED as a sibling of the
+    target (one same-filesystem rename — any cleanup/copy cost is paid
+    before the old tree is touched), then two back-to-back renames swap it
+    in. A reader never sees a HALF-state (each rename is atomic), but
+    between the two renames ``index_dir`` briefly does not exist — a
+    concurrently *opening* reader must retry on ENOENT (POSIX rename cannot
+    exchange two directories atomically; ADVICE r3). Long-lived serving
     executors keep their open handles on the renamed backup until they
     re-open. Returns the backup path ('' if discarded)."""
     import shutil as _sh
 
     backup = index_dir.rstrip("/") + ".pregen"
-    if os.path.exists(backup):
-        _sh.rmtree(backup)
+    staged = index_dir.rstrip("/") + ".next"
+    for p in (backup, staged):
+        if os.path.exists(p):
+            _sh.rmtree(p)
+    os.rename(compacted_dir, staged)
+    # unavailability window: exactly these two renames
     os.rename(index_dir, backup)
-    os.rename(compacted_dir, index_dir)
+    os.rename(staged, index_dir)
     if not keep_backup:
         _sh.rmtree(backup)
         return ""

@@ -71,6 +71,25 @@ def fingerprint(text: Column) -> Column:
     return F.md5(canon)
 
 
+def tag_statistics(
+    df: DataFrame, key: str, min_doc_count: int = 1, size: int = 10
+) -> DataFrame:
+    """Terms aggregation over an arbitrary metadata column with
+    minDocCount/size — the generic tag-statistics endpoint's distributed
+    form (reference api/stats/TagStatisticsAPI.java:44-100: terms agg over
+    any ``more_tags.*`` key). Buckets ordered (doc_count desc, value asc),
+    nulls excluded, the ES terms-agg contract. One hash-agg shuffle on the
+    key plus a tiny global top-``size`` — scale-safe at any cardinality."""
+    return (
+        df.filter(F.col(key).isNotNull())
+        .groupBy(F.col(key).cast("string").alias("value"))
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") >= min_doc_count)
+        .orderBy(F.col("doc_count").desc(), F.col("value").asc())
+        .limit(size)
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     return df.select(

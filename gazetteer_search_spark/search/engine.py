@@ -124,6 +124,19 @@ class TermGroup:
         return out
 
 
+def transpositions(term: str) -> set[str]:
+    """All distinct strings one ADJACENT TRANSPOSITION away from ``term``
+    (excluding term itself). OSA distance <= 1 == Levenshtein <= 1 OR
+    membership here — the decomposition all three fuzzy implementations
+    (Spark dictionary join, serving fastpath, DuckDB oracle via its native
+    damerau_levenshtein) agree on."""
+    return {
+        term[:i] + term[i + 1] + term[i] + term[i + 2 :]
+        for i in range(len(term) - 1)
+        if term[i] != term[i + 1]
+    }
+
+
 GROUPS_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -409,16 +422,25 @@ class SearchEngine:
         return [r.term for r in rows]
 
     def expand_fuzzy(self, term: str) -> list[str]:
-        """Damerau-ish edit-distance<=1 expansion against the term dictionary
-        (P15, fuzziness "1" at MainAddressQueryBuilder.java:291-293). A join
-        against the (small) dict, never a corpus scan; length pruning keeps it
-        a partial scan."""
+        """Damerau (OSA) edit-distance<=1 expansion against the term
+        dictionary (P15; ES ``fuzziness=1`` counts a TRANSPOSITION as one
+        edit, MainAddressQueryBuilder.java:291-293 — plain Levenshtein would
+        cost "teh"->"the" two edits and miss the most common typo class).
+        OSA<=1 decomposes exactly as Levenshtein<=1 OR membership in the
+        term's adjacent-transposition set — the transposition half is a
+        GENERATED IN-list equality predicate (n-1 strings from the query
+        term), not a per-row distance UDF, so the whole expansion stays one
+        pruned dictionary scan with native predicates."""
         if self._local is not None:
             return self._local.expand_fuzzy(term)
         n = len(term)
+        trans = transpositions(term)
+        cond = F.levenshtein(F.col("term"), F.lit(term)) <= 1
+        if trans:
+            cond = cond | F.col("term").isin(sorted(trans))
         rows = (
             self._term_stats.filter(F.length("term").between(n - 1, n + 1))
-            .filter(F.levenshtein(F.col("term"), F.lit(term)) <= 1)
+            .filter(cond)
             .orderBy(F.col("df").desc(), F.col("term"))
             .limit(MAX_FUZZY_EXPANSIONS)
             .select("term")
@@ -477,13 +499,16 @@ class SearchEngine:
         self, groups: list[TermGroup], msm: int, options: SearchOptions
     ) -> DataFrame:
         if self._local is not None:
-            rows = self._local.search_rung(groups, msm, options)
             if self.spark is None:
+                # raise BEFORE running the search — the full local search
+                # would be wasted work with the error arriving late (ADVICE
+                # r3)
                 raise RuntimeError(
                     "DataFrame results need a SparkSession — on a Spark-free "
                     "serving engine use search_rung_rows/search_hits (the "
                     "rows-level serving surface)"
                 )
+            rows = self._local.search_rung(groups, msm, options)
             return self.spark.createDataFrame(rows, RESULT_SCHEMA)
         terms = sorted({t for g in groups for t in g.terms})
         if not terms:
@@ -665,6 +690,37 @@ class SearchEngine:
         if mark is not None:
             out["mark"] = mark
         return out
+
+    def tag_stats(
+        self, key: str, min_doc_count: int = 1, size: int = 10
+    ) -> list[dict]:
+        """Histogram over an arbitrary docs metadata column — the generic
+        tag-statistics agg (reference api/stats/TagStatisticsAPI.java:44-100:
+        terms agg over any ``more_tags.*`` key with minDocCount/size).
+        Buckets ordered (doc_count desc, value asc), nulls excluded, exactly
+        the ES terms-agg contract. Runs as one single-column pruned parquet
+        scan via pyarrow — works identically on Spark-backed and Spark-free
+        serving engines (a 100-TB deployment would run the same agg as a
+        Spark groupBy; ``operators.textstats.tag_statistics`` is that form)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds_mod
+
+        dset = ds_mod.dataset(self.index.paths.docs, partitioning="hive")
+        if key not in dset.schema.names:
+            raise ValueError(
+                f"unknown docs column {key!r}; available: "
+                f"{sorted(dset.schema.names)}"
+            )
+        vc = pc.value_counts(dset.to_table(columns=[key])[key])
+        buckets = [
+            {"value": v, "doc_count": int(c)}
+            for v, c in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            )
+            if v is not None and int(c) >= min_doc_count
+        ]
+        buckets.sort(key=lambda b: (-b["doc_count"], str(b["value"])))
+        return buckets[:size]
 
     def _doc_detail(self, ids: list[int]) -> dict[int, dict]:
         """Full-detail columns for specific winners (verbose_address analog):

@@ -87,7 +87,8 @@ def _path_proximity_np(paths: np.ndarray, near: str) -> np.ndarray:
 
 def _levenshtein(a: str, b: str) -> int:
     """Classic edit distance — same function as Spark's levenshtein and
-    DuckDB's (the fuzzy oracle)."""
+    DuckDB's. The fuzzy expansion combines it with the adjacent-transposition
+    set (engine.transpositions) for OSA/Damerau<=1 semantics."""
     if a == b:
         return 0
     if len(a) < len(b):
@@ -279,20 +280,24 @@ class LocalExecutor:
             self._docs_ds = ds_mod.dataset(
                 self.index.paths.docs, partitioning="hive"
             )
-            self._n_doc_parts = 1 + max(
-                (
-                    int(f.split("doc_part=")[1].split("/")[0])
-                    for f in self._docs_ds.files
-                    if "doc_part=" in f
-                ),
-                default=0,
-            )
+            # the modulus comes from index_meta.json (persisted at build) —
+            # NEVER inferred from the partition directory listing, because
+            # partitionBy materializes only non-empty partitions: a sparse
+            # segment missing residue 15 would yield modulus 15, point the
+            # pushdown at the wrong partition, and silently drop hits
+            # (ADVICE r3 high). Pre-0.6 indexes (no meta): no doc_part
+            # clause — the doc_id row filter alone is still correct, just
+            # unpruned.
+            self._n_doc_parts = self.index.n_doc_parts
         want = list(dict.fromkeys(int(x) for x in ids))
         need = [i for i in want if i not in self._doc_meta_cache]
         if need:
-            parts = sorted({i % self._n_doc_parts for i in need})
             f = ds_mod.field("doc_id").isin(need)
-            if "doc_part" in self._docs_ds.schema.names:
+            if (
+                self._n_doc_parts
+                and "doc_part" in self._docs_ds.schema.names
+            ):
+                parts = sorted({i % self._n_doc_parts for i in need})
                 f &= ds_mod.field("doc_part").isin(parts)
             tbl = self._docs_ds.to_table(
                 filter=f, columns=["doc_id", "repo", "path", "lang"]
@@ -336,13 +341,22 @@ class LocalExecutor:
     def expand_fuzzy(self, term: str) -> list[str]:
         key = ("f", term)
         if key not in self._expand_cache:
+            from gazetteer_search_spark.search.engine import transpositions
+
             ts = self._load_term_stats()
             n = len(term)
             lens = ts["term"].str.len()
             cand = ts[
                 (lens >= n - 1) & (lens <= n + 1) & ~ts["term"].str.contains(":")
             ]
-            keep = [_levenshtein(t, term) <= 1 for t in cand["term"].tolist()]
+            # OSA <= 1 (ES fuzziness=1 counts a transposition as one edit):
+            # Levenshtein <= 1 OR adjacent-transposition membership — same
+            # decomposition as the Spark path and the DuckDB oracle
+            trans = transpositions(term)
+            keep = [
+                _levenshtein(t, term) <= 1 or t in trans
+                for t in cand["term"].tolist()
+            ]
             cand = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
             cand = cand.sort_values(["df", "term"], ascending=[False, True])
             self._cache_put(key, cand["term"].head(MAX_FUZZY_EXPANSIONS).tolist())

@@ -22,34 +22,143 @@ Routes:
            bypassing the analyzer ladder — the SendQAPI analog
            (api/SendQAPI.java wraps a raw ES query body verbatim;
            REServerRoutes.java:69)
+    GET /stats?key=lang&min_doc_count=1&size=10
+        -> histogram over an arbitrary docs metadata column — the generic
+           tag-statistics endpoint (api/stats/TagStatisticsAPI.java:44-100
+           serves aggs over arbitrary more_tags.* keys with
+           minDocCount/size)
     GET /healthz -> {"ok": true}
+
+Hardening parity (``make_server`` kwargs):
+    ``auth="user:pass"``   HTTP Basic auth on every route except /healthz —
+                           the BasikAuthPreprocessor analog
+                           (server/BasikAuthPreprocessor.java)
+    ``cors_origin="*"``    Access-Control-Allow-Origin on every response —
+                           the AllowOriginPP analog
+                           (server/postprocessor/AllowOriginPP.java)
+    Last-Modified          sent on every 200 from the index build time
+                           (index_meta.json mtime), with If-Modified-Since
+                           -> 304 — the LastModifiedHeaderPostprocessor
+                           analog
+
+Concurrency: ThreadingHTTPServer accepts connections concurrently, but the
+engine's LocalExecutor caches (block/payload/expansion/doc-meta LRUs, byte
+counters) are single-threaded state — every engine call is serialized behind
+one lock (ADVICE r3: concurrent eviction races could pop a term another
+request was reading). IO-bound handlers (slow clients) still overlap; a
+multi-core serving node runs one process per shard, as the sharding bench
+does.
 """
 
 from __future__ import annotations
 
+import base64
 import json
+import os
+import threading
 from dataclasses import replace
+from email.utils import formatdate, parsedate_to_datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
-def _make_handler(engine, default_opts):
+def _index_mtime(engine) -> float | None:
+    """Index build time for the Last-Modified header, from index metadata
+    file mtimes (works for both Spark-backed and Spark-free engines)."""
+    try:
+        root = engine.index.paths.root
+    except AttributeError:
+        return None
+    for rel in ("index_meta.json", "manifest/_SUCCESS", "corpus_stats/_SUCCESS"):
+        p = os.path.join(root, rel)
+        if os.path.exists(p):
+            return os.path.getmtime(p)
+    return None
+
+
+def _make_handler(engine, default_opts, auth=None, cors_origin=None):
+    lock = threading.Lock()
+    mtime = _index_mtime(engine)
+    last_modified = formatdate(mtime, usegmt=True) if mtime else None
+    auth_header = (
+        "Basic " + base64.b64encode(auth.encode("utf-8")).decode("ascii")
+        if auth
+        else None
+    )
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode("utf-8")
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if cors_origin:
+                self.send_header("Access-Control-Allow-Origin", cors_origin)
+            if last_modified and code == 200:
+                self.send_header("Last-Modified", last_modified)
             self.end_headers()
             self.wfile.write(body)
+
+        def _authorized(self) -> bool:
+            """Basic auth gate (except /healthz); 401 + WWW-Authenticate on
+            missing/wrong credentials, exactly the RestExpress preprocessor
+            contract."""
+            if auth_header is None:
+                return True
+            if self.headers.get("Authorization") == auth_header:
+                return True
+            body = b'{"error": "unauthorized"}'
+            self.send_response(401)
+            self.send_header("WWW-Authenticate", 'Basic realm="gss"')
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            if cors_origin:
+                self.send_header("Access-Control-Allow-Origin", cors_origin)
+            self.end_headers()
+            self.wfile.write(body)
+            return False
+
+        def _not_modified_short_circuit(self) -> bool:
+            """If-Modified-Since >= index build time -> 304 with no body (the
+            LastModifiedHeaderPostprocessor conditional-GET contract)."""
+            if not last_modified:
+                return False
+            ims = self.headers.get("If-Modified-Since")
+            if not ims:
+                return False
+            try:
+                if (
+                    parsedate_to_datetime(ims)
+                    >= parsedate_to_datetime(last_modified)
+                ):
+                    self.send_response(304)
+                    if cors_origin:
+                        self.send_header(
+                            "Access-Control-Allow-Origin", cors_origin
+                        )
+                    self.end_headers()
+                    return True
+            except (TypeError, ValueError):
+                return False
+            return False
 
         def do_GET(self) -> None:  # noqa: N802 — http.server API
             u = urlparse(self.path)
             if u.path == "/healthz":
                 self._send(200, {"ok": True})
                 return
+            if not self._authorized():
+                return
+            if u.path == "/stats":
+                self._do_stats(u)
+                return
             if u.path != "/search":
-                self._send(404, {"error": "not found", "routes": ["/search"]})
+                self._send(
+                    404,
+                    {"error": "not found", "routes": ["/search", "/stats"]},
+                )
+                return
+            if self._not_modified_short_circuit():
                 return
             qs = parse_qs(u.query)
 
@@ -76,15 +185,16 @@ def _make_handler(engine, default_opts):
                     # LAT_PARAM/LON_PARAM): closer-in-the-tree wins ties
                     near_path=_one("near"),
                 )
-                resp = engine.search_response(
-                    _one("q", ""),
-                    opts,
-                    # mark: opaque client token echoed back (the
-                    # reference's "mark" header); verbose: full doc
-                    # detail per hit (verbose_address analog)
-                    mark=_one("mark"),
-                    verbose=_one("verbose", "false").lower() == "true",
-                )
+                with lock:
+                    resp = engine.search_response(
+                        _one("q", ""),
+                        opts,
+                        # mark: opaque client token echoed back (the
+                        # reference's "mark" header); verbose: full doc
+                        # detail per hit (verbose_address analog)
+                        mark=_one("mark"),
+                        verbose=_one("verbose", "false").lower() == "true",
+                    )
                 if page > 1:
                     resp["page"] = page
                     resp["hits"] = resp["hits"][(page - 1) * size :]
@@ -92,9 +202,36 @@ def _make_handler(engine, default_opts):
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
 
+        def _do_stats(self, u) -> None:
+            """Generic tag-statistics route: histogram over an arbitrary docs
+            metadata column (TagStatisticsAPI.java:44-100 analog —
+            minDocCount/size semantics included)."""
+            qs = parse_qs(u.query)
+
+            def _one(name, default=None):
+                v = qs.get(name)
+                return v[0] if v else default
+
+            key = _one("key")
+            if not key:
+                self._send(400, {"error": "missing ?key= parameter"})
+                return
+            try:
+                with lock:
+                    rows = engine.tag_stats(
+                        key,
+                        min_doc_count=int(_one("min_doc_count", 1)),
+                        size=int(_one("size", 10)),
+                    )
+                self._send(200, {"key": key, "buckets": rows})
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
         def do_POST(self) -> None:  # noqa: N802 — http.server API
             if urlparse(self.path).path != "/sendq":
                 self._send(404, {"error": "not found", "routes": ["/sendq"]})
+                return
+            if not self._authorized():
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
@@ -125,7 +262,8 @@ def _make_handler(engine, default_opts):
                     near_path=body.get("near"),
                 )
                 msm = int(body.get("msm", sum(1 for g in groups if g.required)))
-                rows = engine.search_rung_rows(groups, msm, opts)
+                with lock:
+                    rows = engine.search_rung_rows(groups, msm, opts)
                 self._send(
                     200,
                     {
@@ -150,7 +288,18 @@ def _make_handler(engine, default_opts):
     return Handler
 
 
-def make_server(engine, options, host: str = "127.0.0.1", port: int = 0):
+def make_server(
+    engine,
+    options,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    auth: str | None = None,
+    cors_origin: str | None = None,
+):
     """Build (not start) the HTTP server; port 0 binds an ephemeral port
-    (``server_address[1]`` reports it). Caller runs ``serve_forever()``."""
-    return ThreadingHTTPServer((host, port), _make_handler(engine, options))
+    (``server_address[1]`` reports it). Caller runs ``serve_forever()``.
+    ``auth``: "user:pass" enables HTTP Basic auth on every route except
+    /healthz; ``cors_origin``: value for Access-Control-Allow-Origin."""
+    return ThreadingHTTPServer(
+        (host, port), _make_handler(engine, options, auth, cors_origin)
+    )

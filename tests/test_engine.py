@@ -84,6 +84,22 @@ def test_fuzzy_expansion(engine):
     assert "postings" in exp
 
 
+def test_fuzzy_transposition_one_edit(engine):
+    """ES fuzziness=1 counts an adjacent transposition as ONE edit
+    (MainAddressQueryBuilder.java:291-293 -> Damerau/OSA); plain Levenshtein
+    would cost "emrge"->"merge" two and miss — the most common typo class
+    (VERDICT r3 Missing #2)."""
+    from gazetteer_search_spark.search.engine import transpositions
+
+    assert "merge" in transpositions("emrge")
+    exp = engine.expand_fuzzy("emrge")  # transposed typo
+    assert "merge" in exp
+    # serving path agrees (same decomposition in fastpath)
+    from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+    assert "merge" in LocalExecutor(engine.index).expand_fuzzy("emrge")
+
+
 def test_coalesce_ladder_falls_through(engine):
     """Strict AND on a nonsense+real pair yields nothing; the ladder's OR rung
     (msm capped) still returns the real term's docs (ESCoalesce.java:30-64)."""

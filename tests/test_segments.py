@@ -78,6 +78,67 @@ def test_upsert_supersedes_and_new_docs_visible(spark, base, tmp_path_factory):
     assert len(paths) == len(set(paths))
 
 
+def test_sparse_segment_lazy_hydration(spark, base, tmp_path_factory):
+    """ADVICE r3 high: a tiny segment materializes only a few doc_part
+    partition dirs (partitionBy skips empty ones), so the doc-metadata
+    lookup modulus must come from the persisted index_meta.json — inferring
+    it from the directory listing points the pushdown at the wrong partition
+    and SILENTLY DROPS hits on the lazy multi-generation serving path."""
+    import shutil
+
+    root0, corpus0, _ = base
+    root = str(tmp_path_factory.mktemp("seg_sparse"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+
+    # 10 hashed doc ids cover at most 10 of the 16 doc_part residues
+    segments.add_segment(
+        spark, _v(corpus0, 0, 10, "v7", extra="zzsparse"), root, n_buckets=4
+    )
+    seg_dir = segments.list_segments(root)[0]["path"]
+    assert builder.read_index_meta(seg_dir)["n_doc_parts"] == 16
+
+    eng = segments.open_multi_search(root)  # lazy_payloads=True default
+    hits = eng.search_hits(
+        "zzsparse", SearchOptions(k=50, prefix=False, fuzzy=False)
+    )
+    assert len(hits) == 10
+    assert all(h.path is not None and h.repo is not None for h in hits)
+
+
+def test_name_key_persisted_across_generations(spark, tmp_path_factory):
+    """ADVICE r3 medium: a base built with a custom name key must get
+    segments (and compactions) whose name_ordinal is keyed IDENTICALLY —
+    otherwise distinct=True collapses by a different key per generation."""
+    root = str(tmp_path_factory.mktemp("seg_nk"))
+    corpus = _hid(synthetic_corpus(spark, 60).drop("doc_id"))
+    builder.build_index(
+        spark, corpus, root, n_buckets=4, name_key="repo"  # custom key
+    )
+    assert builder.read_index_meta(root)["name_key_sql"] == "repo"
+
+    batch = (
+        synthetic_corpus(spark, 60)
+        .filter(F.col("doc_id") < 8)
+        .withColumn("commit", F.lit("v2"))
+        .drop("doc_id")
+    )
+    segments.add_segment(spark, batch, root, n_buckets=4)
+    seg_dir = segments.list_segments(root)[0]["path"]
+    assert builder.read_index_meta(seg_dir)["name_key_sql"] == "repo"
+    # keyed on repo, segment docs sharing a repo form one ordinal chain
+    seg_docs = spark.read.parquet(builder.IndexPaths(seg_dir).docs)
+    per_repo_max = (
+        seg_docs.groupBy("repo").agg(F.max("name_ordinal").alias("mx"),
+                                     F.count("*").alias("n")).collect()
+    )
+    assert all(r.mx == r.n - 1 for r in per_repo_max)
+
+    cdir = str(tmp_path_factory.mktemp("seg_nk_cmp"))
+    segments.compact(spark, root, cdir)
+    assert builder.read_index_meta(cdir)["name_key_sql"] == "repo"
+
+
 def test_frozen_stats_score_invariance(spark, base, tmp_path_factory):
     """A doc re-imported with UNCHANGED token content scores identically to
     its base-generation self on every query (FrozenStats: segment idf /

@@ -120,3 +120,82 @@ def test_http_page_mark_verbose_sendq(eng):
         assert all("score" in h and "path" in h for h in sq["hits"])
     finally:
         srv.shutdown()
+
+
+def test_http_hardening_and_stats(eng):
+    """Basic auth (BasikAuthPreprocessor analog), CORS (AllowOriginPP),
+    Last-Modified + conditional GET (LastModifiedHeaderPostprocessor), and
+    the generic tag-statistics route (TagStatisticsAPI analog)."""
+    import base64
+    import urllib.error
+
+    srv = make_server(
+        eng, SearchOptions(k=5, prefix=False), port=0,
+        auth="user:secret", cors_origin="*",
+    )
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        # missing credentials -> 401 + WWW-Authenticate challenge
+        try:
+            urllib.request.urlopen(f"{base}/search?q=alpha")
+            assert False, "expected 401"
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert e.headers["WWW-Authenticate"].startswith("Basic")
+        # healthz stays open (liveness probes don't carry credentials)
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            assert json.loads(r.read()) == {"ok": True}
+
+        tok = base64.b64encode(b"user:secret").decode()
+        req = urllib.request.Request(
+            f"{base}/search?q=alpha&size=2",
+            headers={"Authorization": f"Basic {tok}"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+            last_mod = r.headers["Last-Modified"]
+            assert last_mod  # index build time
+            env = json.loads(r.read())
+        assert env["total_hits"] == 2
+
+        # conditional GET: unchanged index -> 304, no body
+        req304 = urllib.request.Request(
+            f"{base}/search?q=alpha&size=2",
+            headers={
+                "Authorization": f"Basic {tok}",
+                "If-Modified-Since": last_mod,
+            },
+        )
+        try:
+            r = urllib.request.urlopen(req304)
+            assert r.status == 304
+        except urllib.error.HTTPError as e:
+            assert e.code == 304
+
+        # generic tag statistics over an arbitrary docs column
+        req_st = urllib.request.Request(
+            f"{base}/stats?key=lang&min_doc_count=1&size=5",
+            headers={"Authorization": f"Basic {tok}"},
+        )
+        with urllib.request.urlopen(req_st) as r:
+            st = json.loads(r.read())
+        assert st["key"] == "lang"
+        assert st["buckets"] == [
+            {"value": "java", "doc_count": 40},
+            {"value": "python", "doc_count": 40},
+        ]
+        # unknown column -> 400 with the available names
+        req_bad = urllib.request.Request(
+            f"{base}/stats?key=nope",
+            headers={"Authorization": f"Basic {tok}"},
+        )
+        try:
+            urllib.request.urlopen(req_bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
