@@ -21,8 +21,16 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from gazetteer_search_spark.analyzer import rules
+from gazetteer_search_spark.analyzer import rules  # noqa: F401 (builtin tables)
 from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+
+def _default_rules():
+    """The built-in rule tables as an AnalyzerRules (lazy import — config
+    imports rules, so this module can't import config at load time)."""
+    from gazetteer_search_spark.analyzer.config import DEFAULT_RULES
+
+    return DEFAULT_RULES
 
 MIN_MEANINGFUL_LEN = 3  # len<3 non-numeric tokens are optional (IndexAnalyzer.java:19)
 
@@ -74,13 +82,14 @@ class Query:
         return out
 
 
-def _type_token(text: str) -> QToken:
+def _type_token(text: str, rule_set=None) -> QToken:
+    rs = rule_set if rule_set is not None else _default_rules()
     has_num = any(c.isdigit() for c in text)
     num_only = text.isdigit()
     optional = (not num_only) and (
-        text in rules.STOP_TOKENS or len(text) < MIN_MEANINGFUL_LEN
+        text in rs.stop_tokens or len(text) < MIN_MEANINGFUL_LEN
     )
-    variants = tuple(rules.expand_variants(text))
+    variants = tuple(rs.expand_variants(text))
     return QToken(
         text=text,
         variants=variants,
@@ -95,13 +104,21 @@ def _type_token(text: str) -> QToken:
 _BRACKET_RE = re.compile(r"[(\[{]([^)\]}]*)[)\]}]")
 
 
-def analyze_query(q: str, prefix: bool = True) -> Query:
+def analyze_query(q: str, prefix: bool = True, rule_set=None) -> Query:
     """Free text -> Query IR. ``prefix=True`` enables search-as-you-type
     (gated like SearchOptions.prefix, reference SearchOptions.java:7-14).
 
     Pipeline: bracket extraction (A5: bracketed tokens become optional) ->
     tokenize + type -> removal pre-pass (A7: pure function words drop out of
-    matching, kept on ``Query.removed``)."""
+    matching, kept on ``Query.removed``).
+
+    ``rule_set`` (analyzer/config.AnalyzerRules, default = the built-in
+    tables): the externally-configurable stop/removed lexicons, synonym
+    chains and variant rules — the reference's runtime-loaded replacers /
+    .syn / .terms config (ReplacersCompiler.java:44-132,
+    QueryAnalyzerImpl.java:64-86). SearchEngine passes the rule set the
+    INDEX was built with, so analysis stays symmetric automatically."""
+    rs = rule_set if rule_set is not None else _default_rules()
     query = Query(original=q)
     bracket_text = " ".join(m.group(1) for m in _BRACKET_RE.finditer(q))
     main = _BRACKET_RE.sub(" ", q)
@@ -124,9 +141,9 @@ def analyze_query(q: str, prefix: bool = True) -> Query:
     else:
         toks = tokenize_text(main, joined_identifiers=True)
 
-    tokens = [_type_token(t) for t in toks]
+    tokens = [_type_token(t, rs) for t in toks]
     for t in tokenize_text(bracket_text, joined_identifiers=True):
-        typed = _type_token(t)
+        typed = _type_token(t, rs)
         tokens.append(
             QToken(
                 text=typed.text,
@@ -138,9 +155,9 @@ def analyze_query(q: str, prefix: bool = True) -> Query:
         )
 
     # A7 removal pre-pass
-    query.removed = [t.text for t in tokens if t.text in rules.REMOVED_TOKENS]
-    query.tokens = [t for t in tokens if t.text not in rules.REMOVED_TOKENS]
-    if prefix_tok in rules.REMOVED_TOKENS:
+    query.removed = [t.text for t in tokens if t.text in rs.removed_tokens]
+    query.tokens = [t for t in tokens if t.text not in rs.removed_tokens]
+    if prefix_tok in rs.removed_tokens:
         query.removed.append(prefix_tok)
         prefix_tok = None
     query.prefix = prefix_tok

@@ -130,6 +130,14 @@ def _gen_dirs(index_dir: str) -> list[str]:
     return [index_dir] + [s["path"] for s in list_segments(index_dir)]
 
 
+def _base_rules(index_dir: str):
+    """The base index's persisted analyzer rule set (None for pre-0.6 bases
+    — build_index then persists the defaults, which IS what built them)."""
+    from gazetteer_search_spark.analyzer.config import load_index_rules
+
+    return load_index_rules(index_dir)
+
+
 def add_segment(
     spark: SparkSession,
     corpus: DataFrame,
@@ -189,6 +197,10 @@ def add_segment(
         extra_fields=extra_fields or None,
         score_stats=frozen,
         name_key=base_meta.get("name_key_sql"),
+        # segments analyze with the base's rule set too (the persisted
+        # analyzer_rules.json travels generation-to-generation, so a
+        # multi-generation index stays analyzer-uniform)
+        analyzer_rules=_base_rules(index_dir),
     )
 
     # tombstones: older docs sharing an upsert key with this batch. One
@@ -441,6 +453,7 @@ def compact(
         # compaction re-derives the global name_ordinal under the SAME key
         # definition the base was built with (ADVICE r3)
         name_key=b.read_index_meta(index_dir).get("name_key_sql"),
+        analyzer_rules=_base_rules(index_dir),
     )
 
 
