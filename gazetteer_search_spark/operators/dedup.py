@@ -63,6 +63,30 @@ def _word_shingles(text: Column, n: int) -> Column:
     )
 
 
+def hash64_col(fn: str, *cols: Column) -> Column:
+    """64-bit-ish hash of the given columns under a named hash family.
+
+    - ``xxhash64`` (default everywhere): Spark's native xxhash64 — the fast
+      scale path (JVM, no string materialization).
+    - ``md5_60``: the low 60 bits of md5 over the '|'-joined string forms —
+      bit-identical to DuckDB's ``('0x' || substr(md5(...), 1, 15))::BIGINT``,
+      which makes every hash-driven operator (MinHash signatures, LSH band
+      buckets, SimHash bit sums) INDEPENDENTLY recomputable by the ANSI-SQL
+      oracle harness (VERDICT r3 next-step #6). Same algorithm, different
+      hash family; '|' never occurs in [a-z0-9]+ shingle/term inputs.
+    """
+    if fn == "xxhash64":
+        return F.xxhash64(*cols)
+    if fn == "md5_60":
+        s = (
+            cols[0].cast("string")
+            if len(cols) == 1
+            else F.concat_ws("|", *[c.cast("string") for c in cols])
+        )
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash family: {fn!r}")
+
+
 def shingle_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -124,12 +148,13 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 32,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig array<long>) — sig[i] = min over shingles of
-    xxhash64(i, shingle). Pure JVM hash aggregation, one shuffle."""
+    hash64(i, shingle). Pure JVM hash aggregation, one shuffle."""
     sh = shingle_table(df, text_col, id_col, n)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(hash64_col(hash_fn, F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = sh.groupBy("doc_id").agg(*aggs)
@@ -146,6 +171,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Banded LSH candidate generation + exact Jaccard verification.
 
@@ -154,7 +180,7 @@ def minhash_lsh_pairs(
     candidates — the sub-quadratic scale path for near-dup at 100 TB."""
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
 
     band_rows = sig.select(
         "doc_id",
@@ -163,9 +189,10 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig")[b * rpb + r] for r in range(rpb)]).alias(
-                            "bucket"
-                        ),
+                        hash64_col(
+                            hash_fn,
+                            *[F.col("sig")[b * rpb + r] for r in range(rpb)],
+                        ).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -204,7 +231,9 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingle_table(df, text_col, id_col, n).withColumn("h", F.xxhash64("shingle"))
+    sh = shingle_table(df, text_col, id_col, n).withColumn(
+        "h", hash64_col(hash_fn, F.col("shingle"))
+    )
     sets = (
         sh.join(cand_ids, "doc_id", "left_semi")
         .groupBy("doc_id")
@@ -238,7 +267,8 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, simhash long): sign-aggregated token-hash bits weighted by tf.
     64 native aggregate expressions in one hash-aggregation — no Python."""
@@ -249,7 +279,7 @@ def simhash(
         df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h", hash64_col(hash_fn, F.col("term")))
     )
     bit_aggs = [
         F.sum(
@@ -277,13 +307,14 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming, via banded join:
     a pair within Hamming k < bands must agree exactly on at least one of the
     ``bands`` 16-bit slices (pigeonhole), so candidates come from band-equal
     equi-joins, verified by popcount."""
     assert bands > max_hamming  # pigeonhole: <=k flips across >k bands leaves one band equal
-    sig = simhash(df, text_col, id_col)
+    sig = simhash(df, text_col, id_col, hash_fn=hash_fn)
     width = 64 // bands
     mask = (1 << width) - 1
     slices = sig.select(

@@ -84,9 +84,14 @@ def term_freqs(docs: DataFrame) -> DataFrame:
     # key (instead of first()) keeps the aggregation hash-based — first()
     # forces a SortAggregate (sort per partition, measured ~10x slower).
     # Only the columns BM25 needs go through this (the biggest) shuffle.
+    # attr_id (the block-pruning filter dimension's dictionary id, also
+    # doc_id-dependent) rides the same key when the builder attached it.
+    keys = ["term", "doc_id", "doc_len"] + (
+        ["attr_id"] if "attr_id" in docs.columns else []
+    )
     return (
-        docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "doc_len")
+        docs.select(*keys[1:], F.explode("tokens").alias("term"))
+        .groupBy(*keys)
         .agg(F.count("*").alias("tf"))
     )
 

@@ -38,6 +38,13 @@ def test_postings_roundtrip_matches_direct(spark, corpus, index):
     assert got == want
 
 
+def _group_by_term(rows) -> dict:
+    out: dict[str, list] = {}
+    for r in rows:
+        out.setdefault(r.term, []).append(r)
+    return out
+
+
 def test_block_invariants(index):
     rows = index.postings.collect()
     assert rows
@@ -46,14 +53,22 @@ def test_block_invariants(index):
         assert r.min_doc_id <= r.max_doc_id
         assert r.block_max_score > 0
         assert len(r.scores_f64) == 8 * r.doc_count
-    # per term, block doc ranges within a salt are disjoint and ordered
-    by_term: dict[str, list] = {}
+    # per (term, attr value): block doc ranges are disjoint and ordered —
+    # the salted runs partition the docID space WITHIN one attribute value.
+    # Across attr values ranges interleave by design (per-attr sub-runs,
+    # index format 0.7); the postings themselves stay disjoint, which
+    # test_postings_roundtrip_matches_direct pins exactly.
+    by_key: dict[tuple, list] = {}
     for r in rows:
-        by_term.setdefault(r.term, []).append(r)
-    for term, blocks in by_term.items():
+        by_key.setdefault((r.term, r.attr_bits), []).append(r)
+    for (term, _ab), blocks in by_key.items():
         blocks.sort(key=lambda b: (b.min_doc_id, b.block_id))
         for a, b in zip(blocks, blocks[1:]):
             assert a.max_doc_id < b.min_doc_id, term
+    # and block_ids never collide within a term (the decode-cache key)
+    for term, blocks in _group_by_term(rows).items():
+        bids = [b.block_id for b in blocks]
+        assert len(bids) == len(set(bids)), term
 
 
 def test_salting_splits_hot_terms(spark, index):
