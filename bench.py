@@ -487,6 +487,11 @@ def main() -> None:
         "index_build_docs_per_sec": round(res["build_docs_per_sec"], 2),
         "wand_blocks_decoded": res["wand_blocks_decoded"],
         "wand_blocks_skipped": res["wand_blocks_skipped"],
+        "attr_gated_queries": res["attr_gated_queries"],
+        "attr_pushdown_fallback": res["attr_pushdown_fallback"],
+        "attr_blocks_total": res["attr_blocks_total"],
+        "attr_blocks_kept": res["attr_blocks_kept"],
+        "serve_attr_skipped": res["serve_attr_skipped"],
         "serve_blocks_decoded": res["serve_blocks_decoded"],
         "serve_blocks_skipped": res["serve_blocks_skipped"],
         "serve_qps_full": round(res["serve_qps_full"], 1),

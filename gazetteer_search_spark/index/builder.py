@@ -381,6 +381,7 @@ def build_index(
     extra_meta: dict | None = None,
     analyzer_rules=None,
     attr_dim: str | None = "lang",
+    attr_dict: tuple[list, bool] | None = None,
 ) -> Index:
     """Build (or resume) the full index under ``out_dir``.
 
@@ -521,16 +522,25 @@ def build_index(
     attr_values: list[str] = []
     attr_overflow = False
     if attr_dim is not None and attr_dim in docs.columns:
-        arows = (
-            docs.filter(F.col(attr_dim).isNotNull())
-            .groupBy(attr_dim)
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.col("n").desc(), F.col(attr_dim))
-            .limit(ATTR_MAX_VALUES + 1)
-            .collect()
-        )
-        attr_overflow = len(arows) > ATTR_MAX_VALUES
-        attr_values = [str(r[0]) for r in arows[:ATTR_MAX_VALUES]]
+        if attr_dict is not None:
+            # inherited dictionary (segment builds reuse the BASE index's:
+            # one less Spark job per micro-batch, and bit assignments stay
+            # uniform across generations). Inherited dicts are conservatively
+            # marked overflow=True unless the giver says otherwise — this
+            # batch may hold values the base never saw, and those must land
+            # on the overflow bit rather than silently vanish from filters.
+            attr_values, attr_overflow = list(attr_dict[0]), bool(attr_dict[1])
+        else:
+            arows = (
+                docs.filter(F.col(attr_dim).isNotNull())
+                .groupBy(attr_dim)
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), F.col(attr_dim))
+                .limit(ATTR_MAX_VALUES + 1)
+                .collect()
+            )
+            attr_overflow = len(arows) > ATTR_MAX_VALUES
+            attr_values = [str(r[0]) for r in arows[:ATTR_MAX_VALUES]]
         _write_index_meta(
             out_dir,
             {

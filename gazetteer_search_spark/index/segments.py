@@ -201,6 +201,16 @@ def add_segment(
         # analyzer_rules.json travels generation-to-generation, so a
         # multi-generation index stays analyzer-uniform)
         analyzer_rules=_base_rules(index_dir),
+        # ...and inherit the base's attribute dictionary (no per-micro-batch
+        # dictionary job; uniform bit assignments). overflow=True: the batch
+        # may carry values the base never saw — they land on the overflow
+        # bit, so lang filters on this generation stay correct (inexact mask
+        # -> doc-side recheck). Compaction rebuilds an exact dictionary.
+        attr_dict=(
+            (base_meta["attr_values"], True)
+            if "attr_values" in base_meta
+            else None
+        ),
     )
 
     # tombstones: older docs sharing an upsert key with this batch. One

@@ -229,3 +229,39 @@ def test_overflow_dictionary_keeps_correctness(spark, tmp_path_factory):
     m = idx.attr_filter_mask("lang", in_dict)
     assert m is not None and m[1] is False and m[0] < 0  # overflow bit joined
     assert idx.attr_filter_mask("lang", out_dict) is None
+
+
+def test_segment_inherits_attr_dict_new_lang_correct(spark, tmp_path_factory):
+    """Segments reuse the base's attribute dictionary (no per-batch
+    dictionary job), conservatively marked overflow: a batch introducing a
+    lang the base never saw stays filterable (overflow bit -> doc-side
+    recheck), and filters on base langs stay correct across generations."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.index import segments
+
+    root = str(tmp_path_factory.mktemp("idx_attr_seg") / "idx")
+    corpus = synthetic_corpus(spark, 150)
+    builder.build_index(spark, corpus, root, n_buckets=4)
+    batch = (
+        corpus.filter(F.col("doc_id") < 30)
+        .drop("doc_id")
+        .withColumn("commit", F.sha1(F.concat("path", F.lit("v2"))))
+        .withColumn("lang", F.lit("zig"))  # unseen in the base
+        .withColumn("content", F.concat("content", F.lit(" attrsegmarker")))
+    )
+    segments.add_segment(spark, batch, root, n_buckets=4)
+    seg_meta = builder.read_index_meta(segments.list_segments(root)[0]["path"])
+    assert seg_meta["attr_values"] == builder.read_index_meta(root)["attr_values"]
+    assert seg_meta["attr_overflow"] is True
+
+    eng = segments.open_multi_search(root)
+    opts = SearchOptions(k=100, prefix=False, fuzzy=False, lang="zig")
+    hits = eng.search_hits("attrsegmarker", opts)
+    assert len(hits) == 30 and all(h.lang == "zig" for h in hits)
+    # base-lang filter still correct across generations (superseded docs out)
+    opts2 = SearchOptions(k=300, prefix=False, fuzzy=False, lang="python")
+    hits2 = eng.search_hits("postings", opts2)
+    assert hits2 and all(h.lang == "python" for h in hits2)
