@@ -52,6 +52,8 @@ def cmd_build_index(args: argparse.Namespace) -> None:
         postings_per_group=args.postings_per_group,
         max_buckets_per_commit=args.max_buckets_per_commit,
         extra_fields=extra_fields or None,
+        analyzer_rules=args.rules,
+        attr_dim=args.attr_dim or None,
     )
     print(json.dumps({
         "out": args.out, "n_docs": idx.n_docs,
@@ -281,6 +283,18 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument(
         "--field", action="append", metavar="NAME=COL",
         help="extra per-field postings, e.g. --field name=path (repeatable)",
+    )
+    b.add_argument(
+        "--rules", metavar="RULES_JSON",
+        help="analyzer rule config (stop/removed tokens, synonym chains, "
+        "variant rules) — persisted inside the index; query nodes "
+        "self-configure from it (the reference's config/synonims + "
+        "optional-terms + replacers analog)",
+    )
+    b.add_argument(
+        "--attr-dim", default="lang", metavar="COL",
+        help="docs column to sub-partition posting blocks by for "
+        "block-level filter pruning (default: lang; '' disables)",
     )
     b.set_defaults(fn=cmd_build_index)
 

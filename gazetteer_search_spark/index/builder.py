@@ -78,6 +78,15 @@ POSTINGS_SCHEMA = T.StructType(
         # -1 (all bits) = unattributed block (attr_dim=None builds): every
         # bit test keeps it, so readers never mis-prune.
         T.StructField("attr_bits", T.LongType(), False),
+        # HYBRID tail packing: small mixed-attribute runs (< ATTR_SPLIT_MIN
+        # postings) are NOT split per attr — that would shatter the long
+        # tail into per-value micro-blocks (measured: 2.5x block count on a
+        # Zipf vocabulary). They pack as ONE block with the OR of their
+        # value bits in attr_bits plus this per-posting dictionary-id byte
+        # array (aligned with the docID-sorted payload), which the kernels
+        # mask at decode — filter exactness everywhere, block-count
+        # inflation nowhere. NULL for single-attr blocks (the common case).
+        T.StructField("attr_ids", T.BinaryType(), True),
     ]
 )
 
@@ -236,29 +245,30 @@ class Index:
     # full metadata dict (name_key_sql, analyzer_hash, ...)
     meta: dict = field(default_factory=dict)
 
-    def attr_filter_mask(self, dim: str, value: str) -> tuple[int, bool] | None:
+    def attr_filter_mask(self, dim: str, value: str) -> tuple[int, int] | None:
         """Block-pruning mask for ``<dim> == <value>``.
 
-        Returns ``(mask, exact)``: keep blocks with ``attr_bits & mask != 0``.
-        ``exact=True`` means the surviving blocks hold EXACTLY the filter's
-        postings (kernel truncation/theta stay rank-safe with no doc-side
-        recheck); ``exact=False`` means overflow blocks survive too and a
-        doc-level recheck is still required downstream. ``(0, True)`` means
-        provably EMPTY (value absent from a complete dictionary). ``None``
-        means this index can't prune on ``dim`` (pre-0.7 index, or a
-        different declared dimension) — use the id-set pushdown path."""
+        Returns ``(mask, attr_id)``: keep blocks with ``attr_bits & mask !=
+        0``, and within kept MIXED blocks (non-null ``attr_ids``) keep
+        postings whose dictionary-id byte equals ``attr_id``. An in-
+        dictionary value is ALWAYS exact — its postings carry its fixed id
+        (never the overflow bit), so block bit test + per-posting byte mask
+        reproduce the filter precisely and kernel truncation/theta stay
+        rank-safe. ``(0, -1)`` means provably EMPTY (value absent from a
+        complete dictionary — NULLs ride the overflow bit and never equal a
+        filter value). ``None`` means this index can't prune on ``dim``
+        (pre-0.7 index, a different declared dimension, or an out-of-
+        dictionary value under an overflow dictionary) — use the id-set
+        pushdown path."""
         if self.meta.get("attr_dim") != dim or "attr_values" not in self.meta:
             return None
         vals = self.meta["attr_values"]
-        overflow = bool(self.meta.get("attr_overflow"))
         if value in vals:
-            mask = 1 << vals.index(value)  # value bits are 0..62, never sign
-            if overflow:
-                mask |= attr_bit_value(ATTR_OVERFLOW_ID)
-            return mask, not overflow
-        if overflow:
+            aid = vals.index(value)  # value bits are 0..62, never the sign
+            return 1 << aid, aid
+        if bool(self.meta.get("attr_overflow")):
             return None  # value may live on the overflow bit — can't prune
-        return 0, True  # complete dictionary, value unseen: provably empty
+        return 0, -1  # complete dictionary, value unseen: provably empty
 
 
 @dataclass
@@ -282,15 +292,19 @@ class FrozenStats:
 def _pack_term(
     rows: list, term: str, bucket: int, salt: int,
     ids: np.ndarray, tfs: np.ndarray, scores: np.ndarray,
-    attr_bits: int = -1, base_ord: int = 0,
+    attr_bits: int = -1, base_ord: int = 0, attrs: np.ndarray | None = None,
 ) -> int:
     """Append block rows for one (term, salt[, attr]) posting run. Pure
     numpy; the only Python loop is per *block* (>=BLOCK_SIZE postings each).
     ``base_ord`` offsets the block ordinal so several attr sub-runs of one
     (term, salt) never collide on block_id (the (term, block_id) pair is the
-    decode/payload-cache key). Returns the number of blocks appended."""
+    decode/payload-cache key). ``attrs``: per-posting dictionary ids for
+    MIXED blocks (hybrid tail packing) — stored as a byte array aligned with
+    the docID-sorted payload. Returns the number of blocks appended."""
     order = np.argsort(ids, kind="stable")
     ids, tfs, scores = ids[order], tfs[order], scores[order]
+    if attrs is not None:
+        attrs = attrs[order]
     bs = codec.BLOCK_SIZE
     nb = 0
     for b in range(0, ids.size, bs):
@@ -315,10 +329,20 @@ def _pack_term(
                 mx,
                 len(id_b) + len(tf_b) + len(sc_b),
                 int(attr_bits),
+                (
+                    None
+                    if attrs is None
+                    else attrs[b : b + bs].astype(np.uint8).tobytes()
+                ),
             )
         )
         nb += 1
     return nb
+
+
+# mixed runs below this posting count pack as ONE block with per-posting
+# attr bytes instead of per-attr sub-runs (block-count inflation guard)
+ATTR_SPLIT_MIN = 2 * codec.BLOCK_SIZE
 
 
 def _pack_groups(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -347,15 +371,38 @@ def _pack_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     if "attr_id" in pdf.columns:
         attr_all = pdf["attr_id"].to_numpy()
         for term, idx in pdf.groupby("term", sort=True).indices.items():
-            base = 0
             t_attr = attr_all[idx]
-            for aid in np.unique(t_attr):
-                sub = idx[t_attr == aid]
-                base += _pack_term(
+            uattr = np.unique(t_attr)
+            if uattr.size == 1:
+                _pack_term(
                     rows, term, bucket, salt,
-                    ids_all[sub], tfs_all[sub], sc_all[sub],
-                    attr_bits=attr_bit_value(min(int(aid), ATTR_OVERFLOW_ID)),
-                    base_ord=base,
+                    ids_all[idx], tfs_all[idx], sc_all[idx],
+                    attr_bits=attr_bit_value(min(int(uattr[0]), ATTR_OVERFLOW_ID)),
+                )
+            elif idx.size >= ATTR_SPLIT_MIN:
+                # big mixed run: per-attr sub-runs (pure block-level pruning;
+                # sub-runs are mostly full blocks, so no inflation)
+                base = 0
+                for aid in uattr:
+                    sub = idx[t_attr == aid]
+                    base += _pack_term(
+                        rows, term, bucket, salt,
+                        ids_all[sub], tfs_all[sub], sc_all[sub],
+                        attr_bits=attr_bit_value(min(int(aid), ATTR_OVERFLOW_ID)),
+                        base_ord=base,
+                    )
+            else:
+                # small mixed run (the long tail): ONE block run, OR'd bits +
+                # per-posting attr bytes — kernels mask at decode, exactness
+                # kept, block count unchanged vs an unattributed index
+                bits = 0
+                for aid in uattr:
+                    bits |= attr_bit_value(min(int(aid), ATTR_OVERFLOW_ID))
+                _pack_term(
+                    rows, term, bucket, salt,
+                    ids_all[idx], tfs_all[idx], sc_all[idx],
+                    attr_bits=bits,
+                    attrs=np.minimum(t_attr, ATTR_OVERFLOW_ID),
                 )
     else:
         for term, idx in pdf.groupby("term", sort=True).indices.items():

@@ -530,7 +530,9 @@ class SearchEngine:
             # decode entirely is a pure win (VERDICT r3 weak #1)
             am = self.index.attr_filter_mask("lang", options.lang)
             if am is not None:
-                mask, _exact = am
+                mask, _aid = am
+                # bit test only: mixed tail blocks' few wrong-lang postings
+                # are removed by the downstream docs-join lang filter
                 pruned = pruned.filter(
                     F.col("attr_bits").bitwiseAND(F.lit(mask)) != 0
                 )

@@ -386,7 +386,7 @@ class LocalExecutor:
             "block_max_score",
         ]
         if self._has_attr:
-            cols.append("attr_bits")
+            cols += ["attr_bits", "attr_ids"]
         if not self.lazy_payloads:
             cols += ["doc_ids_delta_varbyte", "scores_f64"]
         return self._ds.to_table(filter=f, columns=cols).to_pandas()
@@ -511,11 +511,13 @@ class LocalExecutor:
         tbl = self._load_blocks(terms)
         if tbl.empty:
             return {}
+        attr_keep_id = None
         if options is not None:
             # attribute pruning on the decode-all path too: wrong-lang blocks
             # hold only docs the downstream lang filter would drop — skip
-            # their payload fetch/decode outright
-            tbl, _ = self._apply_attr_mask(tbl, options)
+            # their payload fetch/decode outright; mixed tail blocks mask per
+            # posting below
+            tbl, _handled, attr_keep_id = self._apply_attr_mask(tbl, options)
             if tbl.empty:
                 return {}
         if self.lazy_payloads:
@@ -536,6 +538,11 @@ class LocalExecutor:
             bids = sub["block_id"].to_numpy()
             cnts = sub["doc_count"].to_numpy()
             mns = sub["min_doc_id"].to_numpy()
+            aids = (
+                sub["attr_ids"].to_numpy()
+                if attr_keep_id is not None and "attr_ids" in sub.columns
+                else None
+            )
             idb = (
                 None if self.lazy_payloads
                 else sub["doc_ids_delta_varbyte"].to_numpy()
@@ -546,15 +553,17 @@ class LocalExecutor:
                 key = (term, int(bids[i]))
                 cached = self.decoded_cache.get(key)
                 if cached is not None:
-                    id_parts.append(cached[0])
-                    sc_parts.append(cached[1])
-                    continue
-                buf, sbuf = (
-                    bufs[key] if self.lazy_payloads else (idb[i], scb[i])
-                )
-                ids_b = codec.delta_varbyte_decode(buf, int(cnts[i]), int(mns[i]))
-                sc_b = np.asarray(codec.f64_decode(sbuf, int(cnts[i])))
-                self.decoded_cache[key] = (ids_b, sc_b)
+                    ids_b, sc_b = cached
+                else:
+                    buf, sbuf = (
+                        bufs[key] if self.lazy_payloads else (idb[i], scb[i])
+                    )
+                    ids_b = codec.delta_varbyte_decode(buf, int(cnts[i]), int(mns[i]))
+                    sc_b = np.asarray(codec.f64_decode(sbuf, int(cnts[i])))
+                    self.decoded_cache[key] = (ids_b, sc_b)
+                if aids is not None and aids[i] is not None:
+                    keep_m = np.frombuffer(aids[i], dtype=np.uint8) == attr_keep_id
+                    ids_b, sc_b = ids_b[keep_m], sc_b[keep_m]
                 id_parts.append(ids_b)
                 sc_parts.append(sc_b)
             ids = np.concatenate(id_parts)
@@ -585,14 +594,16 @@ class LocalExecutor:
 
     def _apply_attr_mask(
         self, pdf: pd.DataFrame, options
-    ) -> tuple[pd.DataFrame, bool]:
-        """Filter a block frame by the attribute mask. Returns (frame,
-        lang_exact) — lang_exact=True means the surviving blocks hold exactly
-        the filter's postings (no doc-side lang recheck needed for safety)."""
+    ) -> tuple[pd.DataFrame, bool, int | None]:
+        """Filter a block frame by the attribute bit mask. Returns (frame,
+        handled, keep_id): handled=True means the attribute gate covered the
+        lang filter EXACTLY (single-attr blocks pruned here; mixed tail
+        blocks masked per posting at decode via keep_id — pass it to the
+        kernel as attr_keep_id)."""
         am = self._attr_mask(options)
         if am is None or pdf is None or pdf.empty or "attr_bits" not in pdf.columns:
-            return pdf, False
-        mask, exact = am
+            return pdf, False, None
+        mask, aid = am
         keep = (pdf["attr_bits"].to_numpy() & mask) != 0
         dropped = int((~keep).sum())
         if dropped:
@@ -600,7 +611,7 @@ class LocalExecutor:
         self.counters.attr_gated.add(1)
         if not keep.all():
             pdf = pdf[keep].reset_index(drop=True)
-        return pdf, exact
+        return pdf, True, (aid if aid >= 0 else None)
 
     def group_parts(self, groups, options) -> list[tuple]:
         """Per-group dis_max partials over THIS executor's bucket shard:
@@ -641,7 +652,7 @@ class LocalExecutor:
         if not terms:
             return self._match_all(options)
         am = self._attr_mask(options)
-        lang_exact = am is not None and am[1]
+        lang_exact = am is not None
         if (
             self.buckets is None
             and options.after is None
@@ -684,9 +695,9 @@ class LocalExecutor:
         from gazetteer_search_spark.search.wand import make_range_kernel
 
         pdf = self._grouped_blocks(groups)
-        lang_exact = False
+        lang_exact, attr_keep_id = False, None
         if pdf is not None:
-            pdf, lang_exact = self._apply_attr_mask(pdf, options)
+            pdf, lang_exact, attr_keep_id = self._apply_attr_mask(pdf, options)
         if pdf is None or pdf.empty:
             return []
         group_meta = {g.group_id: (g.required, g.weight) for g in groups}
@@ -699,6 +710,7 @@ class LocalExecutor:
             payload_fetch=self._payload_fetch if self.lazy_payloads else None,
             denied_ids=self.denied_ids,
             decode_cache=self.decoded_cache,
+            attr_keep_id=attr_keep_id,
         )
         out = kernel((0,), pdf)
         self.decoded_cache.trim()
@@ -727,9 +739,9 @@ class LocalExecutor:
 
         if pdf is None:
             pdf = self._grouped_blocks(groups)
-        lang_exact = False
+        lang_exact, attr_keep_id = False, None
         if pdf is not None:
-            pdf, lang_exact = self._apply_attr_mask(pdf, options)
+            pdf, lang_exact, attr_keep_id = self._apply_attr_mask(pdf, options)
         lo, hi = rng_id * range_width, (rng_id + 1) * range_width
         if pdf is not None:
             pdf = pdf[(pdf["max_doc_id"] >= lo) & (pdf["min_doc_id"] < hi)]
@@ -759,6 +771,7 @@ class LocalExecutor:
             payload_fetch=self._payload_fetch if self.lazy_payloads else None,
             denied_ids=self.denied_ids,
             decode_cache=self.decoded_cache,
+            attr_keep_id=attr_keep_id,
         )
         out = kernel((rng_id,), pdf)
         self.decoded_cache.trim()

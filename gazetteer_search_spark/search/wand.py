@@ -141,6 +141,7 @@ def make_range_kernel(
     payload_fetch=None,
     denied_ids: np.ndarray | None = None,
     decode_cache=None,
+    attr_keep_id: int | None = None,
 ):
     """Build the applyInPandas kernel (closure over broadcast-size query
     metadata only). ``truncate=False`` when doc-level filters/boosts must be
@@ -170,7 +171,13 @@ def make_range_kernel(
     repeated query's hot blocks skip the varbyte/f64 decode entirely (the
     caller owns sizing/eviction; masks and weights still apply per call, so
     cached entries are query-independent). None on the distributed path
-    (task-lifetime kernels have no repeats to amortize)."""
+    (task-lifetime kernels have no repeats to amortize).
+
+    ``attr_keep_id``: the filter's attribute dictionary id — MIXED tail
+    blocks (non-null ``attr_ids`` byte column, hybrid packing) mask their
+    postings to this id at decode; single-attr blocks were already pruned
+    exactly by the plan/metadata bit test. Exactness of the candidate
+    universe under an attribute filter rests on this mask."""
     required_gids = sorted(g for g, (req, _) in group_meta.items() if req)
     all_gids = sorted(group_meta)
 
@@ -247,6 +254,11 @@ def make_range_kernel(
         mns = rows["min_doc_id"].to_numpy()
         mxs = rows["max_doc_id"].to_numpy()
         wts = rows["weight"].to_numpy()
+        aids_a = (
+            rows["attr_ids"].to_numpy()
+            if attr_keep_id is not None and "attr_ids" in rows.columns
+            else None
+        )
         dead = (mxs < lo) | (mns >= hi)
         if id_lo is not None:
             dead |= (mxs < id_lo) | (mns > id_hi)
@@ -290,6 +302,8 @@ def make_range_kernel(
             m = (ids >= lo) & (ids < hi)
             if id_lo is not None:
                 m &= (ids >= id_lo) & (ids <= id_hi)
+            if aids_a is not None and aids_a[i] is not None:
+                m &= np.frombuffer(aids_a[i], dtype=np.uint8) == attr_keep_id
             if allowed_ids is not None:
                 m &= _allowed_mask(ids)
             if denied_ids is not None:
@@ -367,6 +381,11 @@ def make_range_kernel(
                 "mns_raw": sub["min_doc_id"].to_numpy(),
                 "terms_a": sub["term"].to_numpy(),
                 "bids_a": sub["block_id"].to_numpy(),
+                "attr_a": (
+                    sub["attr_ids"].to_numpy()
+                    if attr_keep_id is not None and "attr_ids" in sub.columns
+                    else None
+                ),
                 "idb": (
                     sub["doc_ids_delta_varbyte"].to_numpy()
                     if payload_fetch is None
@@ -422,6 +441,8 @@ def make_range_kernel(
                 if decode_cache is not None:
                     decode_cache[_block_pair(g, bi)] = (ids, sc)
             keep = (ids >= lo) & (ids < hi)
+            if m["attr_a"] is not None and m["attr_a"][bi] is not None:
+                keep &= np.frombuffer(m["attr_a"][bi], dtype=np.uint8) == attr_keep_id
             if allowed_ids is not None:
                 keep &= _allowed_mask(ids)
             if denied_ids is not None:
@@ -645,13 +666,17 @@ def wand_topk(
     # pushdown below is reserved for the residual (repo/path/distinct)
     # predicates — the genuinely selective ad-hoc filters it was meant for.
     attr_cond = None
+    attr_keep_id = None
     lang_handled = False
     if options.lang and "attr_bits" in index.postings.columns:
         am = index.attr_filter_mask("lang", options.lang)
         if am is not None:
-            mask, exact = am
+            mask, aid = am
             attr_cond = F.col("attr_bits").bitwiseAND(F.lit(mask)) != 0
-            lang_handled = exact
+            # mixed tail blocks (non-null attr_ids) are masked per posting
+            # inside the kernel — an in-dictionary value is always EXACT
+            attr_keep_id = aid if aid >= 0 else None
+            lang_handled = True
             if counters is not None and counters.attr_gated is not None:
                 counters.attr_gated.add(1)
 
@@ -861,6 +886,7 @@ def wand_topk(
         truncate=options.after is None
         and ((not has_doc_side) or allowed_bc is not None),
         counters=counters, initial_theta=initial_theta, allowed_ids=allowed_bc,
+        attr_keep_id=attr_keep_id,
     )
     per_doc = blocks.groupBy("range_id").applyInPandas(kernel, schema=PER_DOC_SCHEMA)
     return finalize_ranked(per_doc, eff_msm, k, index.docs, options)

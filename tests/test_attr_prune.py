@@ -58,10 +58,22 @@ def test_dictionary_persisted_and_blocks_single_valued(index):
     assert index.meta["attr_dim"] == "lang"
     assert set(index.meta["attr_values"]) == {"python", "java", "js", "go", "none"}
     assert index.meta["attr_overflow"] is False
-    bits = [r[0] for r in index.postings.select("attr_bits").distinct().collect()]
-    # every block carries exactly one value bit (power of two, within dict)
-    for b in bits:
-        assert b > 0 and (b & (b - 1)) == 0 and b < (1 << len(index.meta["attr_values"]))
+    rows = index.postings.select("attr_bits", "attr_ids", "doc_count").collect()
+    dict_mask = (1 << len(index.meta["attr_values"])) - 1
+    n_mixed = 0
+    for r in rows:
+        assert r.attr_bits > 0 and (r.attr_bits & ~dict_mask) == 0
+        if r.attr_ids is None:
+            # pure block: exactly one value bit
+            assert (r.attr_bits & (r.attr_bits - 1)) == 0
+        else:
+            # hybrid tail block: several value bits + per-posting id bytes
+            n_mixed += 1
+            assert (r.attr_bits & (r.attr_bits - 1)) != 0
+            assert len(r.attr_ids) == r.doc_count
+            ids = set(r.attr_ids)
+            assert all((1 << i) & r.attr_bits for i in ids)
+    assert n_mixed > 0  # the long tail actually uses hybrid packing here
 
 
 def test_unfiltered_results_identical_to_unattributed_index(spark, index, index_noattr):
@@ -114,30 +126,48 @@ def test_unseen_lang_is_provably_empty(spark, index):
         filter_pushdown_max=0,
     )
     assert got.count() == 0
-    assert index.attr_filter_mask("lang", "cobol") == (0, True)
+    assert index.attr_filter_mask("lang", "cobol") == (0, -1)
 
 
 def test_attr_mask_api(index, index_noattr):
     vals = index.meta["attr_values"]
-    mask, exact = index.attr_filter_mask("lang", "python")
-    assert mask == 1 << vals.index("python") and exact
+    aid = vals.index("python")
+    assert index.attr_filter_mask("lang", "python") == (1 << aid, aid)
     assert index.attr_filter_mask("repo", "org1/repo1") is None
     assert index_noattr.attr_filter_mask("lang", "python") is None
 
 
-def test_serving_lang_filter_pruned_and_identical(spark, corpus, index):
+def test_serving_lang_filter_pruned_and_identical(spark, corpus, index, tmp_path_factory):
     """Serving executor: lang filter goes through the block-max pruned path
-    (truncate on), skips other langs' blocks, and stays rank-identical to
-    the Spark path and the oracle."""
+    (truncate on) and stays rank-identical to the oracle. On an index with
+    big (split) runs, other langs' whole blocks are skipped; on the
+    fine-salted fixture the tail packs hybrid (per-posting masks instead)."""
     groups = [_grp(0, ["merge"]), _grp(1, ["postings"])]
     opts = SearchOptions(k=10, lang="java")
     ex = LocalExecutor(index)
     hits = ex.search_rung(groups, 2, opts)
     assert ex.counters.attr_gated.value >= 1
-    assert ex.counters.skipped.value > 0  # other langs' blocks never decoded
     want = oracle_topk(corpus, groups, 2, k=10, options=opts)
     assert [(h.doc_id, round(h.score, 9)) for h in hits] == _pairs(want)
     assert all(h.lang == "java" for h in hits)
+
+    # big corpus -> hot-term runs >= ATTR_SPLIT_MIN -> per-attr SPLIT blocks
+    # -> the filter drops other langs' whole blocks at metadata level
+    big_corpus = synthetic_corpus(spark, 1500).cache()
+    out = str(tmp_path_factory.mktemp("idx_attr_big"))
+    big = builder.build_index(
+        spark, big_corpus, out, n_buckets=8, postings_per_group=1 << 16
+    )
+    split_rows = big.postings.filter(
+        "term = 'def' and attr_ids is null"
+    ).count()
+    assert split_rows > 1  # per-attr split actually happened
+    ex2 = LocalExecutor(big)
+    hot = [_grp(0, ["def"]), _grp(1, ["return"])]
+    hits2 = ex2.search_rung(hot, 2, opts)
+    assert ex2.counters.skipped.value > 0  # other langs' blocks never decoded
+    want2 = oracle_topk(big_corpus, hot, 2, k=10, options=opts)
+    assert [(h.doc_id, round(h.score, 9)) for h in hits2] == _pairs(want2)
 
 
 def test_serving_lazy_lang_filter_identical(spark, corpus, index):
@@ -226,8 +256,10 @@ def test_overflow_dictionary_keeps_correctness(spark, tmp_path_factory):
         got = wand_topk(spark, idx, groups, 1, k=20, options=opts, n_ranges=8)
         want = oracle_topk(corpus, groups, 1, k=20, options=opts)
         assert _pairs(got) == _pairs(want), lang
-    m = idx.attr_filter_mask("lang", in_dict)
-    assert m is not None and m[1] is False and m[0] < 0  # overflow bit joined
+    # in-dictionary values are EXACT even under an overflow dictionary: their
+    # postings always carry the fixed dictionary id, never the overflow bit
+    aid = idx.meta["attr_values"].index(in_dict)
+    assert idx.attr_filter_mask("lang", in_dict) == (1 << aid, aid)
     assert idx.attr_filter_mask("lang", out_dict) is None
 
 
