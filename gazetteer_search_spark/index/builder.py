@@ -345,6 +345,50 @@ def _pack_term(
 ATTR_SPLIT_MIN = 2 * codec.BLOCK_SIZE
 
 
+def pack_term_run(
+    rows: list, term: str, bucket: int, salt: int,
+    ids: np.ndarray, tfs: np.ndarray, scores: np.ndarray,
+    attrs: np.ndarray | None,
+) -> None:
+    """One (term, salt) posting run -> block rows, with the attribute
+    layout decision (single-attr / per-attr split / hybrid byte-masked).
+    Shared by the distributed pack kernel (_pack_groups) and the local
+    micro-batch segment builder (index/localbuild.py)."""
+    if attrs is None:
+        _pack_term(rows, term, bucket, salt, ids, tfs, scores)
+        return
+    uattr = np.unique(attrs)
+    if uattr.size == 1:
+        _pack_term(
+            rows, term, bucket, salt, ids, tfs, scores,
+            attr_bits=attr_bit_value(min(int(uattr[0]), ATTR_OVERFLOW_ID)),
+        )
+    elif ids.size >= ATTR_SPLIT_MIN:
+        # big mixed run: per-attr sub-runs (pure block-level pruning;
+        # sub-runs are mostly full blocks, so no inflation)
+        base = 0
+        for aid in uattr:
+            sub = attrs == aid
+            base += _pack_term(
+                rows, term, bucket, salt,
+                ids[sub], tfs[sub], scores[sub],
+                attr_bits=attr_bit_value(min(int(aid), ATTR_OVERFLOW_ID)),
+                base_ord=base,
+            )
+    else:
+        # small mixed run (the long tail): ONE block run, OR'd bits +
+        # per-posting attr bytes — kernels mask at decode, exactness
+        # kept, block count unchanged vs an unattributed index
+        bits = 0
+        for aid in uattr:
+            bits |= attr_bit_value(min(int(aid), ATTR_OVERFLOW_ID))
+        _pack_term(
+            rows, term, bucket, salt, ids, tfs, scores,
+            attr_bits=bits,
+            attrs=np.minimum(attrs, ATTR_OVERFLOW_ID),
+        )
+
+
 def _pack_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     """applyInPandas kernel: one (term_bucket, salt) group -> block rows for
     EVERY term in the group.
@@ -368,45 +412,13 @@ def _pack_groups(pdf: pd.DataFrame) -> pd.DataFrame:
     tfs_all = pdf["tf"].to_numpy()
     sc_all = pdf["score"].to_numpy()
     rows: list = []
-    if "attr_id" in pdf.columns:
-        attr_all = pdf["attr_id"].to_numpy()
-        for term, idx in pdf.groupby("term", sort=True).indices.items():
-            t_attr = attr_all[idx]
-            uattr = np.unique(t_attr)
-            if uattr.size == 1:
-                _pack_term(
-                    rows, term, bucket, salt,
-                    ids_all[idx], tfs_all[idx], sc_all[idx],
-                    attr_bits=attr_bit_value(min(int(uattr[0]), ATTR_OVERFLOW_ID)),
-                )
-            elif idx.size >= ATTR_SPLIT_MIN:
-                # big mixed run: per-attr sub-runs (pure block-level pruning;
-                # sub-runs are mostly full blocks, so no inflation)
-                base = 0
-                for aid in uattr:
-                    sub = idx[t_attr == aid]
-                    base += _pack_term(
-                        rows, term, bucket, salt,
-                        ids_all[sub], tfs_all[sub], sc_all[sub],
-                        attr_bits=attr_bit_value(min(int(aid), ATTR_OVERFLOW_ID)),
-                        base_ord=base,
-                    )
-            else:
-                # small mixed run (the long tail): ONE block run, OR'd bits +
-                # per-posting attr bytes — kernels mask at decode, exactness
-                # kept, block count unchanged vs an unattributed index
-                bits = 0
-                for aid in uattr:
-                    bits |= attr_bit_value(min(int(aid), ATTR_OVERFLOW_ID))
-                _pack_term(
-                    rows, term, bucket, salt,
-                    ids_all[idx], tfs_all[idx], sc_all[idx],
-                    attr_bits=bits,
-                    attrs=np.minimum(t_attr, ATTR_OVERFLOW_ID),
-                )
-    else:
-        for term, idx in pdf.groupby("term", sort=True).indices.items():
-            _pack_term(rows, term, bucket, salt, ids_all[idx], tfs_all[idx], sc_all[idx])
+    attr_all = pdf["attr_id"].to_numpy() if "attr_id" in pdf.columns else None
+    for term, idx in pdf.groupby("term", sort=True).indices.items():
+        pack_term_run(
+            rows, term, bucket, salt,
+            ids_all[idx], tfs_all[idx], sc_all[idx],
+            attr_all[idx] if attr_all is not None else None,
+        )
     return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
 
