@@ -61,16 +61,26 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     )
 
     # ---- index build throughput (synthetic corpus, deterministic) ----------
+    # best of 2: the same plan swings 2-3x run-to-run on a multi-tenant box
+    # (page-cache writeback + neighbor CPU bursts — phase timings show
+    # docs_write/pack_write absorbing it); the MIN is the plan's number
     corpus = synthetic_corpus(spark, build_docs)
-    out = tempfile.mkdtemp(prefix=f"gss_bench_idx_{cpus}_")
-    t0 = time.perf_counter()
-    idx_syn = builder.build_index(
-        spark, corpus, out, tokenizer="pandas", n_buckets=max(cpus, 8),
-        # fine salting: hot keyword terms split into many doc-range groups so
-        # the pack stage parallelizes regardless of vocabulary shape
-        postings_per_group=1 << 14,
-    )
-    t_build = time.perf_counter() - t0
+    t_build = float("inf")
+    out = None
+    for _rep in range(2):
+        if out is not None:
+            shutil.rmtree(out, ignore_errors=True)
+        out = tempfile.mkdtemp(prefix=f"gss_bench_idx_{cpus}_{_rep}_")
+        os.sync()  # don't absorb another workload's pending writeback
+        t0 = time.perf_counter()
+        idx_syn = builder.build_index(
+            spark, corpus, out, tokenizer="pandas", n_buckets=max(cpus, 8),
+            # fine salting: hot keyword terms split into many doc-range
+            # groups so the pack stage parallelizes regardless of
+            # vocabulary shape
+            postings_per_group=1 << 14,
+        )
+        t_build = min(t_build, time.perf_counter() - t0)
     timings["index_build"] = t_build
     build_docs_per_sec = build_docs / t_build
 
