@@ -85,6 +85,54 @@ def cmd_add_segment(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_stream_ingest(args: argparse.Namespace) -> None:
+    """Continuous incremental indexing from a growing parquet directory: each
+    micro-batch becomes a generation (or spools under the row floor), with
+    auto-compaction keeping the generation count / tombstone ratio bounded —
+    the full LSM loop (ingest -> segments -> compactor) at the CLI surface.
+    availableNow semantics: drains everything currently in --source, flushes
+    the sub-floor spool remainder, then exits."""
+    from gazetteer_search_spark.index.segments import (
+        CompactionPolicy,
+        flush_spool,
+        list_segments,
+        stream_ingest,
+    )
+
+    spark = _spark("gss-stream-ingest")
+    schema = spark.read.parquet(args.source).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+        .parquet(args.source)
+    )
+    policy = CompactionPolicy(
+        max_generations=args.max_generations,
+        max_tombstone_ratio=args.max_tombstone_ratio,
+        min_batch_rows=args.min_batch_rows,
+    )
+    t0 = time.time()
+    q = stream_ingest(
+        spark, stream, args.index, args.checkpoint,
+        key_cols=tuple(args.key.split(",")),
+        policy=policy, n_buckets=args.n_buckets,
+    )
+    q.awaitTermination()
+    flushed = flush_spool(
+        spark, args.index, args.checkpoint,
+        key_cols=tuple(args.key.split(",")),
+        policy=policy, n_buckets=args.n_buckets,
+    )
+    segs = list_segments(args.index)
+    print(json.dumps({
+        "index": args.index,
+        "generations": len(segs) + 1,
+        "flushed_spool_rows": int(flushed),
+        "segment_docs": sum(int(s["n_docs"]) for s in segs),
+        "seconds": round(time.time() - t0, 2),
+    }))
+
+
 def cmd_compact(args: argparse.Namespace) -> None:
     """Merge all generations into one exact-statistics index (from index
     files alone — postings carry tf, so global BM25 re-derives exactly)."""
@@ -357,6 +405,22 @@ def main(argv: list[str] | None = None) -> None:
         "are tombstoned; reference ImportMode.update deletes-by-id per batch)",
     )
     sg.set_defaults(fn=cmd_add_segment)
+
+    si = sub.add_parser("stream-ingest")
+    si.add_argument("--index", required=True)
+    si.add_argument("--source", required=True, help="parquet dir to stream from")
+    si.add_argument("--checkpoint", required=True)
+    si.add_argument("--n-buckets", type=int, default=8)
+    si.add_argument("--key", default="repo,path")
+    si.add_argument("--max-files-per-trigger", type=int, default=1)
+    si.add_argument(
+        "--min-batch-rows", type=int, default=0,
+        help="spool micro-batches under this row floor into ONE segment "
+        "(amortizes per-segment overhead); 0 = one segment per batch",
+    )
+    si.add_argument("--max-generations", type=int, default=8)
+    si.add_argument("--max-tombstone-ratio", type=float, default=0.3)
+    si.set_defaults(fn=cmd_stream_ingest)
 
     cp = sub.add_parser("compact")
     cp.add_argument("--index", required=True)
