@@ -304,12 +304,21 @@ def _add_segment_local(
     (tokenize + Catalyst row derivations), then index/localbuild.py writes a
     layout-identical generation and the tombstone set comes from pyarrow
     key-pruned reads of the older generations' docs tables."""
+    import shutil as _sh
+
     import pyarrow as pa
     import pyarrow.dataset as ds_mod
     import pyarrow.parquet as pq
 
     from gazetteer_search_spark.index.localbuild import build_segment_index_local
     from gazetteer_search_spark.search import bm25
+
+    # a crashed earlier attempt (no manifest row -> invisible to readers)
+    # may have left partial files under this seg_id; the local writer
+    # APPENDS part files, so stale ones must go first (the distributed
+    # path's overwrite mode does the equivalent per partition)
+    if os.path.exists(seg_dir):
+        _sh.rmtree(seg_dir)
 
     name_key = base_meta.get("name_key_sql") or b.DEFAULT_NAME_KEY_SQL
     extra_fields = extra_fields or {}

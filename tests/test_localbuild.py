@@ -200,3 +200,27 @@ def test_empty_and_null_lang_batch(spark, base, tmp_path_factory):
         ))
         == []
     )
+
+
+def test_crashed_partial_segment_dir_cleaned(spark, base, tmp_path_factory):
+    """A crashed earlier attempt leaves partial files under the same seg_id
+    with NO manifest row (readers never saw it); the retry must not mix its
+    part files with the stale ones."""
+    import os
+
+    root0, corpus0 = base
+    root = str(tmp_path_factory.mktemp("lb_crash") / "idx")
+    shutil.copytree(root0, root)
+    stale = f"{root}/segments/seg_00001/docs/doc_part=0"
+    os.makedirs(stale)
+    with open(f"{stale}/part-stale-c000.parquet", "w") as f:
+        f.write("junk")
+    segments.add_segment(
+        spark, _batch(corpus0, 0, 30, "vc", "crashretry"), root, n_buckets=4
+    )
+    assert not os.path.exists(f"{stale}/part-stale-c000.parquet")
+    eng = segments.open_multi_search(root)
+    hits = eng.search_hits(
+        "crashretry", SearchOptions(k=100, prefix=False, fuzzy=False)
+    )
+    assert len(hits) == 30
