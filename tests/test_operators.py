@@ -203,3 +203,69 @@ def test_ann_persisted_path_identical(spark):
     assert got == want
     with pytest.raises(ValueError):
         similarity.ivf_ann_topk(clustered, qv, cluster_col="ivf_cluster")
+
+
+def test_ivf_trained_matches_independent_numpy_recompute(spark):
+    """ann_ivf_trained's independent-recomputation check (the VERDICT r3 #6
+    treatment for the one pipeline SQL cannot express): the WHOLE trained-IVF
+    probe — Lloyd training on the seeded sample, cosine assignment, n_probe
+    centroid selection, in-cluster exact rerank — is recomputed here in pure
+    numpy over data read WITHOUT Spark, and must reproduce the Spark
+    pipeline's top-k (which routes through the pandas-UDF assignment and
+    Catalyst cosine) row for row."""
+    import numpy as np
+
+    base_dir = "/root/testdata/sf0.001"
+    emb = (
+        spark.read.parquet(f"{base_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+    )
+    cents = similarity.train_ivf_centroids(emb, n_centroids=8)
+    clustered = similarity.add_ivf_cluster(emb, cents)
+    qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    got = [
+        (r.vec_id, round(r.cosine, 9))
+        for r in similarity.ivf_ann_topk(
+            clustered, qv, k=10, n_probe=3, centroids=cents,
+            cluster_col="ivf_cluster",
+        ).collect()
+    ]
+
+    # ---- independent numpy twin (pyarrow read, no Spark) --------------------
+    import pyarrow.dataset as ds_mod
+
+    t = ds_mod.dataset(f"{base_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"]
+    )
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    M = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+
+    # train: same spec — seeded sample of the 512 smallest ids, Lloyd x5
+    sample = M[: min(512, len(ids))]
+    rng = np.random.RandomState(42)
+    c = sample[rng.choice(sample.shape[0], size=8, replace=False)].copy()
+    for _ in range(5):
+        sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+        cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(sn @ cn.T, axis=1)
+        for j in range(8):
+            m = assign == j
+            if m.any():
+                c[j] = sample[m].mean(axis=0)
+    cn = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    cluster = np.argmax(Mn @ cn.T, axis=1)
+    q = M[ids == 0][0]
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = set(np.argsort(-(cn @ qn))[:3].tolist())
+    cand = np.isin(cluster, list(probes))
+    cos = np.round((M[cand] @ q) / (np.linalg.norm(M[cand], axis=1) * np.linalg.norm(q)), 9)
+    cids = ids[cand]
+    rank = np.lexsort((cids, -cos))[:10]
+    want = [(int(cids[i]), float(cos[i])) for i in rank]
+    assert got == want
