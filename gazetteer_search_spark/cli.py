@@ -54,6 +54,10 @@ def cmd_build_index(args: argparse.Namespace) -> None:
         extra_fields=extra_fields or None,
         analyzer_rules=args.rules,
         attr_dim=args.attr_dim or None,
+        # --cluster-by repo,path: dense doc_ids in that sort order, so
+        # repo/path-prefix filters prune posting blocks as docID-range
+        # predicates over existing min/max metadata (no driver id collect)
+        cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else None,
     )
     print(json.dumps({
         "out": args.out, "n_docs": idx.n_docs,
@@ -177,7 +181,9 @@ def cmd_query(args: argparse.Namespace) -> None:
     opts = SearchOptions(
         k=args.k, prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
         coalesce=not args.no_coalesce, lang=args.lang, repo=args.repo,
-        distinct=args.distinct, near_path=args.near,
+        path_prefix=args.path_prefix, distinct=args.distinct,
+        near_path=args.near,
+        exclude_langs=tuple(args.no_class.split(",")) if args.no_class else (),
     )
     t0 = time.time()
     rows = eng.search_hits(args.q, opts)
@@ -344,6 +350,12 @@ def main(argv: list[str] | None = None) -> None:
         help="docs column to sub-partition posting blocks by for "
         "block-level filter pruning (default: lang; '' disables)",
     )
+    b.add_argument(
+        "--cluster-by", default=None, metavar="COLS",
+        help="comma-separated sort columns (e.g. repo,path) for dense "
+        "clustered doc_id assignment: equality/prefix filters on them "
+        "prune posting blocks as docID-range predicates",
+    )
     b.set_defaults(fn=cmd_build_index)
 
     q = sub.add_parser("query")
@@ -355,6 +367,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--no-coalesce", action="store_true")
     q.add_argument("--lang")
     q.add_argument("--repo")
+    q.add_argument("--path-prefix", metavar="P",
+                   help="keep docs whose path starts with P (range-pruned "
+                   "on cluster_by=repo,path indexes when --repo is set)")
+    q.add_argument("--no-class", metavar="LANGS",
+                   help="comma-separated classes to EXCLUDE (no_poi analog)")
     q.add_argument(
         "--near", metavar="PATH",
         help="proximity re-sort (lat/lon distance-sort analog): ties break "

@@ -176,12 +176,26 @@ def add_segment(
     seg_id = (segs[-1]["seg_id"] + 1) if segs else 1
     seg_dir = os.path.join(_seg_root(index_dir), f"seg_{seg_id:05d}")
 
+    _pre_meta = b.read_index_meta(index_dir)
     if "doc_id" not in corpus.columns:
         corpus = corpus.withColumn(
             "doc_id",
             F.xxhash64("repo", "path", "commit").bitwiseAND(
                 F.lit((1 << 62) - 1)
             ),
+        )
+    if _pre_meta.get("clustered_by"):
+        # the base holds DENSE clustered ids [0, n); a batch id colliding
+        # with an unrelated base doc would alias two different files in the
+        # multi-generation merge. Segment ids get bit 61 set — disjoint
+        # from any dense range, stable across re-upserts of the same file
+        # (id is a function of the batch row), and the tombstone mechanism
+        # is (repo, path)-keyed so supersession never needed id equality.
+        corpus = corpus.withColumn(
+            "doc_id",
+            F.col("doc_id")
+            .bitwiseAND(F.lit((1 << 61) - 1))
+            .bitwiseOR(F.lit(1 << 61)),
         )
 
     # field mapping + base metadata via pyarrow/json — no Spark work before
@@ -200,7 +214,7 @@ def add_segment(
     # SAME way (ADVICE r3: a custom-keyed base must not get default-keyed
     # segments — distinct=True would then collapse by a different key per
     # generation)
-    base_meta = b.read_index_meta(index_dir)
+    base_meta = _pre_meta
 
     if local_threshold > 0:
         import pyarrow.dataset as _ds
@@ -241,6 +255,10 @@ def add_segment(
         # may carry values the base never saw — they land on the overflow
         # bit, so lang filters on this generation stay correct (inexact mask
         # -> doc-side recheck). Compaction rebuilds an exact dictionary.
+        # the base's declared dimension travels to every generation — the
+        # build_index default ('lang') must never resurrect a dimension the
+        # base disabled or replace a custom one (ADVICE r4)
+        attr_dim=base_meta.get("attr_dim"),
         attr_dict=(
             (base_meta["attr_values"], True)
             if "attr_values" in base_meta
@@ -364,6 +382,7 @@ def _add_segment_local(
         postings_per_group=postings_per_group,
         name_key_sql=name_key,
         analyzer_rules=_base_rules(index_dir),
+        attr_dim=base_meta.get("attr_dim"),
         attr_dict=(
             (base_meta["attr_values"], True)
             if "attr_values" in base_meta
@@ -567,7 +586,13 @@ def _live_docs_and_tf(spark: SparkSession, index_dir: str):
         for t in newer:
             docs_g = docs_g.join(t, "doc_id", "left_anti")
             post_g = post_g.join(t, "doc_id", "left_anti")
-        live_docs = docs_g if live_docs is None else live_docs.unionByName(docs_g)
+        # allowMissingColumns: a clustered base carries src_doc_id, its
+        # segment generations don't — the union null-fills either side
+        live_docs = (
+            docs_g
+            if live_docs is None
+            else live_docs.unionByName(docs_g, allowMissingColumns=True)
+        )
         live_tf = post_g if live_tf is None else live_tf.unionByName(post_g)
     return live_docs, live_tf
 
@@ -619,6 +644,7 @@ def compact(
             for r in spark.read.parquet(fs_path).collect()
         }
 
+    base_meta = b.read_index_meta(index_dir)
     return b.build_index(
         spark,
         None,
@@ -630,8 +656,13 @@ def compact(
         docs_full=docs_full,
         # compaction re-derives the global name_ordinal under the SAME key
         # definition the base was built with (ADVICE r3)
-        name_key=b.read_index_meta(index_dir).get("name_key_sql"),
+        name_key=base_meta.get("name_key_sql"),
         analyzer_rules=_base_rules(index_dir),
+        # ...and the SAME declared attribute dimension: the build_index
+        # default ('lang') must not replace a custom/disabled dimension
+        # after a compaction (ADVICE r4). The dictionary itself is
+        # recomputed exactly — that part is deliberate.
+        attr_dim=base_meta.get("attr_dim"),
     )
 
 
@@ -747,8 +778,11 @@ def _spool_rows(spool: str) -> int:
 
     try:
         return int(ds_mod.dataset(spool, format="parquet").count_rows())
-    except Exception:
-        return 0
+    except FileNotFoundError:
+        return 0  # raced with a concurrent flush's rmtree — genuinely empty
+    # any OTHER error (corrupt/unreadable spool files) propagates: returning 0
+    # here would make flush_spool silently drop the spooled rows at the
+    # availableNow drain — data loss with no error surfaced (ADVICE r4)
 
 
 def flush_spool(
@@ -774,7 +808,17 @@ def flush_spool(
     if n == 0:
         return 0
     buf = spark.read.parquet(spool)
-    w = _W.partitionBy(*key_cols).orderBy(F.col("_spool_batch").desc())
+    # keep-latest-per-key: the survivor is the highest micro-batch's row;
+    # ties WITHIN one micro-batch (a source emitting one key twice in a
+    # batch) break deterministically on (doc_id, commit) desc where those
+    # columns exist — "latest version wins", documented semantics (the
+    # non-spool path feeds the whole batch to add_segment, whose tombstones
+    # are keyed, so both versions would land in the segment; the spool path
+    # deliberately collapses to one survivor and this ordering pins WHICH)
+    tie = [
+        F.col(c).desc() for c in ("doc_id", "commit") if c in buf.columns
+    ]
+    w = _W.partitionBy(*key_cols).orderBy(F.col("_spool_batch").desc(), *tie)
     buf = (
         buf.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

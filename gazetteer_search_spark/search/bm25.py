@@ -60,9 +60,12 @@ def tokens_col(content: Column, tokenizer: str = "pandas") -> Column:
 
 def doc_table(corpus: DataFrame, tokenizer: str = "pandas") -> DataFrame:
     """corpus(doc_id, repo, path, commit, lang, content) ->
-    docs + tokens + doc_len + content_sha256 (per-row invariant, north_rule)."""
-    return corpus.withColumn("tokens", tokens_col(F.col("content"), tokenizer)).select(
+    docs + tokens + doc_len + content_sha256 (per-row invariant, north_rule).
+    ``src_doc_id`` (present after builder.cluster_corpus_ids) rides along —
+    the original corpus id stays queryable next to the clustered one."""
+    cols = [
         "doc_id",
+        *(["src_doc_id"] if "src_doc_id" in corpus.columns else []),
         "repo",
         "path",
         "commit",
@@ -70,7 +73,10 @@ def doc_table(corpus: DataFrame, tokenizer: str = "pandas") -> DataFrame:
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         "tokens",
         F.size("tokens").alias("doc_len"),
-    )
+    ]
+    return corpus.withColumn(
+        "tokens", tokens_col(F.col("content"), tokenizer)
+    ).select(*cols)
 
 
 def term_freqs(docs: DataFrame) -> DataFrame:

@@ -58,6 +58,11 @@ class SearchOptions:
     lang: str | None = None  # doc-type filter analog (SURVEY §1.4)
     repo: str | None = None  # refs/bbox filter analog (P12/P13)
     path_prefix: str | None = None
+    # class-EXCLUSION filter — the ``no_poi`` analog (the reference's no_poi
+    # request flag excludes the POI doc type outright,
+    # SearchAPIAdapter.java:81-85): drop docs whose class (lang) is in this
+    # set; NULL-class docs are kept (exclusion only removes known members)
+    exclude_langs: tuple[str, ...] = ()
     lang_boosts: dict[str, float] = field(default_factory=dict)  # base_score analog
     trim: bool = False  # P16 post-retrieval trim (ESDefaultSearch.java:281-313)
     # keyset pagination (T3/S4): resume strictly after this (score, doc_id)
@@ -308,7 +313,7 @@ def finalize_ranked(
 
     doc_side = (
         options.lang or options.repo or options.path_prefix or options.lang_boosts
-        or options.distinct or options.near_path
+        or options.distinct or options.near_path or options.exclude_langs
     )
     if docs is None:
         return _rank(gated)
@@ -323,6 +328,12 @@ def finalize_ranked(
     d = docs
     if options.lang:
         d = d.filter(F.col("lang") == options.lang)
+    if options.exclude_langs:
+        # exclusion keeps NULL-class docs (removes known members only)
+        d = d.filter(
+            (~F.col("lang").isin(list(options.exclude_langs)))
+            | F.col("lang").isNull()
+        )
     if options.repo:
         d = d.filter(F.col("repo") == options.repo)
     if options.path_prefix:
@@ -536,6 +547,16 @@ class SearchEngine:
                 pruned = pruned.filter(
                     F.col("attr_bits").bitwiseAND(F.lit(mask)) != 0
                 )
+        if options is not None and (options.repo or options.path_prefix):
+            # clustered layout: a repo/path filter is a docID interval —
+            # skip out-of-range blocks before decode (pure win; the
+            # downstream docs-join filter stays authoritative either way)
+            rr = self.index.doc_range_for(options.repo, options.path_prefix)
+            if rr is not None:
+                pruned = pruned.filter(
+                    (F.col("max_doc_id") >= rr[0])
+                    & (F.col("min_doc_id") <= rr[1])
+                )
         return decode_postings(pruned)
 
     def search_rung(
@@ -560,6 +581,11 @@ class SearchEngine:
             d = self.index.docs
             if options.lang:
                 d = d.filter(F.col("lang") == options.lang)
+            if options.exclude_langs:
+                d = d.filter(
+                    (~F.col("lang").isin(list(options.exclude_langs)))
+                    | F.col("lang").isNull()
+                )
             if options.repo:
                 d = d.filter(F.col("repo") == options.repo)
             if options.path_prefix:
@@ -648,6 +674,57 @@ class SearchEngine:
     ) -> DataFrame:
         query2, options2 = self.two_phase_plan(q, dim, options)
         return self.search(query2, options2)
+
+    def two_phase_plan_rows(
+        self,
+        q: str | Query,
+        rows: list[tuple[str, str]],
+        options: SearchOptions | None = None,
+    ) -> tuple[Query, SearchOptions]:
+        """Spark-FREE twin of :meth:`two_phase_plan` over an in-memory
+        dimension row list — the serving-tier form (the class dimension is
+        broadcast-size by definition; the reference loads it at process
+        start, imp/poi_clases/*, and probes it per request). Same matching
+        rule (exact term, or token-as-prefix for tokens >= 4 chars), same
+        fold: one matched class -> filter, several -> boosts, matched
+        tokens demoted to optional. Used by the HTTP route's classify=true
+        (SearchAPIAdapter wiring ESDefaultSearch.java:90-100)."""
+        from dataclasses import replace as _replace
+
+        options = options or SearchOptions()
+        query = (
+            analyze_query(q, prefix=options.prefix, rule_set=self.rules)
+            if isinstance(q, str)
+            else q
+        )
+        if not query.tokens:
+            return query, options
+        matched_tokens: set[str] = set()
+        classes: set[str] = set()
+        for tok in query.tokens:
+            for term, cls in rows:
+                if term == tok.text or (
+                    term.startswith(tok.text) and len(tok.text) >= 4
+                ):
+                    matched_tokens.add(tok.text)
+                    classes.add(cls)
+        new_tokens = [
+            _replace(t, optional=True) if t.text in matched_tokens else t
+            for t in query.tokens
+        ]
+        prefix = query.prefix if query.prefix not in matched_tokens else None
+        query2 = Query(original=query.original, tokens=new_tokens, prefix=prefix)
+        cl = sorted(classes)
+        if len(cl) == 1:
+            options2 = _replace(options, lang=cl[0])
+        elif cl:
+            options2 = _replace(
+                options,
+                lang_boosts={**options.lang_boosts, **{c: 1.5 for c in cl}},
+            )
+        else:
+            options2 = options
+        return query2, options2
 
     def search_hits(self, q: str | Query, options: SearchOptions | None = None) -> list:
         """The coalesce ladder (U1, ESCoalesce.java:30-68) returning finalized

@@ -9,7 +9,18 @@ per request, matching the reference's always-on serving shape.
 
 Routes:
     GET /search?q=...&size=k&page=n&lang=...&repo=...&distinct=true&
-            prefix=false&near=...&mark=...&verbose=true
+            prefix=false&near=...&mark=...&verbose=true&
+            class=X[&class=Y]&no_class=Z&classify=true
+        class params (SearchAPIAdapter.java:48-55,81-85): ``class`` is the
+        poiclass[] analog (one value filters, several boost — the two-phase
+        fold's rule), ``no_class`` the no_poi class-exclusion analog, and
+        ``classify=true`` runs the two-phase class-dimension plan (matched
+        dimension tokens demote to optional, matched class filters/boosts)
+    GET /classes / GET /classes/{id}
+        dimension browse — the osmdoc hierarchy/poi-class analog
+        (REServerRoutes.java:52-62, OSMDocAPI.java:12-40)
+    GET /ui?q=...
+        minimal server-rendered HTML results page (SearchHtml analog)
         -> the ``search_response`` envelope (parsed_query, total_hits +
            relation, trimmed, answer_time_ms, hits with matched_queries[]);
            ``page`` is the reference's 1-based from/size offset paging
@@ -142,6 +153,81 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                 return False
             return False
 
+        def _search_response(self, qs) -> dict:
+            """Shared /search core (JSON route and the HTML page both use
+            it): param adaptation + class-dimension wiring + engine call.
+            Runs inside the caller's try; raises on bad params."""
+
+            def _one(name, default=None):
+                v = qs.get(name)
+                return v[0] if v else default
+
+            size = int(_one("size", default_opts.k))
+            page = max(1, int(_one("page", 1)))
+            # class-filter params (SearchAPIAdapter.java:48-55,81-85):
+            #   class=X (repeatable)    poiclass[] analog — one value is a
+            #                           hard filter, several become boosts
+            #                           (the two-phase fold's own rule)
+            #   no_class=X (repeatable) no_poi analog — class exclusion
+            classes = qs.get("class") or []
+            lang = _one("lang")
+            lang_boosts = dict(default_opts.lang_boosts)
+            if len(classes) == 1:
+                lang = classes[0]
+            elif classes:
+                lang_boosts.update({c: 1.5 for c in classes})
+            opts = replace(
+                default_opts,
+                # from/size offset paging (PAGE_PARAM): fetch page*size,
+                # return the last `size` — the reference pages the same
+                # way; keyset (search_after) is the unbounded-depth form
+                k=size * page,
+                lang=lang,
+                lang_boosts=lang_boosts,
+                exclude_langs=tuple(qs.get("no_class") or ()),
+                repo=_one("repo"),
+                path_prefix=_one("path_prefix"),
+                distinct=_one("distinct", "false").lower() == "true",
+                prefix=_one("prefix", str(default_opts.prefix)).lower()
+                == "true",
+                # lat/lon distance-sort analog (SearchAPIAdapter
+                # LAT_PARAM/LON_PARAM): closer-in-the-tree wins ties
+                near_path=_one("near"),
+            )
+            q = _one("q", "")
+            # classify=true: two-phase class-dimension search — query
+            # tokens probed against the lang-class dimension; a matched
+            # class becomes a filter/boost and its token goes optional
+            # (ESDefaultSearch.java:90-100 wired into the route)
+            if _one("classify", "false").lower() == "true":
+                from gazetteer_search_spark.sources.dims import LANG_CLASS_ROWS
+
+                q, opts = engine.two_phase_plan_rows(q, LANG_CLASS_ROWS, opts)
+            with lock:
+                resp = engine.search_response(
+                    q,
+                    opts,
+                    # mark: opaque client token echoed back (the
+                    # reference's "mark" header); verbose: full doc
+                    # detail per hit (verbose_address analog)
+                    mark=_one("mark"),
+                    verbose=_one("verbose", "false").lower() == "true",
+                )
+            if page > 1:
+                resp["page"] = page
+                resp["hits"] = resp["hits"][(page - 1) * size :]
+            return resp
+
+        def _send_html(self, code: int, html: str) -> None:
+            body = html.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            if cors_origin:
+                self.send_header("Access-Control-Allow-Origin", cors_origin)
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self) -> None:  # noqa: N802 — http.server API
             u = urlparse(self.path)
             if u.path == "/healthz":
@@ -152,55 +238,104 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
             if u.path == "/stats":
                 self._do_stats(u)
                 return
+            if u.path == "/classes" or u.path.startswith("/classes/"):
+                self._do_classes(u)
+                return
+            if u.path in ("/", "/ui"):
+                self._do_html(u)
+                return
             if u.path != "/search":
                 self._send(
                     404,
-                    {"error": "not found", "routes": ["/search", "/stats"]},
+                    {
+                        "error": "not found",
+                        "routes": ["/search", "/stats", "/classes", "/ui"],
+                    },
                 )
                 return
             if self._not_modified_short_circuit():
                 return
-            qs = parse_qs(u.query)
-
-            def _one(name, default=None):
-                v = qs.get(name)
-                return v[0] if v else default
-
             try:
-                size = int(_one("size", default_opts.k))
-                page = max(1, int(_one("page", 1)))
-                opts = replace(
-                    default_opts,
-                    # from/size offset paging (PAGE_PARAM): fetch page*size,
-                    # return the last `size` — the reference pages the same
-                    # way; keyset (search_after) is the unbounded-depth form
-                    k=size * page,
-                    lang=_one("lang"),
-                    repo=_one("repo"),
-                    path_prefix=_one("path_prefix"),
-                    distinct=_one("distinct", "false").lower() == "true",
-                    prefix=_one("prefix", str(default_opts.prefix)).lower()
-                    == "true",
-                    # lat/lon distance-sort analog (SearchAPIAdapter
-                    # LAT_PARAM/LON_PARAM): closer-in-the-tree wins ties
-                    near_path=_one("near"),
-                )
-                with lock:
-                    resp = engine.search_response(
-                        _one("q", ""),
-                        opts,
-                        # mark: opaque client token echoed back (the
-                        # reference's "mark" header); verbose: full doc
-                        # detail per hit (verbose_address analog)
-                        mark=_one("mark"),
-                        verbose=_one("verbose", "false").lower() == "true",
-                    )
-                if page > 1:
-                    resp["page"] = page
-                    resp["hits"] = resp["hits"][(page - 1) * size :]
-                self._send(200, resp)
+                self._send(200, self._search_response(parse_qs(u.query)))
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
+
+        def _do_classes(self, u) -> None:
+            """Dimension browse endpoints — the osmdoc hierarchy/poi-class
+            analog (server/REServerRoutes.java:52-62, api/osmdoc/
+            OSMDocAPI.java:12-40 serve the class dimension the importer
+            loaded at startup). /classes lists every class with the
+            dimension terms that map to it; /classes/{id} is the single-
+            class lookup (404 on unknown id)."""
+            from gazetteer_search_spark.sources.dims import LANG_CLASS_ROWS
+
+            by_class: dict[str, list[str]] = {}
+            for term, cls in LANG_CLASS_ROWS:
+                by_class.setdefault(cls, []).append(term)
+            rest = u.path[len("/classes") :].strip("/")
+            if not rest:
+                self._send(
+                    200,
+                    {
+                        "classes": [
+                            {"class": c, "terms": sorted(ts)}
+                            for c, ts in sorted(by_class.items())
+                        ]
+                    },
+                )
+                return
+            if rest not in by_class:
+                self._send(404, {"error": f"unknown class {rest!r}"})
+                return
+            self._send(
+                200, {"class": rest, "terms": sorted(by_class[rest])}
+            )
+
+        def _do_html(self, u) -> None:
+            """Minimal server-rendered results page — the SearchHtml analog
+            (server/SearchHtml.java renders GET /search results as a thin
+            HTML shell for human smoke-testing; REServerRoutes.java:74)."""
+            import html as _html
+
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            rows_html = ""
+            err = None
+            if q:
+                try:
+                    resp = self._search_response(qs)
+                    rows_html = "".join(
+                        "<tr><td>{r}</td><td>{s}</td><td>{repo}</td>"
+                        "<td>{path}</td><td>{lang}</td></tr>".format(
+                            r=i + 1,
+                            s=h["score"],
+                            repo=_html.escape(str(h["repo"] or "")),
+                            path=_html.escape(str(h["path"] or "")),
+                            lang=_html.escape(str(h["lang"] or "")),
+                        )
+                        for i, h in enumerate(resp["hits"])
+                    )
+                except Exception as e:
+                    err = str(e)
+            page = (
+                "<!doctype html><html><head><meta charset='utf-8'>"
+                "<title>gazetteer-search-spark</title></head><body>"
+                "<h1>gazetteer-search-spark</h1>"
+                "<form action='/ui' method='get'>"
+                f"<input name='q' value='{_html.escape(q)}' size='40'>"
+                "<button type='submit'>Search</button></form>"
+                + (f"<p class='error'>{_html.escape(err)}</p>" if err else "")
+                + (
+                    "<table border='1'><tr><th>#</th><th>score</th>"
+                    "<th>repo</th><th>path</th><th>lang</th></tr>"
+                    + rows_html
+                    + "</table>"
+                    if q and not err
+                    else ""
+                )
+                + "</body></html>"
+            )
+            self._send_html(200, page)
 
         def _do_stats(self, u) -> None:
             """Generic tag-statistics route: histogram over an arbitrary docs
@@ -257,7 +392,9 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                     default_opts,
                     k=int(body.get("k", default_opts.k)),
                     lang=body.get("lang"),
+                    exclude_langs=tuple(body.get("no_class", ())),
                     repo=body.get("repo"),
+                    path_prefix=body.get("path_prefix"),
                     distinct=bool(body.get("distinct", False)),
                     near_path=body.get("near"),
                 )

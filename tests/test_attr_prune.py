@@ -297,3 +297,44 @@ def test_segment_inherits_attr_dict_new_lang_correct(spark, tmp_path_factory):
     opts2 = SearchOptions(k=300, prefix=False, fuzzy=False, lang="python")
     hits2 = eng.search_hits("postings", opts2)
     assert hits2 and all(h.lang == "python" for h in hits2)
+
+
+def test_big_mixed_run_small_values_pool_into_hybrid_tail():
+    """ADVICE r4: a >= ATTR_SPLIT_MIN run spread over MANY small attr values
+    must not shatter into per-value micro-blocks — sub-ATTR_SUB_MIN values
+    pool into hybrid byte-masked blocks, big values still split."""
+    import numpy as np
+
+    from gazetteer_search_spark.index.builder import (
+        ATTR_SPLIT_MIN,
+        ATTR_SUB_MIN,
+        pack_term_run,
+    )
+    from gazetteer_search_spark.index import codec
+
+    n = 2 * ATTR_SPLIT_MIN
+    ids = np.arange(n, dtype=np.int64)
+    tfs = np.ones(n, dtype=np.int64)
+    scores = np.linspace(0.1, 1.0, n)
+    # 40 distinct values, each ~ n/40 postings (well below ATTR_SUB_MIN)
+    attrs = (ids % 40).astype(np.int64)
+    rows: list = []
+    pack_term_run(rows, "t", 0, 0, ids, tfs, scores, attrs)
+    # no micro-blocks: every block holds a full BLOCK_SIZE except the tail
+    counts = sorted(r[3] for r in rows)
+    assert len(rows) <= -(-n // codec.BLOCK_SIZE) + 1
+    assert counts[-1] == codec.BLOCK_SIZE
+    # all pooled -> every block carries per-posting attr bytes
+    assert all(r[12] is not None for r in rows)
+    # the packed postings are exactly the input multiset
+    total = sum(r[3] for r in rows)
+    assert total == n
+
+    # mixed case: one dominant value (>= ATTR_SUB_MIN) + a tiny tail value
+    attrs2 = np.where(ids < n - 3, 0, 1).astype(np.int64)
+    rows2: list = []
+    pack_term_run(rows2, "t", 0, 0, ids, tfs, scores, attrs2)
+    pure = [r for r in rows2 if r[12] is None]   # dominant value's own blocks
+    hybrid = [r for r in rows2 if r[12] is not None]
+    assert pure and len(hybrid) == 1 and hybrid[0][3] == 3
+    assert ATTR_SUB_MIN <= codec.BLOCK_SIZE

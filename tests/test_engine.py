@@ -298,3 +298,30 @@ def test_path_proximity_three_way_equivalence(spark):
             ).fetchall()
         ]
         assert got_duck == want.tolist(), (trial, near)
+
+
+def test_exclude_langs_filter(spark, corpus, engine):
+    """Class-exclusion filter (the no_poi analog, SearchAPIAdapter.java:
+    81-85): engine rank-identical to the oracle under exclude_langs, the
+    excluded classes absent, and serving (LocalExecutor) identical to the
+    Spark path; match_all honors it too."""
+    from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+    groups = [_grp(0, ["postings"])]
+    opts = SearchOptions(k=15, exclude_langs=("python", "go"))
+    got = engine.search_rung(groups, 1, opts)
+    want = oracle_topk(corpus, groups, 1, k=15, options=opts)
+    assert_rank_identical(
+        got.select("doc_id", "score"), want.select("doc_id", "score")
+    )
+    rows = got.collect()
+    assert rows and all(r.lang not in ("python", "go") for r in rows)
+
+    ex = LocalExecutor(engine.index)
+    hits = ex.search_rung(groups, 1, opts)
+    assert [(h.doc_id, round(h.score, 9)) for h in hits] == [
+        (r.doc_id, round(r.score, 9)) for r in rows
+    ]
+
+    ma = ex._match_all(SearchOptions(k=30, exclude_langs=("java",)))
+    assert ma and all(h.lang != "java" for h in ma)

@@ -269,3 +269,33 @@ def test_ivf_trained_matches_independent_numpy_recompute(spark):
     rank = np.lexsort((cids, -cos))[:10]
     want = [(int(cids[i]), float(cos[i])) for i in rank]
     assert got == want
+
+
+@pytest.mark.skipif(
+    not multimodal.has_pillow(), reason="pillow not installed (stub decoder in use)"
+)
+def test_multimodal_pillow_decode(spark):
+    """Real image decode through the same mapInPandas plumbing, active only
+    where pillow exists (VERDICT r4 #8). The payloads are real PNG bytes;
+    features are the 2x2 mean-pooled RGB thumbnail in [0, 1]."""
+    import io
+
+    from PIL import Image
+
+    imgs = []
+    for i in range(6):
+        im = Image.new("RGB", (8, 8), (i * 40 % 256, 10, 200))
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        imgs.append((i, "image", "image/png", buf.getvalue(), {"src": "t"}))
+    media = spark.createDataFrame(imgs, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(
+        media, batch_decode=multimodal.pillow_image_decode
+    ).collect()
+    assert len(feats) == 6
+    for r in feats:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.features)
+    # deterministic: constant-colour image decodes to its own colour value
+    r0 = next(r for r in feats if r.media_id == 0)
+    assert r0.features[0] == pytest.approx(0.0, abs=1e-6)  # R channel of (0,10,200)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import threading
 import urllib.request
+from dataclasses import replace
 
 import pytest
 from pyspark.sql import functions as F
@@ -197,5 +198,119 @@ def test_http_hardening_and_stats(eng):
             assert False, "expected 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_http_class_filters_and_classify(eng):
+    """Class-filter params (SearchAPIAdapter.java:48-55,81-85 analogs):
+    ``class`` = poiclass[] (one value filters, several boost), ``no_class``
+    = no_poi exclusion, ``classify=true`` = the two-phase class-dimension
+    plan — each route result identical to the engine-level call."""
+    from gazetteer_search_spark.sources.dims import LANG_CLASS_ROWS
+
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def hits(url):
+            with urllib.request.urlopen(url) as r:
+                return [
+                    (h["doc_id"], h["score"])
+                    for h in json.loads(r.read())["hits"]
+                ]
+
+        def eng_hits(q, opts):
+            return [
+                (h["doc_id"], h["score"])
+                for h in eng.search_response(q, opts)["hits"]
+            ]
+
+        o = SearchOptions(k=5, prefix=False)
+        # single class -> hard filter (== engine lang filter)
+        got = hits(f"{base}/search?q=alpha&class=python")
+        assert got and got == eng_hits("alpha", replace(o, lang="python"))
+        # several classes -> boosts (the two-phase fold's own rule)
+        got2 = hits(f"{base}/search?q=alpha&class=python&class=java")
+        assert got2 == eng_hits(
+            "alpha", replace(o, lang_boosts={"python": 1.5, "java": 1.5})
+        )
+        # class exclusion (no_poi analog)
+        got3 = hits(f"{base}/search?q=alpha&no_class=python")
+        assert got3 and got3 == eng_hits(
+            "alpha", replace(o, exclude_langs=("python",))
+        )
+        assert not set(got3) & set(got)  # disjoint universes
+        # classify=true: dimension token demoted + class folded into options
+        q2, o2 = eng.two_phase_plan_rows("alpha english", LANG_CLASS_ROWS, o)
+        assert o2.lang == "en" and [t2.optional for t2 in q2.tokens] == [
+            False, True,
+        ]
+        with urllib.request.urlopen(
+            f"{base}/search?q=alpha+english&classify=true"
+        ) as r:
+            env = json.loads(r.read())
+        want = eng.search_response(q2, o2)
+        assert [h["doc_id"] for h in env["hits"]] == [
+            h["doc_id"] for h in want["hits"]
+        ]
+        # the demotion is visible in the echoed parsed query
+        assert [t3["optional"] for t3 in env["parsed_query"]["tokens"]] == [
+            False, True,
+        ]
+    finally:
+        srv.shutdown()
+
+
+def test_http_classes_browse(eng):
+    """Dimension browse endpoints (REServerRoutes.java:52-62 /
+    OSMDocAPI.java:12-40 analogs)."""
+    import urllib.error
+
+    from gazetteer_search_spark.sources.dims import LANG_CLASS_ROWS
+
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/classes") as r:
+            body = json.loads(r.read())
+        assert {c["class"] for c in body["classes"]} == {
+            cls for _t, cls in LANG_CLASS_ROWS
+        }
+        with urllib.request.urlopen(f"{base}/classes/en") as r:
+            one = json.loads(r.read())
+        assert one == {"class": "en", "terms": ["english"]}
+        try:
+            urllib.request.urlopen(f"{base}/classes/zz")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_http_ui_page(eng):
+    """Server-rendered HTML results page (SearchHtml analog): 200 +
+    rendered hit rows."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/ui?q=alpha&size=3") as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode()
+        assert "<table" in page and "src/" in page  # rendered hit rows
+        # bare page (no query) still renders the form
+        with urllib.request.urlopen(f"{base}/ui") as r:
+            assert b"<form" in r.read()
     finally:
         srv.shutdown()
