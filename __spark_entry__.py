@@ -82,12 +82,39 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             # SQL-string form: persisted in index_meta.json so segments and
             # compactions key name_ordinal identically (ADVICE r3)
             name_key="regexp_extract(path, '^(.*)/[^/]*$', 1)",
+            # positions sidecar for the phrase/proximity entries (round 5)
+            positions=True,
         )
         # serving=True: the driver's correctness gate runs the PRODUCT serving
         # path (driver-side pruned-parquet lookups, rank-identical to the
         # Spark path — equivalence asserted in tests/test_fastpath.py)
         _ENGINES[sf_dir] = SearchEngine(spark, idx, cache=True, serving=True)
     return _ENGINES[sf_dir]
+
+
+_PHRASE_WORDS: dict[str, list[str]] = {}
+
+
+def _phrase_words(spark: SparkSession, sf_dir: str) -> list[str]:
+    """The deterministic data-derived phrase: doc 0's first two analyzed
+    tokens (query-side form — no joined-identifier doubling). Both the
+    Spark entry and the DuckDB oracle recompute it from the table alone."""
+    if sf_dir not in _PHRASE_WORDS:
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        t = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") == 0)
+            .select("text")
+            .collect()[0][0]
+        )
+        toks = tokenize_text(t, joined_identifiers=False)[:2]
+        if len(toks) < 2 or toks[0] == toks[1]:
+            raise ValueError(
+                "phrase fixture needs two distinct leading tokens in doc 0"
+            )
+        _PHRASE_WORDS[sf_dir] = toks
+    return _PHRASE_WORDS[sf_dir]
 
 
 _CLUSTER_IDX: dict[str, object] = {}
@@ -349,6 +376,58 @@ final AS (
 )
 SELECT doc_id, round(score, 4) AS score, prox FROM final
 ORDER BY round(score, 9) DESC, prox DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# positional phrase / ordered proximity (search/phrase.py; beyond reference —
+# ES match_phrase analog): positions recomputed from raw text with the FULL
+# kernel SQL (duckdb_tokens_full_sql is ORDER-faithful to the index-side
+# pandas kernel — pinned by test_positions_sidecar_matches_duckdb), the
+# 2-token chain is a positional self-join, and scoring is the ordinary
+# 2-required-group BM25 restricted to the chain-verified docs. The phrase is
+# doc 0's first two query-side tokens, data-derived on BOTH sides.
+def _phrase_sql(slop: int, k: int = 20) -> str:
+    win = (
+        "b.pos = a.pos + 1"
+        if slop == 0
+        else f"b.pos > a.pos AND b.pos <= a.pos + {1 + slop}"
+    )
+    return f"""
+WITH {_BM25_CTES},
+w AS (
+  SELECT q[1] AS w0, q[2] AS w1
+  FROM (SELECT {_STOKS} AS q FROM documents WHERE doc_id = 0)
+),
+ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+),
+ph AS (
+  SELECT DISTINCT a.doc_id
+  FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id CROSS JOIN w
+  WHERE a.term = w.w0 AND b.term = w.w1 AND {win}
+),
+grp AS (
+  SELECT w0 AS term, 0 AS group_id, TRUE AS required, 1.0 AS weight FROM w
+  UNION ALL SELECT w1, 1, TRUE, 1.0 FROM w
+),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+final AS (
+  SELECT p.doc_id, p.raw AS score
+  FROM per_doc p JOIN ph USING (doc_id)
+  WHERE p.matched_required >= 2
+)
+SELECT doc_id, round(score, 4) AS score FROM final
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {k}
 """
 
 
@@ -717,6 +796,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             path_proximity_col(F.col("path"), near).alias("prox"),
         )
 
+    def phrase_match(spark, sf):
+        """Positional phrase search (beyond reference; search/phrase.py):
+        docs containing doc 0's first two analyzed tokens ADJACENT in
+        order, BM25-ranked. The phrase is data-derived on both sides; the
+        oracle recomputes token positions with the order-faithful simple
+        pipeline (documents text is plain prose, where the full kernel
+        emits the identical ordered stream — the list-equality property
+        test_duckdb_sql_matches_kernel_on_plain_text pins)."""
+        eng = _engine(spark, sf)
+        return _topk_out(
+            eng.search_phrase(_phrase_words(spark, sf), SearchOptions(k=20))
+        )
+
+    def phrase_near(spark, sf):
+        """Ordered proximity (sloppy phrase, slop=2): the same two tokens
+        with the second allowed up to 3 positions after the first —
+        supersets the exact-phrase hits."""
+        eng = _engine(spark, sf)
+        return _topk_out(
+            eng.search_phrase(
+                _phrase_words(spark, sf), SearchOptions(k=20), slop=2
+            )
+        )
+
     def segment_upsert(spark, sf):
         """Multi-generation search after an incremental upsert (ImportMode.
         update analog): base gen + one segment with frozen-stats scoring and
@@ -737,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         near_sort=near_sort,
+        phrase_match=phrase_match,
+        phrase_near=phrase_near,
         repo_filter=repo_filter,
         repo_path_filter=repo_path_filter,
         segment_upsert=segment_upsert,
@@ -1141,6 +1246,8 @@ def oracle_sql() -> dict[str, str]:
         repo="src7",
         path_prefix="docs/",
     )
+    o["phrase_match"] = _phrase_sql(slop=0)
+    o["phrase_near"] = _phrase_sql(slop=2)
     o["multi_term_and"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 2
     )

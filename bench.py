@@ -94,6 +94,8 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         spark, documents_as_corpus(spark, sf_dir), qout,
         tokenizer="pandas", n_buckets=8, postings_per_group=1 << 16,
         cluster_by=("repo", "path"),
+        positions=True,  # phrase/proximity sidecar (round 5) — untimed here;
+        # the phrase bench lines below pay only the query-time cost
     )
     # the serving engine (driver-side point lookups over pruned parquet row
     # groups, zero Spark jobs/query) is the product path for these latencies;
@@ -148,6 +150,30 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         lambda: eng.search_hits(
             "zzzqqq merge", SearchOptions(k=20, prefix=False, fuzzy=False)
         ),
+    )
+    # positional phrase + ordered proximity (search/phrase.py): the phrase is
+    # the sf corpus' doc-0 leading bigram (data-derived, same as the oracled
+    # phrase_match/phrase_near entries)
+    from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+    _t0 = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") == 0)
+        .select("text")
+        .collect()[0][0]
+    )
+    _ph_words = tokenize_text(_t0, joined_identifiers=False)[:2]
+    bench_rows(
+        "q_phrase_serve",
+        lambda: eng.search_phrase_rows(_ph_words, SearchOptions(k=20)),
+    )
+    bench_rows(
+        "q_phrase_near_serve",
+        lambda: eng.search_phrase_rows(_ph_words, SearchOptions(k=20), slop=2),
+    )
+    bench_query(
+        "q_phrase_spark",
+        lambda: eng_spark.search_phrase(_ph_words, SearchOptions(k=20)),
     )
     bench_query(
         "q_single_term_spark",

@@ -22,7 +22,7 @@ This package owns those parts natively on Spark:
 - ``sources``    corpus readers/generators (Iceberg-shaped source-code table)
 """
 
-__version__ = "0.7.0"  # bump on index-format changes: __spark_entry__ keys its
+__version__ = "0.8.0"  # bump on index-format changes: __spark_entry__ keys its
 # cached /tmp index dirs by this, so stale-format indexes are never resumed
 
 BM25_K1 = 1.2

@@ -260,6 +260,10 @@ class IndexPaths:
         return os.path.join(self.root, "postings")
 
     @property
+    def positions(self) -> str:
+        return os.path.join(self.root, "positions")
+
+    @property
     def term_stats(self) -> str:
         return os.path.join(self.root, "term_stats")
 
@@ -578,6 +582,7 @@ def build_index(
     attr_dim: str | None = "lang",
     attr_dict: tuple[list, bool] | None = None,
     cluster_by: tuple[str, ...] | None = None,
+    positions: bool = False,
 ) -> Index:
     """Build (or resume) the full index under ``out_dir``.
 
@@ -698,6 +703,7 @@ def build_index(
             "name_key_sql": name_key,
             "analyzer_hash": rules_set.content_hash(),
             **({"clustered_by": list(cluster_by)} if cluster_by else {}),
+            **({"positions": True} if positions else {}),
             **(extra_meta or {}),
         },
     )
@@ -796,6 +802,34 @@ def build_index(
     cs = spark.read.parquet(paths.corpus_stats).collect()[0]
     n_docs, avg_dl, max_doc_id = int(cs.n_docs), float(cs.avg_doc_len), int(cs.max_doc_id)
     _mark("corpus_stats")
+
+    # ---- positions sidecar (opt-in: phrase / proximity queries) -------------
+    # One row per (term, doc): the term's 0-based offsets in the doc's FULL
+    # analyzed token stream (appended joined-identifier tokens occupy tail
+    # offsets, so core sub-token adjacency — camelCase/snake_case splits —
+    # is positional adjacency). A SEPARATE table, deliberately NOT new
+    # posting-block columns: the hot query path's block format and every
+    # decode kernel stay untouched, and a positional index costs its extra
+    # bytes only when the operator asked for them (Lucene's omitPositions
+    # tradeoff, per-index instead of per-field). Partitioned/sorted exactly
+    # like postings, so a phrase's term lookups prune to the same buckets
+    # and row groups. Content field only; per-field phrase would add
+    # 'field:term' rows here the same way.
+    if positions and not (resume and _exists(spark, paths.positions)):
+        (
+            docs_full.select(
+                "doc_id", F.posexplode("tokens").alias("pos", "term")
+            )
+            .groupBy("term", "doc_id")
+            .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+            .withColumn("term_bucket", term_bucket_col(F.col("term"), n_buckets))
+            .repartition(n_buckets, "term_bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(paths.positions)
+        )
+    _mark("positions")
 
     # attr_id: the filter dimension's dictionary id per doc (overflow/null ->
     # bit 63), a tiny map-literal projection — rides the existing term-freq

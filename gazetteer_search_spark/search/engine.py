@@ -617,6 +617,85 @@ class SearchEngine:
             groups=groups,
         )
 
+    # ---- positional phrase / ordered proximity (beyond reference) -----------
+    def search_phrase(
+        self,
+        q: str | list[str],
+        options: SearchOptions | None = None,
+        slop: int = 0,
+    ) -> DataFrame:
+        """Exact phrase (slop=0) or ordered-window proximity match with BM25
+        ranking (search/phrase.py — needs an index built with
+        ``positions=True``).
+
+        The phrase text tokenizes with the INDEX kernel but WITHOUT the
+        appended joined-identifier doubling (those tokens sit at tail
+        offsets in the doc stream — a query-side copy would demand a false
+        adjacency). The positional test shrinks the candidate universe
+        BEFORE ranking, so doc-side filters, boosts, and the cursor compose
+        exactly as in search_rung."""
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+        from gazetteer_search_spark.search import phrase as _ph
+
+        options = options or SearchOptions()
+        terms = (
+            tokenize_text(q, joined_identifiers=False)
+            if isinstance(q, str)
+            else list(q)
+        )
+        if not terms:
+            raise ValueError("search_phrase: phrase analyzed to zero tokens")
+        uniq = list(dict.fromkeys(terms))
+        groups = [
+            TermGroup(group_id=i, terms=(t,), required=True)
+            for i, t in enumerate(uniq)
+        ]
+        if self._local is not None:
+            if self.spark is None:
+                raise RuntimeError(
+                    "DataFrame results need a SparkSession — on a Spark-free "
+                    "serving engine use search_phrase_rows"
+                )
+            rows = self.search_phrase_rows(terms, options, slop)
+            return self.spark.createDataFrame(rows, RESULT_SCHEMA)
+        cand = _ph.phrase_candidates(self.spark, self.index, terms, slop)
+        scored = self._scored_for_terms(uniq, options).join(
+            cand.select("doc_id"), "doc_id", "semi"
+        )
+        return topk_from_scored(
+            scored,
+            _groups_df(self.spark, groups),
+            len(groups),
+            len(groups),
+            options.k,
+            self.index.docs,
+            options,
+            groups=groups,
+        )
+
+    def search_phrase_rows(
+        self,
+        terms: list[str],
+        options: SearchOptions | None = None,
+        slop: int = 0,
+    ) -> list:
+        """Serving-tier phrase: positional verify via pyarrow pruned reads
+        (local_phrase_ids), then the decode-all rung restricted to the
+        verified id set (LocalExecutor.search_allowed) — rank-identical to
+        the Spark path."""
+        from gazetteer_search_spark.search import phrase as _ph
+
+        options = options or SearchOptions()
+        if self._local is None:
+            raise RuntimeError("search_phrase_rows needs a serving engine")
+        uniq = list(dict.fromkeys(terms))
+        groups = [
+            TermGroup(group_id=i, terms=(t,), required=True)
+            for i, t in enumerate(uniq)
+        ]
+        allowed = _ph.local_phrase_ids(self.index, terms, slop)
+        return self._local.search_allowed(groups, len(groups), options, allowed)
+
     # ---- two-phase dimension lookup (J1) -------------------------------------
     def two_phase_plan(
         self, q: str | Query, dim: DataFrame, options: SearchOptions | None = None

@@ -843,6 +843,27 @@ class LocalExecutor:
         self.decoded_cache.trim()
         return out
 
+    def search_allowed(
+        self, groups, msm: int, options, allowed_ids: np.ndarray
+    ) -> list[Hit]:
+        """Decode-all rung restricted to a pre-verified candidate id set (the
+        positional phrase verify, search/phrase.py::local_phrase_ids). The
+        mask is applied to the per-group partials BEFORE the msm gate and
+        rank, so truncation never sees an id the verify rejected —
+        rank-safe by the same argument as the kernel's allowed_ids
+        pushdown."""
+        if allowed_ids.size == 0:
+            return []
+        parts = self.group_parts(groups, options)
+        masked = []
+        for uids, gmax, req, gid in parts:
+            pos = np.minimum(
+                np.searchsorted(allowed_ids, uids), allowed_ids.size - 1
+            )
+            sel = allowed_ids[pos] == uids
+            masked.append((uids[sel], gmax[sel], req, gid))
+        return self.combine_parts(masked, groups, msm, options)
+
     def combine_parts(self, parts: list[tuple], groups, msm: int, options) -> list[Hit]:
         """Gate + filter + boost + rank over per-group partials (one shard's
         or several shards' merged)."""

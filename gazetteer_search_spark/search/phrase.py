@@ -1,0 +1,222 @@
+"""Positional phrase / ordered-proximity search over the positions sidecar.
+
+Beyond-reference operator (the reference's ES queries are match/bool/prefix
+only — MainAddressQueryBuilder.java builds no match_phrase): exact token
+sequences ("public static void", "merge postings") and ordered windows
+("merge ... postings within 3 tokens") are core code-search asks, so this
+engine adds them, Spark-first:
+
+- The index stores a ``positions`` table (builder.py, opt-in
+  ``positions=True``): (term, doc_id, positions array<int>), partitioned by
+  term_bucket and sorted by (term, doc_id) — a phrase's lookups prune to the
+  same buckets/row groups as the postings path.
+- Matching is pure Catalyst: the per-term position arrays pivot onto one row
+  per doc (single hash aggregation), and the in-order chain test is a nested
+  higher-order-function expression (``filter``/``exists``/
+  ``array_contains``) — no UDF, whole-stage codegen end to end.
+- Rank safety: the positional test only ever REMOVES docs from the
+  candidate universe, and it is applied BEFORE any top-k cut. Scoring is
+  the ordinary per-term BM25 sum over the surviving docs (the phrase's
+  terms as required groups), so filters/boosts/pagination compose through
+  the normal ranking tail.
+
+100-TB shape: cost is driven by the RAREST phrase term — the pivot's input
+is the pruned union of the phrase terms' position rows, the chain test is
+per-doc local work, and the only shuffle is the one hash aggregation keyed
+on doc_id. The sidecar's size is the standard positional-index overhead,
+paid only by indexes built with ``positions=True``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.index.builder import Index, term_bucket_py
+
+
+def chain_count_expr(cols: list[Column], slop: int = 0) -> Column:
+    """Number of start positions in ``cols[0]`` beginning an in-order chain
+    through every following array.
+
+    slop=0: exact phrase — term k must sit at start+k (``array_contains``
+    chain). slop>0: ordered proximity — each next term within ``1+slop``
+    positions after the previous match (nested ``exists``; lambda variables
+    scope outward, so the chain is one codegen'd expression)."""
+    if len(cols) == 1:
+        return F.size(cols[0])
+
+    if slop == 0:
+        def cond(x: Column) -> Column:
+            return reduce(
+                lambda a, b: a & b,
+                [F.array_contains(cols[k], x + k) for k in range(1, len(cols))],
+            )
+    else:
+        def _chain_from(k: int, prev: Column) -> Column:
+            nxt = lambda y: (  # noqa: E731 — readable nested HOF chain
+                (y > prev)
+                & (y <= prev + 1 + slop)
+                & (_chain_from(k + 1, y) if k + 1 < len(cols) else F.lit(True))
+            )
+            return F.exists(cols[k], nxt)
+
+        def cond(x: Column) -> Column:
+            return _chain_from(1, x)
+
+    return F.size(F.filter(cols[0], cond))
+
+
+def positions_for_terms(
+    spark: SparkSession, index: Index, terms: list[str]
+) -> DataFrame:
+    """Bucket- and term-pruned scan of the positions sidecar."""
+    uniq = sorted(set(terms))
+    buckets = sorted({term_bucket_py(t, index.n_buckets) for t in uniq})
+    return spark.read.parquet(index.paths.positions).filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(uniq)
+    )
+
+
+def phrase_candidates(
+    spark: SparkSession, index: Index, terms: list[str], slop: int = 0
+) -> DataFrame:
+    """Docs whose token stream contains ``terms`` in order (exact-adjacent at
+    slop=0, within a ``1+slop`` step window otherwise) -> (doc_id,
+    phrase_freq). One shuffle: the groupBy(doc_id) pivot of the pruned
+    position rows; the chain test is per-row Catalyst."""
+    if not terms:
+        raise ValueError("phrase_candidates: empty phrase")
+    if not index.meta.get("positions"):
+        raise ValueError(
+            "this index was built without the positions sidecar — rebuild "
+            "with build_index(positions=True) to run phrase queries"
+        )
+    uniq = list(dict.fromkeys(terms))
+    pos = positions_for_terms(spark, index, uniq)
+    # conditional-aggregation pivot: one column per DISTINCT term (repeated
+    # phrase tokens reuse the same array), one hash agg keyed on doc_id
+    aggs = [
+        F.first(
+            F.when(F.col("term") == F.lit(t), F.col("positions")),
+            ignorenulls=True,
+        ).alias(f"_p{i}")
+        for i, t in enumerate(uniq)
+    ]
+    wide = pos.groupBy("doc_id").agg(*aggs)
+    byterm = {t: F.col(f"_p{i}") for i, t in enumerate(uniq)}
+    cols = [byterm[t] for t in terms]
+    present = reduce(lambda a, b: a & b, [c.isNotNull() for c in cols])
+    return (
+        wide.filter(present)
+        .withColumn("phrase_freq", chain_count_expr(cols, slop))
+        .filter(F.col("phrase_freq") > 0)
+        .select("doc_id", "phrase_freq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# serving twin (Spark-free): pyarrow pruned reads + numpy chain
+# ---------------------------------------------------------------------------
+
+def local_phrase_ids(index: Index, terms: list[str], slop: int = 0) -> np.ndarray:
+    """Sorted int64 doc ids matching the phrase — the serving tier's
+    positional verify. slop=0 is fully vectorized: per phrase offset k the
+    (doc, pos-k) pairs form a key set, and the phrase's start positions are
+    the n-way ``np.intersect1d`` of those sets (docs first narrowed to the
+    terms' intersection, so keys stay small). slop>0 walks the (few)
+    intersection docs with a searchsorted window chain."""
+    if not terms:
+        raise ValueError("local_phrase_ids: empty phrase")
+    if not index.meta.get("positions"):
+        raise ValueError(
+            "this index was built without the positions sidecar — rebuild "
+            "with build_index(positions=True) to run phrase queries"
+        )
+    import pyarrow.dataset as ds_mod
+
+    uniq = list(dict.fromkeys(terms))
+    dset = ds_mod.dataset(index.paths.positions, partitioning="hive")
+    buckets = sorted({term_bucket_py(t, index.n_buckets) for t in uniq})
+    tbl = dset.to_table(
+        columns=["term", "doc_id", "positions"],
+        filter=ds_mod.field("term_bucket").isin(buckets)
+        & ds_mod.field("term").isin(uniq),
+    )
+    terms_a = np.asarray(tbl["term"])
+    ids_a = np.asarray(tbl["doc_id"], dtype=np.int64)
+    pos_list = tbl["positions"]
+    rows_by_term: dict[str, np.ndarray] = {}
+    for t in uniq:
+        rows_by_term[t] = np.flatnonzero(terms_a == t)
+        if rows_by_term[t].size == 0:
+            return np.empty(0, dtype=np.int64)
+    common = reduce(
+        np.intersect1d, [np.sort(ids_a[rows_by_term[t]]) for t in uniq]
+    )
+    if common.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(terms) == 1:
+        return common
+
+    # per-term (doc ordinal within `common`, positions) — flattened via the
+    # arrow list offsets, no per-row python
+    flat = pos_list.combine_chunks()
+    offs = flat.offsets.to_numpy(zero_copy_only=False)
+    vals = flat.values.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def term_pairs(t: str, shift: int) -> np.ndarray:
+        rows = rows_by_term[t]
+        o = np.searchsorted(common, ids_a[rows])
+        o = np.minimum(o, common.size - 1)
+        keep = common[o] == ids_a[rows]
+        rows, o = rows[keep], o[keep]
+        counts = offs[rows + 1] - offs[rows]
+        ords = np.repeat(o, counts)
+        idx = np.concatenate([np.arange(offs[r], offs[r + 1]) for r in rows]) \
+            if rows.size else np.empty(0, dtype=np.int64)
+        p = vals[idx] - shift
+        ok = p >= 0
+        return ords[ok], p[ok]
+
+    if slop == 0:
+        big = int(vals.max(initial=0)) + 2
+        keysets = []
+        for k, t in enumerate(terms):
+            ords, p = term_pairs(t, k)
+            keysets.append(np.unique(ords * big + p))
+        starts = reduce(np.intersect1d, keysets)
+        if starts.size == 0:
+            return np.empty(0, dtype=np.int64)
+        return common[np.unique(starts // big)]
+
+    # slop > 0: window chain per intersection doc
+    per_doc: list[dict[int, np.ndarray]] = []
+    for t in terms:
+        ords, p = term_pairs(t, 0)
+        order = np.argsort(ords, kind="stable")
+        ords, p = ords[order], p[order]
+        cuts = np.searchsorted(ords, np.arange(common.size + 1))
+        per_doc.append(
+            {d: np.sort(p[cuts[d] : cuts[d + 1]]) for d in range(common.size)}
+        )
+    out = []
+    for d in range(common.size):
+        frontier = per_doc[0].get(d, np.empty(0, dtype=np.int64))
+        for k in range(1, len(terms)):
+            nxt = per_doc[k].get(d, np.empty(0, dtype=np.int64))
+            if frontier.size == 0 or nxt.size == 0:
+                frontier = np.empty(0, dtype=np.int64)
+                break
+            lo = np.searchsorted(nxt, frontier + 1, side="left")
+            hi = np.searchsorted(nxt, frontier + 1 + slop, side="right")
+            reach = np.unique(
+                np.concatenate([nxt[a:b] for a, b in zip(lo, hi)])
+            ) if frontier.size else np.empty(0, dtype=np.int64)
+            frontier = reach
+        if frontier.size:
+            out.append(common[d])
+    return np.asarray(sorted(out), dtype=np.int64)
