@@ -58,6 +58,7 @@ def cmd_build_index(args: argparse.Namespace) -> None:
         # repo/path-prefix filters prune posting blocks as docID-range
         # predicates over existing min/max metadata (no driver id collect)
         cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else None,
+        positions=args.positions,
     )
     print(json.dumps({
         "out": args.out, "n_docs": idx.n_docs,
@@ -349,6 +350,13 @@ def main(argv: list[str] | None = None) -> None:
         "--attr-dim", default="lang", metavar="COL",
         help="docs column to sub-partition posting blocks by for "
         "block-level filter pruning (default: lang; '' disables)",
+    )
+    b.add_argument(
+        "--positions", action="store_true",
+        help="also persist the positional sidecar (term offsets per doc) "
+        "enabling quoted-phrase / ordered-proximity queries "
+        '(--q \'"merge postings"~2\'); segments inherit it, compaction '
+        "merges it",
     )
     b.add_argument(
         "--cluster-by", default=None, metavar="COLS",

@@ -124,6 +124,7 @@ def build_segment_index_local(
     analyzer_rules=None,
     attr_dim: str | None = "lang",
     attr_dict: tuple[list, bool] | None = None,
+    positions: bool = False,
 ) -> int:
     """Write a complete segment index at ``out_dir`` from a COLLECTED batch.
 
@@ -188,9 +189,52 @@ def build_segment_index_local(
             attr_values=attr_values,
             attr_overflow=bool(attr_overflow),
         )
+    if positions:
+        meta["positions"] = True
     _write_index_meta(out_dir, meta)
 
     paths = IndexPaths(out_dir)
+
+    # ---- positions sidecar (phrase-capable bases: segments inherit) ---------
+    # Same layout as build_index's Spark write: one (term, doc_id) row per
+    # term occurrence set, 0-based offsets in the FULL analyzed token stream,
+    # hive-partitioned by term_bucket, rows sorted (term, doc_id).
+    if positions:
+        import pyarrow as pa
+
+        by_key: dict[tuple[str, int], list[int]] = {}
+        for d, toks in zip(doc_ids.tolist(), tokens):
+            for p, t in enumerate(toks):
+                by_key.setdefault((t, d), []).append(p)
+        by_bucket: dict[int, list[tuple[str, int, list[int]]]] = {}
+        for (t, d), plist in by_key.items():
+            by_bucket.setdefault(term_bucket_py(t, n_buckets), []).append(
+                (t, d, plist)
+            )
+        pos_schema = pa.schema(
+            [
+                pa.field("term", pa.string()),
+                pa.field("doc_id", pa.int64()),
+                pa.field("positions", pa.list_(pa.int32())),
+            ]
+        )
+        for b in sorted(by_bucket):
+            rows = sorted(by_bucket[b], key=lambda r: (r[0], r[1]))
+            tbl = pa.Table.from_pydict(
+                {
+                    "term": [r[0] for r in rows],
+                    "doc_id": [r[1] for r in rows],
+                    "positions": [r[2] for r in rows],
+                },
+                schema=pos_schema,
+            )
+            _write_parquet(
+                os.path.join(paths.positions, f"term_bucket={b}"),
+                tbl,
+                success=False,
+            )
+        os.makedirs(paths.positions, exist_ok=True)
+        open(os.path.join(paths.positions, "_SUCCESS"), "a").close()
 
     # ---- docs table (name_ordinal per import batch, doc_part layout) --------
     nk = pdf["_nk"].astype(object)

@@ -264,6 +264,10 @@ def add_segment(
             if "attr_values" in base_meta
             else None
         ),
+        # a phrase-capable base keeps phrase capability across generations:
+        # segments carry their own positions sidecar (multi-generation
+        # phrase queries verify each generation independently)
+        positions=bool(base_meta.get("positions")),
     )
 
     # tombstones: older docs sharing an upsert key with this batch. One
@@ -388,6 +392,7 @@ def _add_segment_local(
             if "attr_values" in base_meta
             else None
         ),
+        positions=bool(base_meta.get("positions")),
     )
 
     # tombstones: key-pruned pyarrow reads of older generations' docs
@@ -514,6 +519,20 @@ class MultiExecutor:
     def search_rung(self, groups, msm: int, options) -> list:
         return self._merge(
             [s.search_rung(groups, msm, options) for s in self.subs],
+            options,
+        )
+
+    def search_allowed(self, groups, msm: int, options, allowed_ids) -> list:
+        """Pre-verified candidate restriction (the positional phrase verify,
+        search/phrase.py) across generations: doc ids are globally unique,
+        so every generation masks its per-group partials against the SAME
+        allowed set (foreign ids simply never match), and the per-generation
+        pages merge exactly like search_rung's."""
+        return self._merge(
+            [
+                s.search_allowed(groups, msm, options, allowed_ids)
+                for s in self.subs
+            ],
             options,
         )
 
@@ -645,7 +664,7 @@ def compact(
         }
 
     base_meta = b.read_index_meta(index_dir)
-    return b.build_index(
+    idx = b.build_index(
         spark,
         None,
         out_dir,
@@ -664,6 +683,59 @@ def compact(
         # recomputed exactly — that part is deliberate.
         attr_dim=base_meta.get("attr_dim"),
     )
+    if base_meta.get("positions"):
+        _compact_positions(spark, index_dir, idx, n_buckets)
+    return idx
+
+
+def _compact_positions(
+    spark: SparkSession, index_dir: str, idx, n_buckets: int
+) -> None:
+    """Carry the positions sidecar through compaction. The docs' token
+    MULTISET rebuilds from tf-only postings, but token ORDER does not — so
+    the compacted sidecar is the union of each generation's live position
+    rows (per-generation anti-join against newer tombstones, the exact
+    masking _live_docs_and_tf applies to docs/postings), re-bucketed for the
+    compacted bucket count. Phrase results over the compacted index equal
+    the multi-generation results by construction: positions are per-doc
+    facts and doc ids are globally unique across generations."""
+    from gazetteer_search_spark.index.builder import term_bucket_col
+
+    segs = list_segments(index_dir)
+    gens = _gen_dirs(index_dir)
+    missing = [
+        g for g in gens
+        if not os.path.isdir(IndexPaths(g).positions)
+    ]
+    if missing:
+        raise ValueError(
+            "compact: base index declares the positions sidecar but these "
+            f"generations lack it (built pre-inheritance?): {missing} — "
+            "rebuild those segments with positions=True"
+        )
+    tomb_dfs = [
+        spark.read.parquet(os.path.join(s["path"], "tombstones")) for s in segs
+    ]
+    live = None
+    for g, gdir in enumerate(gens):
+        p = spark.read.parquet(IndexPaths(gdir).positions).select(
+            "term", "doc_id", "positions"
+        )
+        for t in (t for i, t in enumerate(tomb_dfs) if i + 1 > g):
+            p = p.join(t, "doc_id", "left_anti")
+        live = p if live is None else live.unionByName(p)
+    (
+        live.withColumn(
+            "term_bucket", term_bucket_col(F.col("term"), n_buckets)
+        )
+        .repartition(n_buckets, "term_bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(idx.paths.positions)
+    )
+    idx.meta["positions"] = True
+    b._write_index_meta(idx.paths.root, idx.meta)
 
 
 def promote(index_dir: str, compacted_dir: str, keep_backup: bool = True) -> str:

@@ -696,6 +696,139 @@ class SearchEngine:
         allowed = _ph.local_phrase_ids(self.index, terms, slop)
         return self._local.search_allowed(groups, len(groups), options, allowed)
 
+    def _phrase_rung(
+        self,
+        original: str,
+        phrases: list[tuple[list[str], int]],
+        residual: str,
+        options: SearchOptions,
+    ) -> tuple[list, dict]:
+        """Quoted-phrase query execution — the ladder's phrase form.
+
+        A query containing ``"..."`` clauses (optionally ``~N`` sloppy, the
+        Lucene query-string syntax) runs ONE strict rung: quoting is an
+        exactness request, so there is no relaxation ladder, no prefix gate
+        and no fuzzy expansion. Every quoted term becomes a required exact
+        group; multi-token phrases additionally verify positionally
+        (search/phrase.py) BEFORE ranking; text outside the quotes analyzes
+        through the ordinary pipeline (variants/synonyms yes, fuzzy/prefix
+        no) and joins the same rung. Filters, boosts, trim and pagination
+        compose through the normal ranking tail.
+
+        Multi-generation serving: each generation's positions sidecar is
+        verified independently (doc ids are globally unique across
+        generations) and the allowed union feeds MultiExecutor's exact
+        interleave merge — a generation built without positions raises, and
+        compaction restores the sidecar (segments.compact merges live
+        position rows)."""
+        import numpy as np
+        from dataclasses import replace as _dc_replace
+
+        from gazetteer_search_spark.analyzer.query_ir import QToken
+        from gazetteer_search_spark.search import phrase as _ph
+
+        phrase_terms = list(
+            dict.fromkeys(t for terms, _ in phrases for t in terms)
+        )
+        groups = [
+            TermGroup(group_id=i, terms=(t,), required=True, name=t)
+            for i, t in enumerate(phrase_terms)
+        ]
+        qtokens = [QToken(text=t) for t in phrase_terms]
+        removed: list[str] = []
+        if residual:
+            rq = analyze_query(residual, prefix=False, rule_set=self.rules)
+            seen = set(phrase_terms)
+            gid = len(groups)
+            rgroups, _ = self._build_groups(
+                rq, options, fuzzy=False, with_prefix=False
+            )
+            for g in rgroups:
+                if g.name in seen:  # token already a phrase group
+                    continue
+                groups.append(_dc_replace(g, group_id=gid))
+                gid += 1
+            qtokens += [t for t in rq.tokens if t.text not in seen]
+            removed = list(rq.removed)
+        query = Query(original=original, tokens=qtokens, removed=removed)
+        msm = sum(1 for g in groups if g.required)
+        meta = {
+            "query": query,
+            "groups": groups,
+            "rung": 1,
+            "trimmed": False,
+            "phrases": [{"terms": list(t), "slop": s} for t, s in phrases],
+        }
+        # single-token "quoted" terms are exactness-only (presence == phrase);
+        # only multi-token phrases need the positional verify
+        verify = [(t, s) for t, s in phrases if len(t) > 1]
+
+        if self._local is not None:
+            if not verify:
+                rows = self.search_rung_rows(groups, msm, options)
+            else:
+                idxs = [
+                    s.index for s in getattr(self._local, "subs", [])
+                ] or [self.index]
+                allowed = None
+                for terms, slop in verify:
+                    try:
+                        ids = np.unique(
+                            np.concatenate(
+                                [
+                                    _ph.local_phrase_ids(ix, terms, slop)
+                                    for ix in idxs
+                                ]
+                            )
+                        )
+                    except ValueError as e:
+                        if len(idxs) > 1:
+                            raise ValueError(
+                                "phrase query over a multi-generation index "
+                                "needs every generation built with the "
+                                "positions sidecar — compact to restore it "
+                                f"({e})"
+                            ) from e
+                        raise
+                    allowed = (
+                        ids
+                        if allowed is None
+                        else np.intersect1d(allowed, ids)
+                    )
+                    if allowed.size == 0:
+                        break
+                rows = (
+                    []
+                    if allowed.size == 0
+                    else self._local.search_allowed(
+                        groups, msm, options, allowed
+                    )
+                )
+        else:
+            cand = None
+            for terms, slop in verify:
+                c = _ph.phrase_candidates(
+                    self.spark, self.index, terms, slop
+                ).select("doc_id")
+                cand = c if cand is None else cand.join(c, "doc_id", "semi")
+            all_terms = sorted({t for g in groups for t in g.terms})
+            scored = self._scored_for_terms(all_terms, options)
+            if cand is not None:
+                scored = scored.join(cand, "doc_id", "semi")
+            rows = topk_from_scored(
+                scored,
+                _groups_df(self.spark, groups),
+                msm,
+                msm,
+                options.k,
+                self.index.docs,
+                options,
+                groups=groups,
+            ).collect()
+        if options.trim:
+            rows, meta["trimmed"] = self._trim_page(rows)
+        return rows, meta
+
     # ---- two-phase dimension lookup (J1) -------------------------------------
     def two_phase_plan(
         self, q: str | Query, dim: DataFrame, options: SearchOptions | None = None
@@ -867,6 +1000,13 @@ class SearchEngine:
                 ],
                 "prefix": query.prefix,
                 "removed": list(query.removed),
+                # quoted-phrase clauses, when the query carried any
+                # ("merge postings" / "merge postings"~2 syntax)
+                **(
+                    {"phrases": meta["phrases"]}
+                    if meta.get("phrases")
+                    else {}
+                ),
             },
             "rung": meta["rung"],
             "total_hits": len(rows),
@@ -938,10 +1078,33 @@ class SearchEngine:
         tbl = dset.to_table(filter=f, columns=cols).to_pylist()
         return {int(r["doc_id"]): {k: v for k, v in r.items() if k != "doc_id"} for r in tbl}
 
+    @staticmethod
+    def _trim_page(rows: list) -> tuple[list, bool]:
+        """P16 trim: walking the ranked page, cut at the first hit of coarser
+        granularity than the top hit — "coarser" = its matched-clause set
+        does not cover the top hit's clauses (the reference cuts
+        locality-only matches on street queries using per-clause _name
+        flags, ESDefaultSearch.java:281-313; matched_mask is the per-hit
+        matched_queries[] analog)."""
+        if not rows:
+            return rows, False
+        best = rows[0].matched_mask
+        cut = next(
+            (i for i, r in enumerate(rows) if (r.matched_mask & best) != best),
+            len(rows),
+        )
+        return rows[:cut], cut < len(rows)
+
     def _search_ladder(
         self, q: str | Query, options: SearchOptions | None = None
     ) -> tuple[list, dict]:
         options = options or SearchOptions()
+        if isinstance(q, str) and '"' in q:
+            from gazetteer_search_spark.search import phrase as _ph
+
+            parsed = _ph.parse_phrase_query(q)
+            if parsed is not None:
+                return self._phrase_rung(q, parsed[0], parsed[1], options)
         query = analyze_query(q, prefix=options.prefix, rule_set=self.rules) if isinstance(q, str) else q
 
         # rungs are built LAZILY: rung 1 usually wins, and rungs 2/3 pay the
@@ -983,24 +1146,8 @@ class SearchEngine:
             seen_rungs.add(key)
             rows = self.search_rung_rows(groups, msm, options)
             meta.update(groups=groups, rung=rung_no, trimmed=False)
-            if rows and options.trim:
-                # P16 trim: walking the ranked page, cut at the first hit of
-                # coarser granularity than the top hit — "coarser" = its
-                # matched-clause set does not cover the top hit's clauses
-                # (the reference cuts locality-only matches on street queries
-                # using per-clause _name flags, ESDefaultSearch.java:281-313;
-                # matched_mask is the per-hit matched_queries[] analog)
-                best = rows[0].matched_mask
-                cut = next(
-                    (
-                        i
-                        for i, r in enumerate(rows)
-                        if (r.matched_mask & best) != best
-                    ),
-                    len(rows),
-                )
-                meta["trimmed"] = cut < len(rows)
-                rows = rows[:cut]
+            if options.trim:
+                rows, meta["trimmed"] = self._trim_page(rows)
             last = rows
             if rows:
                 return rows, meta

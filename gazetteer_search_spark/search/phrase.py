@@ -29,6 +29,7 @@ paid only by indexes built with ``positions=True``.
 
 from __future__ import annotations
 
+import re
 from functools import reduce
 
 import numpy as np
@@ -36,6 +37,40 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gazetteer_search_spark.index.builder import Index, term_bucket_py
+
+# quoted-phrase clause: "merge postings" or "merge postings"~2 (the Lucene
+# query-string slop suffix). Unbalanced quotes never match — the raw string
+# falls through to the ordinary analyzer, whose kernel strips the quote char.
+_PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
+
+
+def parse_phrase_query(
+    q: str,
+) -> tuple[list[tuple[list[str], int]], str] | None:
+    """Extract quoted-phrase clauses from a raw query string.
+
+    Returns ``(phrases, residual)`` where ``phrases`` is a list of
+    ``(analyzed_terms, slop)`` — one per non-empty quoted segment, tokenized
+    with the index kernel minus the joined-identifier doubling (tail-offset
+    tokens would demand a false adjacency) — and ``residual`` is the query
+    text outside the quotes, to analyze through the ordinary pipeline.
+    Returns None when the string carries no quoted phrase (the caller keeps
+    the ordinary ladder).
+    """
+    from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+    phrases: list[tuple[list[str], int]] = []
+
+    def _take(m: re.Match) -> str:
+        terms = tokenize_text(m.group(1), joined_identifiers=False)
+        if terms:
+            phrases.append((terms, int(m.group(2) or 0)))
+        return " "
+
+    residual = _PHRASE_RE.sub(_take, q)
+    if not phrases:
+        return None
+    return phrases, residual.strip()
 
 
 def chain_count_expr(cols: list[Column], slop: int = 0) -> Column:

@@ -188,3 +188,181 @@ def test_empty_phrase_raises(spark, index):
     eng = SearchEngine(spark, index)
     with pytest.raises(ValueError):
         eng.search_phrase("")
+
+
+# ---------------------------------------------------------------------------
+# quoted-phrase query syntax in the search ladder (engine._phrase_rung)
+# ---------------------------------------------------------------------------
+
+def test_parse_phrase_query():
+    assert ph.parse_phrase_query('"merge postings"') == (
+        [(["merge", "postings"], 0)], "")
+    assert ph.parse_phrase_query('"merge postings"~2 block') == (
+        [(["merge", "postings"], 2)], "block")
+    two = ph.parse_phrase_query('"block max" near "merge postings"~1')
+    assert two == ([(["block", "max"], 0), (["merge", "postings"], 1)], "near")
+    # no quotes / unbalanced / empty quotes -> ordinary ladder
+    assert ph.parse_phrase_query("merge postings") is None
+    assert ph.parse_phrase_query('"merge postings') is None
+    assert ph.parse_phrase_query('"" merge') is None
+
+
+def test_quoted_query_matches_explicit_api(spark, index):
+    """'"merge postings"' through search() == the explicit search_phrase
+    API, on both the Spark path and the serving executor path."""
+    eng = SearchEngine(spark, index)
+    srv = SearchEngine(spark, index, serving=True)
+    opts = SearchOptions(k=15)
+    want = [
+        (r.doc_id, round(r.score, 9))
+        for r in eng.search_phrase(["merge", "postings"], opts).collect()
+    ]
+    assert want
+    got_spark = [
+        (r.doc_id, round(r.score, 9))
+        for r in eng.search('"merge postings"', opts).collect()
+    ]
+    got_srv = [
+        (r.doc_id, round(r.score, 9))
+        for r in srv.search('"merge postings"', opts).collect()
+    ]
+    assert got_spark == want
+    assert got_srv == want
+
+
+def test_quoted_query_slop_residual_rank_identity(spark, index, doc_tokens):
+    """Sloppy phrase + residual text outside the quotes: Spark == serving,
+    and every hit satisfies BOTH the positional chain and the residual
+    term's presence (the residual joins as a required group)."""
+    eng = SearchEngine(spark, index)
+    srv = SearchEngine(spark, index, serving=True)
+    opts = SearchOptions(k=20)
+    q = '"merge postings"~2 block'
+    a = [(r.doc_id, round(r.score, 9)) for r in eng.search(q, opts).collect()]
+    bhits = [(r.doc_id, round(r.score, 9)) for r in srv.search(q, opts).collect()]
+    assert a == bhits and a
+    allowed = set(brute_phrase_ids(doc_tokens, ["merge", "postings"], 2))
+    for d, _ in a:
+        assert d in allowed
+        assert "block" in doc_tokens[d]
+
+
+def test_quoted_response_meta(spark, index):
+    srv = SearchEngine(spark, index, serving=True)
+    resp = srv.search_response('"merge postings"~1 block', SearchOptions(k=5))
+    assert resp["parsed_query"]["phrases"] == [
+        {"terms": ["merge", "postings"], "slop": 1}
+    ]
+    assert resp["rung"] == 1
+    assert resp["hits"]
+
+
+def test_single_token_quoted_is_exactness_only(spark, index):
+    """A one-word quote needs no positional verify — it is an exact required
+    term (no fuzzy/prefix), identical to the plain one-term rung."""
+    srv = SearchEngine(spark, index, serving=True)
+    opts = SearchOptions(k=10)
+    a = [(r.doc_id, round(r.score, 9))
+         for r in srv.search('"merge"', opts).collect()]
+    b = [(r.doc_id, round(r.score, 9))
+         for r in srv.search("merge", opts).collect()]
+    assert a == b and a
+
+
+def test_quoted_query_without_positions_raises(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_nopos_quoted"))
+    idx = builder.build_index(spark, corpus.limit(60), out, n_buckets=4)
+    for engine in (SearchEngine(spark, idx), SearchEngine(spark, idx, serving=True)):
+        with pytest.raises(ValueError, match="positions"):
+            engine.search('"merge postings"', SearchOptions(k=5))
+
+
+# ---------------------------------------------------------------------------
+# multi-generation phrase: segments inherit the positions sidecar; quoted
+# queries verify each generation independently; compaction merges live rows
+# ---------------------------------------------------------------------------
+
+def _hid(df):
+    return df.withColumn(
+        "doc_id",
+        F.xxhash64("repo", "path", "commit").bitwiseAND(F.lit((1 << 62) - 1)),
+    )
+
+
+def _rewrite(corpus0, lo, hi, tag, content):
+    """Version `tag` of docs [lo, hi) with content REPLACED (not appended) —
+    the old version's phrases must disappear from live results."""
+    return (
+        corpus0.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        .withColumn(
+            "commit",
+            F.sha1(F.concat(F.col("doc_id").cast("string"), F.lit(tag))),
+        )
+        .withColumn("content", F.lit(content))
+        .drop("doc_id")
+    )
+
+
+def test_multigen_quoted_phrase_and_compaction(spark, tmp_path_factory):
+    from gazetteer_search_spark.index import segments
+
+    root = str(tmp_path_factory.mktemp("seg_phrase"))
+    corpus0 = synthetic_corpus(spark, 300).cache()
+    builder.build_index(
+        spark, _hid(corpus0.drop("doc_id")), root, n_buckets=4, positions=True
+    )
+
+    # gen 2 via the LOCAL micro-batch path (default gate), gen 3 via the
+    # DISTRIBUTED path (local_threshold=0) — both must inherit positions
+    marker = "zephyr quantum flux calibration"
+    seg2 = segments.add_segment(
+        spark, _rewrite(corpus0, 0, 30, "v2", marker), root, n_buckets=4
+    )
+    assert seg2.meta.get("positions") is True
+    seg3 = segments.add_segment(
+        spark, _rewrite(corpus0, 30, 50, "v3", marker), root,
+        n_buckets=4, local_threshold=0,
+    )
+    assert seg3.meta.get("positions") is True
+    new_ids = {
+        r.doc_id
+        for s in (seg2, seg3)
+        for r in spark.read.parquet(s.paths.docs).select("doc_id").collect()
+    }
+    assert len(new_ids) == 50
+
+    eng = segments.open_multi_search(root)  # Spark-free serving
+    opts = SearchOptions(k=60)
+    hits = eng.search_hits('"zephyr quantum"', opts)
+    assert {r.doc_id for r in hits} == new_ids
+    # sloppy variant spanning the rewritten content
+    near = eng.search_hits('"zephyr flux"~1', opts)
+    assert {r.doc_id for r in near} == new_ids
+
+    # a phrase from the ORIGINAL content of the rewritten docs must not
+    # surface their superseded versions: every hit is a live doc
+    live_ids = {
+        r.doc_id
+        for r in segments.live_view(spark, root)[0].select("doc_id").collect()
+    }
+    base_hits = eng.search_hits('"merge postings"', opts)
+    assert base_hits and {r.doc_id for r in base_hits} <= live_ids
+
+    # compaction merges the live position rows and keeps phrase capability
+    cdir = str(tmp_path_factory.mktemp("seg_phrase_compact"))
+    cidx = segments.compact(spark, root, cdir, n_buckets=8)  # bucket change
+    assert cidx.meta.get("positions") is True
+    got = set(ph.local_phrase_ids(cidx, ["zephyr", "quantum"]).tolist())
+    assert got == new_ids
+    # candidate sets identical multi-gen vs compacted for a base phrase
+    multi = {
+        int(i) for i in np.unique(np.concatenate([
+            ph.local_phrase_ids(builder.load_index_local(g), ["merge", "postings"])
+            for g in segments._gen_dirs(root)
+        ])) if int(i) in live_ids
+    }
+    compacted = set(ph.local_phrase_ids(cidx, ["merge", "postings"]).tolist())
+    assert compacted == multi
+    ce = SearchEngine(None, builder.load_index_local(cdir), serving=True)
+    chits = ce.search_hits('"zephyr quantum"', opts)
+    assert {r.doc_id for r in chits} == new_ids
