@@ -117,6 +117,39 @@ def _phrase_words(spark: SparkSession, sf_dir: str) -> list[str]:
     return _PHRASE_WORDS[sf_dir]
 
 
+_RESIDUAL_WORD: dict[str, str] = {}
+
+
+def _residual_word(spark: SparkSession, sf_dir: str) -> str:
+    """The quoted-ladder entry's residual term: doc 0's first query-side
+    token distinct from the two phrase words and outside the analyzer's
+    removed/stop sets (those would drop or optional-mark the group and
+    change msm). Derived identically by the oracle SQL via list_filter over
+    embedded literals."""
+    if sf_dir not in _RESIDUAL_WORD:
+        from gazetteer_search_spark.analyzer.config import resolve_rules
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        rules = resolve_rules(None)
+        skip = set(rules.removed_tokens) | set(rules.stop_tokens)
+        w0, w1 = _phrase_words(spark, sf_dir)
+        t = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .filter(F.col("doc_id") == 0)
+            .select("text")
+            .collect()[0][0]
+        )
+        cand = [
+            x
+            for x in tokenize_text(t, joined_identifiers=False)
+            if x not in (w0, w1) and x not in skip
+        ]
+        if not cand:
+            raise ValueError("phrase_quoted fixture needs a residual token")
+        _RESIDUAL_WORD[sf_dir] = cand[0]
+    return _RESIDUAL_WORD[sf_dir]
+
+
 _CLUSTER_IDX: dict[str, object] = {}
 
 
@@ -428,6 +461,117 @@ final AS (
 )
 SELECT doc_id, round(score, 4) AS score FROM final
 ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---- quoted-phrase ladder oracle (phrase + residual term) -----------------
+# the '"w0 w1"~1 w2' query form: quoted terms are exact required groups with
+# a positional chain verify; the residual term analyzes through the ordinary
+# pipeline, so its group carries the analyzer's variant expansion. The oracle
+# replicates expand_variants symbolically: the synonym map embeds as a VALUES
+# literal (deterministic default config — the embedded-literal trick that
+# oracled ann_lsh's planes) and the four replacer regexes run as DuckDB
+# regexp_replace with the same patterns. w2 is data-derived in SQL exactly
+# like the Spark side: doc 0's first query-side token distinct from the two
+# phrase words and outside the removed/stop sets (both embedded as literals).
+def _phrase_quoted_sql(slop: int = 1, k: int = 20) -> str:
+    from gazetteer_search_spark.analyzer.config import resolve_rules
+
+    rules = resolve_rules(None)
+    skip = sorted(set(rules.removed_tokens) | set(rules.stop_tokens))
+    skip_lits = ", ".join("'%s'" % t for t in skip)
+    syn_rows = [
+        "('%s', '%s')" % (kk, vv)
+        for kk in sorted(rules.synonyms)
+        for vv in rules.synonyms[kk]
+    ]
+    syn_values = ",\n         ".join(syn_rows)
+    rule_arms = "\n".join(
+        "  UNION SELECT regexp_replace(w2, '{p}', '{r}') FROM w "
+        "WHERE regexp_replace(w2, '{p}', '{r}') <> w2 "
+        "AND regexp_replace(w2, '{p}', '{r}') <> ''".format(p=pat, r=rep)
+        for pat, rep in rules.variant_rules
+    )
+    win = (
+        "b.pos = a.pos + 1"
+        if slop == 0
+        else f"b.pos > a.pos AND b.pos <= a.pos + {1 + slop}"
+    )
+    return f"""
+WITH {_BM25_CTES},
+w AS (
+  SELECT q[1] AS w0, q[2] AS w1,
+         list_filter(
+           q, x -> x <> q[1] AND x <> q[2] AND x NOT IN ({skip_lits})
+         )[1] AS w2
+  FROM (SELECT {_STOKS} AS q FROM documents WHERE doc_id = 0)
+),
+syn(k, v) AS (
+  VALUES {syn_values}
+),
+g2 AS (
+  SELECT w2 AS term FROM w
+  UNION SELECT s.v FROM syn s JOIN w ON s.k = w.w2
+{rule_arms}
+),
+ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+),
+ph AS (
+  SELECT DISTINCT a.doc_id
+  FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id CROSS JOIN w
+  WHERE a.term = w.w0 AND b.term = w.w1 AND {win}
+),
+grp AS (
+  SELECT w0 AS term, 0 AS group_id, TRUE AS required, 1.0 AS weight FROM w
+  UNION ALL SELECT w1, 1, TRUE, 1.0 FROM w
+  UNION ALL SELECT term, 2, TRUE, 1.0 FROM g2
+),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+final AS (
+  SELECT p.doc_id, p.raw AS score
+  FROM per_doc p JOIN ph USING (doc_id)
+  WHERE p.matched_required >= 3
+)
+SELECT doc_id, round(score, 4) AS score FROM final
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# ---- suggest (term-dictionary autocomplete) oracle ------------------------
+# engine.suggest: content-namespace dictionary terms starting with a prefix,
+# ranked (df desc, term asc) with doc frequencies. The prefix is data-derived
+# on both sides: the first 3 chars of doc 0's leading query-side token. df
+# recomputes as count(DISTINCT doc) over the FULL index-kernel token stream
+# (term_stats is built from it).
+def _suggest_sql(k: int = 15) -> str:
+    return f"""
+WITH pfx AS (
+  SELECT left(q[1], 3) AS p
+  FROM (SELECT {_STOKS} AS q FROM documents WHERE doc_id = 0)
+),
+tok AS (
+  SELECT doc_id, unnest(l) AS term
+  FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+),
+dict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+  FROM tok GROUP BY term
+)
+SELECT d.term, d.df
+FROM dict d CROSS JOIN pfx
+WHERE starts_with(d.term, pfx.p)
+ORDER BY d.df DESC, d.term ASC LIMIT {k}
 """
 
 
@@ -820,6 +964,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def phrase_quoted(spark, sf):
+        """Quoted-phrase query-string syntax through the full search ladder
+        (engine._phrase_rung): '"w0 w1"~1 w2' — the quoted pair verifies as
+        a slop-1 positional chain, the residual w2 joins as an ordinary
+        required group WITH its analyzer variant expansion, all three groups
+        BM25-sum. Both the words and the variant semantics are data/config-
+        derived on both sides (the oracle embeds the synonym map + replacer
+        regexes as literals)."""
+        eng = _engine(spark, sf)
+        w0, w1 = _phrase_words(spark, sf)
+        w2 = _residual_word(spark, sf)
+        return _topk_out(
+            eng.search(f'"{w0} {w1}"~1 {w2}', SearchOptions(k=20))
+        )
+
+    def suggest_prefix(spark, sf):
+        """Term-dictionary autocomplete (engine.suggest; /suggest route):
+        top-15 content-namespace completions of a data-derived 3-char
+        prefix, ranked (df desc, term asc) with doc frequencies — answered
+        from the serving tier's cached dictionary; the oracle recomputes df
+        from the raw text with the full index kernel."""
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        eng = _engine(spark, sf)
+        pfx = _phrase_words(spark, sf)[0][:3]
+        rows = eng.suggest(pfx, 15)
+        return spark.createDataFrame(
+            [(t, int(df)) for t, df in rows], "term string, df long"
+        )
+
     def segment_upsert(spark, sf):
         """Multi-generation search after an incremental upsert (ImportMode.
         update analog): base gen + one segment with frozen-stats scoring and
@@ -842,6 +1016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         near_sort=near_sort,
         phrase_match=phrase_match,
         phrase_near=phrase_near,
+        phrase_quoted=phrase_quoted,
+        suggest_prefix=suggest_prefix,
         repo_filter=repo_filter,
         repo_path_filter=repo_path_filter,
         segment_upsert=segment_upsert,
@@ -1248,6 +1424,8 @@ def oracle_sql() -> dict[str, str]:
     )
     o["phrase_match"] = _phrase_sql(slop=0)
     o["phrase_near"] = _phrase_sql(slop=2)
+    o["phrase_quoted"] = _phrase_quoted_sql(slop=1)
+    o["suggest_prefix"] = _suggest_sql(k=15)
     o["multi_term_and"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 2
     )

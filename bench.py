@@ -175,6 +175,13 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         "q_phrase_spark",
         lambda: eng_spark.search_phrase(_ph_words, SearchOptions(k=20)),
     )
+    # quoted-phrase LADDER (parse + positional verify + ranking tail through
+    # the full search() lifecycle — the user-facing '"w0 w1"~1' form)
+    _quoted = f'"{_ph_words[0]} {_ph_words[1]}"~1'
+    bench_rows(
+        "q_phrase_quoted_serve",
+        lambda: eng.search_hits(_quoted, SearchOptions(k=20)),
+    )
     bench_query(
         "q_single_term_spark",
         lambda: eng_spark.search_rung([g(0, ["spark"])], 1, SearchOptions()),

@@ -197,6 +197,17 @@ def cmd_query(args: argparse.Namespace) -> None:
           file=sys.stderr)
 
 
+def cmd_suggest(args: argparse.Namespace) -> None:
+    """Term-dictionary autocomplete at the CLI: ranked completions of a
+    prefix with doc frequencies (HTTP twin: GET /suggest). Spark-free —
+    answers from the serving tier's cached dictionary."""
+    from gazetteer_search_spark.index.segments import open_multi_search
+
+    eng = open_multi_search(args.index)  # multi-generation-aware, Spark-free
+    for t, df in eng.suggest(args.q, args.k):
+        print(json.dumps({"term": t, "df": df}))
+
+
 def cmd_stats(args: argparse.Namespace) -> None:
     from gazetteer_search_spark.index.builder import IndexPaths, load_index
 
@@ -390,6 +401,12 @@ def main(argv: list[str] | None = None) -> None:
         help="collapse duplicate-name hits (DistinctNameFilter analog)",
     )
     q.set_defaults(fn=cmd_query)
+
+    sg2 = sub.add_parser("suggest")
+    sg2.add_argument("--index", required=True)
+    sg2.add_argument("--q", required=True, help="term prefix to complete")
+    sg2.add_argument("--k", type=int, default=10)
+    sg2.set_defaults(fn=cmd_suggest)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)

@@ -545,6 +545,17 @@ class MultiExecutor:
                 out.setdefault(t, None)
         return list(out)[:MAX_PREFIX_EXPANSIONS]
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete across generations: per-generation df summed per
+        term (Lucene df-with-deletes semantics — tombstoned docs keep
+        counting toward df until a merge rewrites the stats; compaction
+        makes the counts exact)."""
+        agg: dict[str, int] = {}
+        for s in self.subs:
+            for t, df in s.suggest(prefix, k=None):
+                agg[t] = agg.get(t, 0) + int(df)
+        return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
     def expand_fuzzy(self, term: str) -> list[str]:
         from gazetteer_search_spark.search.fastpath import MAX_FUZZY_EXPANSIONS
 

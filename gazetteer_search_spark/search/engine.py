@@ -456,6 +456,27 @@ class SearchEngine:
         )
         return [r.term for r in rows]
 
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """Autocomplete (ES completion-suggester analog, beyond reference):
+        content-namespace dictionary terms starting with ``prefix``, ranked
+        (df desc, term asc) with their doc frequencies. Serving path answers
+        from the cached in-memory dictionary; the Spark path is a
+        TakeOrdered over the pruned term_stats scan. Multi-generation
+        engines sum per-generation df (Lucene df-with-deletes semantics —
+        exact after compaction)."""
+        if not prefix:
+            raise ValueError("suggest: empty prefix")
+        if self._local is not None:
+            return self._local.suggest(prefix, k)
+        rows = (
+            self._term_stats.filter(F.col("term").startswith(prefix))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(k)
+            .select("term", "df")
+            .collect()
+        )
+        return [(r.term, int(r.df)) for r in rows]
+
     def expand_fuzzy(self, term: str) -> list[str]:
         """Damerau (OSA) edit-distance<=1 expansion against the term
         dictionary (P15; ES ``fuzziness=1`` counts a TRANSPOSITION as one

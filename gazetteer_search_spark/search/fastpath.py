@@ -358,6 +358,22 @@ class LocalExecutor:
             self._expand_cache.move_to_end(key)
         return self._expand_cache[key]
 
+    def suggest(
+        self, prefix: str, k: int | None = 10
+    ) -> list[tuple[str, int]]:
+        """Autocomplete: content-namespace dictionary terms starting with
+        ``prefix``, ranked (df desc, term asc), with their doc frequencies —
+        the ES completion-suggester analog over the same cached term dict
+        expand_prefix reads (one in-memory scan, zero I/O when warm).
+        ``k=None`` returns every match (the multi-generation merge needs
+        untruncated per-generation lists to sum df correctly)."""
+        ts = self._load_term_stats()
+        m = ts[ts["term"].str.startswith(prefix) & ~ts["term"].str.contains(":")]
+        m = m.sort_values(["df", "term"], ascending=[False, True])
+        if k is not None:
+            m = m.head(k)
+        return list(zip(m["term"].tolist(), m["df"].astype(int).tolist()))
+
     def expand_fuzzy(self, term: str) -> list[str]:
         key = ("f", term)
         if key not in self._expand_cache:

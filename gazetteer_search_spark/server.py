@@ -244,12 +244,17 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
             if u.path in ("/", "/ui"):
                 self._do_html(u)
                 return
+            if u.path == "/suggest":
+                self._do_suggest(u)
+                return
             if u.path != "/search":
                 self._send(
                     404,
                     {
                         "error": "not found",
-                        "routes": ["/search", "/stats", "/classes", "/ui"],
+                        "routes": [
+                            "/search", "/suggest", "/stats", "/classes", "/ui"
+                        ],
                     },
                 )
                 return
@@ -259,6 +264,32 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                 self._send(200, self._search_response(parse_qs(u.query)))
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
+
+        def _do_suggest(self, u) -> None:
+            """Autocomplete route: GET /suggest?q=<prefix>&size=N returns
+            the top-N content-dictionary completions (df desc, term asc)
+            with their doc frequencies — engine.suggest at the HTTP
+            surface."""
+            qs = parse_qs(u.query)
+            prefix = (qs.get("q") or [""])[0]
+            if not prefix:
+                self._send(400, {"error": "missing q"})
+                return
+            try:
+                size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
+                out = engine.suggest(prefix, size)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(
+                200,
+                {
+                    "prefix": prefix,
+                    "suggestions": [
+                        {"term": t, "df": df} for t, df in out
+                    ],
+                },
+            )
 
         def _do_classes(self, u) -> None:
             """Dimension browse endpoints — the osmdoc hierarchy/poi-class

@@ -585,3 +585,24 @@ def test_serving_caches_bounded_under_churn(spark, index):
     # block cache: bytes accounting may exceed transiently mid-query but the
     # steady state respects the bound (eviction keeps current-query terms)
     assert ex._block_cache_bytes <= ex.block_cache_max_bytes + (1 << 20)
+
+
+def test_suggest_serving_equals_spark_path(spark, index):
+    """engine.suggest: the serving tier's cached-dictionary scan and the
+    Spark TakeOrdered over term_stats produce the identical ranked
+    (term, df) list; field-namespace terms never appear."""
+    from gazetteer_search_spark.search.engine import SearchEngine
+
+    srv = SearchEngine(spark, index, serving=True)
+    sp = SearchEngine(spark, index)
+    for pfx in ("me", "b", "s"):
+        a = srv.suggest(pfx, 10)
+        bq = sp.suggest(pfx, 10)
+        assert a == bq
+        assert all(t.startswith(pfx) and ":" not in t for t, _ in a)
+        dfs = [d for _, d in a]
+        assert dfs == sorted(dfs, reverse=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        srv.suggest("")

@@ -467,3 +467,30 @@ def test_sharded_generation_inside_multi_tier(spark, base, tmp_path_factory):
         hits1 = gen1.search_rung(g, msm, opts)
         got = segments.MultiExecutor._merge([hits0, hits1], opts)
         assert got == want, msm
+
+
+def test_multigen_suggest_df_semantics(spark, tmp_path_factory):
+    """MultiExecutor.suggest sums per-generation df (Lucene
+    df-with-deletes: superseded docs keep counting until a merge);
+    compaction makes the counts exact."""
+    root = str(tmp_path_factory.mktemp("seg_suggest"))
+    corpus0 = synthetic_corpus(spark, 200)
+    builder.build_index(spark, _hid(corpus0.drop("doc_id")), root, n_buckets=4)
+    segments.add_segment(
+        spark, _v(corpus0, 0, 40, "v2", "zsuggestmarker"), root, n_buckets=4
+    )
+    eng = segments.open_multi_search(root)
+    got = dict(eng.suggest("zsuggest", 5))
+    assert got == {"zsuggestmarker": 40}
+
+    # a term from the SUPERSEDED docs' content still counts its dead copies:
+    # multi-gen df >= exact live df, equality after compaction
+    pfx = "merge"
+    multi = dict(eng.suggest(pfx, 10))
+    cdir = str(tmp_path_factory.mktemp("seg_suggest_c"))
+    cidx = segments.compact(spark, root, cdir, n_buckets=4)
+    ce = SearchEngine(None, builder.load_index_local(cdir), serving=True)
+    exact = dict(ce.suggest(pfx, 10))
+    assert exact and set(exact) <= set(multi)
+    for t, df in exact.items():
+        assert multi[t] >= df

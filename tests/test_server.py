@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import threading
+import urllib.parse
 import urllib.request
 from dataclasses import replace
 
@@ -312,5 +313,82 @@ def test_http_ui_page(eng):
         # bare page (no query) still renders the form
         with urllib.request.urlopen(f"{base}/ui") as r:
             assert b"<form" in r.read()
+    finally:
+        srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def peng(spark, tmp_path_factory):
+    """Positions-built engine for the quoted-phrase route."""
+    corpus = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.when(F.col("id") < 15, F.lit("alpha beta gamma shared"))
+        .otherwise(F.lit("beta alpha shared plain"))
+        .alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_srv_pos"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4, positions=True)
+    return SearchEngine(spark, idx, serving=True)
+
+
+def test_http_quoted_phrase_query(peng):
+    """Quoted q= runs the phrase rung over HTTP: only docs with the exact
+    in-order pair match, the envelope reports the parsed phrase clause, and
+    the route result equals the engine-level call."""
+    srv = make_server(peng, SearchOptions(k=30, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        q = urllib.parse.quote('"alpha beta"')
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q={q}&size=30"
+        ) as r:
+            env = json.loads(r.read())
+        ids = [h["doc_id"] for h in env["hits"]]
+        assert ids and all(i < 15 for i in ids)  # "beta alpha" docs excluded
+        assert env["parsed_query"]["phrases"] == [
+            {"terms": ["alpha", "beta"], "slop": 0}
+        ]
+        want = peng.search_response(
+            '"alpha beta"', SearchOptions(k=30, prefix=False)
+        )
+        assert ids == [h["doc_id"] for h in want["hits"]]
+        # sloppy form over HTTP supersets the exact hits
+        q2 = urllib.parse.quote('"alpha beta"~1')
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q={q2}&size=60"
+        ) as r:
+            env2 = json.loads(r.read())
+        assert set(ids) <= {h["doc_id"] for h in env2["hits"]}
+    finally:
+        srv.shutdown()
+
+
+def test_http_suggest_route(eng):
+    """GET /suggest returns ranked dictionary completions with df, equal to
+    the engine-level call; missing q is a 400."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/suggest?q=al&size=5"
+        ) as r:
+            env = json.loads(r.read())
+        assert env["prefix"] == "al"
+        got = [(s["term"], s["df"]) for s in env["suggestions"]]
+        assert got == eng.suggest("al", 5)
+        assert got and got[0][0].startswith("al")
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/suggest")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         srv.shutdown()
