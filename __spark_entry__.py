@@ -1379,7 +1379,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("lang")
         )
 
+    def decontaminate_q(spark, sf):
+        # benchmark split = doc_id % 97 (deterministic, no external data);
+        # operator default is the published 8-gram rule — n=3 here so the
+        # synthetic corpus produces a non-trivial contaminated set
+        d = _docs(spark, sf)
+        bench = d.filter(F.col("doc_id") % 97 == 0)
+        train = d.filter(F.col("doc_id") % 97 != 0)
+        return dedup.decontaminate(train, bench, n=3)
+
+    def pii_redact(spark, sf):
+        # the corpus is synthetic and PII-free, so augment each row with a
+        # doc_id-derived email/IP/phone suffix the oracle builds identically
+        d = _docs(spark, sf)
+        aug = d.select(
+            "doc_id",
+            F.concat_ws(
+                "",
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                F.expr("doc_id div 256 % 256").cast("string"),
+                F.lit(" tel +1555"),
+                F.lpad((F.col("doc_id") % 1000000).cast("string"), 7, "0"),
+            ).alias("text"),
+        )
+        return textstats.redact_pii(aug)
+
     q.update(
+        decontaminate=decontaminate_q,
+        pii_redact=pii_redact,
         jaccard_pairs=jaccard_pairs,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
@@ -1983,4 +2015,47 @@ LIMIT 10
         f"SELECT lang, sum(len({_w}))::BIGINT AS total_tokens "
         "FROM documents GROUP BY lang ORDER BY lang"
     )
+
+    # benchmark decontamination: 3-gram overlap vs the doc_id%97 bench split
+    # (operator default is 8-grams; n=3 here so the synthetic corpus yields
+    # a non-trivial contaminated set to hash-compare)
+    o["decontaminate"] = f"""
+WITH words AS (SELECT doc_id, {_w} AS ws FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(ws) - 1, 1)),
+             i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+  FROM words),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, count(*)::BIGINT AS n_contaminated_ngrams
+FROM sh s JOIN bench b USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
+"""
+
+    # PII redaction over deterministically augmented text (the base corpus is
+    # PII-free, so each row gets a doc_id-derived email/IP/phone suffix that
+    # both engines synthesize identically)
+    from gazetteer_search_spark.operators.textstats import PII_PATTERNS
+
+    _pii = {name: pat for name, pat, _ in PII_PATTERNS}
+    _red = "aug.text"
+    for name, pat, token in PII_PATTERNS:
+        _red = f"regexp_replace({_red}, '{pat}', '{token}', 'g')"
+    o["pii_redact"] = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.' || ((doc_id // 256) % 256)
+              || ' tel +1555' || lpad((doc_id % 1000000)::VARCHAR, 7, '0')
+           AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(aug.text, '{_pii["email"]}'))::INT AS n_email,
+       len(regexp_extract_all(aug.text, '{_pii["ipv4"]}'))::INT AS n_ipv4,
+       len(regexp_extract_all(aug.text, '{_pii["phone"]}'))::INT AS n_phone,
+       {_red} AS redacted
+FROM aug
+"""
     return o

@@ -139,6 +139,45 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share ANY word
+    n-gram with a benchmark/eval corpus (the published n-gram-overlap
+    decontamination rule — GPT-3 used 13-grams, Llama 2 tokenized 8-grams;
+    default n=8 here).
+
+    Returns ``(doc_id, n_contaminated_ngrams)`` — one row per contaminated
+    training doc with its count of distinct overlapping n-grams. Join back
+    to ``train`` with a left join (null => clean) or a left_anti to drop.
+
+    Scale shape (100 TB corpus, MB-scale eval sets): the benchmark side is
+    shingled, DISTINCT-deduped, and **broadcast**, so the corpus pass is
+    map-only — one shingle scan over the training table with zero shuffle of
+    corpus data; the only shuffle is the per-doc count over the *hit* rows
+    (<< corpus). If the benchmark outgrows broadcast range, drop the
+    F.broadcast hint and this degrades gracefully to a shuffle join on
+    shingle with the same semantics.
+    """
+    doc_sh = shingle_table(train, text_col, id_col, n)
+    bench_sh = shingle_table(benchmark, text_col, id_col, n).select("shingle").distinct()
+    return (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        # shingle_table emits per-doc DISTINCT shingles, so count(*) is the
+        # distinct-overlap count; countDistinct would add a second agg pass
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

@@ -90,6 +90,54 @@ def tag_statistics(
     )
 
 
+# ---------------------------------------------------------------------------
+# PII detection + redaction
+# ---------------------------------------------------------------------------
+# Patterns are deliberately restricted to constructs with identical semantics
+# in Java regex (Spark/Catalyst) and RE2 (DuckDB oracle): character classes,
+# greedy + / {m,}, \b word boundaries — no backreferences or lookaround.
+# Ordered: emails first (so an IP-like mail domain is consumed as part of the
+# email), then IPv4, then international-format phone numbers.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+]
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """One count column per PII type (n_email, n_ipv4, n_phone)."""
+    return [
+        F.regexp_count(text, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Replace every PII span with its typed placeholder. Pure Catalyst
+    regexp_replace chain — JVM-side, whole-stage-codegen friendly; the
+    100-TB shape is a map-only pass with no shuffle."""
+    out = text
+    for _, pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII report + redacted text: the standard pre-training privacy
+    scrub (emails / IPv4 / intl phone numbers -> typed placeholders).
+    Counts are computed on the ORIGINAL text, redaction is sequential in
+    PII_PATTERNS order."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *pii_counts(t),
+        redact_pii_col(t).alias("redacted"),
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     t = F.col(text_col)
     return df.select(

@@ -114,6 +114,55 @@ def test_text_stats(docs):
     assert st[6].quality != st[0].quality
 
 
+def test_decontaminate(spark, docs):
+    # benchmark = doc 0's text verbatim plus an unrelated prompt
+    bench = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog"),
+            (101, "what is the capital of france"),
+        ],
+        ["doc_id", "text"],
+    )
+    train = docs.filter(F.col("doc_id") != 0)  # keep dups/near-dups of 0
+    hits = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in dedup.decontaminate(train, bench, n=5).collect()
+    }
+    # doc 1 is an exact copy: all 5 of its distinct 5-grams overlap
+    assert hits[1] == 5
+    # doc 2 differs in the last word: 5-grams not touching word 9 survive
+    assert 1 <= hits[2] < 5
+    # doc 5 = doc 0 + one trailing word: every doc-0 5-gram present
+    assert hits[5] >= 5
+    # docs 3/4/6 share no 5-gram with the benchmark
+    assert 3 not in hits and 4 not in hits and 6 not in hits
+    # default n=8: doc 2 keeps only the leading 8-gram (the change is word 9)
+    hits8 = {
+        r.doc_id: r.n_contaminated_ngrams
+        for r in dedup.decontaminate(train, bench, n=8).collect()
+    }
+    assert hits8[1] == 2 and hits8[2] == 1
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "mail me at alice.smith+x@corp.example.com or call +14155552671"),
+        (1, "server at 10.0.42.7 and backup at 192.168.0.1"),
+        (2, "nothing sensitive here"),
+        (3, "multi a@b.co b@c.org and ip 8.8.8.8 tel +491701234567 end"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textstats.redact_pii(df).collect()}
+    assert out[0].n_email == 1 and out[0].n_phone == 1 and out[0].n_ipv4 == 0
+    assert out[0].redacted == "mail me at <EMAIL> or call <PHONE>"
+    assert out[1].n_ipv4 == 2
+    assert out[1].redacted == "server at <IP> and backup at <IP>"
+    assert out[2].n_email == out[2].n_ipv4 == out[2].n_phone == 0
+    assert out[2].redacted == "nothing sensitive here"
+    assert out[3].n_email == 2 and out[3].n_ipv4 == 1 and out[3].n_phone == 1
+    assert out[3].redacted == "multi <EMAIL> <EMAIL> and ip <IP> tel <PHONE> end"
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, 30)
     feats = multimodal.extract_features(media)
