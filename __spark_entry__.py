@@ -1409,9 +1409,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return textstats.redact_pii(aug)
 
+    def repetition_stats_q(spark, sf):
+        return textstats.repetition_stats(_docs(spark, sf))
+
+    def stratified_sample_q(spark, sf):
+        # md5_60 hash family so the DuckDB oracle recomputes the exact
+        # sample membership; the scale default stays xxhash64
+        from gazetteer_search_spark.operators import sampling
+
+        return sampling.stratified_sample(
+            _docs(spark, sf).select("doc_id", "lang"),
+            "lang",
+            {"en": 0.25, "es": 0.5, "zh": 1.0},
+            default_rate=0.1,
+            hash_fn="md5_60",
+        )
+
     q.update(
         decontaminate=decontaminate_q,
         pii_redact=pii_redact,
+        repetition_stats=repetition_stats_q,
+        stratified_sample=stratified_sample_q,
         jaccard_pairs=jaccard_pairs,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
@@ -2057,5 +2075,38 @@ SELECT doc_id,
        len(regexp_extract_all(aug.text, '{_pii["phone"]}'))::INT AS n_phone,
        {_red} AS redacted
 FROM aug
+"""
+
+    # Gopher-style repetition signals: within-doc word repetition + the
+    # most-frequent-bigram mass fraction
+    o["repetition_stats"] = f"""
+WITH w AS (SELECT doc_id, {_w} AS ws FROM documents),
+base AS (
+  SELECT doc_id, len(ws)::INT AS n_words,
+         round(CASE WHEN len(ws) > 0
+                    THEN 1.0 - len(list_distinct(ws))::DOUBLE / len(ws)
+                    ELSE 0.0 END, 6) AS dup_word_frac
+  FROM w),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws), 1)),
+                               i -> array_to_string(ws[i:i+1], ' '))) AS gram
+  FROM w),
+bgc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+bstat AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf FROM bgc GROUP BY 1)
+SELECT b.doc_id, b.n_words, b.dup_word_frac,
+       round(coalesce(s.tbf, 0.0), 6) AS top_bigram_frac
+FROM base b LEFT JOIN bstat s USING (doc_id)
+"""
+
+    # deterministic stratified sampling under the md5_60 family: the oracle
+    # recomputes exact membership (hash(doc_id||'|0') mod 1e6 < per-lang thr)
+    o["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000 <
+      CASE lang WHEN 'en' THEN 250000
+                WHEN 'es' THEN 500000
+                WHEN 'zh' THEN 1000000
+                ELSE 100000 END
 """
     return o

@@ -1,0 +1,72 @@
+"""Deterministic content-addressed sampling operators.
+
+Training-data pipelines down-sample over-represented strata (language,
+source, quality band) and need the decision to be REPRODUCIBLE — the same
+row must land in the sample on every run, on every cluster size, with no
+RNG state. These operators key the decision on a hash of a stable row key:
+keep row iff hash(key) mod M < rate*M. That makes sampling a pure map-side
+filter (no shuffle, no driver state), composable with any downstream op,
+and re-runnable incrementally (new data gets sampled consistently without
+touching old decisions).
+
+Hash families come from dedup.hash64_col: ``xxhash64`` is the JVM-native
+scale default; ``md5_60`` is bit-identical to DuckDB's
+('0x' || substr(md5(x),1,15))::BIGINT, which lets the ANSI-SQL oracle
+recompute the exact sample membership independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.operators.dedup import hash64_col
+
+MODULUS = 1_000_000
+
+
+def _bucket(key_col: str, salt: int, hash_fn: str):
+    """Uniform bucket in [0, MODULUS) from a stable row key + salt. The salt
+    decorrelates independent samples over the same corpus (e.g. a held-out
+    split must not be a subset of the training sample)."""
+    h = hash64_col(hash_fn, F.col(key_col).cast("string"), F.lit(str(salt)))
+    return F.pmod(h, F.lit(MODULUS))
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows, keyed on ``key_col``."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return df.filter(_bucket(key_col, salt, hash_fn) < int(rate * MODULUS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each value of ``strata_col`` keeps
+    its own fraction (e.g. ``{"en": 0.1, "zh": 1.0}`` down-samples English
+    10x while keeping all Chinese). Strata absent from ``rates`` use
+    ``default_rate``. Pure map-side filter — the per-stratum threshold is a
+    CASE expression, so no join, shuffle, or driver-side stratum loop; skewed
+    strata cost nothing beyond the scan."""
+    for v, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {v!r} must be in [0,1], got {r}")
+    thr = F.lit(int(default_rate * MODULUS))
+    for value in sorted(rates):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(rates[value] * MODULUS))
+        ).otherwise(thr)
+    return df.filter(_bucket(key_col, salt, hash_fn) < thr)

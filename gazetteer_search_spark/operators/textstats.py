@@ -148,3 +148,59 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_word_frac``: 1 - distinct_words/total_words (within-doc word
+      repetition; the duplicate-line fraction analog for single-line docs)
+    - ``top_bigram_frac``: occurrences of the doc's most frequent word
+      bigram / total bigrams (Gopher's top-2-gram character-fraction
+      filter, word-normalized)
+
+    Scale shape: dup_word_frac is a per-row array expression (map-only).
+    The bigram mode is computed distributed — explode + two partial-agg
+    passes keyed on doc_id, so per-doc state never exceeds one (doc,
+    bigram) group and 10k-word documents don't hit an O(n^2) per-row
+    higher-order loop.
+    """
+    t = F.col(text_col)
+    ws = words_col(t)
+    base = df.select(F.col(id_col).alias("doc_id"), ws.alias("ws"))
+    per_doc = base.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.round(
+            F.when(
+                F.size("ws") > 0,
+                1.0 - F.size(F.array_distinct("ws")) / F.size("ws"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_word_frac"),
+    )
+    idx = F.sequence(F.lit(0), F.size("ws") - 2)
+    grams = F.when(
+        F.size("ws") >= 2,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice("ws", i + 1, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    bigram_stat = (
+        base.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg((F.max("count") / F.sum("count")).alias("_tbf"))
+    )
+    return (
+        per_doc.join(bigram_stat, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            F.round(F.coalesce(F.col("_tbf"), F.lit(0.0)), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )

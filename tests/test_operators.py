@@ -163,6 +163,58 @@ def test_redact_pii(spark):
     assert out[3].redacted == "multi <EMAIL> <EMAIL> and ip <IP> tel <PHONE> end"
 
 
+def test_repetition_stats(spark):
+    rows = [
+        (0, "a a a a"),  # one word repeated: dup=0.75, one bigram "a a" x3
+        (1, "one two three four"),  # all distinct, each bigram unique
+        (2, "x y x y x y"),  # dup 4/6; bigrams: "x y"x3 "y x"x2 -> 3/5
+        (3, ""),  # empty: zeros, no bigrams
+        (4, "solo"),  # one word: no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    st = {r.doc_id: r for r in textstats.repetition_stats(df).collect()}
+    assert st[0].n_words == 4 and st[0].dup_word_frac == 0.75
+    assert st[0].top_bigram_frac == 1.0
+    assert st[1].dup_word_frac == 0.0 and abs(st[1].top_bigram_frac - 1 / 3) < 1e-6
+    assert abs(st[2].dup_word_frac - 4 / 6) < 1e-6
+    assert abs(st[2].top_bigram_frac - 3 / 5) < 1e-6
+    assert st[3].n_words == 0 and st[3].dup_word_frac == 0.0
+    assert st[3].top_bigram_frac == 0.0 and st[4].top_bigram_frac == 0.0
+
+
+def test_sampling_deterministic_and_stratified(spark):
+    from gazetteer_search_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "zh") for i in range(3000)], ["doc_id", "lang"]
+    ).cache()
+    s1 = sampling.hash_sample(df, 0.2)
+    s2 = sampling.hash_sample(df, 0.2)
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    assert ids1 == sorted(r.doc_id for r in s2.collect())  # deterministic
+    assert 0.15 < len(ids1) / 3000 < 0.25  # ~rate
+    # nested property: a lower rate selects a subset of a higher rate
+    ids_small = {r.doc_id for r in sampling.hash_sample(df, 0.05).collect()}
+    assert ids_small <= set(ids1)
+    # salt decorrelates
+    ids_salted = {r.doc_id for r in sampling.hash_sample(df, 0.2, salt=7).collect()}
+    assert ids_salted != set(ids1)
+    # stratified: zh kept fully, en down-sampled, per-stratum rates hold
+    strat = sampling.stratified_sample(df, "lang", {"en": 0.1, "zh": 1.0})
+    counts = {r.lang: r.n for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["zh"] == 1000
+    assert 120 < counts["en"] < 280
+    # absent stratum + default_rate=0 -> dropped entirely
+    strat0 = sampling.stratified_sample(df, "lang", {"zh": 1.0})
+    assert strat0.filter(F.col("lang") == "en").count() == 0
+    # md5_60 family (the oracle twin) behaves the same way
+    m = sampling.hash_sample(df, 0.2, hash_fn="md5_60")
+    assert 0.15 < m.count() / 3000 < 0.25
+    assert sorted(r.doc_id for r in m.collect()) == sorted(
+        r.doc_id for r in sampling.hash_sample(df, 0.2, hash_fn="md5_60").collect()
+    )
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthetic_media(spark, 30)
     feats = multimodal.extract_features(media)
