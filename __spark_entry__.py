@@ -753,6 +753,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             size=10,
         )
 
+    def must_not(spark, sf):  # ES bool.must_not over a match clause — the
+        # reference's BooleanPart.java:36-37,72-77 shape, wired for its
+        # street_has_loc exclusion (MainAddressQueryBuilder.java:304-306);
+        # exposed as the Lucene-style -token query syntax + --not/not= params
+        return _topk_out(
+            _engine(spark, sf).search_rung(
+                [_grp(0, ["spark"])], 1,
+                SearchOptions(exclude_terms=("merge",)),
+            )
+        )
+
     def optional_demotion(spark, sf):  # optional-term machinery analog (A6)
         g = [_grp(0, ["the"], required=False, weight=0.5), _grp(1, ["merge"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 1, SearchOptions()))
@@ -1029,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         union_weighted=union_weighted,
         trim=trim,
         single_term=single_term,
+        must_not=must_not,
         multi_term_and=multi_term_and,
         min_should_match_2=min_should_match_2,
         dis_max=dis_max,
@@ -1531,6 +1543,15 @@ ORDER BY doc_count DESC, value ASC LIMIT 10
     )
     o["lang_filter"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0)]), 1, lang="en"
+    )
+    # term-level must_not: drop docs containing the excluded term (no score
+    # contribution — the surviving docs' scores equal the unexcluded run's)
+    o["must_not"] = _search_sql(
+        _values_groups([("spark", 0, True, 1.0)]),
+        1,
+        extra_where=(
+            "AND p.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')"
+        ),
     )
     o["distinct_name"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0)]),

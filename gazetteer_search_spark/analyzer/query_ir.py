@@ -103,6 +103,39 @@ def _type_token(text: str, rule_set=None) -> QToken:
 # "Main Street (old)" indexes/matches "old" as optional)
 _BRACKET_RE = re.compile(r"[(\[{]([^)\]}]*)[)\]}]")
 
+# Lucene-style must_not clause: a '-' glued to the front of a word (whitespace
+# or start-of-string before it, so hyphenated identifiers like foo-bar are NOT
+# negations)
+_NEG_RE = re.compile(r"(?<!\S)-([A-Za-z0-9_.][\w.]*)")
+
+
+def extract_negations(q: str) -> tuple[str, tuple[str, ...]]:
+    """Split Lucene-style ``-token`` must_not clauses out of a raw query.
+
+    Returns (residual query, excluded index terms). Semantics are ES bool
+    must_not over a match clause (the reference builds exactly that shape —
+    BooleanPart.java:36-37,72-77, wired for its street_has_loc exclusion in
+    MainAddressQueryBuilder.java:304-306): a match clause defaults to OR, so
+    a doc containing ANY analyzed subtoken of a negated word is excluded
+    (``-blockMax`` drops docs matching block OR max OR blockmax). Negated
+    clauses contribute no score and never relax through the coalesce ladder.
+    """
+    negs: list[str] = []
+
+    def _take(m: re.Match) -> str:
+        negs.append(m.group(1))
+        return " "
+
+    residual = _NEG_RE.sub(_take, q)
+    terms = tuple(
+        dict.fromkeys(
+            t
+            for w in negs
+            for t in tokenize_text(w, joined_identifiers=True)
+        )
+    )
+    return residual, terms
+
 
 def analyze_query(q: str, prefix: bool = True, rule_set=None) -> Query:
     """Free text -> Query IR. ``prefix=True`` enables search-as-you-type

@@ -172,6 +172,17 @@ def _open_engine(spark, index_dir: str, lazy: bool = False):
     )
 
 
+def _not_terms(words: list[str] | None) -> tuple[str, ...]:
+    """--not WORD flags -> analyzed excluded terms (must_not). The same
+    expansion the ladder applies to inline ``-word`` query syntax."""
+    if not words:
+        return ()
+    from gazetteer_search_spark.analyzer.query_ir import extract_negations
+
+    _, terms = extract_negations(" ".join(f"-{w}" for w in words))
+    return terms
+
+
 def cmd_query(args: argparse.Namespace) -> None:
     from gazetteer_search_spark.search.engine import SearchOptions
 
@@ -185,6 +196,7 @@ def cmd_query(args: argparse.Namespace) -> None:
         path_prefix=args.path_prefix, distinct=args.distinct,
         near_path=args.near,
         exclude_langs=tuple(args.no_class.split(",")) if args.no_class else (),
+        exclude_terms=_not_terms(getattr(args, "exclude", None)),
     )
     t0 = time.time()
     rows = eng.search_hits(args.q, opts)
@@ -399,6 +411,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument(
         "--distinct", action="store_true",
         help="collapse duplicate-name hits (DistinctNameFilter analog)",
+    )
+    q.add_argument(
+        "--not", dest="exclude", action="append", metavar="WORD",
+        help="must_not clause (repeatable): drop docs matching WORD's "
+        "analyzed terms; same as inline -WORD query syntax",
     )
     q.set_defaults(fn=cmd_query)
 

@@ -63,6 +63,14 @@ class SearchOptions:
     # SearchAPIAdapter.java:81-85): drop docs whose class (lang) is in this
     # set; NULL-class docs are kept (exclusion only removes known members)
     exclude_langs: tuple[str, ...] = ()
+    # term-level must_not (ES bool.must_not over a match clause — the shape
+    # the reference builds in BooleanPart.java:36-37,72-77 and wires for its
+    # street_has_loc exclusion, MainAddressQueryBuilder.java:304-306): drop
+    # docs containing ANY of these analyzed index terms. Contributes no
+    # score and never relaxes through the ladder. Populated from the
+    # Lucene-style ``-token`` query syntax (query_ir.extract_negations) or
+    # set directly.
+    exclude_terms: tuple[str, ...] = ()
     lang_boosts: dict[str, float] = field(default_factory=dict)  # base_score analog
     trim: bool = False  # P16 post-retrieval trim (ESDefaultSearch.java:281-313)
     # keyset pagination (T3/S4): resume strictly after this (score, doc_id)
@@ -544,6 +552,16 @@ class SearchEngine:
         return groups, sum(1 for g in groups if g.required)
 
     # ---- scoring ------------------------------------------------------------
+    def _excluded_ids(self, exclude_terms: tuple[str, ...]) -> DataFrame:
+        """doc_ids matching ANY must_not term — the anti-join side. A
+        bucket-pruned postings read, ids only: at scale this costs the same
+        as scoring one extra OR group (a must_not on a stop-term-grade hot
+        token is inherently a full-list read in any engine — ES pays the
+        identical iteration inside Lucene's ReqExclScorer)."""
+        return self._scored_for_terms(
+            sorted(set(exclude_terms)), None
+        ).select("doc_id")
+
     def _scored_for_terms(
         self, terms: list[str], options: SearchOptions | None = None
     ) -> DataFrame:
@@ -613,6 +631,10 @@ class SearchEngine:
                 d = d.filter(F.col("path").startswith(options.path_prefix))
             if options.distinct:
                 d = _distinct_names(d)
+            if options.exclude_terms:
+                d = d.join(
+                    self._excluded_ids(options.exclude_terms), "doc_id", "left_anti"
+                )
             if options.after is not None:
                 # match_all ranks by doc_id (scores are constant), so the
                 # keyset cursor degenerates to doc_id > last
@@ -631,6 +653,14 @@ class SearchEngine:
                 .limit(options.k)
             )
         scored = self._scored_for_terms(terms, options)
+        if options.exclude_terms:
+            # must_not: anti-join BEFORE grouping/top-k, so excluded docs
+            # never occupy result slots (exclusion is not rank-safe after
+            # the cut). One extra bucket-pruned postings read + one
+            # anti-join shuffle keyed like the aggregation itself.
+            scored = scored.join(
+                self._excluded_ids(options.exclude_terms), "doc_id", "left_anti"
+            )
         groups_df = _groups_df(self.spark, groups)
         n_required = sum(1 for g in groups if g.required)
         return topk_from_scored(
@@ -1120,6 +1150,24 @@ class SearchEngine:
         self, q: str | Query, options: SearchOptions | None = None
     ) -> tuple[list, dict]:
         options = options or SearchOptions()
+        if isinstance(q, str) and "-" in q and '"' not in q:
+            # Lucene-style -token must_not syntax (skipped when the query
+            # carries quoted phrases — a '-' inside quotes is literal text;
+            # programmatic exclusion via options.exclude_terms still
+            # composes with phrase queries)
+            from dataclasses import replace as _dc_replace
+
+            from gazetteer_search_spark.analyzer.query_ir import extract_negations
+
+            residual, negs = extract_negations(q)
+            if negs:
+                options = _dc_replace(
+                    options,
+                    exclude_terms=tuple(
+                        dict.fromkeys((*options.exclude_terms, *negs))
+                    ),
+                )
+                q = residual
         if isinstance(q, str) and '"' in q:
             from gazetteer_search_spark.search import phrase as _ph
 
@@ -1208,6 +1256,11 @@ def oracle_topk(
     scored = scored_all.filter(F.col("term").isin(terms)).select(
         "term", "doc_id", "score"
     )
+    if options is not None and options.exclude_terms:
+        excl = scored_all.filter(
+            F.col("term").isin(sorted(set(options.exclude_terms)))
+        ).select("doc_id")
+        scored = scored.join(excl, "doc_id", "left_anti")
     n_required = sum(1 for g in groups if g.required)
     return topk_from_scored(
         scored, _groups_df(spark, groups), n_required, msm, k, docs.drop("tokens"),

@@ -625,6 +625,17 @@ class LocalExecutor:
         pos = np.minimum(np.searchsorted(d, ids), d.size - 1)
         return d[pos] != ids
 
+    def _excluded_id_set(self, exclude_terms) -> np.ndarray:
+        """Sorted doc_id array matching ANY must_not term (engine
+        _excluded_ids twin): a decode-all read of those terms' postings,
+        memoized per block by the decoded-block cache like any positive
+        term. Tombstones are already masked inside _decode_terms, so a
+        doc whose newer version dropped the term is not excluded."""
+        decoded = self._decode_terms(sorted(set(exclude_terms)))
+        if not decoded:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate([ids for ids, _ in decoded.values()]))
+
 
     # ---- search --------------------------------------------------------------
     def _doc_range(self, options) -> tuple[int, int] | None:
@@ -721,6 +732,10 @@ class LocalExecutor:
                 options.lang_boosts
                 or getattr(options, "distinct", False)
                 or getattr(options, "exclude_langs", ())
+                # must_not removes docs AFTER scoring — rank-unsafe under
+                # the kernel's k+ties truncation, so exclusion queries take
+                # the decode-all path like other doc-side predicates
+                or getattr(options, "exclude_terms", ())
             )
             and (
                 not (options.repo or options.path_prefix) or rng is not None
@@ -928,6 +943,19 @@ class LocalExecutor:
         fast path stays available."""
         if uids.size == 0:
             return []
+        excl = getattr(options, "exclude_terms", ())
+        if excl:
+            # must_not: drop excluded docs BEFORE the k-cut (sorted-array
+            # membership test, same mechanics as the tombstone mask)
+            ex_ids = self._excluded_id_set(excl)
+            if ex_ids.size:
+                pos = np.minimum(np.searchsorted(ex_ids, uids), ex_ids.size - 1)
+                keep = ex_ids[pos] != uids
+                uids, score, matched, maskv = (
+                    uids[keep], score[keep], matched[keep], maskv[keep]
+                )
+                if uids.size == 0:
+                    return []
         near = getattr(options, "near_path", None)
         if near is not None and options.after is not None:
             raise ValueError("near_path sort and the keyset cursor are exclusive")
@@ -1061,6 +1089,14 @@ class LocalExecutor:
             m &= _startswith_mask(docs["path"], options.path_prefix)
         if getattr(options, "distinct", False):
             m &= self._name_ordinal_mask(np.arange(docs["ids"].size))
+        excl = getattr(options, "exclude_terms", ())
+        if excl:
+            ex_ids = self._excluded_id_set(excl)
+            if ex_ids.size:
+                pos = np.minimum(
+                    np.searchsorted(ex_ids, docs["ids"]), ex_ids.size - 1
+                )
+                m &= ex_ids[pos] != docs["ids"]
         if options.after is not None:
             m &= docs["ids"] > int(options.after[1])
         idx = np.flatnonzero(m)[: options.k]

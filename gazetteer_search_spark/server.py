@@ -87,6 +87,16 @@ def _index_mtime(engine) -> float | None:
     return None
 
 
+def _not_param_terms(words) -> tuple[str, ...]:
+    """not=WORD params -> analyzed excluded terms (cli._not_terms twin)."""
+    if not words:
+        return ()
+    from gazetteer_search_spark.analyzer.query_ir import extract_negations
+
+    _, terms = extract_negations(" ".join(f"-{w}" for w in words))
+    return terms
+
+
 def _make_handler(engine, default_opts, auth=None, cors_origin=None):
     lock = threading.Lock()
     mtime = _index_mtime(engine)
@@ -185,6 +195,10 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                 lang=lang,
                 lang_boosts=lang_boosts,
                 exclude_langs=tuple(qs.get("no_class") or ()),
+                # not=WORD (repeatable): must_not clause — same analyzed
+                # expansion as inline -WORD query syntax (BooleanPart
+                # must_not analog)
+                exclude_terms=_not_param_terms(qs.get("not") or ()),
                 repo=_one("repo"),
                 path_prefix=_one("path_prefix"),
                 distinct=_one("distinct", "false").lower() == "true",

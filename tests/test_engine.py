@@ -325,3 +325,85 @@ def test_exclude_langs_filter(spark, corpus, engine):
 
     ma = ex._match_all(SearchOptions(k=30, exclude_langs=("java",)))
     assert ma and all(h.lang != "java" for h in ma)
+
+
+def test_must_not_exclusion(spark, corpus, engine):
+    """Term-level must_not (ES bool.must_not over a match clause — the
+    reference's BooleanPart.java:36-37,72-77 shape, wired at
+    MainAddressQueryBuilder.java:304-306): engine rank-identical to the
+    oracle under exclude_terms, every excluded doc absent, surviving scores
+    untouched (must_not contributes no score), serving (LocalExecutor)
+    identical to the Spark path, the Lucene-style ``-token`` syntax equal to
+    the explicit option, and match_all / pure-negation queries honored."""
+    from gazetteer_search_spark.search import bm25
+    from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+    groups = [_grp(0, ["postings"])]
+    opts = SearchOptions(k=15, exclude_terms=("block",))
+    got = engine.search_rung(groups, 1, opts)
+    want = oracle_topk(corpus, groups, 1, k=15, options=opts)
+    assert_rank_identical(
+        got.select("doc_id", "score"), want.select("doc_id", "score")
+    )
+    rows = got.collect()
+    assert rows
+
+    block_ids = {
+        r.doc_id
+        for r in bm25.doc_table(corpus, "pandas")
+        .select("doc_id", F.explode("tokens").alias("t"))
+        .filter(F.col("t") == "block")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert block_ids  # the corpus genuinely contains the excluded term
+    assert all(r.doc_id not in block_ids for r in rows)
+
+    # surviving docs keep their unexcluded scores (no score contribution)
+    base = {
+        r.doc_id: r.score
+        for r in engine.search_rung(groups, 1, SearchOptions(k=100)).collect()
+    }
+    for r in rows:
+        if r.doc_id in base:
+            assert r.score == pytest.approx(base[r.doc_id], rel=1e-9)
+
+    # serving path identical (decode-all route: exclusion gates off the
+    # pruned kernel, whose truncation would be rank-unsafe)
+    ex = LocalExecutor(engine.index)
+    hits = ex.search_rung(groups, 1, opts)
+    assert [(h.doc_id, round(h.score, 9)) for h in hits] == [
+        (r.doc_id, round(r.score, 9)) for r in rows
+    ]
+
+    # inline -token syntax == explicit option, through the full ladder
+    lad = SearchOptions(k=15, prefix=False, fuzzy=False, coalesce=False)
+    syn = engine.search_hits("postings -block", lad)
+    expl = engine.search_hits(
+        "postings",
+        SearchOptions(
+            k=15, prefix=False, fuzzy=False, coalesce=False,
+            exclude_terms=("block",),
+        ),
+    )
+    assert [(h.doc_id, round(h.score, 9)) for h in syn] == [
+        (h.doc_id, round(h.score, 9)) for h in expl
+    ]
+    assert syn and all(h.doc_id not in block_ids for h in syn)
+
+    # hyphenated identifiers are NOT negations
+    residual_hits = engine.search_hits("foo-bar", lad)  # no crash, no negate
+    del residual_hits
+
+    # pure-negation query: match_all minus the excluded set, both tiers
+    neg = engine.search_hits("-block", SearchOptions(k=30, prefix=False))
+    assert neg and all(h.doc_id not in block_ids for h in neg)
+    ma = ex._match_all(SearchOptions(k=30, exclude_terms=("block",)))
+    assert ma and all(h.doc_id not in block_ids for h in ma)
+    # camelCase negation excludes ANY analyzed subtoken (ES match-OR parity)
+    from gazetteer_search_spark.analyzer.query_ir import extract_negations
+
+    res, terms = extract_negations("postings -blockMax")
+    assert res.strip() == "postings"
+    assert set(terms) >= {"block", "max"}

@@ -392,3 +392,39 @@ def test_http_suggest_route(eng):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_http_must_not(eng):
+    """``not=WORD`` route param and inline ``-token`` query syntax (ES
+    bool.must_not over match — BooleanPart.java:36-37,72-77): the route is
+    identical to the engine-level exclude_terms call, both syntaxes agree,
+    and excluded docs are absent."""
+    srv = make_server(eng, SearchOptions(k=20, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def hits(url):
+            with urllib.request.urlopen(url) as r:
+                return [
+                    (h["doc_id"], h["score"])
+                    for h in json.loads(r.read())["hits"]
+                ]
+
+        o = SearchOptions(k=20, prefix=False)
+        got = hits(f"{base}/search?q=alpha&not=beta")
+        want = [
+            (h["doc_id"], h["score"])
+            for h in eng.search_response(
+                "alpha", replace(o, exclude_terms=("beta",))
+            )["hits"]
+        ]
+        assert got and got == want
+        # docs 0-9 carry 'beta' in the fixture corpus — all excluded
+        assert all(d >= 10 for d, _ in got)
+        inline = hits(f"{base}/search?q=alpha+-beta")
+        assert inline == got
+    finally:
+        srv.shutdown()
