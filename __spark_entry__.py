@@ -417,6 +417,68 @@ ORDER BY round(score, 9) DESC, prox DESC, doc_id ASC LIMIT {k}
 # kernel SQL (duckdb_tokens_full_sql is ORDER-faithful to the index-side
 # pandas kernel — pinned by test_positions_sidecar_matches_duckdb), the
 # 2-token chain is a positional self-join, and scoring is the ordinary
+# snippet / highlight (search/snippets.py; beyond reference — ES highlight
+# analog, the grep-shaped hit body of a code search): top-k BM25 winners
+# joined back to their content, per-LINE full-kernel tokens, best line per
+# doc by (distinct matched terms desc, line_no asc). The SQL recomputes the
+# whole chain — ranking AND line selection — independently.
+def _snippet_sql(
+    groups_sql: str,
+    msm: int,
+    terms: list[str],
+    k: int = 20,
+    n_lines: int = 1,
+    max_len: int = 400,
+) -> str:
+    terms_lit = "[" + ", ".join(f"'{t}'" for t in sorted(set(terms))) + "]"
+    line_toks = duckdb_tokens_full_sql("line")
+    return f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({groups_sql})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, round(raw, 4) AS score, round(raw, 9) AS score9
+  FROM per_doc WHERE matched_required >= {msm}
+  ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT {k}
+),
+dlines AS (
+  SELECT t.doc_id, t.score, t.score9, string_split(d.text, chr(10)) AS ls
+  FROM topk t JOIN documents d USING (doc_id)
+),
+lines AS (
+  SELECT doc_id, score, score9, unnest(ls) AS line,
+         unnest(range(1, len(ls) + 1)) AS line_no
+  FROM dlines
+),
+lmatch AS (
+  SELECT doc_id, score, score9, line_no, line,
+         len(list_distinct(list_intersect({line_toks}, {terms_lit})))
+           AS n_matched
+  FROM lines
+),
+best AS (
+  SELECT doc_id, score, score9, line_no,
+         substr(line, 1, {max_len}) AS snippet, n_matched,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY n_matched DESC, line_no ASC
+         ) AS rn
+  FROM lmatch WHERE n_matched > 0
+)
+SELECT doc_id, score, line_no::INT AS line_no, snippet, n_matched::INT AS n_matched
+FROM best WHERE rn <= {n_lines}
+ORDER BY score9 DESC, doc_id ASC, line_no ASC
+"""
+
+
 # 2-required-group BM25 restricted to the chain-verified docs. The phrase is
 # doc 0's first two query-side tokens, data-derived on BOTH sides.
 def _phrase_sql(slop: int, k: int = 20) -> str:
@@ -716,6 +778,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def multi_term_and(spark, sf):  # street-match.json analog (P1 musts)
         g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
+
+    def snippet(spark, sf):
+        # snippet/highlight over the top-k winners (search/snippets.py):
+        # hits x corpus join, per-line full-kernel tokens in the executors,
+        # best matching line per doc — the ES-highlight / grep-line analog
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        hits = (
+            _engine(spark, sf)
+            .search_rung(g, 2, SearchOptions())
+            .select("doc_id", "score")
+        )
+        corpus = documents_as_corpus(spark, sf).select("doc_id", "content")
+        from gazetteer_search_spark.search import snippets as snip
+
+        out = snip.snippet_df(hits, corpus, ["merge", "sort"], n_lines=1)
+        return (
+            out.select(
+                "doc_id",
+                F.round("score", 9).alias("_s9"),
+                F.round("score", 4).alias("score"),
+                "line_no",
+                "snippet",
+                "n_matched",
+            )
+            .orderBy(F.col("_s9").desc(), F.col("doc_id").asc(), F.col("line_no").asc())
+            .drop("_s9")
+        )
 
     def min_should_match_2(spark, sf):  # city-street.json analog (P11)
         g = [_grp(0, ["merge"]), _grp(1, ["vector"]), _grp(2, ["window"])]
@@ -1042,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         single_term=single_term,
         must_not=must_not,
         multi_term_and=multi_term_and,
+        snippet=snippet,
         min_should_match_2=min_should_match_2,
         dis_max=dis_max,
         prefix=prefix,
@@ -1490,6 +1580,11 @@ def oracle_sql() -> dict[str, str]:
     o["suggest_prefix"] = _suggest_sql(k=15)
     o["multi_term_and"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 2
+    )
+    o["snippet"] = _snippet_sql(
+        _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]),
+        2,
+        ["merge", "sort"],
     )
     o["wand_and"] = o["multi_term_and"]
     o["wand_lang_filter"] = _search_sql(

@@ -59,6 +59,7 @@ def cmd_build_index(args: argparse.Namespace) -> None:
         # predicates over existing min/max metadata (no driver id collect)
         cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else None,
         positions=args.positions,
+        store_content=args.store_content,
     )
     print(json.dumps({
         "out": args.out, "n_docs": idx.n_docs,
@@ -199,13 +200,29 @@ def cmd_query(args: argparse.Namespace) -> None:
         exclude_terms=_not_terms(getattr(args, "exclude", None)),
     )
     t0 = time.time()
-    rows = eng.search_hits(args.q, opts)
-    for i, r in enumerate(rows, 1):
-        print(json.dumps({
-            "rank": i, "doc_id": r.doc_id, "score": round(r.score, 4),
-            "repo": getattr(r, "repo", None), "path": getattr(r, "path", None),
-        }))
-    print(json.dumps({"total_hits": len(rows), "answer_time_ms": round(1000 * (time.time() - t0))}),
+    if args.snippet:
+        # grep-shaped output: matched line + line number per hit
+        # (store_content index required)
+        resp = eng.search_response(args.q, opts, snippet_lines=args.snippet)
+        for i, h in enumerate(resp["hits"], 1):
+            print(json.dumps({
+                "rank": i, "doc_id": h["doc_id"], "score": h["score"],
+                "repo": h["repo"], "path": h["path"],
+                "snippets": [
+                    {"line_no": s["line_no"], "line": s["marked"]}
+                    for s in h.get("snippets", [])
+                ],
+            }))
+        n = len(resp["hits"])
+    else:
+        rows = eng.search_hits(args.q, opts)
+        for i, r in enumerate(rows, 1):
+            print(json.dumps({
+                "rank": i, "doc_id": r.doc_id, "score": round(r.score, 4),
+                "repo": getattr(r, "repo", None), "path": getattr(r, "path", None),
+            }))
+        n = len(rows)
+    print(json.dumps({"total_hits": n, "answer_time_ms": round(1000 * (time.time() - t0))}),
           file=sys.stderr)
 
 
@@ -387,6 +404,12 @@ def main(argv: list[str] | None = None) -> None:
         "clustered doc_id assignment: equality/prefix filters on them "
         "prune posting blocks as docID-range predicates",
     )
+    b.add_argument(
+        "--store-content", action="store_true",
+        help="keep raw content in the docs store (stored-fields/_source "
+        "analog) — enables serving-side snippets (query --snippet, "
+        "/search?snippet=true); segments and compactions inherit it",
+    )
     b.set_defaults(fn=cmd_build_index)
 
     q = sub.add_parser("query")
@@ -416,6 +439,11 @@ def main(argv: list[str] | None = None) -> None:
         "--not", dest="exclude", action="append", metavar="WORD",
         help="must_not clause (repeatable): drop docs matching WORD's "
         "analyzed terms; same as inline -WORD query syntax",
+    )
+    q.add_argument(
+        "--snippet", type=int, nargs="?", const=1, default=0, metavar="N",
+        help="attach the best N matching lines per hit (<em>-marked, with "
+        "line numbers) — grep-shaped output; needs --store-content index",
     )
     q.set_defaults(fn=cmd_query)
 

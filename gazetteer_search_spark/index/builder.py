@@ -385,6 +385,12 @@ class Index:
             return None  # value may live on the overflow bit — can't prune
         return 0, -1  # complete dictionary, value unseen: provably empty
 
+    @property
+    def stored_content(self) -> bool:
+        """True when the docs store keeps raw content (stored-fields /
+        _source analog) — the serving-side snippet path requires it."""
+        return bool(self.meta.get("stored_content"))
+
 
 @dataclass
 class FrozenStats:
@@ -583,6 +589,7 @@ def build_index(
     attr_dict: tuple[list, bool] | None = None,
     cluster_by: tuple[str, ...] | None = None,
     positions: bool = False,
+    store_content: bool = False,
 ) -> Index:
     """Build (or resume) the full index under ``out_dir``.
 
@@ -665,8 +672,16 @@ def build_index(
         # remap BEFORE tokenize: everything downstream (name_ordinal,
         # doc_part, salting, attr dictionary) just sees the clustered ids
         corpus = cluster_corpus_ids(corpus, tuple(cluster_by))
+    # store_content: keep raw content in the docs store (stored-fields /
+    # _source analog — serving snippets read it back via pruned point
+    # lookups). A docs_full caller (compaction / segment rebuild) inherits
+    # whatever the base stored: content flows through by column presence.
+    if docs_full is not None:
+        store_content = "content" in docs_full.columns
     docs_full = (
-        docs_full if docs_full is not None else bm25.doc_table(corpus, tokenizer)
+        docs_full
+        if docs_full is not None
+        else bm25.doc_table(corpus, tokenizer, store_content=store_content)
     ).persist()
 
     # docs are hash-partitioned on doc_part = doc_id % n_doc_parts so the
@@ -704,6 +719,7 @@ def build_index(
             "analyzer_hash": rules_set.content_hash(),
             **({"clustered_by": list(cluster_by)} if cluster_by else {}),
             **({"positions": True} if positions else {}),
+            **({"stored_content": True} if store_content else {}),
             **(extra_meta or {}),
         },
     )

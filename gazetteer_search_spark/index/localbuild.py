@@ -125,6 +125,7 @@ def build_segment_index_local(
     attr_dim: str | None = "lang",
     attr_dict: tuple[list, bool] | None = None,
     positions: bool = False,
+    store_content: bool = False,
 ) -> int:
     """Write a complete segment index at ``out_dir`` from a COLLECTED batch.
 
@@ -191,6 +192,8 @@ def build_segment_index_local(
         )
     if positions:
         meta["positions"] = True
+    if store_content:
+        meta["stored_content"] = True
     _write_index_meta(out_dir, meta)
 
     paths = IndexPaths(out_dir)
@@ -258,6 +261,10 @@ def build_segment_index_local(
             pa.field("commit", pa.string()),
             pa.field("lang", pa.string()),
             pa.field("content_sha256", pa.string()),
+            # stored content (column position mirrors bm25.doc_table so a
+            # segment's docs schema is column-identical to a store_content
+            # base's — the byte-parity test reads both the same way)
+            *([pa.field("content", pa.string())] if store_content else []),
             pa.field("doc_len", pa.int32()),
             pa.field("ref_count", pa.int64(), nullable=False),
             pa.field("name_ordinal", pa.int32(), nullable=False),
@@ -273,6 +280,11 @@ def build_segment_index_local(
                 "commit": pdf["commit"].to_numpy(dtype=object)[m],
                 "lang": pdf["lang"].to_numpy(dtype=object)[m],
                 "content_sha256": pdf["content_sha256"].to_numpy(dtype=object)[m],
+                **(
+                    {"content": pdf["content"].to_numpy(dtype=object)[m]}
+                    if store_content
+                    else {}
+                ),
                 "doc_len": doc_len[m].astype(np.int32),
                 "ref_count": np.zeros(int(m.sum()), dtype=np.int64),
                 "name_ordinal": name_ordinal[m],

@@ -268,6 +268,9 @@ def add_segment(
         # segments carry their own positions sidecar (multi-generation
         # phrase queries verify each generation independently)
         positions=bool(base_meta.get("positions")),
+        # ...and a store_content base keeps stored content (serving
+        # snippets hydrate segment-resident winners too)
+        store_content=bool(base_meta.get("stored_content")),
     )
 
     # tombstones: older docs sharing an upsert key with this batch. One
@@ -347,6 +350,9 @@ def _add_segment_local(
     sel = [
         "doc_id", "repo", "path", "commit", "lang",
         F.sha2("content", 256).alias("content_sha256"),
+        # a store_content base keeps stored content across generations —
+        # serving snippets must hydrate segment-resident winners too
+        *(["content"] if base_meta.get("stored_content") else []),
         bm25.tokens_col(F.col("content"), tokenizer).alias("tokens"),
         F.expr(name_key).cast("string").alias("_nk"),
     ]
@@ -393,6 +399,7 @@ def _add_segment_local(
             else None
         ),
         positions=bool(base_meta.get("positions")),
+        store_content=bool(base_meta.get("stored_content")),
     )
 
     # tombstones: key-pruned pyarrow reads of older generations' docs
@@ -656,7 +663,10 @@ def compact(
     )
     docs_full = (
         live_docs.select(
-            "doc_id", "repo", "path", "commit", "lang", "content_sha256"
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+            # a store_content lineage carries stored content through
+            # compaction (build_index re-detects it by column presence)
+            *(["content"] if "content" in live_docs.columns else []),
         )
         .join(tokens, "doc_id", "left")
         .withColumn(

@@ -58,11 +58,19 @@ def tokens_col(content: Column, tokenizer: str = "pandas") -> Column:
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 
-def doc_table(corpus: DataFrame, tokenizer: str = "pandas") -> DataFrame:
+def doc_table(
+    corpus: DataFrame, tokenizer: str = "pandas", store_content: bool = False
+) -> DataFrame:
     """corpus(doc_id, repo, path, commit, lang, content) ->
     docs + tokens + doc_len + content_sha256 (per-row invariant, north_rule).
     ``src_doc_id`` (present after builder.cluster_corpus_ids) rides along —
-    the original corpus id stays queryable next to the clustered one."""
+    the original corpus id stays queryable next to the clustered one.
+    ``store_content=True`` keeps the raw content column — the Lucene
+    stored-fields / ES ``_source`` analog backing serving-side snippets
+    (search/snippets.py): the docs store is doc_part-partitioned and
+    doc_id-sorted parquet, so hit hydration reads only the content column
+    chunks of the few row groups holding the winners; analytics scans that
+    don't project content never pay for it (columnar pruning)."""
     cols = [
         "doc_id",
         *(["src_doc_id"] if "src_doc_id" in corpus.columns else []),
@@ -71,6 +79,7 @@ def doc_table(corpus: DataFrame, tokenizer: str = "pandas") -> DataFrame:
         "commit",
         "lang",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
+        *(["content"] if store_content else []),
         "tokens",
         F.size("tokens").alias("doc_len"),
     ]

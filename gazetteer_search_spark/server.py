@@ -9,8 +9,10 @@ per request, matching the reference's always-on serving shape.
 
 Routes:
     GET /search?q=...&size=k&page=n&lang=...&repo=...&distinct=true&
-            prefix=false&near=...&mark=...&verbose=true&
+            prefix=false&near=...&mark=...&verbose=true&snippet=true|N&
             class=X[&class=Y]&no_class=Z&classify=true
+        snippet=true|N (<= 5): per-hit best matching lines with <em>-marked
+        terms (ES highlight analog; requires a store_content index)
         class params (SearchAPIAdapter.java:48-55,81-85): ``class`` is the
         poiclass[] analog (one value filters, several boost — the two-phase
         fold's rule), ``no_class`` the no_poi class-exclusion analog, and
@@ -85,6 +87,18 @@ def _index_mtime(engine) -> float | None:
         if os.path.exists(p):
             return os.path.getmtime(p)
     return None
+
+
+def _snippet_lines(v: str) -> int:
+    """snippet param -> line count: 'true' = 1, integer N = min(N, 5),
+    anything else = 0 (off)."""
+    v = (v or "").lower()
+    if v == "true":
+        return 1
+    try:
+        return max(0, min(int(v), 5))
+    except ValueError:
+        return 0
 
 
 def _not_param_terms(words) -> tuple[str, ...]:
@@ -226,6 +240,10 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                     # detail per hit (verbose_address analog)
                     mark=_one("mark"),
                     verbose=_one("verbose", "false").lower() == "true",
+                    # snippet=true|N: per-hit best matching lines with
+                    # <em>-marked terms (ES highlight analog; needs a
+                    # store_content index), capped at 5 lines per hit
+                    snippet_lines=_snippet_lines(_one("snippet", "false")),
                 )
             if page > 1:
                 resp["page"] = page
@@ -344,19 +362,46 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
 
             qs = parse_qs(u.query)
             q = (qs.get("q") or [""])[0]
+            # the page shows matched lines by default when the index can
+            # serve them (store_content build); JSON callers opt in per
+            # request with &snippet=
+            if "snippet" not in qs and engine.index.meta.get("stored_content"):
+                qs["snippet"] = ["true"]
             rows_html = ""
             err = None
             if q:
                 try:
                     resp = self._search_response(qs)
+
+                    from gazetteer_search_spark.search.snippets import (
+                        mark_line_html,
+                    )
+
+                    hl = {
+                        t
+                        for tok in resp["parsed_query"]["tokens"]
+                        for t in (tok["text"], *tok["variants"])
+                    } - set(resp["parsed_query"]["removed"])
+
+                    def _snip_html(h) -> str:
+                        # raw snippet re-marked HTML-safe (escape + <em>
+                        # in one pass — never trust pre-built markup)
+                        return "".join(
+                            f"<div><b>:{s['line_no']}</b> "
+                            + mark_line_html(s["snippet"], hl)
+                            + "</div>"
+                            for s in h.get("snippets", [])
+                        )
+
                     rows_html = "".join(
                         "<tr><td>{r}</td><td>{s}</td><td>{repo}</td>"
-                        "<td>{path}</td><td>{lang}</td></tr>".format(
+                        "<td>{path}</td><td>{lang}</td><td>{snip}</td></tr>".format(
                             r=i + 1,
                             s=h["score"],
                             repo=_html.escape(str(h["repo"] or "")),
                             path=_html.escape(str(h["path"] or "")),
                             lang=_html.escape(str(h["lang"] or "")),
+                            snip=_snip_html(h),
                         )
                         for i, h in enumerate(resp["hits"])
                     )
@@ -372,7 +417,8 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                 + (f"<p class='error'>{_html.escape(err)}</p>" if err else "")
                 + (
                     "<table border='1'><tr><th>#</th><th>score</th>"
-                    "<th>repo</th><th>path</th><th>lang</th></tr>"
+                    "<th>repo</th><th>path</th><th>lang</th>"
+                    "<th>snippet</th></tr>"
                     + rows_html
                     + "</table>"
                     if q and not err
