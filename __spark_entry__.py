@@ -755,6 +755,15 @@ _FUZZY_GRP = (
     "AND damerau_levenshtein(term, '{t}') <= 1 ORDER BY df DESC, term LIMIT 32)"
 )
 
+# regexp/wildcard expansion (search/patterns.py): the SAME anchored
+# case-insensitive pattern string drives Spark rlike (Java regex), the serving
+# executor's Python re and DuckDB's RE2 — tests pin the portable dialect
+_REGEX_GRP = (
+    "SELECT term, {gid} AS group_id, TRUE AS required, 1.0 AS weight FROM ("
+    "SELECT term, df FROM dfreq WHERE regexp_matches(term, '{rx}') "
+    "ORDER BY df DESC, term LIMIT 128)"
+)
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -830,6 +839,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle uses DuckDB's native damerau_levenshtein
         eng = _engine(spark, sf)
         g = [_grp(0, ["mrege"] + eng.expand_fuzzy("mrege"))]
+        return _topk_out(eng.search_rung(g, 1, SearchOptions()))
+
+    def regexp_term(spark, sf):  # ES regexp-query analog (beyond reference;
+        # search/patterns.py): one anchored case-insensitive pattern expands
+        # against the content term DICTIONARY (never the corpus), df-ranked +
+        # capped like Lucene's top_terms_N rewrite, and scores as one
+        # required dis_max group; /pat/ query syntax exercises the same path
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, eng.expand_regexp("(join|hash|s.a.*)"))]
+        return _topk_out(eng.search_rung(g, 2, SearchOptions()))
+
+    def wildcard_term(spark, sf):  # ES wildcard-query analog: glob -> regex
+        # (s?a* -> s.a.*) sharing expand_regexp's cap + portability contract
+        eng = _engine(spark, sf)
+        g = [_grp(0, eng.expand_wildcard("s?a*"))]
         return _topk_out(eng.search_rung(g, 1, SearchOptions()))
 
     def tag_stats(spark, sf):  # generic tag-statistics agg over an arbitrary
@@ -1137,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         prefix=prefix,
         fuzzy_1=fuzzy_1,
         fuzzy_osa=fuzzy_osa,
+        regexp_term=regexp_term,
+        wildcard_term=wildcard_term,
         tag_stats=tag_stats,
         optional_demotion=optional_demotion,
         static_boost=static_boost,
@@ -1620,6 +1646,16 @@ def oracle_sql() -> dict[str, str]:
         _values_groups([("mrege", 0, True, 1.0)])
         + " UNION ALL "
         + _FUZZY_GRP.format(gid=0, lo=4, hi=6, t="mrege"),
+        1,
+    )
+    o["regexp_term"] = _search_sql(
+        _values_groups([("merge", 0, True, 1.0)])
+        + " UNION ALL "
+        + _REGEX_GRP.format(gid=1, rx="(?i)^(?:(join|hash|s.a.*))$"),
+        2,
+    )
+    o["wildcard_term"] = _search_sql(
+        _REGEX_GRP.format(gid=0, rx="(?i)^(?:s.a.*)$"),
         1,
     )
     o["tag_stats"] = """

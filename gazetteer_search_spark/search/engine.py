@@ -40,6 +40,7 @@ from gazetteer_search_spark.search import bm25
 
 MAX_PREFIX_EXPANSIONS = 128
 MAX_FUZZY_EXPANSIONS = 32
+MAX_REGEX_EXPANSIONS = 128  # Lucene top_terms_N rewrite cap (wildcard/regexp)
 # matched_mask is a 63-bit clause bitmask (bit 63 is the int64 sign bit: the
 # Spark shiftleft would silently wrap and numpy's 1<<63 overflows) — group ids
 # above this are invalid, and query analysis caps its clause count to fit
@@ -511,6 +512,41 @@ class SearchEngine:
             .collect()
         )
         return [r.term for r in rows]
+
+    def expand_regexp(self, regex_body: str) -> list[str]:
+        """Regexp term expansion (ES ``regexp`` query analog, beyond
+        reference): full, case-insensitive match of the pattern against the
+        content-token dictionary, df-ranked and capped like Lucene's
+        ``top_terms_N`` rewrite. One anchored pattern string
+        (patterns.anchored_ci) drives the Spark ``rlike``, the serving
+        executor's Python ``re`` and the DuckDB RE2 oracle identically; the
+        pattern's leading literal run additionally prunes the dictionary
+        scan to a range predicate (Lucene's commonPrefix extraction)."""
+        from gazetteer_search_spark.search import patterns as _pat
+
+        anchored = _pat.anchored_ci(regex_body)  # validates up front
+        if self._local is not None:
+            return self._local.expand_regexp(anchored, _pat.literal_prefix(regex_body))
+        d = self._term_stats
+        pre = _pat.literal_prefix(regex_body)
+        if pre:
+            d = d.filter(F.col("term").startswith(pre))
+        rows = (
+            d.filter(F.col("term").rlike(anchored))
+            .orderBy(F.col("df").desc(), F.col("term"))
+            .limit(MAX_REGEX_EXPANSIONS)
+            .select("term")
+            .collect()
+        )
+        return [r.term for r in rows]
+
+    def expand_wildcard(self, glob: str) -> list[str]:
+        """Wildcard (glob) term expansion (ES ``wildcard`` query analog):
+        ``*``/``?`` translate to regex and share expand_regexp's machinery,
+        cap and portability contract."""
+        from gazetteer_search_spark.search import patterns as _pat
+
+        return self.expand_regexp(_pat.wildcard_to_regex(glob))
 
     # ---- rung assembly (the ladder) ----------------------------------------
     def _build_groups(
@@ -1074,349 +1110,10 @@ class SearchEngine:
                     if meta.get("phrases")
                     else {}
                 ),
-            },
-            "rung": meta["rung"],
-            "total_hits": len(rows),
-            "total_relation": "gte" if (full_page or meta["trimmed"]) else "eq",
-            "trimmed": meta["trimmed"],
-            "answer_time_ms": ms,
-            "hits": [
-                {
-                    "doc_id": r.doc_id,
-                    "score": round(float(r.score), 4),
-                    "repo": r.repo,
-                    "path": r.path,
-                    "lang": r.lang,
-                    "matched_queries": matched_clause_names(r.matched_mask, groups),
-                    **detail.get(r.doc_id, {}),
-                    **(
-                        {"snippets": snips[r.doc_id]}
-                        if r.doc_id in snips
-                        else {}
-                    ),
-                }
-                for r in rows
-            ],
-        }
-        if mark is not None:
-            out["mark"] = mark
-        return out
-
-    def tag_stats(
-        self, key: str, min_doc_count: int = 1, size: int = 10
-    ) -> list[dict]:
-        """Histogram over an arbitrary docs metadata column — the generic
-        tag-statistics agg (reference api/stats/TagStatisticsAPI.java:44-100:
-        terms agg over any ``more_tags.*`` key with minDocCount/size).
-        Buckets ordered (doc_count desc, value asc), nulls excluded, exactly
-        the ES terms-agg contract. Runs as one single-column pruned parquet
-        scan via pyarrow — works identically on Spark-backed and Spark-free
-        serving engines (a 100-TB deployment would run the same agg as a
-        Spark groupBy; ``operators.textstats.tag_statistics`` is that form)."""
-        import pyarrow.compute as pc
-        import pyarrow.dataset as ds_mod
-
-        dset = ds_mod.dataset(self.index.paths.docs, partitioning="hive")
-        if key not in dset.schema.names:
-            raise ValueError(
-                f"unknown docs column {key!r}; available: "
-                f"{sorted(dset.schema.names)}"
-            )
-        vc = pc.value_counts(dset.to_table(columns=[key])[key])
-        buckets = [
-            {"value": v, "doc_count": int(c)}
-            for v, c in zip(
-                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
-            )
-            if v is not None and int(c) >= min_doc_count
-        ]
-        buckets.sort(key=lambda b: (-b["doc_count"], str(b["value"])))
-        return buckets[:size]
-
-    def _doc_content(self, ids: list[int]) -> dict[int, str]:
-        """Stored content for specific winners (stored-fields / _source
-        analog): partition-pruned point read of the docs table's content
-        column, k rows. Requires an index built with ``store_content=True``;
-        like ``_doc_detail``, a multi-generation engine reads the BASE
-        generation's docs — segment-resident hits hydrate after their
-        segment was built from a store_content base (the docs schema
-        inherits) and omit content otherwise."""
-        import pyarrow.dataset as ds_mod
-
-        dset = ds_mod.dataset(self.index.paths.docs, partitioning="hive")
-        if "content" not in dset.schema.names:
-            raise ValueError(
-                "index has no stored content — rebuild with "
-                "store_content=True (build-index --store-content) to "
-                "serve snippets"
-            )
-        f = ds_mod.field("doc_id").isin([int(i) for i in ids])
-        tbl = dset.to_table(filter=f, columns=["doc_id", "content"])
-        return {
-            int(d): c
-            for d, c in zip(
-                tbl["doc_id"].to_pylist(), tbl["content"].to_pylist()
-            )
-        }
-
-    def snippets_for(
-        self,
-        ids: list[int],
-        terms: set[str],
-        n_lines: int = 1,
-        max_len: int = 400,
-    ) -> dict[int, list[dict]]:
-        """Best matching lines (with <em> term marking) per winner doc —
-        the serving twin of search/snippets.snippet_df (semantics pinned
-        there; equivalence pinned by tests/test_snippets.py)."""
-        from gazetteer_search_spark.search.snippets import best_lines
-
-        content = self._doc_content(ids)
-        return {
-            i: best_lines(content[i], terms, n_lines=n_lines, max_len=max_len)
-            for i in ids
-            if i in content
-        }
-
-    def _doc_detail(self, ids: list[int]) -> dict[int, dict]:
-        """Full-detail columns for specific winners (verbose_address analog):
-        partition-pruned point read of the docs table, k rows. On a
-        multi-generation engine this reads the BASE generation's docs —
-        segment-resident hits simply omit the extra keys (compaction
-        restores full coverage)."""
-        import pyarrow.dataset as ds_mod
-
-        dset = ds_mod.dataset(self.index.paths.docs, partitioning="hive")
-        cols = [
-            c for c in ("doc_id", "commit", "content_sha256", "ref_count")
-            if c in dset.schema.names
-        ]
-        f = ds_mod.field("doc_id").isin([int(i) for i in ids])
-        tbl = dset.to_table(filter=f, columns=cols).to_pylist()
-        return {int(r["doc_id"]): {k: v for k, v in r.items() if k != "doc_id"} for r in tbl}
-
-    @staticmethod
-    def _trim_page(rows: list) -> tuple[list, bool]:
-        """P16 trim: walking the ranked page, cut at the first hit of coarser
-        granularity than the top hit — "coarser" = its matched-clause set
-        does not cover the top hit's clauses (the reference cuts
-        locality-only matches on street queries using per-clause _name
-        flags, ESDefaultSearch.java:281-313; matched_mask is the per-hit
-        matched_queries[] analog)."""
-        if not rows:
-            return rows, False
-        best = rows[0].matched_mask
-        cut = next(
-            (i for i, r in enumerate(rows) if (r.matched_mask & best) != best),
-            len(rows),
-        )
-        return rows[:cut], cut < len(rows)
-
-    def _search_ladder(
-        self, q: str | Query, options: SearchOptions | None = None
-    ) -> tuple[list, dict]:
-        options = options or SearchOptions()
-        if isinstance(q, str) and "-" in q and '"' not in q:
-            # Lucene-style -token must_not syntax (skipped when the query
-            # carries quoted phrases — a '-' inside quotes is literal text;
-            # programmatic exclusion via options.exclude_terms still
-            # composes with phrase queries)
-            from dataclasses import replace as _dc_replace
-
-            from gazetteer_search_spark.analyzer.query_ir import extract_negations
-
-            residual, negs = extract_negations(q)
-            if negs:
-                options = _dc_replace(
-                    options,
-                    exclude_terms=tuple(
-                        dict.fromkeys((*options.exclude_terms, *negs))
-                    ),
-                )
-                q = residual
-        if isinstance(q, str) and '"' in q:
-            from gazetteer_search_spark.search import phrase as _ph
-
-            parsed = _ph.parse_phrase_query(q)
-            if parsed is not None:
-                return self._phrase_rung(q, parsed[0], parsed[1], options)
-        query = analyze_query(q, prefix=options.prefix, rule_set=self.rules) if isinstance(q, str) else q
-        if not query.tokens:
-            return query, options
-        toks = self.spark.createDataFrame(
-            [(t.text,) for t in query.tokens], "token string"
-        )
-        hits = (
-            toks.join(
-                F.broadcast(dim),
-                (F.col("term") == F.col("token"))
-                | (
-                    F.col("term").startswith(F.col("token"))
-                    & (F.length("token") >= 4)
-                ),
-            )
-            .select("token", "class")
-            .collect()
-        )
-        matched_tokens = {r.token for r in hits}
-        classes = sorted({getattr(r, "class") for r in hits})
-        new_tokens = [
-            _replace(t, optional=True) if t.text in matched_tokens else t
-            for t in query.tokens
-        ]
-        prefix = query.prefix if query.prefix not in matched_tokens else None
-        query2 = Query(original=query.original, tokens=new_tokens, prefix=prefix)
-        if len(classes) == 1:
-            options2 = _replace(options, lang=classes[0])
-        elif classes:
-            options2 = _replace(
-                options,
-                lang_boosts={**options.lang_boosts, **{c: 1.5 for c in classes}},
-            )
-        else:
-            options2 = options
-        return query2, options2
-
-    def search_two_phase(
-        self, q: str | Query, dim: DataFrame, options: SearchOptions | None = None
-    ) -> DataFrame:
-        query2, options2 = self.two_phase_plan(q, dim, options)
-        return self.search(query2, options2)
-
-    def two_phase_plan_rows(
-        self,
-        q: str | Query,
-        rows: list[tuple[str, str]],
-        options: SearchOptions | None = None,
-    ) -> tuple[Query, SearchOptions]:
-        """Spark-FREE twin of :meth:`two_phase_plan` over an in-memory
-        dimension row list — the serving-tier form (the class dimension is
-        broadcast-size by definition; the reference loads it at process
-        start, imp/poi_clases/*, and probes it per request). Same matching
-        rule (exact term, or token-as-prefix for tokens >= 4 chars), same
-        fold: one matched class -> filter, several -> boosts, matched
-        tokens demoted to optional. Used by the HTTP route's classify=true
-        (SearchAPIAdapter wiring ESDefaultSearch.java:90-100)."""
-        from dataclasses import replace as _replace
-
-        options = options or SearchOptions()
-        query = (
-            analyze_query(q, prefix=options.prefix, rule_set=self.rules)
-            if isinstance(q, str)
-            else q
-        )
-        if not query.tokens:
-            return query, options
-        matched_tokens: set[str] = set()
-        classes: set[str] = set()
-        for tok in query.tokens:
-            for term, cls in rows:
-                if term == tok.text or (
-                    term.startswith(tok.text) and len(tok.text) >= 4
-                ):
-                    matched_tokens.add(tok.text)
-                    classes.add(cls)
-        new_tokens = [
-            _replace(t, optional=True) if t.text in matched_tokens else t
-            for t in query.tokens
-        ]
-        prefix = query.prefix if query.prefix not in matched_tokens else None
-        query2 = Query(original=query.original, tokens=new_tokens, prefix=prefix)
-        cl = sorted(classes)
-        if len(cl) == 1:
-            options2 = _replace(options, lang=cl[0])
-        elif cl:
-            options2 = _replace(
-                options,
-                lang_boosts={**options.lang_boosts, **{c: 1.5 for c in cl}},
-            )
-        else:
-            options2 = options
-        return query2, options2
-
-    def search_hits(self, q: str | Query, options: SearchOptions | None = None) -> list:
-        """The coalesce ladder (U1, ESCoalesce.java:30-68) returning finalized
-        hit rows: strict AND -> AND-without-prefix-gate + fuzzy -> OR with
-        minimum_should_match=2; first non-empty rung wins (its k<=20 rows are
-        the answer). This is the SERVING surface: with the local executor
-        active the whole ladder runs driver-side in milliseconds with zero
-        Spark jobs; otherwise each rung is one Spark job, executed once."""
-        rows, _meta = self._search_ladder(q, options)
-        return rows
-
-    def search_response(
-        self,
-        q: str | Query,
-        options: SearchOptions | None = None,
-        mark: str | None = None,
-        verbose: bool = False,
-        snippet_lines: int = 0,
-    ) -> dict:
-        """Full response envelope — the ResultsWrapper parity surface
-        (api/ResultsWrapper.java:10-151 exposes parsed query, total hits,
-        trim flag, timings and per-hit matched_queries[]):
-
-        - ``parsed_query``: the typed-token IR (QToken flags + variants +
-          prefix + removed pre-pass set)
-        - ``total_hits`` + ``total_relation``: "eq" when the page is not
-          full (every candidate shown), "gte" when k filled it or trim cut
-          it — the pruned paths never count dead candidates, exactly like
-          Lucene's track_total_hits default
-        - ``trimmed``: whether the P16 post-retrieval trim cut the page
-        - ``matched_queries``: per-hit clause names decoded from the mask
-        - ``answer_time_ms``: whole-ladder wall time
-        - ``mark``: opaque client token echoed back verbatim (the reference's
-          "mark" request header, ResultsWrapper.java:24,114-115)
-        - ``verbose``: attach full doc detail (commit, content_sha256) to
-          each hit — the verbose_address analog (SearchAPIAdapter
-          VERBOSE_ADDRESS); one point lookup for the <= k winners
-        - ``snippet_lines`` (> 0): attach per-hit ``snippets`` — best
-          matching lines with <em>-marked terms (search/snippets.py; the
-          ES-highlight analog) — one stored-content point lookup for the
-          <= k winners; requires a store_content index
-        """
-        import time as _time
-
-        options = options or SearchOptions()
-        t0 = _time.perf_counter()
-        rows, meta = self._search_ladder(q, options)
-        ms = round(1000 * (_time.perf_counter() - t0), 2)
-        query: Query = meta["query"]
-        groups: list[TermGroup] = meta["groups"]
-        full_page = len(rows) >= options.k
-        detail: dict[int, dict] = {}
-        if verbose and rows:
-            detail = self._doc_detail([r.doc_id for r in rows])
-        snips: dict[int, list[dict]] = {}
-        if snippet_lines and rows:
-            # highlight terms = every positive content-field term the ladder
-            # actually searched (post analysis/expansion; name-field keys and
-            # must_not exclusions never reach groups' positive terms)
-            hl_terms = {
-                t for g in groups for t in g.terms if ":" not in t
-            }
-            snips = self.snippets_for(
-                [r.doc_id for r in rows], hl_terms, n_lines=snippet_lines
-            )
-        out = {
-            "query": query.original,
-            "parsed_query": {
-                "tokens": [
-                    {
-                        "text": t.text,
-                        "optional": t.optional,
-                        "numbers": t.has_numbers,
-                        "variants": list(t.variants),
-                    }
-                    for t in query.tokens
-                ],
-                "prefix": query.prefix,
-                "removed": list(query.removed),
-                # quoted-phrase clauses, when the query carried any
-                # ("merge postings" / "merge postings"~2 syntax)
+                # /regex/ and glob pattern clauses, when the query carried any
                 **(
-                    {"phrases": meta["phrases"]}
-                    if meta.get("phrases")
+                    {"patterns": meta["patterns"]}
+                    if meta.get("patterns")
                     else {}
                 ),
             },
@@ -1598,6 +1295,42 @@ class SearchEngine:
                 q = residual
         query = analyze_query(q, prefix=options.prefix, rule_set=self.rules) if isinstance(q, str) else q
 
+        pat_exp: dict[str, tuple[str, ...]] | None = None
+
+        def _with_patterns(
+            groups: list[TermGroup], msm: int
+        ) -> tuple[list[TermGroup], int, bool]:
+            """Append one required expansion group per pattern clause.
+            Expansion runs once (memoized across rungs — patterns never
+            relax through the ladder). A pattern matching NO dictionary
+            term makes every rung unsatisfiable (ES wildcard-on-no-terms
+            semantics: required clause over an empty term set)."""
+            nonlocal pat_exp
+            if not pattern_clauses:
+                return groups, msm, False
+            if pat_exp is None:
+                pat_exp = {
+                    c.raw: tuple(self.expand_regexp(c.regex))
+                    for c in pattern_clauses
+                }
+            if any(not v for v in pat_exp.values()):
+                return groups, msm, True
+            out = list(groups)
+            gid = max((g.group_id for g in groups), default=-1) + 1
+            for c in pattern_clauses:
+                if gid > MAX_GROUP_ID:
+                    break  # matched_mask bit budget — same cap as tokens
+                out.append(
+                    TermGroup(
+                        group_id=gid,
+                        terms=pat_exp[c.raw],
+                        required=True,
+                        name=c.raw,
+                    )
+                )
+                gid += 1
+            return out, msm + (len(out) - len(groups)), False
+
         # rungs are built LAZILY: rung 1 usually wins, and rungs 2/3 pay the
         # fuzzy term-dictionary expansion — no reason to expand before the
         # stricter rung has actually come back empty
@@ -1618,13 +1351,32 @@ class SearchEngine:
             )
             return g3, (1 if n3 <= 2 else 2)
 
-        builders = [_rung1] + ([_rung2, _rung3] if options.coalesce else [])
+        # patterns never relax: the OR rung's msm=2 would let a /regex/ or
+        # glob clause become optional, so the ladder stops at the fuzzy AND
+        # rung when pattern clauses are present
+        relax = [_rung2, _rung3] if not pattern_clauses else [_rung2]
+        builders = [_rung1] + (relax if options.coalesce else [])
 
         last: list = []
-        meta = {"query": query, "groups": [], "rung": 0, "trimmed": False}
+        meta = {
+            "query": query,
+            "groups": [],
+            "rung": 0,
+            "trimmed": False,
+            **(
+                {"patterns": [c.raw for c in pattern_clauses]}
+                if pattern_clauses
+                else {}
+            ),
+        }
         seen_rungs: set[tuple] = set()
         for rung_no, build in enumerate(builders, 1):
-            groups, msm = build()
+            groups, msm, impossible = _with_patterns(*build())
+            if impossible:
+                # a pattern with zero dictionary matches: unsatisfiable at
+                # every rung (expansion is rung-invariant) — empty result
+                meta.update(groups=groups, rung=rung_no, trimmed=False)
+                return [], meta
             # a rung identical to an already-executed one (same groups, same
             # msm) cannot produce different rows — e.g. rung 2 == rung 1 when
             # there is no prefix gate and fuzzy adds no expansions

@@ -41,6 +41,7 @@ Hit = namedtuple(
 
 MAX_PREFIX_EXPANSIONS = 128
 MAX_FUZZY_EXPANSIONS = 32
+MAX_REGEX_EXPANSIONS = 128  # Lucene top_terms_N rewrite cap (wildcard/regexp)
 
 
 def _meta(v):
@@ -373,6 +374,28 @@ class LocalExecutor:
         if k is not None:
             m = m.head(k)
         return list(zip(m["term"].tolist(), m["df"].astype(int).tolist()))
+
+    def expand_regexp(self, anchored: str, lit_prefix: str = "") -> list[str]:
+        """Regexp/wildcard expansion over the cached dictionary — the serving
+        twin of engine.expand_regexp. ``anchored`` is the portable
+        ``(?i)^(?:pat)$`` form (patterns.anchored_ci); the literal prefix
+        narrows the scan exactly like the Spark path's startswith pushdown."""
+        key = ("r", anchored)
+        if key not in self._expand_cache:
+            import re as _re
+
+            rx = _re.compile(anchored)
+            ts = self._load_term_stats()
+            m = ts[~ts["term"].str.contains(":")]
+            if lit_prefix:
+                m = m[m["term"].str.startswith(lit_prefix)]
+            keep = [rx.match(t) is not None for t in m["term"].tolist()]
+            m = m[np.asarray(keep, dtype=bool)] if len(m) else m
+            m = m.sort_values(["df", "term"], ascending=[False, True])
+            self._cache_put(key, m["term"].head(MAX_REGEX_EXPANSIONS).tolist())
+        else:
+            self._expand_cache.move_to_end(key)
+        return self._expand_cache[key]
 
     def expand_fuzzy(self, term: str) -> list[str]:
         key = ("f", term)

@@ -1,0 +1,187 @@
+"""Wildcard / regexp term queries (search/patterns.py): expansion parity
+across the Spark dictionary scan, the serving executor and plain Python re;
+ladder integration of /regex/ and glob query syntax (FIXTURES.md §3 model)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from gazetteer_search_spark.index import builder
+from gazetteer_search_spark.search.engine import (
+    MAX_REGEX_EXPANSIONS,
+    SearchEngine,
+    SearchOptions,
+    TermGroup,
+)
+from gazetteer_search_spark.search.patterns import (
+    anchored_ci,
+    extract_patterns,
+    literal_prefix,
+    wildcard_to_regex,
+)
+from gazetteer_search_spark.sources import synthetic_corpus
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return synthetic_corpus(spark, N_DOCS).cache()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, corpus, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx_patterns"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=8, postings_per_group=128)
+    return SearchEngine(spark, idx)
+
+
+@pytest.fixture(scope="module")
+def serving(spark, engine):
+    return SearchEngine(spark, engine.index, serving=True)
+
+
+def _grp(gid, terms, required=True, weight=1.0):
+    return TermGroup(group_id=gid, terms=tuple(terms), required=required, weight=weight)
+
+
+# ---- unit: pattern utilities ------------------------------------------------
+
+def test_wildcard_to_regex():
+    assert wildcard_to_regex("me*ge") == "me.*ge"
+    assert wildcard_to_regex("m?rge") == "m.rge"
+    # literals escape; '*'/'?' are the only metacharacters of the glob dialect
+    assert re.fullmatch(wildcard_to_regex("a.b*"), "a.bxyz")
+    assert not re.fullmatch(wildcard_to_regex("a.b*"), "aXbxyz")
+
+
+def test_literal_prefix():
+    assert literal_prefix("merge.*") == "merge"
+    assert literal_prefix("me.*ge") == "me"
+    # char before a quantifier is optional/repeated -> backs off one char
+    assert literal_prefix("ab*") == "a"
+    assert literal_prefix("ab?c") == "a"
+    assert literal_prefix("ab{1,2}") == "a"
+    assert literal_prefix("[mw]erge") == ""
+    assert literal_prefix("MERGE.*") == "merge"  # folded to match the dict
+
+
+def test_anchored_ci_validates():
+    assert anchored_ci("a.b") == "(?i)^(?:a.b)$"
+    with pytest.raises(ValueError):
+        anchored_ci("a[unclosed")
+
+
+def test_extract_patterns():
+    residual, cl = extract_patterns("block /me.ge/ sor* plain -neg")
+    assert residual == "block plain -neg"  # negation left for the must_not pass
+    assert [(c.kind, c.raw) for c in cl] == [
+        ("regexp", "/me.ge/"),
+        ("wildcard", "sor*"),
+    ]
+    assert cl[0].regex == "me.ge"
+    assert cl[1].regex == "sor.*"
+    # no patterns -> untouched token stream
+    residual, cl = extract_patterns("merge sort")
+    assert cl == [] and residual == "merge sort"
+    with pytest.raises(ValueError):
+        extract_patterns("/bad[/")
+
+
+# ---- expansion parity: Spark scan vs serving executor vs Python re ----------
+
+def _brute_expand(engine, regex_body):
+    """Reference expansion: Python re over the full collected dictionary,
+    df-ranked, capped — what both engine paths must reproduce."""
+    rx = re.compile(anchored_ci(regex_body))
+    rows = engine._term_stats.select("term", "df").collect()
+    hits = [(r.term, int(r.df)) for r in rows if rx.match(r.term)]
+    hits.sort(key=lambda x: (-x[1], x[0]))
+    return [t for t, _ in hits[:MAX_REGEX_EXPANSIONS]]
+
+
+@pytest.mark.parametrize(
+    "body",
+    [
+        "me.ge",  # '.' single char
+        "mer.*",  # prefix + star (prunable literal prefix)
+        "sco[re]+",  # class + plus
+        "(merge|score)",  # alternation
+        "MERGE",  # case-folded full literal
+    ],
+)
+def test_expand_regexp_three_way(engine, serving, body):
+    want = _brute_expand(engine, body)
+    assert engine.expand_regexp(body) == want  # Spark rlike path
+    assert serving.expand_regexp(body) == want  # serving re path
+    assert want, f"pattern {body!r} should match something in the fixture vocab"
+
+
+def test_expand_wildcard(engine, serving):
+    want = _brute_expand(engine, "me.*ge")
+    assert engine.expand_wildcard("me*ge") == want
+    assert serving.expand_wildcard("me*ge") == want
+
+
+def test_expand_regexp_invalid_raises(engine):
+    with pytest.raises(ValueError):
+        engine.expand_regexp("a[unclosed")
+
+
+# ---- ladder integration ------------------------------------------------------
+
+def test_regexp_query_syntax_matches_explicit_groups(engine):
+    """search_hits('block /me.ge/') == explicit [block, expansion] groups."""
+    opts = SearchOptions(prefix=False, fuzzy=False)
+    got = engine.search_hits("block /me.ge/", opts)
+    exp = engine.expand_regexp("me.ge")
+    g = [_grp(0, ["block"]), _grp(1, exp)]
+    want = engine.search_rung(g, 2, opts).collect()
+    assert [(r.doc_id, r.score) for r in got] == [
+        (r.doc_id, pytest.approx(r.score)) for r in want
+    ]
+    assert got, "fixture vocabulary should produce hits"
+
+
+def test_wildcard_query_syntax(engine):
+    opts = SearchOptions(prefix=False, fuzzy=False)
+    got = engine.search_hits("block me*ge", opts)
+    exp = engine.expand_wildcard("me*ge")
+    want = engine.search_rung(
+        [_grp(0, ["block"]), _grp(1, exp)], 2, opts
+    ).collect()
+    assert [r.doc_id for r in got] == [r.doc_id for r in want]
+
+
+def test_pattern_clause_name_in_response(engine):
+    resp = engine.search_response("block /me.ge/", SearchOptions(prefix=False))
+    assert resp["hits"], "expected hits"
+    assert any("/me.ge/" in h["matched_queries"] for h in resp["hits"])
+    assert resp["parsed_query"].get("patterns") == ["/me.ge/"]
+
+
+def test_pattern_no_dictionary_match_is_empty(engine):
+    got = engine.search_hits("block /zq9xv.*/", SearchOptions(prefix=False))
+    assert got == []
+
+
+def test_pattern_never_relaxes(engine):
+    """A pattern clause must hold even on the relaxation rungs: a query whose
+    non-pattern terms miss entirely still only matches docs satisfying the
+    pattern AND enough other clauses — with an unmatchable second term the
+    ladder returns empty rather than relaxing the pattern to optional."""
+    got = engine.search_hits(
+        "zzqqwwxyzzy /me.ge/", SearchOptions(prefix=False, fuzzy=False)
+    )
+    assert got == []
+
+
+def test_serving_pattern_rank_identical(engine, serving):
+    opts = SearchOptions(prefix=False, fuzzy=False)
+    a = engine.search_hits("block /me.ge/", opts)
+    b = serving.search_hits("block /me.ge/", opts)
+    assert [(r.doc_id, round(r.score, 9)) for r in a] == [
+        (r.doc_id, round(r.score, 9)) for r in b
+    ]
