@@ -856,6 +856,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, eng.expand_wildcard("s?a*"))]
         return _topk_out(eng.search_rung(g, 1, SearchOptions()))
 
+    def explain_terms(spark, sf):  # ES Explain-API analog (beyond reference;
+        # engine.explain_rung): per-term BM25 contributions for the top-k
+        # page of a weighted 2-clause AND — one row per (winner doc, matched
+        # term, clause); the hit's score is exactly sum over clauses of
+        # max(weighted). Serving shape: block point-lookup of the winners.
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"], weight=1.5)]
+        return eng.explain_rung(g, 2, SearchOptions())
+
     def tag_stats(spark, sf):  # generic tag-statistics agg over an arbitrary
         # metadata column (TagStatisticsAPI.java:44-100 analog); served over
         # HTTP as GET /stats?key=
@@ -1163,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fuzzy_osa=fuzzy_osa,
         regexp_term=regexp_term,
         wildcard_term=wildcard_term,
+        explain_terms=explain_terms,
         tag_stats=tag_stats,
         optional_demotion=optional_demotion,
         static_boost=static_boost,
@@ -1658,6 +1668,32 @@ def oracle_sql() -> dict[str, str]:
         _REGEX_GRP.format(gid=0, rx="(?i)^(?:s.a.*)$"),
         1,
     )
+    # explain: recompute the 2-clause AND's winners, then re-derive every
+    # (winner, term, clause) contribution from the scored CTE alone
+    _expl_groups = _values_groups(
+        [("merge", 0, True, 1.0), ("sort", 1, True, 1.5)]
+    )
+    o["explain_terms"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_expl_groups})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+winners AS (
+  SELECT doc_id FROM per_doc WHERE matched_required >= 2
+  ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT 20
+)
+SELECT w.doc_id, s.term, g.group_id::INT AS group_id,
+       round(s.score, 4) AS contrib, round(s.score * g.weight, 4) AS weighted
+FROM scored s JOIN grp g USING (term) JOIN winners w ON s.doc_id = w.doc_id
+"""
     o["tag_stats"] = """
 SELECT CAST(source AS VARCHAR) AS value, COUNT(*)::BIGINT AS doc_count
 FROM documents WHERE source IS NOT NULL

@@ -200,18 +200,25 @@ def cmd_query(args: argparse.Namespace) -> None:
         exclude_terms=_not_terms(getattr(args, "exclude", None)),
     )
     t0 = time.time()
-    if args.snippet:
-        # grep-shaped output: matched line + line number per hit
-        # (store_content index required)
-        resp = eng.search_response(args.q, opts, snippet_lines=args.snippet)
+    if args.snippet or args.explain:
+        # envelope-shaped output: matched line + line number per hit
+        # (--snippet; store_content index required) and/or per-term BM25
+        # contributions (--explain; ES Explain-API analog)
+        resp = eng.search_response(
+            args.q, opts, snippet_lines=args.snippet, explain=args.explain
+        )
         for i, h in enumerate(resp["hits"], 1):
             print(json.dumps({
                 "rank": i, "doc_id": h["doc_id"], "score": h["score"],
                 "repo": h["repo"], "path": h["path"],
-                "snippets": [
-                    {"line_no": s["line_no"], "line": s["marked"]}
-                    for s in h.get("snippets", [])
-                ],
+                **({
+                    "snippets": [
+                        {"line_no": s["line_no"], "line": s["marked"]}
+                        for s in h.get("snippets", [])
+                    ],
+                } if args.snippet else {}),
+                **({"explanation": h.get("explanation", [])}
+                   if args.explain else {}),
             }))
         n = len(resp["hits"])
     else:
@@ -444,6 +451,11 @@ def main(argv: list[str] | None = None) -> None:
         "--snippet", type=int, nargs="?", const=1, default=0, metavar="N",
         help="attach the best N matching lines per hit (<em>-marked, with "
         "line numbers) — grep-shaped output; needs --store-content index",
+    )
+    q.add_argument(
+        "--explain", action="store_true",
+        help="attach per-hit per-term BM25 contributions (ES Explain-API "
+        "analog): term, clause, raw contrib, weighted contrib",
     )
     q.set_defaults(fn=cmd_query)
 

@@ -362,6 +362,16 @@ def finalize_ranked(
     return _rank(gated)
 
 
+EXPLAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("group_id", T.IntegerType(), False),
+        T.StructField("contrib", T.DoubleType(), False),
+        T.StructField("weighted", T.DoubleType(), False),
+    ]
+)
+
 RESULT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -633,6 +643,88 @@ class SearchEngine:
                     & (F.col("min_doc_id") <= rr[1])
                 )
         return decode_postings(pruned)
+
+    def explain_rung(
+        self, groups: list[TermGroup], msm: int, options: SearchOptions | None = None
+    ) -> DataFrame:
+        """ES Explain-API analog (GET /_explain / ``explain=true``; beyond
+        reference — the reference delegates scoring transparency to ES):
+        per-term BM25 contributions for the rung's top-k page. One row per
+        (winner doc, matched query term, clause): ``contrib`` is the raw
+        per-term BM25, ``weighted`` multiplies in the clause's per-term
+        weight; the hit's score is exactly sum over groups of
+        max(weighted) (+doc-side boosts). Spark shape: top-k winners
+        broadcast-joined back onto the bucket-pruned postings decode of the
+        query's terms — never a second full search; serving shape: a block
+        point-lookup (fastpath.explain_hits)."""
+        options = options or SearchOptions()
+        if self._local is not None and self.spark is not None:
+            rows = self._local.explain_rung(groups, msm, options)
+            return self.spark.createDataFrame(rows, EXPLAIN_SCHEMA)
+        winners = self.search_rung(groups, msm, options).select("doc_id")
+        terms = sorted({t for g in groups for t in g.terms})
+        scored = self._scored_for_terms(terms, options)
+        gdf = _groups_df(self.spark, groups)
+        return (
+            scored.join(F.broadcast(winners), "doc_id")
+            .join(F.broadcast(gdf), "term")
+            .select(
+                "doc_id",
+                "term",
+                "group_id",
+                F.round("score", 4).alias("contrib"),
+                F.round(F.col("score") * F.col("weight"), 4).alias("weighted"),
+            )
+        )
+
+    def explain_hits(
+        self,
+        ids: list[int],
+        groups: list[TermGroup],
+        options: SearchOptions | None = None,
+    ) -> dict[int, list[dict]]:
+        """Per-hit explanation dicts for specific winner docs (the response-
+        envelope form behind ``explain=true``). k-bounded: serving engines
+        answer from a block point-lookup; Spark-backed engines collect the
+        k x |terms| join (same bound as the _doc_detail point read)."""
+        if self._local is not None:
+            rows = self._local.explain_hits(ids, groups)
+        else:
+            winners = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "doc_id long"
+            )
+            terms = sorted({t for g in groups for t in g.terms})
+            gdf = _groups_df(self.spark, groups)
+            rows = [
+                (r.doc_id, r.term, r.group_id, r.contrib, r.weighted)
+                for r in (
+                    self._scored_for_terms(terms, options)
+                    .join(F.broadcast(winners), "doc_id")
+                    .join(F.broadcast(gdf), "term")
+                    .select(
+                        "doc_id",
+                        "term",
+                        "group_id",
+                        F.round("score", 4).alias("contrib"),
+                        F.round(F.col("score") * F.col("weight"), 4).alias(
+                            "weighted"
+                        ),
+                    )
+                    .collect()
+                )
+            ]
+            rows.sort()
+        out: dict[int, list[dict]] = {}
+        for d, t, gid, c, wtd in rows:
+            out.setdefault(int(d), []).append(
+                {
+                    "term": t,
+                    "group": int(gid),
+                    "contrib": float(c),
+                    "weighted": float(wtd),
+                }
+            )
+        return out
 
     def search_rung(
         self, groups: list[TermGroup], msm: int, options: SearchOptions
@@ -1042,6 +1134,7 @@ class SearchEngine:
         mark: str | None = None,
         verbose: bool = False,
         snippet_lines: int = 0,
+        explain: bool = False,
     ) -> dict:
         """Full response envelope — the ResultsWrapper parity surface
         (api/ResultsWrapper.java:10-151 exposes parsed query, total hits,
@@ -1065,6 +1158,9 @@ class SearchEngine:
           matching lines with <em>-marked terms (search/snippets.py; the
           ES-highlight analog) — one stored-content point lookup for the
           <= k winners; requires a store_content index
+        - ``explain``: attach per-hit ``explanation`` — the per-term BM25
+          contributions behind the score (explain_hits; ES Explain-API
+          analog) — one postings block point-lookup for the <= k winners
         """
         import time as _time
 
@@ -1088,6 +1184,11 @@ class SearchEngine:
             }
             snips = self.snippets_for(
                 [r.doc_id for r in rows], hl_terms, n_lines=snippet_lines
+            )
+        expl: dict[int, list[dict]] = {}
+        if explain and rows and groups:
+            expl = self.explain_hits(
+                [r.doc_id for r in rows], groups, options
             )
         out = {
             "query": query.original,
@@ -1134,6 +1235,11 @@ class SearchEngine:
                     **(
                         {"snippets": snips[r.doc_id]}
                         if r.doc_id in snips
+                        else {}
+                    ),
+                    **(
+                        {"explanation": expl[r.doc_id]}
+                        if r.doc_id in expl
                         else {}
                     ),
                 }

@@ -560,11 +560,24 @@ class LocalExecutor:
         return pd.concat(parts, ignore_index=True)
 
     def _decode_terms(
-        self, terms: list[str], options=None, allowed_range=None
+        self, terms: list[str], options=None, allowed_range=None,
+        contains_any=None,
     ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         tbl = self._load_blocks(terms)
         if tbl.empty:
             return {}
+        if contains_any is not None:
+            # point-lookup shape (explain): keep only blocks whose docID
+            # interval holds at least one of the given (sorted) ids — the
+            # per-doc index lookup ES explain does, O(k log B), never a
+            # full postings decode of a hot term
+            lo = np.searchsorted(contains_any, tbl["min_doc_id"].to_numpy())
+            hi = np.searchsorted(
+                contains_any, tbl["max_doc_id"].to_numpy(), side="right"
+            )
+            tbl = tbl[hi > lo].reset_index(drop=True)
+            if tbl.empty:
+                return {}
         attr_keep_id = None
         if options is not None:
             # attribute pruning on the decode-all path too: wrong-lang blocks
@@ -774,6 +787,46 @@ class LocalExecutor:
             self.group_parts(groups, options, allowed_range=rng),
             groups, msm, options,
         )
+
+    def explain_hits(self, ids, groups) -> list[tuple]:
+        """ES Explain-API analog (serving side): per-term BM25 contributions
+        for specific docs. Rows ``(doc_id, term, group_id, contrib,
+        weighted)`` — ``contrib`` is the raw per-term BM25 the index stores,
+        ``weighted`` is contrib x the clause's per-term weight; the hit's
+        score is exactly sum over groups of max(weighted) (invariant pinned
+        by tests/test_explain.py). Decode is a point lookup: only blocks
+        whose docID interval holds a requested id are touched."""
+        if not ids:
+            return []
+        winners = np.unique(np.asarray(sorted(ids), dtype=np.int64))
+        terms = sorted({t for g in groups for t in g.terms})
+        dec = self._decode_terms(terms, contains_any=winners)
+        rows: list[tuple] = []
+        for g in groups:
+            for t, w in sorted(g.per_term_weights().items()):
+                if t not in dec:
+                    continue
+                tids, tsc = dec[t]
+                m = np.isin(tids, winners)
+                for d, s in zip(tids[m].tolist(), tsc[m].tolist()):
+                    rows.append(
+                        (
+                            int(d),
+                            t,
+                            int(g.group_id),
+                            round(float(s), 4),
+                            round(float(s) * float(w), 4),
+                        )
+                    )
+        rows.sort()
+        return rows
+
+    def explain_rung(self, groups, msm: int, options) -> list[tuple]:
+        """Explain rows for the rung's top-k page (the ``explain=true``
+        search shape): run the ordinary rung, then explain_hits on the
+        winners."""
+        hits = self.search_rung(groups, msm, options)
+        return self.explain_hits([h.doc_id for h in hits], groups)
 
     def _grouped_blocks(self, groups) -> pd.DataFrame | None:
         """Block rows for the groups' terms with (group_id, weight) attached

@@ -10,9 +10,11 @@ per request, matching the reference's always-on serving shape.
 Routes:
     GET /search?q=...&size=k&page=n&lang=...&repo=...&distinct=true&
             prefix=false&near=...&mark=...&verbose=true&snippet=true|N&
-            class=X[&class=Y]&no_class=Z&classify=true
+            explain=true&class=X[&class=Y]&no_class=Z&classify=true
         snippet=true|N (<= 5): per-hit best matching lines with <em>-marked
         terms (ES highlight analog; requires a store_content index)
+        explain=true: per-hit per-term BM25 contributions (ES Explain-API
+        analog) — term, clause, raw contrib, weighted contrib
         class params (SearchAPIAdapter.java:48-55,81-85): ``class`` is the
         poiclass[] analog (one value filters, several boost — the two-phase
         fold's rule), ``no_class`` the no_poi class-exclusion analog, and
@@ -244,6 +246,9 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                     # <em>-marked terms (ES highlight analog; needs a
                     # store_content index), capped at 5 lines per hit
                     snippet_lines=_snippet_lines(_one("snippet", "false")),
+                    # explain=true: per-hit per-term BM25 contributions
+                    # (ES Explain-API analog; a <= k block point-lookup)
+                    explain=_one("explain", "false").lower() == "true",
                 )
             if page > 1:
                 resp["page"] = page

@@ -428,3 +428,35 @@ def test_http_must_not(eng):
         assert inline == got
     finally:
         srv.shutdown()
+
+
+def test_http_explain(eng):
+    """explain=true attaches per-hit per-term BM25 contributions, and the
+    route result is identical to the engine-level explain_hits call."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=alpha+beta&size=3&explain=true"
+        ) as r:
+            env = json.loads(r.read())
+        assert env["hits"]
+        for h in env["hits"]:
+            terms = {e["term"] for e in h["explanation"]}
+            assert terms == {"alpha", "beta"}
+            # score reconstructs: sum over clauses of max(weighted)
+            per_g = {}
+            for e in h["explanation"]:
+                per_g[e["group"]] = max(
+                    per_g.get(e["group"], float("-inf")), e["weighted"]
+                )
+            assert sum(per_g.values()) == pytest.approx(h["score"], abs=2e-3)
+        # explain omitted -> no explanation key
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=alpha&size=1"
+        ) as r:
+            env2 = json.loads(r.read())
+        assert "explanation" not in env2["hits"][0]
+    finally:
+        srv.shutdown()
