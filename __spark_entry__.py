@@ -865,6 +865,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge"]), _grp(1, ["sort"], weight=1.5)]
         return eng.explain_rung(g, 2, SearchOptions())
 
+    def mlt_doc0(spark, sf):  # ES more_like_this analog (beyond reference;
+        # engine.mlt_groups/search_mlt): doc 0's text re-analyzed with the
+        # index kernel, its terms ranked by tf x BM25-idf against the index's
+        # own statistics, top-10 kept (max_query_terms), searched as one
+        # clause each with minimum_should_match 3 (the ES "30%" default).
+        # The seed doc itself stays in the page (free-text "like" semantics).
+        eng = _engine(spark, sf)
+        text = (
+            _docs(spark, sf).filter(F.col("doc_id") == 0).select("text").head()[0]
+        )
+        groups = eng.mlt_groups(text, max_terms=10)
+        return _topk_out(eng.search_rung(groups, 3, SearchOptions()))
+
     def tag_stats(spark, sf):  # generic tag-statistics agg over an arbitrary
         # metadata column (TagStatisticsAPI.java:44-100 analog); served over
         # HTTP as GET /stats?key=
@@ -1173,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         regexp_term=regexp_term,
         wildcard_term=wildcard_term,
         explain_terms=explain_terms,
+        mlt_doc0=mlt_doc0,
         tag_stats=tag_stats,
         optional_demotion=optional_demotion,
         static_boost=static_boost,
@@ -1668,6 +1682,22 @@ def oracle_sql() -> dict[str, str]:
         _REGEX_GRP.format(gid=0, rx="(?i)^(?:s.a.*)$"),
         1,
     )
+    # more-like-this: the oracle re-derives the whole chain — doc 0's term
+    # frequencies from the tok CTE, tf x BM25-idf ranking against dfreq/cst,
+    # the top-10 cut (ties by term asc) — and searches them as one required
+    # clause each with msm=3, entirely from the documents table
+    _mlt_sel = (
+        "SELECT term, row_number() OVER (ORDER BY term) - 1 AS group_id, "
+        "TRUE AS required, 1.0 AS weight FROM ("
+        "SELECT s.term FROM "
+        "(SELECT term, count(*)::BIGINT AS tf FROM tok WHERE doc_id = 0 "
+        "GROUP BY term) s "
+        "JOIN dfreq d USING (term) CROSS JOIN cst "
+        "ORDER BY (s.tf * ln(1 + (cst.n_docs - d.df + 0.5) / (d.df + 0.5))) "
+        "DESC, s.term ASC LIMIT 10)"
+    )
+    o["mlt_doc0"] = _search_sql(_mlt_sel, 3)
+
     # explain: recompute the 2-clause AND's winners, then re-derive every
     # (winner, term, clause) contribution from the scored CTE alone
     _expl_groups = _values_groups(

@@ -244,6 +244,44 @@ def cmd_suggest(args: argparse.Namespace) -> None:
         print(json.dumps({"term": t, "df": df}))
 
 
+def cmd_mlt(args: argparse.Namespace) -> None:
+    """More-like-this at the CLI (HTTP twin: GET /mlt): rank docs similar to
+    free text (--text) or to an indexed doc's stored content (--doc-id;
+    needs a --store-content index — the seed doc is dropped from the page).
+    Spark-free serving path."""
+    from gazetteer_search_spark.index.segments import open_multi_search
+    from gazetteer_search_spark.search.engine import SearchOptions
+
+    eng = open_multi_search(args.index)
+    seed = None
+    text = args.text
+    if text is None:
+        seed = int(args.doc_id)
+        content = eng._doc_content([seed])
+        if seed not in content:
+            print(json.dumps({"error": f"doc {seed} has no stored content"}))
+            sys.exit(1)
+        text = content[seed]
+    groups = eng.mlt_groups(text, args.max_terms)
+    rows = (
+        eng.search_rung_rows(
+            groups,
+            max(1, int(0.3 * len(groups))),
+            SearchOptions(k=args.k + (1 if seed is not None else 0)),
+        )
+        if groups
+        else []
+    )
+    rows = [r for r in rows if r.doc_id != seed][: args.k]
+    print(json.dumps({"selected_terms": [g.terms[0] for g in groups]}),
+          file=sys.stderr)
+    for i, r in enumerate(rows, 1):
+        print(json.dumps({
+            "rank": i, "doc_id": r.doc_id, "score": round(r.score, 4),
+            "repo": r.repo, "path": r.path,
+        }))
+
+
 def cmd_stats(args: argparse.Namespace) -> None:
     from gazetteer_search_spark.index.builder import IndexPaths, load_index
 
@@ -464,6 +502,20 @@ def main(argv: list[str] | None = None) -> None:
     sg2.add_argument("--q", required=True, help="term prefix to complete")
     sg2.add_argument("--k", type=int, default=10)
     sg2.set_defaults(fn=cmd_suggest)
+
+    ml = sub.add_parser("mlt", help="more-like-this (ES _mlt analog)")
+    ml.add_argument("--index", required=True)
+    src_g = ml.add_mutually_exclusive_group(required=True)
+    src_g.add_argument("--text", help="free-text 'like' input")
+    src_g.add_argument(
+        "--doc-id", help="seed doc id (needs a --store-content index)"
+    )
+    ml.add_argument("--k", type=int, default=10)
+    ml.add_argument(
+        "--max-terms", type=int, default=25,
+        help="max_query_terms analog: top tf-idf terms kept from the input",
+    )
+    ml.set_defaults(fn=cmd_mlt)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)

@@ -563,6 +563,16 @@ class MultiExecutor:
                 agg[t] = agg.get(t, 0) + int(df)
         return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def df_for_terms(self, terms: list[str]) -> dict[str, int]:
+        """Per-generation df summed per term (same df-with-deletes semantics
+        as suggest) — more-like-this term selection over a multi-generation
+        index."""
+        agg: dict[str, int] = {}
+        for s in self.subs:
+            for t, df in s.df_for_terms(terms).items():
+                agg[t] = agg.get(t, 0) + int(df)
+        return agg
+
     def expand_fuzzy(self, term: str) -> list[str]:
         from gazetteer_search_spark.search.fastpath import MAX_FUZZY_EXPANSIONS
 

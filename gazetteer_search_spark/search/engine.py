@@ -644,6 +644,81 @@ class SearchEngine:
                 )
         return decode_postings(pruned)
 
+    def _df_for_terms(self, terms: list[str]) -> dict[str, int]:
+        """Document frequencies for a bounded, query-derived term list.
+        Serving: the cached dictionary; Spark: a bucket-colocated filter over
+        term_stats collecting <= |terms| rows (query-side, k-bounded)."""
+        if self._local is not None:
+            return self._local.df_for_terms(terms)
+        rows = (
+            self._term_stats.filter(F.col("term").isin(list(terms)))
+            .select("term", "df")
+            .collect()
+        )
+        return {r.term: int(r.df) for r in rows}
+
+    def mlt_groups(
+        self,
+        text: str,
+        max_terms: int = 25,
+        min_doc_freq: int = 1,
+        max_doc_freq: int | None = None,
+    ) -> list[TermGroup]:
+        """ES ``more_like_this`` term selection (beyond reference — the
+        reference delegates MLT to ES): re-analyze the input text with the
+        INDEX-side kernel (like ES re-analyzing ``_source`` with the field
+        analyzer), rank its distinct terms by tf x BM25-idf against the
+        index's own statistics, and keep the top ``max_terms``
+        (max_query_terms analog; min_doc_freq/max_doc_freq gate rare/stop
+        terms like their ES namesakes). Each selected term becomes its own
+        clause — ``search_mlt`` gates on a minimum_should_match fraction."""
+        import math as _math
+
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        tf: dict[str, int] = {}
+        for t in tokenize_text(text):
+            tf[t] = tf.get(t, 0) + 1
+        dfm = self._df_for_terms(sorted(tf))
+        n = self.index.n_docs
+        ranked = []
+        for t, f in tf.items():
+            df = dfm.get(t, 0)
+            if df < min_doc_freq or df <= 0:
+                continue
+            if max_doc_freq is not None and df > max_doc_freq:
+                continue
+            idf = _math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            ranked.append((f * idf, t))
+        ranked.sort(key=lambda x: (-x[0], x[1]))
+        cap = min(max_terms, MAX_GROUP_ID + 1)
+        return [
+            TermGroup(group_id=i, terms=(t,), required=True, name=t)
+            for i, (_, t) in enumerate(ranked[:cap])
+        ]
+
+    def search_mlt(
+        self,
+        text: str,
+        options: SearchOptions | None = None,
+        max_terms: int = 25,
+        msm_frac: float = 0.3,
+        min_doc_freq: int = 1,
+        max_doc_freq: int | None = None,
+    ) -> DataFrame:
+        """More-like-this search: top tf-idf terms of ``text`` as one clause
+        each, minimum_should_match = ``msm_frac`` of the selected clause
+        count (ES's \"30%\" default). The seed document itself is NOT
+        excluded (ES keeps free-text \"like\" input too) — callers filter
+        the seed id when they have one."""
+        groups = self.mlt_groups(text, max_terms, min_doc_freq, max_doc_freq)
+        if not groups:
+            # no selectable term -> no results (ES MLT semantics; NOT a
+            # match_all: an unanalyzable input must not return the corpus)
+            return self.spark.createDataFrame([], RESULT_SCHEMA)
+        msm = max(1, int(msm_frac * len(groups)))
+        return self.search_rung(groups, msm, options or SearchOptions())
+
     def explain_rung(
         self, groups: list[TermGroup], msm: int, options: SearchOptions | None = None
     ) -> DataFrame:

@@ -375,6 +375,13 @@ class LocalExecutor:
             m = m.head(k)
         return list(zip(m["term"].tolist(), m["df"].astype(int).tolist()))
 
+    def df_for_terms(self, terms: list[str]) -> dict[str, int]:
+        """Document frequencies for a bounded term list, from the cached
+        dictionary (query-side lookups: more-like-this term selection)."""
+        ts = self._load_term_stats()
+        m = ts[ts["term"].isin(terms)]
+        return dict(zip(m["term"].tolist(), m["df"].astype(int).tolist()))
+
     def expand_regexp(self, anchored: str, lit_prefix: str = "") -> list[str]:
         """Regexp/wildcard expansion over the cached dictionary — the serving
         twin of engine.expand_regexp. ``anchored`` is the portable

@@ -37,6 +37,10 @@ Routes:
            bypassing the analyzer ladder — the SendQAPI analog
            (api/SendQAPI.java wraps a raw ES query body verbatim;
            REServerRoutes.java:69)
+    GET /mlt?text=...|doc_id=N&max_terms=25&size=10
+        more-like-this (ES _mlt analog): top tf-idf terms of the input (or
+        of the seed doc's stored content; the seed is dropped from the
+        page) searched with a 30% minimum_should_match
     GET /stats?key=lang&min_doc_count=1&size=10
         -> histogram over an arbitrary docs metadata column — the generic
            tag-statistics endpoint (api/stats/TagStatisticsAPI.java:44-100
@@ -284,13 +288,17 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
             if u.path == "/suggest":
                 self._do_suggest(u)
                 return
+            if u.path == "/mlt":
+                self._do_mlt(u)
+                return
             if u.path != "/search":
                 self._send(
                     404,
                     {
                         "error": "not found",
                         "routes": [
-                            "/search", "/suggest", "/stats", "/classes", "/ui"
+                            "/search", "/suggest", "/mlt", "/stats",
+                            "/classes", "/ui"
                         ],
                     },
                 )
@@ -301,6 +309,66 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                 self._send(200, self._search_response(parse_qs(u.query)))
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
+
+        def _do_mlt(self, u) -> None:
+            """More-like-this route (ES _mlt analog): GET /mlt with either
+            ``text=<free text>`` or ``doc_id=<id>`` (the latter needs a
+            store_content index — the seed doc's stored content is the
+            input, and the seed itself is dropped from the page);
+            ``max_terms``/``size`` mirror max_query_terms and page size."""
+            qs = parse_qs(u.query)
+            text = (qs.get("text") or [""])[0]
+            doc_id = (qs.get("doc_id") or [None])[0]
+            if not text and doc_id is None:
+                self._send(400, {"error": "need text= or doc_id="})
+                return
+            try:
+                size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
+                max_terms = max(
+                    1, min(int((qs.get("max_terms") or ["25"])[0]), 63)
+                )
+                seed = None
+                if not text:
+                    seed = int(doc_id)
+                    content = engine._doc_content([seed])
+                    if seed not in content:
+                        self._send(
+                            404, {"error": f"doc {seed} has no stored content"}
+                        )
+                        return
+                    text = content[seed]
+                groups = engine.mlt_groups(text, max_terms)
+                opts = replace(
+                    default_opts, k=size + (1 if seed is not None else 0)
+                )
+                rows = (
+                    engine.search_rung_rows(
+                        groups, max(1, int(0.3 * len(groups))), opts
+                    )
+                    if groups
+                    else []
+                )
+                page_rows = [r for r in rows if r.doc_id != seed][:size]
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(
+                200,
+                {
+                    "selected_terms": [g.terms[0] for g in groups],
+                    "total_hits": len(page_rows),
+                    "hits": [
+                        {
+                            "doc_id": r.doc_id,
+                            "score": round(float(r.score), 4),
+                            "repo": r.repo,
+                            "path": r.path,
+                            "lang": r.lang,
+                        }
+                        for r in page_rows
+                    ],
+                },
+            )
 
         def _do_suggest(self, u) -> None:
             """Autocomplete route: GET /suggest?q=<prefix>&size=N returns
