@@ -878,6 +878,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         groups = eng.mlt_groups(text, max_terms=10)
         return _topk_out(eng.search_rung(groups, 3, SearchOptions()))
 
+    def facet_query(spark, sf):  # ES aggregations-on-query analog (beyond
+        # reference; engine.facets / fastpath.facet_rows): terms-agg buckets
+        # over the FULL match set of a 2-clause OR (msm=1), per facet key
+        # (lang + repo), buckets (doc_count desc, value asc), top-5 each —
+        # the tag_stats contract scoped to a query's matches
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return eng.facets(g, 1, SearchOptions(), keys=("lang", "repo"), size=5)
+
     def tag_stats(spark, sf):  # generic tag-statistics agg over an arbitrary
         # metadata column (TagStatisticsAPI.java:44-100 analog); served over
         # HTTP as GET /stats?key=
@@ -1187,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         wildcard_term=wildcard_term,
         explain_terms=explain_terms,
         mlt_doc0=mlt_doc0,
+        facet_query=facet_query,
         tag_stats=tag_stats,
         optional_demotion=optional_demotion,
         static_boost=static_boost,
@@ -1682,6 +1692,46 @@ def oracle_sql() -> dict[str, str]:
         _REGEX_GRP.format(gid=0, rx="(?i)^(?:s.a.*)$"),
         1,
     )
+    # facets: the oracle recomputes the full match set (msm gate over the
+    # scored CTE) and re-buckets lang + repo(source) with the terms-agg
+    # contract (count desc, value asc, nulls out, top-5 per facet)
+    _facet_groups = _values_groups(
+        [("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]
+    )
+    o["facet_query"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_facet_groups})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+m AS (
+  SELECT p.doc_id, d.lang, d.source AS repo
+  FROM per_doc p JOIN documents d USING (doc_id)
+  WHERE p.matched_required >= 1
+),
+u AS (
+  SELECT 'lang' AS facet, CAST(lang AS VARCHAR) AS value,
+         count(*)::BIGINT AS doc_count
+  FROM m WHERE lang IS NOT NULL GROUP BY lang
+  UNION ALL
+  SELECT 'repo' AS facet, CAST(repo AS VARCHAR) AS value,
+         count(*)::BIGINT AS doc_count
+  FROM m WHERE repo IS NOT NULL GROUP BY repo
+)
+SELECT facet, value, doc_count FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY facet ORDER BY doc_count DESC, value ASC
+  ) AS rn FROM u
+) WHERE rn <= 5
+"""
+
     # more-like-this: the oracle re-derives the whole chain — doc 0's term
     # frequencies from the tok CTE, tf x BM25-idf ranking against dfreq/cst,
     # the top-10 cut (ties by term asc) — and searches them as one required

@@ -563,6 +563,36 @@ class MultiExecutor:
                 agg[t] = agg.get(t, 0) + int(df)
         return sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
 
+    def facet_rows(
+        self, groups, msm: int, options, keys=("lang",), size: int = 10,
+        min_doc_count: int = 1,
+    ) -> list[tuple]:
+        """Facets across generations: every live doc exists in exactly ONE
+        generation (tombstones masked at decode), so per-generation bucket
+        counts are disjoint and sum exactly; the bucket order/size cut
+        applies to the merged counts."""
+        agg: dict[tuple[str, str], int] = {}
+        for s in self.subs:
+            # per-generation buckets uncut (size = all): the cut must apply
+            # AFTER the merge or a value inside one generation's top-N but
+            # outside another's would undercount
+            for f, v, c in s.facet_rows(
+                groups, msm, options, keys, size=1 << 62, min_doc_count=1
+            ):
+                agg[(f, v)] = agg.get((f, v), 0) + int(c)
+        out: list[tuple] = []
+        for key in keys:
+            buckets = sorted(
+                (
+                    (v, c)
+                    for (f, v), c in agg.items()
+                    if f == key and c >= min_doc_count
+                ),
+                key=lambda b: (-b[1], b[0]),
+            )
+            out.extend((key, v, c) for v, c in buckets[:size])
+        return out
+
     def df_for_terms(self, terms: list[str]) -> dict[str, int]:
         """Per-generation df summed per term (same df-with-deletes semantics
         as suggest) — more-like-this term selection over a multi-generation

@@ -362,6 +362,14 @@ def finalize_ranked(
     return _rank(gated)
 
 
+FACET_SCHEMA = T.StructType(
+    [
+        T.StructField("facet", T.StringType(), False),
+        T.StructField("value", T.StringType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+    ]
+)
+
 EXPLAIN_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -643,6 +651,129 @@ class SearchEngine:
                     & (F.col("min_doc_id") <= rr[1])
                 )
         return decode_postings(pruned)
+
+    def match_set(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+    ) -> DataFrame:
+        """(doc_id, repo, path, lang) of EVERY matching doc — search_rung's
+        gating (>= msm distinct REQUIRED clauses, then doc-side filters)
+        without the top-k cut: the aggregation universe behind facets.
+        One map-side-combined groupBy(doc_id) over the bucket-pruned
+        postings decode, then one doc-keyed join; no collect, no limit —
+        the distributed-agg shape (at cluster scale this is exactly the
+        per-shard agg ES runs for aggregations)."""
+        options = options or SearchOptions()
+        d = self.index.docs
+        if options.lang:
+            d = d.filter(F.col("lang") == options.lang)
+        if options.exclude_langs:
+            d = d.filter(
+                (~F.col("lang").isin(list(options.exclude_langs)))
+                | F.col("lang").isNull()
+            )
+        if options.repo:
+            d = d.filter(F.col("repo") == options.repo)
+        if options.path_prefix:
+            d = d.filter(F.col("path").startswith(options.path_prefix))
+        if options.distinct:
+            d = _distinct_names(d)
+        d = d.select("doc_id", "repo", "path", "lang")
+        terms = sorted({t for g in groups for t in g.terms})
+        if not terms:
+            m = d
+        else:
+            scored = self._scored_for_terms(terms, options)
+            gdf = _groups_df(self.spark, groups)
+            per_doc = (
+                scored.join(F.broadcast(gdf), "term")
+                .groupBy("doc_id")
+                .agg(
+                    F.countDistinct(
+                        F.when(F.col("required"), F.col("group_id"))
+                    ).alias("matched_required")
+                )
+            )
+            m = per_doc.filter(
+                F.col("matched_required") >= F.lit(msm)
+            ).join(d, "doc_id").select("doc_id", "repo", "path", "lang")
+        if options.exclude_terms:
+            m = m.join(
+                self._excluded_ids(options.exclude_terms), "doc_id", "left_anti"
+            )
+        return m
+
+    def facets(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        keys: tuple[str, ...] = ("lang",),
+        size: int = 10,
+        min_doc_count: int = 1,
+    ) -> DataFrame:
+        """ES aggregations-on-query analog: terms-agg buckets over the FULL
+        match set (not the page), per facet key. Output (facet, value,
+        doc_count); buckets per facet ordered (doc_count desc, value asc),
+        nulls excluded, exactly the tag_stats/terms-agg contract scoped to
+        the query. Spark shape: ONE pass — the match set's key columns
+        explode into (facet, value) pairs, one hash aggregation, one
+        windowed cut; serving engines answer from the numpy twin
+        (fastpath.facet_rows)."""
+        from pyspark.sql import Window as _W
+
+        options = options or SearchOptions()
+        if self._local is not None and self.spark is not None:
+            rows = self._local.facet_rows(
+                groups, msm, options, keys, size, min_doc_count
+            )
+            return self.spark.createDataFrame(rows, FACET_SCHEMA)
+        m = self.match_set(groups, msm, options)
+        pairs: list[F.Column] = []
+        for k in keys:
+            if k not in m.columns:
+                raise ValueError(
+                    f"unknown facet key {k!r}; available: "
+                    f"{[c for c in m.columns if c != 'doc_id']}"
+                )
+            pairs += [F.lit(k), F.col(k).cast("string")]
+        w = _W.partitionBy("facet").orderBy(
+            F.col("doc_count").desc(), F.col("value").asc()
+        )
+        return (
+            m.select(F.explode(F.create_map(*pairs)).alias("facet", "value"))
+            .filter(F.col("value").isNotNull())
+            .groupBy("facet", "value")
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("doc_count") >= F.lit(min_doc_count))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.lit(size))
+            .drop("_rn")
+        )
+
+    def facet_rows(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        keys: tuple[str, ...] = ("lang",),
+        size: int = 10,
+        min_doc_count: int = 1,
+    ) -> list[tuple]:
+        """Rows-level facets (the serving/HTTP surface)."""
+        options = options or SearchOptions()
+        if self._local is not None:
+            return self._local.facet_rows(
+                groups, msm, options, keys, size, min_doc_count
+            )
+        return [
+            (r.facet, r.value, int(r.doc_count))
+            for r in self.facets(
+                groups, msm, options, keys, size, min_doc_count
+            ).collect()
+        ]
 
     def _df_for_terms(self, terms: list[str]) -> dict[str, int]:
         """Document frequencies for a bounded, query-derived term list.
@@ -1210,6 +1341,8 @@ class SearchEngine:
         verbose: bool = False,
         snippet_lines: int = 0,
         explain: bool = False,
+        facet_keys: tuple[str, ...] = (),
+        facet_size: int = 10,
     ) -> dict:
         """Full response envelope — the ResultsWrapper parity surface
         (api/ResultsWrapper.java:10-151 exposes parsed query, total hits,
@@ -1236,6 +1369,9 @@ class SearchEngine:
         - ``explain``: attach per-hit ``explanation`` — the per-term BM25
           contributions behind the score (explain_hits; ES Explain-API
           analog) — one postings block point-lookup for the <= k winners
+        - ``facet_keys``: attach ``facets`` — terms-agg buckets over the
+          FULL match set of the winning rung (facet_rows; the ES
+          aggregations-on-query analog), per requested docs column
         """
         import time as _time
 
@@ -1265,6 +1401,19 @@ class SearchEngine:
             expl = self.explain_hits(
                 [r.doc_id for r in rows], groups, options
             )
+        facets: dict[str, list[dict]] = {}
+        if facet_keys:
+            fr = self.facet_rows(
+                groups, meta.get("msm", 0), options,
+                keys=tuple(facet_keys), size=facet_size,
+            )
+            for fk, v, c in fr:
+                facets.setdefault(fk, []).append(
+                    {"value": v, "doc_count": int(c)}
+                )
+            # empty facets still list the requested keys
+            for fk in facet_keys:
+                facets.setdefault(fk, [])
         out = {
             "query": query.original,
             "parsed_query": {
@@ -1320,6 +1469,7 @@ class SearchEngine:
                 }
                 for r in rows
             ],
+            **({"facets": facets} if facet_keys else {}),
         }
         if mark is not None:
             out["mark"] = mark
@@ -1569,7 +1719,7 @@ class SearchEngine:
                 continue
             seen_rungs.add(key)
             rows = self.search_rung_rows(groups, msm, options)
-            meta.update(groups=groups, rung=rung_no, trimmed=False)
+            meta.update(groups=groups, msm=msm, rung=rung_no, trimmed=False)
             if options.trim:
                 rows, meta["trimmed"] = self._trim_page(rows)
             last = rows

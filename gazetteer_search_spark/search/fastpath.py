@@ -795,6 +795,92 @@ class LocalExecutor:
             groups, msm, options,
         )
 
+    def facet_rows(
+        self, groups, msm: int, options, keys=("lang",), size: int = 10,
+        min_doc_count: int = 1,
+    ) -> list[tuple]:
+        """ES terms-agg over the FULL match set, not the top-k page (the
+        aggs-on-query shape; beyond reference — the reference's ES queries
+        attach aggregations the same way). Rows ``(facet, value,
+        doc_count)``, buckets per facet ordered (doc_count desc, value asc),
+        nulls excluded — the exact terms-agg contract tag_stats pins for
+        the whole corpus, here scoped to the query's matches. Serving twin
+        of engine.facets; matched-set semantics identical to the Spark
+        match_set (>= msm distinct REQUIRED clauses, then doc-side
+        filters)."""
+        docs = self._load_docs()
+        terms = sorted({t for g in groups for t in g.terms})
+        if not terms:
+            matched = docs["ids"]
+            if self.denied_ids is not None:
+                # decode applies the tombstone mask; the match_all universe
+                # must apply it too (multi-generation executors)
+                matched = matched[self._not_denied(matched)]
+        else:
+            dec = self._decode_terms(
+                terms, options, allowed_range=self._doc_range(options)
+            )
+            if msm <= 0:
+                # no gate: any doc matching any clause term
+                alls = [v[0] for v in dec.values()]
+                matched = (
+                    np.unique(np.concatenate(alls))
+                    if alls
+                    else np.empty(0, np.int64)
+                )
+            else:
+                req = []
+                for g in groups:
+                    if not g.required:
+                        continue
+                    arrs = [dec[t][0] for t in g.terms if t in dec]
+                    if arrs:
+                        req.append(np.unique(np.concatenate(arrs)))
+                if not req:
+                    return []
+                u, c = np.unique(np.concatenate(req), return_counts=True)
+                matched = u[c >= msm]
+        if getattr(options, "exclude_terms", ()):
+            excl = self._excluded_id_set(options.exclude_terms)
+            if excl.size:
+                matched = matched[~np.isin(matched, excl)]
+        ids = docs["ids"]
+        pos = np.searchsorted(ids, matched)
+        ok = pos < ids.size
+        pos = pos[ok]
+        ok2 = ids[pos] == matched[ok]
+        pos = pos[ok2]
+        keep = np.ones(pos.size, dtype=bool)
+        if options.lang:
+            keep &= docs["lang"][pos] == options.lang
+        if getattr(options, "exclude_langs", ()):
+            keep &= _exclude_mask(docs["lang"][pos], options.exclude_langs)
+        if options.repo:
+            keep &= docs["repo"][pos] == options.repo
+        if options.path_prefix:
+            keep &= _startswith_mask(docs["path"][pos], options.path_prefix)
+        if getattr(options, "distinct", False) and docs["name_ordinal"] is not None:
+            keep &= docs["name_ordinal"][pos] == 0
+        pos = pos[keep]
+        out: list[tuple] = []
+        for key in keys:
+            if key not in docs or docs[key] is None:
+                raise ValueError(
+                    f"unknown facet key {key!r}; serving facets cover "
+                    f"{sorted(k for k in docs if k != 'ids')}"
+                )
+            vc = pd.Series(docs[key][pos]).value_counts(dropna=True)
+            buckets = sorted(
+                (
+                    (str(v), int(c))
+                    for v, c in vc.items()
+                    if v is not None and int(c) >= min_doc_count
+                ),
+                key=lambda b: (-b[1], b[0]),
+            )
+            out.extend((key, v, c) for v, c in buckets[:size])
+        return out
+
     def explain_hits(self, ids, groups) -> list[tuple]:
         """ES Explain-API analog (serving side): per-term BM25 contributions
         for specific docs. Rows ``(doc_id, term, group_id, contrib,

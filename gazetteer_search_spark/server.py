@@ -15,6 +15,10 @@ Routes:
         terms (ES highlight analog; requires a store_content index)
         explain=true: per-hit per-term BM25 contributions (ES Explain-API
         analog) — term, clause, raw contrib, weighted contrib
+        facet=key (repeatable, with facet_size=N): terms-agg buckets over
+        the FULL match set of the winning rung (ES aggregations-on-query
+        analog) — repo/path/lang on a serving node, any docs column on
+        Spark
         class params (SearchAPIAdapter.java:48-55,81-85): ``class`` is the
         poiclass[] analog (one value filters, several boost — the two-phase
         fold's rule), ``no_class`` the no_poi class-exclusion analog, and
@@ -253,6 +257,12 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                     # explain=true: per-hit per-term BM25 contributions
                     # (ES Explain-API analog; a <= k block point-lookup)
                     explain=_one("explain", "false").lower() == "true",
+                    # facet=key (repeatable): terms-agg buckets over the
+                    # FULL match set (ES aggregations-on-query analog)
+                    facet_keys=tuple(qs.get("facet") or ()),
+                    facet_size=max(
+                        1, min(int(_one("facet_size", "10")), 100)
+                    ),
                 )
             if page > 1:
                 resp["page"] = page
