@@ -887,6 +887,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
         return eng.facets(g, 1, SearchOptions(), keys=("lang", "repo"), size=5)
 
+    def count_query(spark, sf):  # ES _count / track_total_hits=true analog
+        # (beyond reference; engine.count_matches): the EXACT match count of
+        # a 2-clause OR — the full match-set size, no ranking work
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        n = eng.count_matches(g, 1, SearchOptions())
+        return spark.createDataFrame([(int(n),)], "n_matches long")
+
+    def export_scored(spark, sf):  # ES scroll/PIT export analog (beyond
+        # reference; engine.scored_matches): EVERY match of the 2-clause AND
+        # with its full BM25 score — the batch-export form of a query (the
+        # parquet sink is export_matches; this entry returns the rows)
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return eng.scored_matches(g, 2, SearchOptions()).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
+
     def tag_stats(spark, sf):  # generic tag-statistics agg over an arbitrary
         # metadata column (TagStatisticsAPI.java:44-100 analog); served over
         # HTTP as GET /stats?key=
@@ -1197,6 +1215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         explain_terms=explain_terms,
         mlt_doc0=mlt_doc0,
         facet_query=facet_query,
+        count_query=count_query,
+        export_scored=export_scored,
         tag_stats=tag_stats,
         optional_demotion=optional_demotion,
         static_boost=static_boost,
@@ -1730,6 +1750,39 @@ SELECT facet, value, doc_count FROM (
     PARTITION BY facet ORDER BY doc_count DESC, value ASC
   ) AS rn FROM u
 ) WHERE rn <= 5
+"""
+
+    # exact count + scroll export: the same per-doc gate as the search
+    # oracles, counted / returned in full instead of top-k cut
+    o["count_query"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_facet_groups})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+)
+SELECT count(*)::BIGINT AS n_matches FROM per_doc WHERE matched_required >= 1
+"""
+    o["export_scored"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_facet_groups})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+)
+SELECT doc_id, round(raw, 4) AS score FROM per_doc WHERE matched_required >= 2
 """
 
     # more-like-this: the oracle re-derives the whole chain — doc 0's term

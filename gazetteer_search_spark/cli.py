@@ -244,6 +244,51 @@ def cmd_suggest(args: argparse.Namespace) -> None:
         print(json.dumps({"term": t, "df": df}))
 
 
+def cmd_count(args: argparse.Namespace) -> None:
+    """Exact match count (ES _count analog; HTTP twin: GET /count): the
+    ladder's winning rung counted over the FULL match set — no page, no
+    scores. Spark-free serving path."""
+    from gazetteer_search_spark.index.segments import open_multi_search
+    from gazetteer_search_spark.search.engine import SearchOptions
+
+    eng = open_multi_search(args.index)
+    opts = SearchOptions(
+        prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
+        lang=args.lang, repo=args.repo, path_prefix=args.path_prefix,
+    )
+    _rows, meta = eng._search_ladder(args.q, opts)
+    if "msm" not in meta:
+        print(json.dumps({"error": "exact count unsupported for this query "
+                                    "shape (phrase rung)"}))
+        sys.exit(1)
+    n = eng.count_matches(meta["groups"], meta["msm"], opts)
+    print(json.dumps({"query": args.q, "count": int(n), "relation": "eq"}))
+
+
+def cmd_export(args: argparse.Namespace) -> None:
+    """Scroll-export sink (ES scroll/PIT analog): write EVERY match of the
+    query's strict rung, with full BM25 scores, to parquet — a Spark batch
+    job (sortWithinPartitions doc_id; optional partitionBy)."""
+    from gazetteer_search_spark.search.engine import SearchOptions
+
+    spark = _spark("gss-export")
+    eng = _open_engine(spark, args.index)
+    opts = SearchOptions(
+        prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
+        lang=args.lang, repo=args.repo, path_prefix=args.path_prefix,
+    )
+    _rows, meta = eng._search_ladder(args.q, opts)
+    if "msm" not in meta:
+        print(json.dumps({"error": "export unsupported for this query shape "
+                                    "(phrase rung)"}))
+        sys.exit(1)
+    n = eng.export_matches(
+        meta["groups"], meta["msm"], args.out, opts,
+        partition_by=args.partition_by,
+    )
+    print(json.dumps({"out": args.out, "rows": int(n)}))
+
+
 def cmd_mlt(args: argparse.Namespace) -> None:
     """More-like-this at the CLI (HTTP twin: GET /mlt): rank docs similar to
     free text (--text) or to an indexed doc's stored content (--doc-id;
@@ -516,6 +561,30 @@ def main(argv: list[str] | None = None) -> None:
         help="max_query_terms analog: top tf-idf terms kept from the input",
     )
     ml.set_defaults(fn=cmd_mlt)
+
+    ct = sub.add_parser("count", help="exact match count (ES _count analog)")
+    ct.add_argument("--index", required=True)
+    ct.add_argument("--q", required=True)
+    ct.add_argument("--lang")
+    ct.add_argument("--repo")
+    ct.add_argument("--path-prefix", dest="path_prefix")
+    ct.add_argument("--no-prefix", action="store_true")
+    ct.add_argument("--no-fuzzy", action="store_true")
+    ct.set_defaults(fn=cmd_count)
+
+    ex = sub.add_parser(
+        "export", help="scroll-export every match to parquet (Spark job)"
+    )
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--q", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--lang")
+    ex.add_argument("--repo")
+    ex.add_argument("--path-prefix", dest="path_prefix")
+    ex.add_argument("--partition-by", dest="partition_by")
+    ex.add_argument("--no-prefix", action="store_true")
+    ex.add_argument("--no-fuzzy", action="store_true")
+    ex.set_defaults(fn=cmd_export)
 
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)

@@ -593,6 +593,11 @@ class MultiExecutor:
             out.extend((key, v, c) for v, c in buckets[:size])
         return out
 
+    def match_count(self, groups, msm: int, options) -> int:
+        """Exact match count across generations: live docs are disjoint
+        (tombstones masked at decode), so per-generation counts sum."""
+        return sum(s.match_count(groups, msm, options) for s in self.subs)
+
     def df_for_terms(self, terms: list[str]) -> dict[str, int]:
         """Per-generation df summed per term (same df-with-deletes semantics
         as suggest) — more-like-this term selection over a multi-generation

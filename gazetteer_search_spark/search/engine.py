@@ -753,6 +753,113 @@ class SearchEngine:
             .drop("_rn")
         )
 
+    def count_matches(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+    ) -> int:
+        """Exact match count (ES _count / track_total_hits=true analog;
+        search pages report Lucene-style 'gte' totals — this is the exact
+        form): the match-set size with zero ranking work. Serving: one
+        numpy pass; Spark: match_set().count() — a count over the gated
+        aggregate, no sort, no hydration beyond the filter columns."""
+        options = options or SearchOptions()
+        if self._local is not None:
+            return self._local.match_count(groups, msm, options)
+        return self.match_set(groups, msm, options).count()
+
+    def scored_matches(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+    ) -> DataFrame:
+        """EVERY match with its full BM25 score — the scroll/PIT export
+        analog (ES scroll: the whole result set, not a page). Always the
+        Spark formulation (an export is a batch job, not a serving call):
+        the same per-group dis_max / per-doc sum the top-k path computes,
+        gated + doc-filtered + boosted by finalize_ranked's rules, WITHOUT
+        the rank/limit — callers sort by doc_id (keyset order) or write
+        as-is. One extra column ``matched_mask`` for clause auditing."""
+        options = options or SearchOptions()
+        if self.spark is None:
+            raise RuntimeError(
+                "scored_matches is a batch export — it needs a SparkSession "
+                "(serving nodes page with search_after instead)"
+            )
+        terms = sorted({t for g in groups for t in g.terms})
+        if not terms:
+            m = self.match_set(groups, msm, options)
+            return m.select(
+                "doc_id", F.lit(0.0).alias("score"),
+                F.lit(0).cast("long").alias("matched_mask"),
+                "repo", "path", "lang",
+            )
+        scored = self._scored_for_terms(terms, options)
+        if options.exclude_terms:
+            scored = scored.join(
+                self._excluded_ids(options.exclude_terms), "doc_id", "left_anti"
+            )
+        gdf = _groups_df(self.spark, groups)
+        per_group = (
+            scored.join(F.broadcast(gdf), "term")
+            .groupBy("doc_id", "group_id", "required")
+            .agg(F.max(F.col("score") * F.col("weight")).alias("gscore"))
+        )
+        per_doc = per_group.groupBy("doc_id").agg(
+            F.sum("gscore").alias("score"),
+            F.sum(F.when(F.col("required"), 1).otherwise(0)).alias(
+                "matched_required"
+            ),
+            F.sum(_group_bit()).alias("matched_mask"),
+        )
+        gated = per_doc.filter(F.col("matched_required") >= F.lit(msm))
+        d = self.index.docs
+        if options.lang:
+            d = d.filter(F.col("lang") == options.lang)
+        if options.exclude_langs:
+            d = d.filter(
+                (~F.col("lang").isin(list(options.exclude_langs)))
+                | F.col("lang").isNull()
+            )
+        if options.repo:
+            d = d.filter(F.col("repo") == options.repo)
+        if options.path_prefix:
+            d = d.filter(F.col("path").startswith(options.path_prefix))
+        if options.distinct:
+            d = _distinct_names(d)
+        out = gated.join(d.select("doc_id", "repo", "path", "lang"), "doc_id")
+        if options.lang_boosts:
+            boost = F.lit(1.0)
+            for lg, w in options.lang_boosts.items():
+                boost = F.when(F.col("lang") == lg, F.lit(float(w))).otherwise(boost)
+            out = out.withColumn("score", F.col("score") * boost)
+        return out.select(
+            "doc_id", "score", "matched_mask", "repo", "path", "lang"
+        )
+
+    def export_matches(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        out_path: str,
+        options: SearchOptions | None = None,
+        partition_by: str | None = None,
+    ) -> int:
+        """Write the full scored match set to parquet (the scroll-export
+        sink). Rows land sorted by doc_id WITHIN each output partition
+        (sortWithinPartitions — no global sort shuffle; doc_id order within
+        files is what downstream merge-joins and resumable readers need).
+        Returns the exported row count (from the written files, not a second
+        query run)."""
+        df = self.scored_matches(groups, msm, options)
+        w = df.sortWithinPartitions("doc_id").write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(out_path)
+        return self.spark.read.parquet(out_path).count()
+
     def facet_rows(
         self,
         groups: list[TermGroup],
@@ -1343,6 +1450,7 @@ class SearchEngine:
         explain: bool = False,
         facet_keys: tuple[str, ...] = (),
         facet_size: int = 10,
+        track_total: bool = False,
     ) -> dict:
         """Full response envelope — the ResultsWrapper parity surface
         (api/ResultsWrapper.java:10-151 exposes parsed query, total hits,
@@ -1372,6 +1480,10 @@ class SearchEngine:
         - ``facet_keys``: attach ``facets`` — terms-agg buckets over the
           FULL match set of the winning rung (facet_rows; the ES
           aggregations-on-query analog), per requested docs column
+        - ``track_total``: replace the Lucene-style 'gte' page total with
+          the EXACT match count of the winning rung (count_matches; the
+          track_total_hits=true analog). Phrase rungs keep the page total
+          (their positional verify isn't a plain term match set).
         """
         import time as _time
 
@@ -1414,6 +1526,9 @@ class SearchEngine:
             # empty facets still list the requested keys
             for fk in facet_keys:
                 facets.setdefault(fk, [])
+        exact_total: int | None = None
+        if track_total and "msm" in meta:
+            exact_total = self.count_matches(groups, meta["msm"], options)
         out = {
             "query": query.original,
             "parsed_query": {
@@ -1443,8 +1558,12 @@ class SearchEngine:
                 ),
             },
             "rung": meta["rung"],
-            "total_hits": len(rows),
-            "total_relation": "gte" if (full_page or meta["trimmed"]) else "eq",
+            "total_hits": exact_total if exact_total is not None else len(rows),
+            "total_relation": (
+                "eq"
+                if exact_total is not None
+                else ("gte" if (full_page or meta["trimmed"]) else "eq")
+            ),
             "trimmed": meta["trimmed"],
             "answer_time_ms": ms,
             "hits": [

@@ -795,19 +795,10 @@ class LocalExecutor:
             groups, msm, options,
         )
 
-    def facet_rows(
-        self, groups, msm: int, options, keys=("lang",), size: int = 10,
-        min_doc_count: int = 1,
-    ) -> list[tuple]:
-        """ES terms-agg over the FULL match set, not the top-k page (the
-        aggs-on-query shape; beyond reference — the reference's ES queries
-        attach aggregations the same way). Rows ``(facet, value,
-        doc_count)``, buckets per facet ordered (doc_count desc, value asc),
-        nulls excluded — the exact terms-agg contract tag_stats pins for
-        the whole corpus, here scoped to the query's matches. Serving twin
-        of engine.facets; matched-set semantics identical to the Spark
-        match_set (>= msm distinct REQUIRED clauses, then doc-side
-        filters)."""
+    def _match_positions(self, groups, msm: int, options) -> np.ndarray:
+        """Positions (into the sorted docs arrays) of EVERY matching doc —
+        >= msm distinct REQUIRED clauses, then doc-side filters; the numpy
+        twin of engine.match_set. Shared by facet_rows and match_count."""
         docs = self._load_docs()
         terms = sorted({t for g in groups for t in g.terms})
         if not terms:
@@ -837,7 +828,7 @@ class LocalExecutor:
                     if arrs:
                         req.append(np.unique(np.concatenate(arrs)))
                 if not req:
-                    return []
+                    return np.empty(0, np.int64)
                 u, c = np.unique(np.concatenate(req), return_counts=True)
                 matched = u[c >= msm]
         if getattr(options, "exclude_terms", ()):
@@ -861,7 +852,29 @@ class LocalExecutor:
             keep &= _startswith_mask(docs["path"][pos], options.path_prefix)
         if getattr(options, "distinct", False) and docs["name_ordinal"] is not None:
             keep &= docs["name_ordinal"][pos] == 0
-        pos = pos[keep]
+        return pos[keep]
+
+    def match_count(self, groups, msm: int, options) -> int:
+        """Exact match count (ES _count / track_total_hits=true analog):
+        the full match-set size with zero ranking work — no scores, no
+        sort, no hydration."""
+        return int(self._match_positions(groups, msm, options).size)
+
+    def facet_rows(
+        self, groups, msm: int, options, keys=("lang",), size: int = 10,
+        min_doc_count: int = 1,
+    ) -> list[tuple]:
+        """ES terms-agg over the FULL match set, not the top-k page (the
+        aggs-on-query shape; beyond reference — the reference's ES queries
+        attach aggregations the same way). Rows ``(facet, value,
+        doc_count)``, buckets per facet ordered (doc_count desc, value asc),
+        nulls excluded — the exact terms-agg contract tag_stats pins for
+        the whole corpus, here scoped to the query's matches. Serving twin
+        of engine.facets; matched-set semantics identical to the Spark
+        match_set (>= msm distinct REQUIRED clauses, then doc-side
+        filters)."""
+        docs = self._load_docs()
+        pos = self._match_positions(groups, msm, options)
         out: list[tuple] = []
         for key in keys:
             if key not in docs or docs[key] is None:

@@ -41,6 +41,9 @@ Routes:
            bypassing the analyzer ladder — the SendQAPI analog
            (api/SendQAPI.java wraps a raw ES query body verbatim;
            REServerRoutes.java:69)
+    GET /count?q=...&lang=...&repo=...
+        exact match count of the ladder's winning rung (ES _count /
+        track_total_hits analog); /search also takes track_total=true
     GET /mlt?text=...|doc_id=N&max_terms=25&size=10
         more-like-this (ES _mlt analog): top tf-idf terms of the input (or
         of the seed doc's stored content; the seed is dropped from the
@@ -263,6 +266,9 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                     facet_size=max(
                         1, min(int(_one("facet_size", "10")), 100)
                     ),
+                    # track_total=true: exact match count instead of the
+                    # 'gte' page total (track_total_hits=true analog)
+                    track_total=_one("track_total", "false").lower() == "true",
                 )
             if page > 1:
                 resp["page"] = page
@@ -301,14 +307,17 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
             if u.path == "/mlt":
                 self._do_mlt(u)
                 return
+            if u.path == "/count":
+                self._do_count(u)
+                return
             if u.path != "/search":
                 self._send(
                     404,
                     {
                         "error": "not found",
                         "routes": [
-                            "/search", "/suggest", "/mlt", "/stats",
-                            "/classes", "/ui"
+                            "/search", "/suggest", "/mlt", "/count",
+                            "/stats", "/classes", "/ui"
                         ],
                     },
                 )
@@ -319,6 +328,39 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                 self._send(200, self._search_response(parse_qs(u.query)))
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
+
+        def _do_count(self, u) -> None:
+            """Exact-count route (ES _count analog): GET /count?q=... runs
+            the ladder's winning rung and returns the FULL match count —
+            no page, no scores. Filters (lang/repo/path_prefix/not) apply
+            like /search's."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            try:
+                opts = replace(
+                    default_opts,
+                    lang=(qs.get("lang") or [None])[0],
+                    repo=(qs.get("repo") or [None])[0],
+                    path_prefix=(qs.get("path_prefix") or [None])[0],
+                    exclude_terms=_not_param_terms(qs.get("not")),
+                )
+                with lock:
+                    _rows, meta = engine._search_ladder(q, opts)
+                    if "msm" not in meta:
+                        self._send(
+                            400,
+                            {"error": "exact count unsupported for this "
+                                      "query shape (phrase rung)"},
+                        )
+                        return
+                    n = engine.count_matches(meta["groups"], meta["msm"], opts)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(200, {"query": q, "count": int(n), "relation": "eq"})
 
         def _do_mlt(self, u) -> None:
             """More-like-this route (ES _mlt analog): GET /mlt with either
