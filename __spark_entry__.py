@@ -1607,11 +1607,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hash_fn="md5_60",
         )
 
+    def dup_clusters_q(spark, sf):
+        # transitive closure of the near-dup pair relation (the step between
+        # pair mining and actually DROPPING rows): alternating large-star/
+        # small-star connected components — O(log^2 n) distributed rounds,
+        # no driver union-find. Representative = component-min doc_id.
+        from gazetteer_search_spark.operators import graph
+
+        pairs = dedup.ngram_jaccard_pairs(
+            _docs(spark, sf), n=1, threshold=0.8,
+            max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+        )
+        return graph.dup_clusters(pairs).select(
+            "node", "comp", "cluster_size", "is_representative"
+        )
+
     q.update(
         decontaminate=decontaminate_q,
         pii_redact=pii_redact,
         repetition_stats=repetition_stats_q,
         stratified_sample=stratified_sample_q,
+        dup_clusters=dup_clusters_q,
         jaccard_pairs=jaccard_pairs,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
@@ -2113,6 +2129,37 @@ inter AS (
 SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.n + sb.n - i) >= 0.8
+"""
+    # transitive closure of the same pair relation: DuckDB recomputes the
+    # jaccard pairs AND the component assignment independently (recursive
+    # CTE reachability; comp = min reachable id = the Spark representative)
+    o["dup_clusters"] = f"""
+WITH RECURSIVE
+sh0 AS (SELECT DISTINCT doc_id, unnest({_w}) AS shingle FROM documents),
+sh AS (
+  SELECT sh0.* FROM sh0 JOIN (
+    SELECT shingle FROM sh0 GROUP BY shingle
+    HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}
+  ) ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jp AS (
+  SELECT id_a, id_b
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i / (sa.n + sb.n - i) >= 0.8),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+walk(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, w.comp FROM edges e JOIN walk w ON w.node = e.b),
+cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+SELECT node, comp,
+       count(*) OVER (PARTITION BY comp) AS cluster_size,
+       (node = comp) AS is_representative
+FROM cc
 """
     o["cosine_topk"] = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)

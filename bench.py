@@ -96,6 +96,7 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         cluster_by=("repo", "path"),
         positions=True,  # phrase/proximity sidecar (round 5) — untimed here;
         # the phrase bench lines below pay only the query-time cost
+        store_content=True,  # stored-fields sidecar for the snippet line
     )
     # the serving engine (driver-side point lookups over pruned parquet row
     # groups, zero Spark jobs/query) is the product path for these latencies;
@@ -182,6 +183,51 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         "q_phrase_quoted_serve",
         lambda: eng.search_hits(_quoted, SearchOptions(k=20)),
     )
+    # ---- round-5 query-surface ops (serving latencies, warm best-of-3) ------
+    # the ES-analog surface widened this round: suggest / must_not / regexp /
+    # facets / exact count / explain / more-like-this / snippets — each line
+    # is the SERVING path (zero Spark jobs); facets also gets its Spark twin
+    # (the distributed-agg form a cluster would run)
+    _sopts = SearchOptions(k=20)
+    bench_rows("q_suggest_serve", lambda: eng.suggest("sca", 10))
+    bench_rows("q_must_not_serve", lambda: eng.search_hits("merge -sort", _sopts))
+    bench_rows("q_regexp_serve", lambda: eng.search_hits("/sca[a-z]+/", _sopts))
+    _fgroups = [g(0, ["merge"])]
+    bench_rows(
+        "q_facets_serve",
+        lambda: eng._local.facet_rows(_fgroups, 1, _sopts, ("lang",), 10, 1),
+    )
+
+    def _count_once():
+        n = eng.count_matches(_fgroups, 1, _sopts)
+        assert n > 0
+        return [n]
+
+    bench_rows("q_count_serve", _count_once)
+    bench_rows(
+        "q_explain_serve",
+        lambda: eng._local.explain_rung([g(0, ["merge"]), g(1, ["sort"])], 2, _sopts),
+    )
+    _mlt_g = eng.mlt_groups(_t0, max_terms=25)
+    assert _mlt_g, "mlt term selection must pick terms from doc 0"
+    _mlt_msm = max(1, int(0.3 * len(_mlt_g)))
+    bench_rows(
+        "q_mlt_serve",
+        lambda: eng.search_rung_rows(_mlt_g, _mlt_msm, _sopts),
+    )
+
+    def _snippets_once():
+        rows = eng.search_rung_rows(_fgroups, 1, _sopts)
+        sn = eng.snippets_for([r.doc_id for r in rows[:5]], {"merge"})
+        assert sn
+        return rows
+
+    bench_rows("q_snippet_serve", _snippets_once)
+    bench_query(
+        "q_facets_spark",
+        lambda: eng_spark.facets(_fgroups, 1, _sopts, keys=("lang",)),
+    )
+
     bench_query(
         "q_single_term_spark",
         lambda: eng_spark.search_rung([g(0, ["spark"])], 1, SearchOptions()),
