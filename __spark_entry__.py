@@ -823,6 +823,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge", "join"]), _grp(1, ["spark"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
 
+    def rescore_window(spark, sf):
+        # ES rescore-API analog: broad primary (merge OR sort, msm=1) top-50
+        # window, sharpened by a secondary query (vector w=1 / window w=0.5
+        # clauses) at rescore_weight=2 — combined = 1.0*primary + 2.0*sec
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        sec = [_grp(0, ["vector"]), _grp(1, ["window"], weight=0.5)]
+        return _topk_out(
+            _engine(spark, sf).rescore(
+                g, 1, sec, window_size=50,
+                query_weight=1.0, rescore_weight=2.0,
+                options=SearchOptions(k=20),
+            )
+        )
+
     def prefix(spark, sf):  # prefix.json / search-as-you-type analog (P3/A12)
         eng = _engine(spark, sf)
         g = [_grp(0, ["window"]), _grp(1, eng.expand_prefix("sca"))]
@@ -1207,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         snippet=snippet,
         min_should_match_2=min_should_match_2,
         dis_max=dis_max,
+        rescore_window=rescore_window,
         prefix=prefix,
         fuzzy_1=fuzzy_1,
         fuzzy_osa=fuzzy_osa,
@@ -1700,6 +1715,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         2,
     )
+    # rescore (ES rescore-API analog): primary top-50 window by the broad
+    # query, combined = 1.0*primary + 2.0*(sum over secondary clauses of
+    # max weighted BM25; missing -> 0), re-ranked, cut to 20 — recomputed
+    # end-to-end from the raw text
+    _resc_pg = _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)])
+    _resc_sg = _values_groups([("vector", 0, True, 1.0), ("window", 1, True, 0.5)])
+    o["rescore_window"] = f"""
+WITH {_BM25_CTES},
+pgrp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_resc_pg})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN pgrp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+win AS (
+  SELECT doc_id, raw FROM per_doc WHERE matched_required >= 1
+  ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT 50
+),
+sgrp AS (SELECT DISTINCT term, group_id, weight FROM ({_resc_sg})),
+sec_group AS (
+  SELECT s.doc_id, g.group_id, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN sgrp g USING (term)
+  JOIN win w ON w.doc_id = s.doc_id
+  GROUP BY s.doc_id, g.group_id
+),
+sec AS (SELECT doc_id, sum(gscore) AS sec FROM sec_group GROUP BY doc_id)
+SELECT w.doc_id, round(1.0 * w.raw + 2.0 * coalesce(s.sec, 0), 4) AS score
+FROM win w LEFT JOIN sec s USING (doc_id)
+ORDER BY round(1.0 * w.raw + 2.0 * coalesce(s.sec, 0), 9) DESC, w.doc_id ASC
+LIMIT 20
+"""
     o["prefix"] = _search_sql(
         _values_groups([("window", 0, True, 1.0)])
         + " UNION ALL "

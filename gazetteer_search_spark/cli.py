@@ -200,12 +200,15 @@ def cmd_query(args: argparse.Namespace) -> None:
         exclude_terms=_not_terms(getattr(args, "exclude", None)),
     )
     t0 = time.time()
-    if args.snippet or args.explain:
+    if args.snippet or args.explain or args.rescore:
         # envelope-shaped output: matched line + line number per hit
-        # (--snippet; store_content index required) and/or per-term BM25
-        # contributions (--explain; ES Explain-API analog)
+        # (--snippet; store_content index required), per-term BM25
+        # contributions (--explain; ES Explain-API analog), and/or
+        # secondary-query window re-ranking (--rescore; ES rescore analog)
         resp = eng.search_response(
-            args.q, opts, snippet_lines=args.snippet, explain=args.explain
+            args.q, opts, snippet_lines=args.snippet, explain=args.explain,
+            rescore_q=args.rescore, rescore_window=args.rescore_window,
+            rescore_weight=args.rescore_w,
         )
         for i, h in enumerate(resp["hits"], 1):
             print(json.dumps({
@@ -540,6 +543,15 @@ def main(argv: list[str] | None = None) -> None:
         help="attach per-hit per-term BM25 contributions (ES Explain-API "
         "analog): term, clause, raw contrib, weighted contrib",
     )
+    q.add_argument(
+        "--rescore", metavar="TEXT",
+        help="ES rescore-API analog: re-rank the winning rung's top-window "
+        "with this secondary query's weighted BM25 folded in",
+    )
+    q.add_argument("--rescore-w", type=float, default=1.0, metavar="W",
+                   help="rescore query weight (default 1.0)")
+    q.add_argument("--rescore-window", type=int, default=100, metavar="N",
+                   help="how many top primary hits to rescore (default 100)")
     q.set_defaults(fn=cmd_query)
 
     sg2 = sub.add_parser("suggest")

@@ -1039,6 +1039,105 @@ class SearchEngine:
             )
         return out
 
+    # ---- rescore (ES rescore API analog; beyond reference) -------------------
+    def rescore_rows(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        secondary: list[TermGroup],
+        window_size: int = 100,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        options: SearchOptions | None = None,
+    ) -> list:
+        """Serving-side rescore: primary rung's top-``window_size`` page, then
+        combined = query_weight x primary + rescore_weight x secondary for the
+        window docs (secondary = sum over rescore clauses of max weighted
+        BM25; docs the rescore query misses contribute 0 — ES score_mode
+        ``total``). Re-ranked (round(combined,9) desc, doc_id), cut to k.
+        The secondary pass is a block POINT-lookup (group_max_scores), so a
+        rescore costs O(window) decode work, never a second full search."""
+        from dataclasses import replace as _dc_replace
+
+        options = options or SearchOptions()
+        if options.k > window_size:
+            raise ValueError(
+                f"rescore: k={options.k} exceeds window_size={window_size} — "
+                "hits beyond the window would keep unrescored order"
+            )
+        wopts = _dc_replace(options, k=window_size)
+        rows = self._local.search_rung(groups, msm, wopts)
+        sec = self._local.group_max_scores([r.doc_id for r in rows], secondary)
+        rescored = [
+            r._replace(
+                score=query_weight * r.score
+                + rescore_weight * sec.get(r.doc_id, 0.0)
+            )
+            for r in rows
+        ]
+        rescored.sort(key=lambda r: (-round(r.score, 9), r.doc_id))
+        return rescored[: options.k]
+
+    def rescore(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        secondary: list[TermGroup],
+        window_size: int = 100,
+        query_weight: float = 1.0,
+        rescore_weight: float = 1.0,
+        options: SearchOptions | None = None,
+    ) -> DataFrame:
+        """ES rescore-API analog: re-rank the top-``window_size`` window of
+        the primary rung with a secondary query's contribution folded in —
+        the standard shape is a cheap broad primary (bag of words) sharpened
+        by an expensive secondary (phrase / proximity clauses) that only
+        ever touches ``window_size`` docs. Spark shape: the window's doc_ids
+        broadcast back onto the bucket-pruned postings scan of the secondary
+        terms (the explain_rung join), one groupBy — no second corpus-wide
+        search at any scale."""
+        from dataclasses import replace as _dc_replace
+
+        options = options or SearchOptions()
+        if self._local is not None and self.spark is not None:
+            rows = self.rescore_rows(
+                groups, msm, secondary, window_size,
+                query_weight, rescore_weight, options,
+            )
+            return self.spark.createDataFrame(rows, RESULT_SCHEMA)
+        if options.k > window_size:
+            raise ValueError(
+                f"rescore: k={options.k} exceeds window_size={window_size} — "
+                "hits beyond the window would keep unrescored order"
+            )
+        win = self.search_rung(groups, msm, _dc_replace(options, k=window_size))
+        sec_terms = sorted({t for g in secondary for t in g.terms})
+        sgdf = _groups_df(self.spark, secondary)
+        sec = (
+            self._scored_for_terms(sec_terms, options)
+            .join(F.broadcast(win.select("doc_id")), "doc_id")
+            .join(F.broadcast(sgdf), "term")
+            .groupBy("doc_id", "group_id")
+            .agg(F.max(F.col("score") * F.col("weight")).alias("gscore"))
+            .groupBy("doc_id")
+            .agg(F.sum("gscore").alias("sec"))
+        )
+        return (
+            win.withColumnRenamed("score", "primary")
+            .join(sec, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.lit(query_weight) * F.col("primary")
+                + F.lit(rescore_weight) * F.coalesce(F.col("sec"), F.lit(0.0)),
+            )
+            .select(
+                "doc_id", "score", "matched_required", "matched_mask",
+                "repo", "path", "lang",
+            )
+            .orderBy(F.round("score", 9).desc(), F.col("doc_id").asc())
+            .limit(options.k)
+        )
+
     def search_rung(
         self, groups: list[TermGroup], msm: int, options: SearchOptions
     ) -> DataFrame:
@@ -1451,6 +1550,9 @@ class SearchEngine:
         facet_keys: tuple[str, ...] = (),
         facet_size: int = 10,
         track_total: bool = False,
+        rescore_q: str | None = None,
+        rescore_window: int = 100,
+        rescore_weight: float = 1.0,
     ) -> dict:
         """Full response envelope — the ResultsWrapper parity surface
         (api/ResultsWrapper.java:10-151 exposes parsed query, total hits,
@@ -1490,6 +1592,40 @@ class SearchEngine:
         options = options or SearchOptions()
         t0 = _time.perf_counter()
         rows, meta = self._search_ladder(q, options)
+        rescored = False
+        if (
+            rescore_q
+            and rows
+            and meta.get("msm") is not None
+            and meta.get("groups")
+        ):
+            # rescore_q=TEXT (ES rescore-API analog): re-rank the winning
+            # rung's top-window with the secondary query folded in at
+            # rescore_weight. The secondary analyzes through the ordinary
+            # pipeline (variants yes, prefix/fuzzy no — rescore queries are
+            # exact by convention). Phrase rungs skip rescore (their
+            # positional gate is already the sharpener).
+            rq = (
+                analyze_query(rescore_q, prefix=False, rule_set=self.rules)
+                if isinstance(rescore_q, str)
+                else rescore_q
+            )
+            sec_groups, _sec_n = self._build_groups(
+                rq, options, fuzzy=False, with_prefix=False
+            )
+            if sec_groups:
+                win = min(max(rescore_window, options.k), 10_000)
+                if self._local is not None:
+                    rows = self.rescore_rows(
+                        meta["groups"], meta["msm"], sec_groups, win,
+                        1.0, rescore_weight, options,
+                    )
+                else:
+                    rows = self.rescore(
+                        meta["groups"], meta["msm"], sec_groups, win,
+                        1.0, rescore_weight, options,
+                    ).collect()
+                rescored = True
         ms = round(1000 * (_time.perf_counter() - t0), 2)
         query: Query = meta["query"]
         groups: list[TermGroup] = meta["groups"]
@@ -1589,6 +1725,17 @@ class SearchEngine:
                 for r in rows
             ],
             **({"facets": facets} if facet_keys else {}),
+            **(
+                {
+                    "rescore": {
+                        "query": rescore_q,
+                        "window": min(max(rescore_window, options.k), 10_000),
+                        "weight": rescore_weight,
+                    }
+                }
+                if rescored
+                else {}
+            ),
         }
         if mark is not None:
             out["mark"] = mark

@@ -934,6 +934,34 @@ class LocalExecutor:
         hits = self.search_rung(groups, msm, options)
         return self.explain_hits([h.doc_id for h in hits], groups)
 
+    def group_max_scores(self, ids, groups) -> dict[int, float]:
+        """Per-doc sum over groups of max(score x weight) for SPECIFIC docs
+        — the secondary-query scorer behind engine.rescore (the UNROUNDED
+        twin of explain_hits: rescore combines scores arithmetically, so
+        display rounding here would leak into the final ranking). Same block
+        point-lookup: only blocks whose docID interval holds a requested id
+        decode."""
+        if not ids:
+            return {}
+        winners = np.unique(np.asarray(sorted(ids), dtype=np.int64))
+        terms = sorted({t for g in groups for t in g.terms})
+        dec = self._decode_terms(terms, contains_any=winners)
+        out: dict[int, float] = {}
+        for g in groups:
+            best: dict[int, float] = {}
+            for t, w in g.per_term_weights().items():
+                if t not in dec:
+                    continue
+                tids, tsc = dec[t]
+                m = np.isin(tids, winners)
+                for d, s in zip(tids[m].tolist(), tsc[m].tolist()):
+                    v = float(s) * float(w)
+                    if v > best.get(int(d), float("-inf")):
+                        best[int(d)] = v
+            for d, v in best.items():
+                out[d] = out.get(d, 0.0) + v
+        return out
+
     def _grouped_blocks(self, groups) -> pd.DataFrame | None:
         """Block rows for the groups' terms with (group_id, weight) attached
         — the input shape of the distributed path's range kernel."""

@@ -269,6 +269,14 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                     # track_total=true: exact match count instead of the
                     # 'gte' page total (track_total_hits=true analog)
                     track_total=_one("track_total", "false").lower() == "true",
+                    # rescore_q=TEXT (+ rescore_w, rescore_window): re-rank
+                    # the winning rung's top-window with the secondary
+                    # query folded in (ES rescore-API analog)
+                    rescore_q=_one("rescore_q"),
+                    rescore_window=max(
+                        1, min(int(_one("rescore_window", "100")), 10_000)
+                    ),
+                    rescore_weight=float(_one("rescore_w", "1.0")),
                 )
             if page > 1:
                 resp["page"] = page

@@ -460,3 +460,51 @@ def test_http_explain(eng):
         assert "explanation" not in env2["hits"][0]
     finally:
         srv.shutdown()
+
+
+def test_search_response_rescore(eng):
+    """rescore_q re-ranks the winning rung's top-window (ES rescore-API
+    analog): docs also matching the secondary query outrank equal-primary
+    docs, the envelope records the rescore, and the hit scores equal the
+    engine-level rescore_rows combination."""
+    o = SearchOptions(k=10, prefix=False, fuzzy=False)
+    env = eng.search_response(
+        "alpha", o, rescore_q="plain", rescore_window=80, rescore_weight=2.0
+    )
+    assert env["rescore"] == {"query": "plain", "window": 80, "weight": 2.0}
+    hits = env["hits"]
+    assert len(hits) == 10
+    # only docs >= 10 carry 'plain' -> they displace the tie-broken 0-9 page
+    assert all(h["doc_id"] >= 10 for h in hits)
+    base = eng.search_response("alpha", o)
+    assert "rescore" not in base
+    assert all(h["doc_id"] < 10 for h in base["hits"])
+    # a secondary analyzing to nothing is a no-op (no rescore key)
+    env2 = eng.search_response("alpha", o, rescore_q="the")
+    assert "rescore" not in env2
+
+
+def test_http_rescore(eng):
+    """rescore_q/rescore_w/rescore_window route params == the engine-level
+    search_response call."""
+    srv = make_server(eng, SearchOptions(k=20, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = (
+            f"http://127.0.0.1:{port}/search?q=alpha&size=10"
+            "&rescore_q=beta&rescore_w=2.0&rescore_window=80"
+        )
+        with urllib.request.urlopen(url) as r:
+            env = json.loads(r.read())
+        o = SearchOptions(k=10, prefix=False)
+        want = eng.search_response(
+            "alpha", o, rescore_q="beta", rescore_window=80,
+            rescore_weight=2.0,
+        )
+        assert [(h["doc_id"], h["score"]) for h in env["hits"]] == [
+            (h["doc_id"], h["score"]) for h in want["hits"]
+        ]
+        assert env["rescore"]["window"] == 80
+    finally:
+        srv.shutdown()
