@@ -1622,6 +1622,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hash_fn="md5_60",
         )
 
+    def pack_sequences_q(spark, sf):
+        # concat-and-chunk training packing (operators/packing.py): per-lang
+        # token streams cut at exact 512-token boundaries; one window cumsum
+        # + one explode, zero UDF
+        from gazetteer_search_spark.operators import packing
+
+        return packing.pack_sequences(
+            _docs(spark, sf), budget=512, group_col="lang"
+        )
+
     def dup_clusters_q(spark, sf):
         # transitive closure of the near-dup pair relation (the step between
         # pair mining and actually DROPPING rows): alternating large-star/
@@ -1643,6 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         repetition_stats=repetition_stats_q,
         stratified_sample=stratified_sample_q,
         dup_clusters=dup_clusters_q,
+        pack_sequences=pack_sequences_q,
         jaccard_pairs=jaccard_pairs,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
@@ -2181,6 +2192,25 @@ SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.n + sb.n - i) >= 0.8
 """
+    # concat-and-chunk packing: window cumsum + generate_series recomputes
+    # every (doc, sequence) slice independently
+    o["pack_sequences"] = f"""
+WITH t AS (SELECT doc_id, lang, len({_w})::BIGINT AS n FROM documents),
+c AS (
+  SELECT doc_id, lang, n,
+         sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t WHERE n > 0),
+x AS (
+  SELECT doc_id, lang AS pack_group, cum, cum - n AS start,
+         unnest(generate_series(((cum - n) // 512)::BIGINT, ((cum - 1) // 512)::BIGINT)) AS seq_id
+  FROM c)
+SELECT doc_id, pack_group, seq_id,
+       greatest(start, seq_id * 512) - start AS off,
+       least(cum, (seq_id + 1) * 512) - greatest(start, seq_id * 512) AS n_slice
+FROM x
+"""
+
     # transitive closure of the same pair relation: DuckDB recomputes the
     # jaccard pairs AND the component assignment independently (recursive
     # CTE reachability; comp = min reachable id = the Spark representative)

@@ -1,0 +1,98 @@
+"""Sequence packing for training-data pipelines (concat-and-chunk).
+
+LLM pre-training consumes FIXED-LENGTH token sequences, not documents: the
+corpus is ordered deterministically, token streams are concatenated, and
+the stream is cut at exact ``budget``-token boundaries — documents spanning
+a boundary contribute a slice to each side (the standard GPT-style packing;
+the alternative "no-split greedy bins" wastes tail capacity and is
+order-dependent). This operator computes, for every document, the
+sequence(s) it lands in and the token slice it contributes — fully
+declaratively: one window cumsum + one explode, no UDF, no driver state.
+
+Scale shape: packing is per ``group_col`` (a language, a shard hash — any
+deterministic stratum), so the window partitions by group and parallelism
+is the number of groups; an ungrouped call packs one global stream and is
+documented as the single-partition form (small/ordered exports only).
+Determinism: (group, doc order) fully determines every slice — the same
+corpus packs identically on any cluster size, which is what makes packed
+datasets resumable and auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.operators.textstats import token_count
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str | Column | None = None,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row per (document, training sequence) slice:
+
+    - ``pack_group``: the stratum the stream belongs to (``group_col``
+      value, or '' for the global stream)
+    - ``seq_id``: 0-based sequence number within the group's token stream
+    - ``off``: the slice's starting token offset WITHIN the document
+    - ``n_slice``: slice length in tokens (sums to the doc's token count
+      across its rows; every sequence except each group's last holds
+      exactly ``budget`` tokens — both invariants are pinned by tests)
+
+    ``token_col`` defaults to the engine's whitespace-ish token count over
+    ``text_col``. Zero-token docs are dropped (they contribute nothing to
+    the stream)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    tok = (
+        token_count(F.col(text_col))
+        if token_col is None
+        else (F.col(token_col) if isinstance(token_col, str) else token_col)
+    )
+    grp = (
+        F.col(group_col).cast("string")
+        if group_col
+        else F.lit("")
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        grp.alias("pack_group"),
+        tok.cast("long").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    w = Window.partitionBy("pack_group").orderBy("doc_id")
+    c = base.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "start", F.col("cum") - F.col("n_tok")
+    )
+    b = F.lit(int(budget))
+    first = F.expr(f"start DIV {int(budget)}")
+    last = F.expr(f"(cum - 1) DIV {int(budget)}")
+    return (
+        c.withColumn("seq_id", F.explode(F.sequence(first, last)))
+        .select(
+            "doc_id",
+            "pack_group",
+            "seq_id",
+            (F.greatest(F.col("start"), F.col("seq_id") * b) - F.col("start"))
+            .alias("off"),
+            (
+                F.least(F.col("cum"), (F.col("seq_id") + F.lit(1)) * b)
+                - F.greatest(F.col("start"), F.col("seq_id") * b)
+            ).alias("n_slice"),
+        )
+    )
+
+
+def sequence_manifest(packed: DataFrame) -> DataFrame:
+    """Roll the slice table up to one row per training sequence: (pack_group,
+    seq_id, n_docs, n_tokens). Every sequence except each group's last must
+    hold exactly the budget — the completeness check a packing job runs
+    before shipping the dataset."""
+    return packed.groupBy("pack_group", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_slice").alias("n_tokens"),
+    )
