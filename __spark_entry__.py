@@ -63,7 +63,7 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
         except OSError:
             fp = "na"
         out = os.path.join(
-            tempfile.gettempdir(), f"gss_index_v{__version__}_{tag}_{fp}"
+            tempfile.gettempdir(), f"gss_index_v{__version__}sc_{tag}_{fp}"
         )
         idx = builder.build_index(
             spark,
@@ -84,6 +84,8 @@ def _engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
             name_key="regexp_extract(path, '^(.*)/[^/]*$', 1)",
             # positions sidecar for the phrase/proximity entries (round 5)
             positions=True,
+            # stored-content sidecar: snippets + term_vectors point reads
+            store_content=True,
         )
         # serving=True: the driver's correctness gate runs the PRODUCT serving
         # path (driver-side pruned-parquet lookups, rank-identical to the
@@ -823,6 +825,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge", "join"]), _grp(1, ["spark"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
 
+    def term_vectors_q(spark, sf):
+        # ES _termvectors analog: (term, tf, df) of stored doc 0 — point
+        # content read + index-kernel re-analysis + dictionary df lookup
+        rows = _engine(spark, sf).term_vectors(0)
+        return spark.createDataFrame(rows, "term string, tf long, df long")
+
     def rescore_window(spark, sf):
         # ES rescore-API analog: broad primary (merge OR sort, msm=1) top-50
         # window, sharpened by a secondary query (vector w=1 / window w=0.5
@@ -1222,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_should_match_2=min_should_match_2,
         dis_max=dis_max,
         rescore_window=rescore_window,
+        term_vectors=term_vectors_q,
         prefix=prefix,
         fuzzy_1=fuzzy_1,
         fuzzy_osa=fuzzy_osa,
@@ -1726,6 +1735,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         2,
     )
+    # term vectors (ES _termvectors analog): tf of doc 0 + corpus df,
+    # recomputed from raw text with the full kernel
+    o["term_vectors"] = f"""
+WITH {_BM25_CTES}
+SELECT t.term, t.tf, d.df
+FROM tf t JOIN dfreq d USING (term)
+WHERE t.doc_id = 0
+"""
+
     # rescore (ES rescore-API analog): primary top-50 window by the broad
     # query, combined = 1.0*primary + 2.0*(sum over secondary clauses of
     # max weighted BM25; missing -> 0), re-ranked, cut to 20 — recomputed

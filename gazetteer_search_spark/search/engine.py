@@ -957,6 +957,28 @@ class SearchEngine:
         msm = max(1, int(msm_frac * len(groups)))
         return self.search_rung(groups, msm, options or SearchOptions())
 
+    def term_vectors(self, doc_id: int) -> list[tuple[str, int, int]]:
+        """ES ``_termvectors`` analog (beyond reference — the reference
+        delegates per-doc term stats to ES): (term, tf, df) for ONE stored
+        document, sorted by term. The doc re-analyzes with the INDEX kernel
+        from the stored-content sidecar (one partition-pruned point read,
+        same as snippets), tf counts locally, df resolves from the term
+        dictionary (serving: cached dict; Spark: pruned term_stats scan) —
+        k-bounded everywhere, never a postings decode."""
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        content = self._doc_content([int(doc_id)])
+        if int(doc_id) not in content:
+            raise KeyError(
+                f"term_vectors: doc {doc_id} has no stored content — "
+                "build the index with store_content=True"
+            )
+        tf: dict[str, int] = {}
+        for t in tokenize_text(content[int(doc_id)]):
+            tf[t] = tf.get(t, 0) + 1
+        dfm = self._df_for_terms(sorted(tf))
+        return [(t, tf[t], int(dfm.get(t, 0))) for t in sorted(tf)]
+
     def explain_rung(
         self, groups: list[TermGroup], msm: int, options: SearchOptions | None = None
     ) -> DataFrame:

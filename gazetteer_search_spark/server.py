@@ -318,6 +318,9 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
             if u.path == "/count":
                 self._do_count(u)
                 return
+            if u.path == "/termvectors":
+                self._do_termvectors(u)
+                return
             if u.path != "/search":
                 self._send(
                     404,
@@ -325,7 +328,7 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                         "error": "not found",
                         "routes": [
                             "/search", "/suggest", "/mlt", "/count",
-                            "/stats", "/classes", "/ui"
+                            "/termvectors", "/stats", "/classes", "/ui"
                         ],
                     },
                 )
@@ -336,6 +339,36 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                 self._send(200, self._search_response(parse_qs(u.query)))
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
+
+        def _do_termvectors(self, u) -> None:
+            """Term-vectors route (ES _termvectors analog): GET
+            /termvectors?doc_id=N returns (term, tf, df) for one stored
+            document — a point content read + index-kernel re-analysis +
+            dictionary df lookup, k-bounded."""
+            qs = parse_qs(u.query)
+            raw = (qs.get("doc_id") or [None])[0]
+            if raw is None:
+                self._send(400, {"error": "doc_id parameter required"})
+                return
+            try:
+                did = int(raw)
+                with lock:
+                    rows = engine.term_vectors(did)
+            except KeyError as e:
+                self._send(404, {"error": str(e)})
+                return
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(
+                200,
+                {
+                    "doc_id": did,
+                    "terms": [
+                        {"term": t, "tf": tf, "df": df} for t, tf, df in rows
+                    ],
+                },
+            )
 
         def _do_count(self, u) -> None:
             """Exact-count route (ES _count analog): GET /count?q=... runs

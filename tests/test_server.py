@@ -508,3 +508,49 @@ def test_http_rescore(eng):
         assert env["rescore"]["window"] == 80
     finally:
         srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def ceng(spark, tmp_path_factory):
+    """Stored-content engine for the term-vectors route."""
+    corpus = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.when(F.col("id") == 0, F.lit("alpha beta alpha gamma"))
+        .otherwise(F.lit("alpha plain words"))
+        .alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_srv_tv"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4, store_content=True)
+    return SearchEngine(spark, idx, serving=True)
+
+
+def test_http_termvectors(ceng):
+    """GET /termvectors?doc_id=N == the engine-level term_vectors call:
+    exact tf of the stored doc, corpus df from the dictionary; missing doc
+    -> 404, missing param -> 400."""
+    srv = make_server(ceng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/termvectors?doc_id=0") as r:
+            env = json.loads(r.read())
+        assert env["doc_id"] == 0
+        got = {(t["term"], t["tf"], t["df"]) for t in env["terms"]}
+        assert got == set(ceng.term_vectors(0))
+        # tf counts THIS doc, df counts the corpus
+        by_term = {t["term"]: t for t in env["terms"]}
+        assert by_term["alpha"]["tf"] == 2 and by_term["alpha"]["df"] == 30
+        assert by_term["beta"]["tf"] == 1 and by_term["beta"]["df"] == 1
+        for bad, code in (("doc_id=999999", 404), ("", 400)):
+            try:
+                urllib.request.urlopen(f"{base}/termvectors?{bad}")
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == code
+    finally:
+        srv.shutdown()
