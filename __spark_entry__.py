@@ -1631,6 +1631,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hash_fn="md5_60",
         )
 
+    def hist_nchars(spark, sf):
+        # ES histogram agg analog: fixed-interval buckets over a numeric
+        # column, keyed by lower bound, empty buckets omitted
+        from gazetteer_search_spark.operators import aggs
+
+        return aggs.histogram(
+            spark.read.parquet(f"{sf}/documents.parquet"), "n_chars", 200
+        )
+
+    def stats_nchars(spark, sf):
+        # ES stats + percentiles + cardinality aggs in one row (exact
+        # forms; the HLL/percentile_approx sketches are the scale twins)
+        from gazetteer_search_spark.operators import aggs
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return aggs.numeric_stats(d, "n_chars", (0.5, 0.95)).crossJoin(
+            aggs.cardinality(d, "lang")
+        )
+
     def pack_sequences_q(spark, sf):
         # concat-and-chunk training packing (operators/packing.py): per-lang
         # token streams cut at exact 512-token boundaries; one window cumsum
@@ -1663,6 +1682,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stratified_sample=stratified_sample_q,
         dup_clusters=dup_clusters_q,
         pack_sequences=pack_sequences_q,
+        hist_nchars=hist_nchars,
+        stats_nchars=stats_nchars,
         jaccard_pairs=jaccard_pairs,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
@@ -2210,6 +2231,20 @@ SELECT id_a, id_b, round(i / (sa.n + sb.n - i), 6) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE i / (sa.n + sb.n - i) >= 0.8
 """
+    o["hist_nchars"] = (
+        "SELECT (floor(n_chars / 200) * 200)::DOUBLE AS bucket, "
+        "count(*)::BIGINT AS doc_count FROM documents "
+        "WHERE n_chars IS NOT NULL GROUP BY 1 ORDER BY bucket"
+    )
+    o["stats_nchars"] = (
+        "SELECT count(n_chars)::BIGINT AS n, min(n_chars) AS mn, "
+        "max(n_chars) AS mx, sum(n_chars)::BIGINT AS total, "
+        "round(avg(n_chars), 6) AS mean, "
+        "round(quantile_cont(n_chars, 0.5), 6) AS p50, "
+        "round(quantile_cont(n_chars, 0.95), 6) AS p95, "
+        "count(DISTINCT lang)::BIGINT AS cardinality FROM documents"
+    )
+
     # concat-and-chunk packing: window cumsum + generate_series recomputes
     # every (doc, sequence) slice independently
     o["pack_sequences"] = f"""

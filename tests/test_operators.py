@@ -400,3 +400,24 @@ def test_multimodal_pillow_decode(spark):
     # deterministic: constant-colour image decodes to its own colour value
     r0 = next(r for r in feats if r.media_id == 0)
     assert r0.features[0] == pytest.approx(0.0, abs=1e-6)  # R channel of (0,10,200)
+
+
+def test_aggs_histogram_and_stats(spark):
+    from gazetteer_search_spark.operators import aggs
+
+    d = spark.createDataFrame(
+        [(0, 5, "a"), (1, 12, "b"), (2, 19, "a"), (3, None, "c")],
+        "doc_id long, v long, g string",
+    )
+    hist = {(r.bucket, r.doc_count) for r in aggs.histogram(d, "v", 10).collect()}
+    assert hist == {(0.0, 1), (10.0, 2)}  # NULL dropped
+    row = aggs.numeric_stats(d, "v", (0.5,)).collect()[0]
+    assert (row.n, row.mn, row.mx, row.total) == (3, 5, 19, 36)
+    assert row.mean == pytest.approx(12.0)
+    assert row.p50 == pytest.approx(12.0)
+    assert aggs.cardinality(d, "g").collect()[0].cardinality == 3
+    # HLL sketch twin: tolerance, not equality
+    approx = aggs.cardinality(d, "g", exact=False).collect()[0].cardinality
+    assert 2 <= approx <= 4
+    with pytest.raises(ValueError, match="interval"):
+        aggs.histogram(d, "v", 0)
