@@ -1660,6 +1660,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), budget=512, group_col="lang"
         )
 
+    def mixture_sample_q(spark, sf):
+        # domain-weighted mixture: target 50/30/20 en/fr/zh — bottleneck
+        # stratum kept whole, others down-sampled deterministically
+        from gazetteer_search_spark.operators import sampling
+
+        return sampling.mixture_sample(
+            _docs(spark, sf).select("doc_id", "lang"),
+            "lang",
+            {"en": 0.5, "fr": 0.3, "zh": 0.2},
+            hash_fn="md5_60",
+        )
+
     def dup_clusters_q(spark, sf):
         # transitive closure of the near-dup pair relation (the step between
         # pair mining and actually DROPPING rows): alternating large-star/
@@ -1680,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pii_redact=pii_redact,
         repetition_stats=repetition_stats_q,
         stratified_sample=stratified_sample_q,
+        mixture_sample=mixture_sample_q,
         dup_clusters=dup_clusters_q,
         pack_sequences=pack_sequences_q,
         hist_nchars=hist_nchars,
@@ -2603,6 +2616,22 @@ FROM base b LEFT JOIN bstat s USING (doc_id)
 
     # deterministic stratified sampling under the md5_60 family: the oracle
     # recomputes exact membership (hash(doc_id||'|0') mod 1e6 < per-lang thr)
+    # mixture: DuckDB recomputes counts, the bottleneck total T = min(c/p),
+    # the float64 rate thresholds (identical expression order), and the
+    # md5_60 membership — fully independent of the Spark path
+    o["mixture_sample"] = """
+WITH cnt AS (
+  SELECT lang, count(*)::DOUBLE AS c FROM documents
+  WHERE lang IN ('en', 'fr', 'zh') GROUP BY lang),
+sh AS (SELECT * FROM (VALUES ('en', 0.5), ('fr', 0.3), ('zh', 0.2)) s(lang, p)),
+t AS (SELECT min(c / p) AS tt FROM cnt JOIN sh USING (lang)),
+thr AS (
+  SELECT lang, floor(p * tt / c * 1000000)::BIGINT AS thr
+  FROM cnt JOIN sh USING (lang) CROSS JOIN t)
+SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000
+      < thr
+"""
     o["stratified_sample"] = """
 SELECT doc_id, lang FROM documents
 WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000 <

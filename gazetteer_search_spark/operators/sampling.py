@@ -70,3 +70,41 @@ def stratified_sample(
             F.col(strata_col) == value, F.lit(int(rates[value] * MODULUS))
         ).otherwise(thr)
     return df.filter(_bucket(key_col, salt, hash_fn) < thr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    shares: dict[str, float],
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Sample DOWN to a target mixture (the domain-weighting step of a
+    training-data pipeline: "the output must be 50% en / 30% fr / 20% zh"):
+    the largest achievable output is T = min over strata of count_s /
+    share_s (the bottleneck stratum is kept whole), per-stratum keep rates
+    are share_s * T / count_s, and membership is the same deterministic
+    content-addressed filter as stratified_sample. Strata absent from
+    ``shares`` drop entirely. One dict-sized count aggregation on the
+    driver (strata are domains — bounded), then a pure map-side filter."""
+    if not shares:
+        raise ValueError("mixture_sample: shares must be non-empty")
+    for v, p in shares.items():
+        if p <= 0:
+            raise ValueError(f"share for {v!r} must be positive, got {p}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+        if r[0] in shares
+    }
+    if not counts:
+        raise ValueError(
+            f"mixture_sample: no rows in any requested stratum {sorted(shares)}"
+        )
+    t = min(counts[s] / shares[s] for s in counts)
+    rates = {s: shares[s] * t / counts[s] for s in counts}
+    return stratified_sample(
+        df, strata_col, rates, default_rate=0.0,
+        key_col=key_col, salt=salt, hash_fn=hash_fn,
+    )

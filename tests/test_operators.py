@@ -421,3 +421,34 @@ def test_aggs_histogram_and_stats(spark):
     assert 2 <= approx <= 4
     with pytest.raises(ValueError, match="interval"):
         aggs.histogram(d, "v", 0)
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    from gazetteer_search_spark.operators import sampling
+
+    d = spark.range(0, 9000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 9 < 6, "en")
+        .when(F.col("id") % 9 < 8, "fr")
+        .otherwise("zh")
+        .alias("lang"),
+    )  # corpus: 6000 en / 2000 fr / 1000 zh
+    out = sampling.mixture_sample(d, "lang", {"en": 0.5, "fr": 0.3, "zh": 0.2})
+    got = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    # bottleneck: zh needs 20% -> T = 1000/0.2 = 5000 -> targets 2500/1500/1000
+    assert got["zh"] > 950  # bottleneck stratum kept (nearly) whole
+    assert got["en"] == pytest.approx(2500, rel=0.1)
+    assert got["fr"] == pytest.approx(1500, rel=0.1)
+    # deterministic: same input -> identical membership
+    a = {r.doc_id for r in out.collect()}
+    b = {
+        r.doc_id
+        for r in sampling.mixture_sample(
+            d, "lang", {"en": 0.5, "fr": 0.3, "zh": 0.2}
+        ).collect()
+    }
+    assert a == b
+    with pytest.raises(ValueError, match="share"):
+        sampling.mixture_sample(d, "lang", {"en": 0.0})
+    with pytest.raises(ValueError, match="stratum"):
+        sampling.mixture_sample(d, "lang", {"xx": 1.0})
