@@ -387,7 +387,7 @@ def cmd_serve(args: argparse.Namespace) -> None:
     if args.http is not None:
         from gazetteer_search_spark.server import make_server
 
-        srv = make_server(eng, opts, port=args.http)
+        srv = make_server(eng, opts, port=args.http, index_path=args.index)
         print(json.dumps({
             "ready": True, "serving_local": eng._local is not None,
             "http": f"http://127.0.0.1:{srv.server_address[1]}/search",

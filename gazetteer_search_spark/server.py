@@ -124,7 +124,9 @@ def _not_param_terms(words) -> tuple[str, ...]:
     return terms
 
 
-def _make_handler(engine, default_opts, auth=None, cors_origin=None):
+def _make_handler(
+    engine, default_opts, auth=None, cors_origin=None, index_path=None
+):
     lock = threading.Lock()
     mtime = _index_mtime(engine)
     last_modified = formatdate(mtime, usegmt=True) if mtime else None
@@ -620,8 +622,20 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
                 self._send(400, {"error": str(e)})
 
         def do_POST(self) -> None:  # noqa: N802 — http.server API
-            if urlparse(self.path).path != "/sendq":
-                self._send(404, {"error": "not found", "routes": ["/sendq"]})
+            p = urlparse(self.path).path
+            if p == "/msearch":
+                if self._authorized():
+                    self._do_msearch()
+                return
+            if p == "/bulk":
+                if self._authorized():
+                    self._do_bulk()
+                return
+            if p != "/sendq":
+                self._send(
+                    404,
+                    {"error": "not found", "routes": ["/sendq", "/msearch", "/bulk"]},
+                )
                 return
             if not self._authorized():
                 return
@@ -676,6 +690,107 @@ def _make_handler(engine, default_opts, auth=None, cors_origin=None):
             except Exception as e:
                 self._send(400, {"error": str(e)})
 
+        def _do_msearch(self) -> None:
+            """Multi-search route (ES _msearch analog): body is NDJSON, one
+            search-request object per line with the same keys as /search's
+            query params (``q``, ``size``, ``lang``, ``repo``, ``not``,
+            ``facet``, ``rescore_q``, ...); repeatable params take a JSON
+            list. One response envelope per line, order-preserving — a
+            batching front for clients amortizing round-trips."""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                lines = [
+                    ln
+                    for ln in self.rfile.read(n).decode("utf-8").splitlines()
+                    if ln.strip()
+                ]
+                if not lines:
+                    self._send(400, {"error": "empty msearch body"})
+                    return
+                responses = []
+                for ln in lines:
+                    req = json.loads(ln)
+                    if not isinstance(req, dict):
+                        responses.append({"error": "request must be an object"})
+                        continue
+                    qs = {
+                        k: [str(x) for x in v] if isinstance(v, list) else [str(v)]
+                        for k, v in req.items()
+                    }
+                    try:
+                        responses.append(self._search_response(qs))
+                    except Exception as e:  # per-line isolation, like ES
+                        responses.append({"error": str(e)})
+                self._send(200, {"responses": responses})
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
+        def _do_bulk(self) -> None:
+            """Bulk-ingest route (ES _bulk analog): body is NDJSON documents
+            (repo, path, commit, lang, content — the corpus shape). The
+            batch lands as ONE new segment generation (add_segment: frozen
+            stats, (repo, path)-keyed supersession) and the serving engine
+            reopens over all generations — subsequent searches see the
+            docs, ES refresh semantics. Needs a Spark-backed server (the
+            micro-batch build's tokenize pass is one Spark job); Spark-free
+            nodes answer 501 and defer to the add-segment CLI."""
+            nonlocal engine
+            spark = getattr(engine, "spark", None)
+            if index_path is None or spark is None:
+                self._send(
+                    501,
+                    {
+                        "error": "bulk ingest needs a Spark-backed server "
+                        "started with an index path (cli serve --http, "
+                        "without --local-only); use the add-segment CLI "
+                        "on Spark-free nodes"
+                    },
+                )
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                docs = [
+                    json.loads(ln)
+                    for ln in self.rfile.read(n).decode("utf-8").splitlines()
+                    if ln.strip()
+                ]
+                required = {"repo", "path", "commit", "lang", "content"}
+                bad = [i for i, d in enumerate(docs) if not required <= set(d)]
+                if not docs or bad:
+                    self._send(
+                        400,
+                        {
+                            "error": "each line needs repo/path/commit/lang/"
+                            "content",
+                            **({"bad_lines": bad[:10]} if bad else {}),
+                        },
+                    )
+                    return
+                from gazetteer_search_spark.index import segments as _segs
+
+                with lock:
+                    rows = [
+                        (d["repo"], d["path"], d["commit"], d["lang"],
+                         d["content"])
+                        for d in docs
+                    ]
+                    batch = spark.createDataFrame(
+                        rows, "repo string, path string, commit string, "
+                        "lang string, content string",
+                    )
+                    seg_idx = _segs.add_segment(spark, batch, index_path)
+                    engine = _segs.open_multi_search(index_path, spark)
+                self._send(
+                    200,
+                    {
+                        "indexed": len(docs),
+                        "seg_docs": seg_idx.n_docs,
+                        "generations": len(_segs.list_segments(index_path)) + 1,
+                    },
+                )
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
         def log_message(self, *args) -> None:  # quiet access log
             pass
 
@@ -689,11 +804,15 @@ def make_server(
     port: int = 0,
     auth: str | None = None,
     cors_origin: str | None = None,
+    index_path: str | None = None,
 ):
     """Build (not start) the HTTP server; port 0 binds an ephemeral port
     (``server_address[1]`` reports it). Caller runs ``serve_forever()``.
     ``auth``: "user:pass" enables HTTP Basic auth on every route except
-    /healthz; ``cors_origin``: value for Access-Control-Allow-Origin."""
+    /healthz; ``cors_origin``: value for Access-Control-Allow-Origin;
+    ``index_path``: enables POST /bulk live segment ingest (Spark-backed
+    engines only)."""
     return ThreadingHTTPServer(
-        (host, port), _make_handler(engine, options, auth, cors_origin)
+        (host, port),
+        _make_handler(engine, options, auth, cors_origin, index_path),
     )

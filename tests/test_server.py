@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import json
 import threading
+import urllib.error
 import urllib.parse
 import urllib.request
 from dataclasses import replace
@@ -554,3 +555,100 @@ def test_http_termvectors(ceng):
                 assert e.code == code
     finally:
         srv.shutdown()
+
+
+def test_http_msearch(eng):
+    """POST /msearch (ES _msearch analog): NDJSON of search requests, one
+    envelope per line in order; a bad line yields a per-line error without
+    failing the batch."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        body = "\n".join([
+            json.dumps({"q": "alpha beta", "size": 3}),
+            json.dumps({"q": "alpha", "size": 2, "lang": "python"}),
+            json.dumps({"q": "alpha", "size": "notanint"}),
+        ]).encode()
+        req = urllib.request.Request(f"{base}/msearch", data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            env = json.loads(r.read())
+        rs = env["responses"]
+        assert len(rs) == 3
+        # line 1 == the equivalent GET /search
+        with urllib.request.urlopen(f"{base}/search?q=alpha+beta&size=3") as r:
+            single = json.loads(r.read())
+        assert [h["doc_id"] for h in rs[0]["hits"]] == [
+            h["doc_id"] for h in single["hits"]
+        ]
+        assert all(h["lang"] == "python" for h in rs[1]["hits"])
+        assert "error" in rs[2] and "hits" not in rs[2]
+    finally:
+        srv.shutdown()
+
+
+def test_http_bulk_ingest_and_refresh(spark, tmp_path_factory):
+    """POST /bulk (ES _bulk analog): an NDJSON batch becomes one segment
+    generation and the reopened engine serves it immediately; malformed
+    docs 400 without touching the index; Spark-free servers 501."""
+    corpus = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.lit("alpha shared plain words").alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_srv_bulk"))
+    from gazetteer_search_spark.index import builder as _b
+
+    idx = _b.build_index(spark, corpus, out, n_buckets=4)
+    eng0 = SearchEngine(spark, idx, serving=True)
+    srv = make_server(eng0, SearchOptions(k=10, prefix=False), port=0, index_path=out)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        docs = [
+            {"repo": "org/new", "path": f"src/new{i}.py", "commit": "d",
+             "lang": "python", "content": "freshbulkmarker alpha"}
+            for i in range(3)
+        ]
+        body = "\n".join(json.dumps(d) for d in docs).encode()
+        req = urllib.request.Request(f"{base}/bulk", data=body, method="POST")
+        with urllib.request.urlopen(req) as r:
+            env = json.loads(r.read())
+        assert env["indexed"] == 3 and env["generations"] == 2
+        # refresh semantics: the docs are searchable on the SAME server
+        with urllib.request.urlopen(
+            f"{base}/search?q=freshbulkmarker&size=10&prefix=false"
+        ) as r:
+            hits = json.loads(r.read())["hits"]
+        assert len(hits) == 3
+        assert all(h["repo"] == "org/new" for h in hits)
+        # malformed doc -> 400, nothing ingested
+        bad = json.dumps({"repo": "x", "content": "no key fields"}).encode()
+        req = urllib.request.Request(f"{base}/bulk", data=bad, method="POST")
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+    # Spark-free server: 501
+    srv2 = make_server(eng0, SearchOptions(k=5), port=0)  # no index_path
+    port2 = srv2.server_address[1]
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port2}/bulk", data=b"{}", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected 501")
+        except urllib.error.HTTPError as e:
+            assert e.code == 501
+    finally:
+        srv2.shutdown()
