@@ -825,6 +825,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge", "join"]), _grp(1, ["spark"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
 
+    def significant_terms_q(spark, sf):
+        # ES significant_terms agg: terms over-represented in the 'merge'
+        # match set vs the corpus, JLH-scored
+        return _engine(spark, sf).significant_terms(
+            [_grp(0, ["merge"])], 1, SearchOptions(), size=10, min_doc_count=2
+        )
+
     def term_vectors_q(spark, sf):
         # ES _termvectors analog: (term, tf, df) of stored doc 0 — point
         # content read + index-kernel re-analysis + dictionary df lookup
@@ -1231,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dis_max=dis_max,
         rescore_window=rescore_window,
         term_vectors=term_vectors_q,
+        significant_terms=significant_terms_q,
         prefix=prefix,
         fuzzy_1=fuzzy_1,
         fuzzy_osa=fuzzy_osa,
@@ -1769,6 +1777,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         2,
     )
+    # significant terms (ES significant_terms analog): fg df within the
+    # match set (recomputed from raw text), bg df from the corpus, JLH
+    _sig_g = _values_groups([("merge", 0, True, 1.0)])
+    o["significant_terms"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_sig_g})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+m AS (
+  SELECT doc_id FROM per_group
+  GROUP BY doc_id
+  HAVING sum(CASE WHEN required THEN 1 ELSE 0 END) >= 1
+),
+fgt AS (SELECT count(*)::DOUBLE AS ft FROM m),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_count
+  FROM tf JOIN m USING (doc_id) GROUP BY term
+)
+SELECT term, fg_count, d.df AS bg_count,
+       round((fg_count / ft - d.df / cst.n_docs)
+             * ((fg_count / ft) / (d.df / cst.n_docs)), 6) AS score
+FROM fg JOIN dfreq d USING (term) CROSS JOIN fgt CROSS JOIN cst
+WHERE fg_count >= 2 AND fg_count / ft > d.df / cst.n_docs
+ORDER BY round((fg_count / ft - d.df / cst.n_docs)
+               * ((fg_count / ft) / (d.df / cst.n_docs)), 9) DESC, term ASC
+LIMIT 10
+"""
+
     # term vectors (ES _termvectors analog): tf of doc 0 + corpus df,
     # recomputed from raw text with the full kernel
     o["term_vectors"] = f"""

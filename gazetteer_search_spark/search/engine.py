@@ -753,6 +753,63 @@ class SearchEngine:
             .drop("_rn")
         )
 
+    def significant_terms(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        size: int = 10,
+        min_doc_count: int = 2,
+    ) -> DataFrame:
+        """ES significant_terms agg analog (beyond reference): content terms
+        OVER-represented in the query's match set relative to the corpus.
+        fg_count = match-set docs containing the term (one full postings
+        decode semi-joined to the match set — corpus-shaped by nature, the
+        same per-shard pass ES runs; map-side combine + the semi-join keep
+        it one shuffle), bg_count = the dictionary's df (already persisted
+        — no second corpus pass). Score is ES's JLH heuristic:
+        (fg% - bg%) * (fg% / bg%), terms below min_doc_count or not
+        actually over-represented dropped. Name-field postings
+        (``field:term``) are excluded — significance is about content.
+        Output (term, fg_count, bg_count, score), top ``size`` by
+        (score desc, term)."""
+        options = options or SearchOptions()
+        m = self.match_set(groups, msm, options).select("doc_id")
+        fg_total = m.count()
+        if fg_total == 0:
+            return self.spark.createDataFrame(
+                [], "term string, fg_count long, bg_count long, score double"
+            )
+        decoded = decode_postings(
+            self.index.postings.filter(~F.col("term").contains(":"))
+        )
+        fg = (
+            decoded.join(m, "doc_id", "left_semi")
+            .groupBy("term")
+            .agg(F.count("*").alias("fg_count"))
+        )
+        bg = self.index.term_stats.filter(
+            ~F.col("term").contains(":")
+        ).select("term", F.col("df").alias("bg_count"))
+        ft = float(fg_total)
+        n = float(self.index.n_docs)
+        fgp = F.col("fg_count") / F.lit(ft)
+        bgp = F.col("bg_count") / F.lit(n)
+        score = (fgp - bgp) * (fgp / bgp)
+        return (
+            fg.join(bg, "term")
+            .filter(F.col("fg_count") >= F.lit(int(min_doc_count)))
+            .filter(fgp > bgp)
+            .select(
+                "term", "fg_count", "bg_count",
+                F.round(score, 6).alias("score"),
+                F.round(score, 9).alias("_key"),
+            )
+            .orderBy(F.col("_key").desc(), F.col("term").asc())
+            .limit(size)
+            .drop("_key")
+        )
+
     def count_matches(
         self,
         groups: list[TermGroup],

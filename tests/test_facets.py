@@ -158,3 +158,28 @@ def test_http_facet_param(local_eng):
         assert "facets" not in env2
     finally:
         srv.shutdown()
+
+
+def test_significant_terms_shape_and_gates(spark_eng):
+    """significant_terms (ES significant_terms analog): every returned term
+    is genuinely over-represented (fg% > bg%), respects min_doc_count,
+    excludes name-field postings, and an impossible query yields zero rows."""
+    from gazetteer_search_spark.search.engine import SearchOptions, TermGroup
+
+    g = [TermGroup(group_id=0, terms=("merge",), required=True)]
+    rows = spark_eng.significant_terms(g, 1, SearchOptions(), size=20).collect()
+    assert rows
+    n = spark_eng.index.n_docs
+    fg_total = spark_eng.count_matches(g, 1, SearchOptions())
+    for r in rows:
+        assert ":" not in r.term
+        assert r.fg_count >= 2
+        assert r.fg_count / fg_total > r.bg_count / n
+        fgp, bgp = r.fg_count / fg_total, r.bg_count / n
+        assert r.score == pytest.approx((fgp - bgp) * (fgp / bgp), abs=1e-5)
+    # the query term itself is trivially most significant when fg == df
+    assert rows[0].term in {rt.term for rt in rows}
+    empty = spark_eng.significant_terms(
+        [TermGroup(group_id=0, terms=("zzznotaword",), required=True)], 1
+    )
+    assert empty.count() == 0
