@@ -825,6 +825,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge", "join"]), _grp(1, ["spark"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
 
+    def spell_suggest_q(spark, sf):
+        # did-you-mean (ES term-suggester analog): OOV tokens -> top-3
+        # OSA<=1 dictionary replacements ranked (df desc, term)
+        eng = _engine(spark, sf)
+        resp = eng.spell_suggest("merje sorx vektor", k=3)
+        rows = [
+            (t["token"], s["term"], s["df"])
+            for t in resp["tokens"]
+            for s in t["suggestions"]
+        ]
+        return spark.createDataFrame(
+            rows, "token string, suggestion string, df long"
+        )
+
     def significant_terms_q(spark, sf):
         # ES significant_terms agg: terms over-represented in the 'merge'
         # match set vs the corpus, JLH-scored
@@ -1239,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rescore_window=rescore_window,
         term_vectors=term_vectors_q,
         significant_terms=significant_terms_q,
+        spell_suggest=spell_suggest_q,
         prefix=prefix,
         fuzzy_1=fuzzy_1,
         fuzzy_osa=fuzzy_osa,
@@ -1777,6 +1792,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         2,
     )
+    # did-you-mean: DuckDB recomputes the dictionary, the OSA<=1 candidate
+    # set (length band + damerau_levenshtein — distance 1 OSA == Damerau)
+    # and the (df desc, term) top-3 cut per OOV token
+    o["spell_suggest"] = f"""
+WITH {_BM25_CTES}
+SELECT 'merje' AS token, term AS suggestion, df FROM (
+  SELECT term, df FROM dfreq
+  WHERE length(term) BETWEEN 4 AND 6
+    AND term <> 'merje' AND damerau_levenshtein(term, 'merje') <= 1
+  ORDER BY df DESC, term LIMIT 3)
+UNION ALL
+SELECT 'sorx' AS token, term AS suggestion, df FROM (
+  SELECT term, df FROM dfreq
+  WHERE length(term) BETWEEN 3 AND 5
+    AND term <> 'sorx' AND damerau_levenshtein(term, 'sorx') <= 1
+  ORDER BY df DESC, term LIMIT 3)
+UNION ALL
+SELECT 'vektor' AS token, term AS suggestion, df FROM (
+  SELECT term, df FROM dfreq
+  WHERE length(term) BETWEEN 5 AND 7
+    AND term <> 'vektor' AND damerau_levenshtein(term, 'vektor') <= 1
+  ORDER BY df DESC, term LIMIT 3)
+"""
+
     # significant terms (ES significant_terms analog): fg df within the
     # match set (recomputed from raw text), bg df from the corpus, JLH
     _sig_g = _values_groups([("merge", 0, True, 1.0)])

@@ -1014,6 +1014,41 @@ class SearchEngine:
         msm = max(1, int(msm_frac * len(groups)))
         return self.search_rung(groups, msm, options or SearchOptions())
 
+    def spell_suggest(self, q: str, k: int = 3, max_df: int = 0) -> dict:
+        """ES term-suggester / phrase-suggester "did you mean" analog
+        (beyond reference): for each analyzed query token whose dictionary
+        df is <= ``max_df`` (default 0 — out-of-vocabulary only), propose
+        the top-``k`` OSA<=1 dictionary replacements ranked (df desc, term)
+        — the exact expansion the fuzzy rung uses (P15), surfaced as
+        suggestions instead of silently folded into matching. Returns
+        ``{"tokens": [{token, df, suggestions: [{term, df}, ...]}, ...],
+        "did_you_mean": str | None}`` — ``did_you_mean`` substitutes each
+        correctable token's best suggestion into the analyzed token
+        sequence (None when every token is in-vocabulary). Serving cost:
+        dictionary-only (cached term stats), zero postings decode."""
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        toks = tokenize_text(q, joined_identifiers=False)
+        if not toks:
+            return {"tokens": [], "did_you_mean": None}
+        dfs = self._df_for_terms(sorted(set(toks)))
+        out_tokens: list[dict] = []
+        repl: dict[str, str] = {}
+        for t in dict.fromkeys(toks):
+            df0 = int(dfs.get(t, 0))
+            sugg: list[dict] = []
+            if df0 <= max_df:
+                cands = [c for c in self.expand_fuzzy(t) if c != t][:k]
+                if cands:
+                    cdfs = self._df_for_terms(sorted(cands))
+                    sugg = [
+                        {"term": c, "df": int(cdfs.get(c, 0))} for c in cands
+                    ]
+                    repl[t] = cands[0]
+            out_tokens.append({"token": t, "df": df0, "suggestions": sugg})
+        dym = " ".join(repl.get(t, t) for t in toks) if repl else None
+        return {"tokens": out_tokens, "did_you_mean": dym}
+
     def term_vectors(self, doc_id: int) -> list[tuple[str, int, int]]:
         """ES ``_termvectors`` analog (beyond reference — the reference
         delegates per-doc term stats to ES): (term, tf, df) for ONE stored

@@ -53,6 +53,19 @@ Routes:
            tag-statistics endpoint (api/stats/TagStatisticsAPI.java:44-100
            serves aggs over arbitrary more_tags.* keys with
            minDocCount/size)
+    GET /termvectors?doc_id=N
+        per-doc (term, tf, df) from the stored-content sidecar — the ES
+        _termvectors analog; point read, k-bounded
+    GET /spell?q=...&size=K
+        did-you-mean (ES term-suggester analog): OOV tokens -> OSA<=1
+        dictionary suggestions ranked by df + the assembled corrected query
+    POST /msearch   NDJSON of /search-param objects, one envelope per line
+        (ES _msearch analog; per-line error isolation)
+    POST /bulk      NDJSON documents (repo/path/commit/lang/content) -> one
+        new segment generation + live engine reopen (ES _bulk + refresh
+        analog; Spark-backed servers only — started with an index path)
+    /search also takes rescore_q=TEXT&rescore_w=F&rescore_window=N — the ES
+        rescore-API analog (secondary-query window re-ranking)
     GET /healthz -> {"ok": true}
 
 Hardening parity (``make_server`` kwargs):
@@ -323,6 +336,9 @@ def _make_handler(
             if u.path == "/termvectors":
                 self._do_termvectors(u)
                 return
+            if u.path == "/spell":
+                self._do_spell(u)
+                return
             if u.path != "/search":
                 self._send(
                     404,
@@ -330,7 +346,7 @@ def _make_handler(
                         "error": "not found",
                         "routes": [
                             "/search", "/suggest", "/mlt", "/count",
-                            "/termvectors", "/stats", "/classes", "/ui"
+                            "/termvectors", "/spell", "/stats", "/classes", "/ui"
                         ],
                     },
                 )
@@ -341,6 +357,25 @@ def _make_handler(
                 self._send(200, self._search_response(parse_qs(u.query)))
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
+
+        def _do_spell(self, u) -> None:
+            """Did-you-mean route (ES term-suggester analog): GET
+            /spell?q=...&size=K returns per-token OSA<=1 dictionary
+            suggestions plus the assembled corrected query — dictionary-only
+            work, zero postings decode."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "q parameter required"})
+                return
+            try:
+                k = max(1, min(int((qs.get("size") or ["3"])[0]), 10))
+                with lock:
+                    resp = engine.spell_suggest(q, k=k)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(200, {"query": q, **resp})
 
         def _do_termvectors(self, u) -> None:
             """Term-vectors route (ES _termvectors analog): GET

@@ -652,3 +652,34 @@ def test_http_bulk_ingest_and_refresh(spark, tmp_path_factory):
             assert e.code == 501
     finally:
         srv2.shutdown()
+
+
+def test_http_spell_did_you_mean(eng):
+    """GET /spell (ES term-suggester analog): OOV tokens get OSA<=1
+    dictionary suggestions ranked by df, in-vocabulary tokens stay
+    untouched, and did_you_mean assembles the corrected query."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/spell?q=alpha+betta") as r:
+            env = json.loads(r.read())
+        toks = {t["token"]: t for t in env["tokens"]}
+        assert toks["alpha"]["df"] > 0 and toks["alpha"]["suggestions"] == []
+        assert toks["betta"]["df"] == 0
+        assert toks["betta"]["suggestions"][0]["term"] == "beta"
+        assert toks["betta"]["suggestions"][0]["df"] == 10
+        assert env["did_you_mean"] == "alpha beta"
+        # fully in-vocabulary query -> no correction
+        with urllib.request.urlopen(f"{base}/spell?q=alpha+beta") as r:
+            env2 = json.loads(r.read())
+        assert env2["did_you_mean"] is None
+        # missing q -> 400
+        try:
+            urllib.request.urlopen(f"{base}/spell")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
