@@ -100,3 +100,55 @@ def test_field_postings_share_pruned_layout(spark, tmp_path_factory):
     assert_partition_pruned(pruned, "term_bucket")
     assert_pushed_filters(pruned, "EqualTo(term,name:src)")
     assert pruned.count() > 0
+
+
+def test_rescore_secondary_join_broadcasts_and_prunes(spark, index):
+    """Rescore's secondary pass joins the (k-bounded) window doc_ids onto
+    the secondary terms' postings decode: the window side must broadcast
+    (never shuffle the postings on doc_id for <= window rows) and the
+    postings scan must stay bucket-pruned; no cartesian anywhere."""
+    from gazetteer_search_spark.search.engine import (
+        SearchEngine, SearchOptions, TermGroup,
+    )
+
+    eng = SearchEngine(spark, index)
+    g = [TermGroup(group_id=0, terms=("merge",), required=True)]
+    sec = [TermGroup(group_id=0, terms=("block",), required=True)]
+    df = eng.rescore(g, 1, sec, window_size=30, options=SearchOptions(k=10))
+    assert uses_broadcast_join(df)
+    assert_no_cartesian(df)
+    assert_partition_pruned(df, "term_bucket")
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Packing is one window cumsum + one explode: exactly ONE shuffle (the
+    window's hashpartitioning on pack_group) in the whole plan — a second
+    exchange would mean the packing re-shuffles what the window already
+    co-located."""
+    from gazetteer_search_spark.operators import packing
+    from gazetteer_search_spark.plans import explain_str
+
+    d = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") % 17 + 1).alias("n"),
+    )
+    packed = packing.pack_sequences(d, budget=64, token_col="n", group_col="grp")
+    plan = explain_str(packed, mode="simple")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+    assert_no_cartesian(packed)
+
+
+def test_significant_terms_no_cartesian_and_pruned_match(spark, index):
+    """The fg pass is corpus-shaped by nature (full postings decode), but
+    the match-set side must still be bucket-pruned and every join keyed —
+    no cartesian, no broadcast of the corpus-sized fg side."""
+    from gazetteer_search_spark.search.engine import (
+        SearchEngine, SearchOptions, TermGroup,
+    )
+
+    eng = SearchEngine(spark, index)
+    g = [TermGroup(group_id=0, terms=("merge",), required=True)]
+    df = eng.significant_terms(g, 1, SearchOptions(), size=5)
+    assert_no_cartesian(df)
