@@ -825,6 +825,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge", "join"]), _grp(1, ["spark"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
 
+    def hybrid_rrf(spark, sf):
+        # hybrid lexical+vector retrieval via reciprocal-rank fusion (the
+        # ES 8 retriever default): BM25 top-20 page for 'merge' fused with
+        # the cosine top-20 page around doc 0's embedding, k0=60
+        eng = _engine(spark, sf)
+        bm = eng.search_rung([_grp(0, ["merge"])], 1, SearchOptions(k=20)).select(
+            "doc_id", "score"
+        )
+        emb = _emb(spark, sf)
+        qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        vec = similarity.cosine_topk_query(emb, qv, k=20).select(
+            F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+        )
+        return similarity.rrf_fuse([bm, vec], k0=60, topk=10)
+
     def spell_suggest_q(spark, sf):
         # did-you-mean (ES term-suggester analog): OOV tokens -> top-3
         # OSA<=1 dictionary replacements ranked (df desc, term)
@@ -1254,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         term_vectors=term_vectors_q,
         significant_terms=significant_terms_q,
         spell_suggest=spell_suggest_q,
+        hybrid_rrf=hybrid_rrf,
         prefix=prefix,
         fuzzy_1=fuzzy_1,
         fuzzy_osa=fuzzy_osa,
@@ -1792,6 +1808,51 @@ def oracle_sql() -> dict[str, str]:
         ),
         2,
     )
+    # hybrid RRF: DuckDB recomputes BOTH pages (BM25 from raw text, cosine
+    # from raw embeddings) and the reciprocal-rank fusion
+    _hyb_g = _values_groups([("merge", 0, True, 1.0)])
+    o["hybrid_rrf"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_hyb_g})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+b AS (
+  SELECT doc_id, raw AS score FROM per_doc WHERE matched_required >= 1
+  ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT 20
+),
+br AS (
+  SELECT doc_id, 1.0 / (60 + row_number() OVER (
+    ORDER BY round(score, 9) DESC, doc_id ASC)) AS rr FROM b
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+v AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 9) AS cos
+  FROM embeddings CROSS JOIN q
+  ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 9) DESC,
+           vec_id ASC
+  LIMIT 20
+),
+vr AS (
+  SELECT doc_id, 1.0 / (60 + row_number() OVER (
+    ORDER BY cos DESC, doc_id ASC)) AS rr FROM v
+),
+f AS (
+  SELECT doc_id, round(sum(rr), 9) AS score
+  FROM (SELECT * FROM br UNION ALL SELECT * FROM vr) GROUP BY doc_id
+)
+SELECT doc_id, score FROM f
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 10
+"""
+
     # did-you-mean: DuckDB recomputes the dictionary, the OSA<=1 candidate
     # set (length band + damerau_levenshtein — distance 1 OSA == Damerau)
     # and the (df desc, term) top-3 cut per OOV token

@@ -56,6 +56,48 @@ def cosine_topk_query(
     )
 
 
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k0: int = 60,
+    topk: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09 — the default
+    hybrid-ranking combiner in ES 8's retrievers): fused score(d) = sum over
+    input rankings of 1 / (k0 + rank_d), missing-from-a-ranking contributes
+    nothing. Inputs are top-k PAGES (each k-bounded — lexical BM25 page,
+    vector ANN page, ...), so the per-input rank window is bounded and the
+    single-partition sort it implies is O(k), never corpus-shaped. Ranks are
+    taken over the deterministic page order (round(score, 9) desc, id) —
+    the engine's own tie-break — so fusion is reproducible across runs and
+    cluster sizes. Output: (id_col, score) top ``topk`` by (round(score, 9)
+    desc, id)."""
+    from pyspark.sql import Window as _W
+
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    w = _W.orderBy(F.round(F.col(score_col), 9).desc(), F.col(id_col).asc())
+    parts = [
+        r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.row_number().over(w))).alias(
+                "_rr"
+            ),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("_rr"), 9).alias("score"))
+        .orderBy(F.round(F.col("score"), 9).desc(), F.col(id_col).asc())
+        .limit(topk)
+    )
+
+
 def cosine_similar_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -452,3 +452,25 @@ def test_mixture_sample_hits_target_shares(spark):
         sampling.mixture_sample(d, "lang", {"en": 0.0})
     with pytest.raises(ValueError, match="stratum"):
         sampling.mixture_sample(d, "lang", {"xx": 1.0})
+
+
+def test_rrf_fuse_semantics(spark):
+    from gazetteer_search_spark.operators import similarity
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 8.0), (3, 7.0)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (1, 0.7)], "doc_id long, score double"
+    )
+    rows = {r.doc_id: r.score for r in similarity.rrf_fuse([a, b], k0=60).collect()}
+    # doc 1: rank 1 in a, rank 3 in b; doc 3: rank 3 in a, rank 1 in b
+    assert rows[1] == pytest.approx(1 / 61 + 1 / 63, abs=1e-9)
+    assert rows[3] == pytest.approx(1 / 63 + 1 / 61, abs=1e-9)
+    assert rows[2] == pytest.approx(1 / 62, abs=1e-9)  # missing from b
+    assert rows[4] == pytest.approx(1 / 62, abs=1e-9)
+    # topk cut honors the fused order, doc_id breaks the 1==3 and 2==4 ties
+    top = [r.doc_id for r in similarity.rrf_fuse([a, b], k0=60, topk=3).collect()]
+    assert top == [1, 3, 2]
+    with pytest.raises(ValueError, match="at least one"):
+        similarity.rrf_fuse([])
