@@ -825,6 +825,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge", "join"]), _grp(1, ["spark"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
 
+    def percolate_q(spark, sf):
+        # percolator (ES percolate analog): 3 registered queries matched
+        # against the whole corpus in one broadcast-join pass
+        from gazetteer_search_spark.operators.percolate import percolate
+
+        regs = [
+            ("q_and", [_grp(0, ["merge"]), _grp(1, ["sort"])], 2),
+            ("q_or", [_grp(0, ["vector", "window"])], 1),
+            ("q_spark", [_grp(0, ["spark"])], 1),
+        ]
+        return percolate(
+            spark, _docs(spark, sf), regs, text_col="text", id_col="doc_id"
+        )
+
     def hybrid_rrf(spark, sf):
         # hybrid lexical+vector retrieval via reciprocal-rank fusion (the
         # ES 8 retriever default): BM25 top-20 page for 'merge' fused with
@@ -1270,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         significant_terms=significant_terms_q,
         spell_suggest=spell_suggest_q,
         hybrid_rrf=hybrid_rrf,
+        percolate=percolate_q,
         prefix=prefix,
         fuzzy_1=fuzzy_1,
         fuzzy_osa=fuzzy_osa,
@@ -1808,6 +1823,23 @@ def oracle_sql() -> dict[str, str]:
         ),
         2,
     )
+    # percolator: DuckDB re-tokenizes every doc and re-evaluates the
+    # registry's clause gates independently
+    o["percolate"] = f"""
+WITH tok AS (SELECT DISTINCT doc_id, unnest({_TOKS}) AS term FROM documents),
+q AS (SELECT * FROM (VALUES
+  ('q_and', 'merge', 0, TRUE), ('q_and', 'sort', 1, TRUE),
+  ('q_or', 'vector', 0, TRUE), ('q_or', 'window', 0, TRUE),
+  ('q_spark', 'spark', 0, TRUE)) v(query_id, term, group_id, required)),
+msm AS (SELECT * FROM (VALUES ('q_and', 2), ('q_or', 1), ('q_spark', 1))
+        m(query_id, msm)),
+j AS (
+  SELECT t.doc_id, q.query_id,
+         count(DISTINCT CASE WHEN q.required THEN q.group_id END)::BIGINT AS mr
+  FROM tok t JOIN q USING (term) GROUP BY t.doc_id, q.query_id)
+SELECT doc_id, query_id FROM j JOIN msm USING (query_id) WHERE mr >= msm
+"""
+
     # hybrid RRF: DuckDB recomputes BOTH pages (BM25 from raw text, cosine
     # from raw embeddings) and the reciprocal-rank fusion
     _hyb_g = _values_groups([("merge", 0, True, 1.0)])

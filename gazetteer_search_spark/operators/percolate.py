@@ -1,0 +1,78 @@
+"""Percolator: reverse search (ES percolate-query analog, beyond reference).
+
+A normal search matches one query against an indexed corpus; a percolator
+matches a BATCH OF DOCUMENTS against a registry of stored queries — the
+alerting / routing primitive ("which saved filters does this incoming doc
+satisfy?"). In a training-data pipeline this is the router: every incoming
+document is tagged with the subscriptions (quality filters, topic hooks,
+takedown patterns) it triggers, in one pass.
+
+Spark shape: the query registry is SMALL by construction (that's the
+percolator premise), so it broadcasts; documents tokenize with the
+CATALYST-NATIVE full kernel (analyzer.tokenizer.native_tokens_expr — the
+same token stream the index builder produces, equivalence pinned by the
+3-way kernel tests), explode to (doc, term), one broadcast join + one
+map-side-combined groupBy gates each (doc, query) pair on msm distinct
+required clauses. No UDF, one shuffle, corpus-shaped exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.analyzer.tokenizer import native_tokens_expr
+
+
+def percolate(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[str, list, int]],
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, query_id) for every (document, registered query) match.
+
+    ``queries``: (query_id, [TermGroup, ...], msm) triples — the same
+    TermGroup/msm IR the search engine executes, so a query can be
+    registered verbatim from the parser. A document matches when >= msm
+    DISTINCT required clauses have at least one term present (dis_max
+    membership: any term of a group marks the group). Unregistered terms
+    cost nothing — the broadcast join drops them at the probe."""
+    if not queries:
+        raise ValueError("percolate: empty query registry")
+    qrows = [
+        (qid, t, int(g.group_id), bool(g.required))
+        for qid, groups, _msm in queries
+        for g in groups
+        for t in g.terms
+    ]
+    if not qrows:
+        raise ValueError("percolate: registry has no terms")
+    qdf = spark.createDataFrame(
+        qrows, "query_id string, term string, group_id int, required boolean"
+    )
+    msm_df = spark.createDataFrame(
+        [(qid, int(msm)) for qid, _g, msm in queries],
+        "query_id string, msm int",
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(native_tokens_expr(F.col(text_col)))
+        ).alias("term"),
+    )
+    matched = (
+        toks.join(F.broadcast(qdf), "term")
+        .groupBy(id_col, "query_id")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("required"), F.col("group_id"))
+            ).alias("matched_required")
+        )
+    )
+    return (
+        matched.join(F.broadcast(msm_df), "query_id")
+        .filter(F.col("matched_required") >= F.col("msm"))
+        .select(id_col, "query_id")
+    )

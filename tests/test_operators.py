@@ -474,3 +474,39 @@ def test_rrf_fuse_semantics(spark):
     assert top == [1, 3, 2]
     with pytest.raises(ValueError, match="at least one"):
         similarity.rrf_fuse([])
+
+
+def test_percolate_clause_gates_and_broadcast(spark):
+    from gazetteer_search_spark.operators.percolate import percolate
+    from gazetteer_search_spark.plans import assert_no_cartesian, uses_broadcast_join
+    from gazetteer_search_spark.search.engine import TermGroup
+
+    def g(gid, terms, required=True):
+        return TermGroup(group_id=gid, terms=tuple(terms), required=required)
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha only here"),
+            (2, "beta delta"),
+            (3, "nothing relevant"),
+        ],
+        "doc_id long, content string",
+    )
+    regs = [
+        ("both", [g(0, ["alpha"]), g(1, ["beta"])], 2),
+        ("either", [g(0, ["alpha", "delta"])], 1),
+    ]
+    out = percolate(spark, docs, regs)
+    got = {(r.doc_id, r.query_id) for r in out.collect()}
+    assert got == {(0, "both"), (0, "either"), (1, "either"), (2, "either")}
+    uses_broadcast_join(out)
+    assert_no_cartesian(out)
+    # dis_max semantics: two terms of one group count as ONE clause
+    one = percolate(
+        spark, docs, [("dm", [g(0, ["alpha", "beta"]), g(1, ["gamma"])], 2)]
+    )
+    assert {r.doc_id for r in one.collect()} == {0}
+    import pytest as _pt
+    with _pt.raises(ValueError, match="registry"):
+        percolate(spark, docs, [])
