@@ -76,3 +76,36 @@ def percolate(
         .filter(F.col("matched_required") >= F.col("msm"))
         .select(id_col, "query_id")
     )
+
+
+def percolate_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    queries: list[tuple[str, list, int]],
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+):
+    """Streaming percolation — routing at INGEST: every micro-batch of the
+    document stream is matched against the registry and the (doc, query)
+    matches append to a parquet sink. foreachBatch + checkpoint gives the
+    engine-managed exactly-once batch boundary (same contract as
+    segments.stream_ingest); the per-batch work is the batch percolate's
+    one broadcast join. Returns the StreamingQuery — started with
+    availableNow so a finite backlog drains and terminates; long-running
+    deployments drop the trigger."""
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        percolate(spark, batch_df, queries, text_col, id_col).write.mode(
+            "append"
+        ).parquet(out_path)
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -147,3 +147,49 @@ def test_custom_stateful_operator_accumulates_across_restarts(spark, tmp_path):
     shutil.copy(f"{SF}/events.parquet", src / "b.parquet")
     got2 = run("t_state_2")
     assert got2 == {u: (2 * n, round(2 * t, 4)) for u, (n, t) in want.items()}
+
+
+def test_stream_percolate_routes_batches(spark, tmp_path):
+    """Percolation at ingest (operators/percolate.percolate_stream): the
+    streamed match set equals the batch percolate over the same docs, and a
+    second drained backlog appends its own matches exactly once."""
+    from gazetteer_search_spark.operators.percolate import (
+        percolate,
+        percolate_stream,
+    )
+    from gazetteer_search_spark.search.engine import TermGroup
+
+    def g(gid, terms):
+        return TermGroup(group_id=gid, terms=tuple(terms), required=True)
+
+    regs = [("evt", [g(0, ["alpha"]), g(1, ["beta"])], 2)]
+    docs = spark.createDataFrame(
+        [(i, "alpha beta" if i % 3 == 0 else "alpha only") for i in range(30)],
+        "doc_id long, content string",
+    )
+    src = tmp_path / "perc_in"
+    src.mkdir()
+    docs.write.mode("overwrite").parquet(str(src / "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out, ckpt = str(tmp_path / "perc_out"), str(tmp_path / "perc_ckpt")
+    percolate_stream(spark, stream, regs, out, ckpt).awaitTermination(120)
+    got = {(r.doc_id, r.query_id) for r in spark.read.parquet(out).collect()}
+    want = {(r.doc_id, r.query_id) for r in percolate(spark, docs, regs).collect()}
+    assert got == want and len(got) == 10
+
+    more = spark.createDataFrame(
+        [(100, "beta alpha again")], "doc_id long, content string"
+    )
+    more.write.mode("overwrite").parquet(str(src / "b2"))
+    stream2 = (
+        spark.readStream.schema("doc_id long, content string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    percolate_stream(spark, stream2, regs, out, ckpt).awaitTermination(120)
+    after = {(r.doc_id, r.query_id) for r in spark.read.parquet(out).collect()}
+    assert after == want | {(100, "evt")}
