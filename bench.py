@@ -514,6 +514,27 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     similarity.cosine_topk_query(emb, qv, k=10).collect()
     timings["cosine_topk"] = time.perf_counter() - t
 
+    # cluster closure over the near-dup pairs (alternating star, round 5):
+    # pairs materialize once (untimed — the mining cost is dedup_minhash's
+    # line); the timed part is the O(log^2 n) component rounds
+    from gazetteer_search_spark.operators import graph, packing
+
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=1, num_hashes=32, bands=4, threshold=0.8
+    ).persist()
+    pairs.count()
+    t = time.perf_counter()
+    graph.dup_clusters(pairs).count()
+    timings["dup_clusters"] = time.perf_counter() - t
+    pairs.unpersist()
+
+    # concat-and-chunk sequence packing (round 5): one window + one explode
+    t = time.perf_counter()
+    packing.pack_sequences(
+        docs.select("doc_id", "lang", "text"), budget=2048, group_col="lang"
+    ).count()
+    timings["pack_sequences"] = time.perf_counter() - t
+
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(qout, ignore_errors=True)
     spark.stop()
