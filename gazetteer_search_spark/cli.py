@@ -292,6 +292,149 @@ def cmd_export(args: argparse.Namespace) -> None:
     print(json.dumps({"out": args.out, "rows": int(n)}))
 
 
+def _read_source(spark: SparkSession, args: argparse.Namespace):
+    return (
+        spark.read.table(args.table)
+        if getattr(args, "table", None)
+        else spark.read.parquet(args.source)
+    )
+
+
+def cmd_dedup(args: argparse.Namespace) -> None:
+    """Deduplication batch job (LLM-pipeline family): mine near-dup pairs
+    (minhash | simhash | jaccard), or exact-dedup, over a documents-shaped
+    table. --drop-dups closes the pairs into clusters (alternating-star
+    connected components) and writes the corpus with every
+    non-representative member removed; otherwise the pairs/cluster table
+    itself is the output."""
+    from gazetteer_search_spark.operators import dedup, graph
+
+    spark = _spark("gss-dedup")
+    d = _read_source(spark, args)
+    if args.method == "exact":
+        out_df = dedup.exact_dedup(d, text_col=args.text_col, id_col=args.id_col)
+        out_df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": out_df.count(),
+                          "method": "exact"}))
+        return
+    if args.method == "minhash":
+        pairs = dedup.minhash_lsh_pairs(
+            d, n=args.ngram, num_hashes=args.num_hashes, bands=args.bands,
+            threshold=args.threshold, text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    elif args.method == "simhash":
+        pairs = dedup.simhash_pairs(
+            d, max_hamming=args.max_hamming, text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    else:  # jaccard (exact, bounded — the small-corpus verifier)
+        pairs = dedup.ngram_jaccard_pairs(
+            d, n=args.ngram, threshold=args.threshold,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+    if args.drop_dups:
+        kept = graph.dedup_by_clusters(d, pairs, id_col=args.id_col)
+        kept.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": kept.count(),
+                          "method": args.method, "dropped_dups": True}))
+    else:
+        pairs.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "pairs": pairs.count(),
+                          "method": args.method}))
+
+
+def cmd_pack(args: argparse.Namespace) -> None:
+    """Sequence-packing batch job: concat-and-chunk the per-group token
+    streams into exact --budget-token training slices (one window cumsum +
+    one explode); prints the sequence-manifest rollup."""
+    from gazetteer_search_spark.operators import packing
+
+    spark = _spark("gss-pack")
+    d = _read_source(spark, args)
+    packed = packing.pack_sequences(
+        d, budget=args.budget, group_col=args.group_col or None,
+        text_col=args.text_col, id_col=args.id_col,
+    )
+    packed.write.mode("overwrite").parquet(args.out)
+    man = packing.sequence_manifest(spark.read.parquet(args.out))
+    n_seq, n_tok = man.agg(
+        F.count("*"), F.sum("n_tokens")
+    ).collect()[0]
+    print(json.dumps({
+        "out": args.out, "budget": args.budget,
+        "sequences": int(n_seq), "tokens": int(n_tok),
+    }))
+
+
+def cmd_sample(args: argparse.Namespace) -> None:
+    """Deterministic content-addressed sampling: uniform --rate, per-stratum
+    --rates (en=0.1,zh=1.0), or target --mixture shares (en=0.5,fr=0.5 —
+    bottleneck stratum kept whole). Same row keeps its fate on every run
+    and cluster size."""
+    from gazetteer_search_spark.operators import sampling
+
+    spark = _spark("gss-sample")
+    d = _read_source(spark, args)
+
+    def _parse(kvs: str) -> dict[str, float]:
+        return {k: float(v) for k, v in (p.split("=", 1) for p in kvs.split(","))}
+
+    if args.mixture:
+        out_df = sampling.mixture_sample(
+            d, args.strata, _parse(args.mixture),
+            key_col=args.id_col, salt=args.salt,
+        )
+    elif args.rates:
+        out_df = sampling.stratified_sample(
+            d, args.strata, _parse(args.rates),
+            default_rate=args.default_rate, key_col=args.id_col,
+            salt=args.salt,
+        )
+    else:
+        out_df = sampling.hash_sample(
+            d, args.rate, key_col=args.id_col, salt=args.salt
+        )
+    out_df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"out": args.out, "rows": out_df.count()}))
+
+
+def cmd_percolate(args: argparse.Namespace) -> None:
+    """Percolation batch job (reverse search): match every source doc
+    against a JSON registry of stored queries; one broadcast join. Registry
+    file: [{"id": "q1", "msm": 2, "groups": [{"group_id": 0, "terms":
+    ["merge"], "required": true}, ...]}, ...]."""
+    from gazetteer_search_spark.operators.percolate import percolate
+    from gazetteer_search_spark.search.engine import TermGroup
+
+    spark = _spark("gss-percolate")
+    d = _read_source(spark, args)
+    with open(args.queries) as f:
+        raw = json.load(f)
+    regs = [
+        (
+            q["id"],
+            [
+                TermGroup(
+                    group_id=int(g["group_id"]),
+                    terms=tuple(g["terms"]),
+                    required=bool(g.get("required", True)),
+                )
+                for g in q["groups"]
+            ],
+            int(q.get("msm", sum(1 for g in q["groups"] if g.get("required", True)))),
+        )
+        for q in raw
+    ]
+    out_df = percolate(
+        spark, d, regs, text_col=args.text_col, id_col=args.id_col
+    )
+    out_df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({
+        "out": args.out, "matches": out_df.count(), "queries": len(regs),
+    }))
+
+
 def cmd_mlt(args: argparse.Namespace) -> None:
     """More-like-this at the CLI (HTTP twin: GET /mlt): rank docs similar to
     free text (--text) or to an indexed doc's stored content (--doc-id;
@@ -601,6 +744,60 @@ def main(argv: list[str] | None = None) -> None:
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    def _src_args(p, with_text=True):
+        g = p.add_mutually_exclusive_group(required=True)
+        g.add_argument("--source", help="parquet path of the input table")
+        g.add_argument("--table", help="catalog table name")
+        p.add_argument("--out", required=True)
+        p.add_argument("--id-col", dest="id_col", default="doc_id")
+        if with_text:
+            p.add_argument("--text-col", dest="text_col", default="text")
+
+    dd = sub.add_parser("dedup", help="near-dup mining / corpus dedup")
+    _src_args(dd)
+    dd.add_argument("--method", default="minhash",
+                    choices=["exact", "minhash", "simhash", "jaccard"])
+    dd.add_argument("--threshold", type=float, default=0.8)
+    dd.add_argument("--ngram", type=int, default=3)
+    dd.add_argument("--num-hashes", dest="num_hashes", type=int, default=32)
+    dd.add_argument("--bands", type=int, default=8)
+    dd.add_argument("--max-hamming", dest="max_hamming", type=int, default=3)
+    dd.add_argument(
+        "--drop-dups", dest="drop_dups", action="store_true",
+        help="close pairs into clusters (connected components) and write "
+        "the corpus keeping only each cluster's minimum-id representative",
+    )
+    dd.set_defaults(fn=cmd_dedup)
+
+    pk = sub.add_parser("pack", help="concat-and-chunk sequence packing")
+    _src_args(pk)
+    pk.add_argument("--budget", type=int, required=True,
+                    help="tokens per training sequence")
+    pk.add_argument("--group-col", dest="group_col", default=None,
+                    help="pack per-stratum streams (parallelism = strata)")
+    pk.set_defaults(fn=cmd_pack)
+
+    sm = sub.add_parser("sample", help="deterministic hash sampling")
+    _src_args(sm, with_text=False)
+    sm.add_argument("--rate", type=float, default=None,
+                    help="uniform keep fraction")
+    sm.add_argument("--strata", help="stratum column for --rates/--mixture")
+    sm.add_argument("--rates", help="per-stratum rates, e.g. en=0.1,zh=1.0")
+    sm.add_argument("--mixture",
+                    help="target output shares, e.g. en=0.5,fr=0.3,zh=0.2 "
+                    "(bottleneck stratum kept whole)")
+    sm.add_argument("--default-rate", dest="default_rate", type=float,
+                    default=0.0)
+    sm.add_argument("--salt", type=int, default=0)
+    sm.set_defaults(fn=cmd_sample)
+
+    pc = sub.add_parser("percolate", help="reverse search: registry routing")
+    _src_args(pc)
+    pc.add_argument("--queries", required=True,
+                    help="JSON registry: [{id, msm, groups: [{group_id, "
+                    "terms, required}]}]")
+    pc.set_defaults(fn=cmd_percolate)
 
     sv = sub.add_parser("serve")
     sv.add_argument("--index", required=True)
