@@ -374,6 +374,14 @@ def cmd_sample(args: argparse.Namespace) -> None:
     and cluster size."""
     from gazetteer_search_spark.operators import sampling
 
+    modes = [m for m in (args.rate, args.rates, args.mixture) if m is not None]
+    if len(modes) != 1:
+        print(json.dumps({"error": "pick exactly one of --rate / --rates / "
+                                    "--mixture"}))
+        sys.exit(2)
+    if (args.rates or args.mixture) and not args.strata:
+        print(json.dumps({"error": "--rates/--mixture need --strata COL"}))
+        sys.exit(2)
     spark = _spark("gss-sample")
     d = _read_source(spark, args)
 

@@ -47,10 +47,12 @@ def numeric_stats(
         F.round(F.avg(col), 6).alias("mean"),
     ]
     for p in percentiles:
+        # %g label: float-exact for the common grid (0.29 -> p29, not the
+        # int()-truncated p28) and collision-free for finer ones
+        # (0.999 -> p99_9 vs 0.99 -> p99)
+        label = f"p{p * 100:g}".replace(".", "_")
         aggs.append(
-            F.round(F.percentile(F.col(col), F.lit(p)), 6).alias(
-                f"p{int(p * 100)}"
-            )
+            F.round(F.percentile(F.col(col), F.lit(p)), 6).alias(label)
         )
     return df.agg(*aggs)
 

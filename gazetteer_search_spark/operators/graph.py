@@ -109,10 +109,10 @@ def connected_components(
         )
         if unresolved == 0:
             break
-        e = stars.select("u", "v") if set(stars.columns) == {"u", "v"} else (
-            stars.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-                stars.select(F.col("b").alias("u"), F.col("a").alias("v"))
-            ).distinct()
+        e = (
+            stars.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .union(stars.select(F.col("b").alias("u"), F.col("a").alias("v")))
+            .distinct()
         )
     else:
         raise RuntimeError(

@@ -64,7 +64,14 @@ def pack_sequences(
         grp.alias("pack_group"),
         tok.cast("long").alias("n_tok"),
     ).filter(F.col("n_tok") > 0)
-    w = Window.partitionBy("pack_group").orderBy("doc_id")
+    # ROWS frame, not the default RANGE: duplicate ids within a group must
+    # each see only the rows BEFORE them, or tied rows both absorb both
+    # token counts and slices overlap (the DuckDB oracle pins ROWS too)
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     c = base.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
         "start", F.col("cum") - F.col("n_tok")
     )

@@ -89,19 +89,23 @@ def percolate_stream(
 ):
     """Streaming percolation — routing at INGEST: every micro-batch of the
     document stream is matched against the registry and the (doc, query)
-    matches append to a parquet sink. foreachBatch + checkpoint gives the
-    engine-managed exactly-once batch boundary (same contract as
-    segments.stream_ingest); the per-batch work is the batch percolate's
-    one broadcast join. Returns the StreamingQuery — started with
-    availableNow so a finite backlog drains and terminates; long-running
-    deployments drop the trigger."""
+    matches land in a parquet sink. foreachBatch delivers batches
+    AT-LEAST-ONCE, so the sink must be idempotent to reach exactly-once:
+    each batch OVERWRITES its own ``batch=<id>`` partition directory — a
+    replayed batch rewrites the same directory instead of appending
+    duplicates (the same batch-id-keyed idempotence Spark's own file sink
+    uses). Read the sink as one partitioned dataset
+    (``spark.read.parquet(out_path)`` — ``batch`` surfaces as a partition
+    column). Returns the StreamingQuery — started with availableNow so a
+    finite backlog drains and terminates; long-running deployments drop the
+    trigger."""
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         percolate(spark, batch_df, queries, text_col, id_col).write.mode(
-            "append"
-        ).parquet(out_path)
+            "overwrite"
+        ).parquet(f"{out_path}/batch={int(batch_id)}")
 
     return (
         stream_df.writeStream.foreachBatch(_sink)

@@ -103,7 +103,10 @@ def mixture_sample(
             f"mixture_sample: no rows in any requested stratum {sorted(shares)}"
         )
     t = min(counts[s] / shares[s] for s in counts)
-    rates = {s: shares[s] * t / counts[s] for s in counts}
+    # the bottleneck stratum's rate is 1.0 by construction but can float-
+    # round a hair above (e.g. 0.3 * (7 / 0.3) / 7 = 1.0000000000000002) —
+    # clamp; the integer threshold is unchanged (int(1.0 * M) == M)
+    rates = {s: min(1.0, shares[s] * t / counts[s]) for s in counts}
     return stratified_sample(
         df, strata_col, rates, default_rate=0.0,
         key_col=key_col, salt=salt, hash_fn=hash_fn,

@@ -774,9 +774,12 @@ class SearchEngine:
         Output (term, fg_count, bg_count, score), top ``size`` by
         (score desc, term)."""
         options = options or SearchOptions()
-        m = self.match_set(groups, msm, options).select("doc_id")
+        # persist: fg_total's count and the fg semi-join share ONE match-set
+        # computation instead of re-running the corpus-shaped gate twice
+        m = self.match_set(groups, msm, options).select("doc_id").persist()
         fg_total = m.count()
         if fg_total == 0:
+            m.unpersist()
             return self.spark.createDataFrame(
                 [], "term string, fg_count long, bg_count long, score double"
             )

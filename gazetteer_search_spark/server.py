@@ -769,7 +769,7 @@ def _make_handler(
             docs, ES refresh semantics. Needs a Spark-backed server (the
             micro-batch build's tokenize pass is one Spark job); Spark-free
             nodes answer 501 and defer to the add-segment CLI."""
-            nonlocal engine
+            nonlocal engine, mtime, last_modified
             spark = getattr(engine, "spark", None)
             if index_path is None or spark is None:
                 self._send(
@@ -813,8 +813,15 @@ def _make_handler(
                         rows, "repo string, path string, commit string, "
                         "lang string, content string",
                     )
+                    import time as _time
+
                     seg_idx = _segs.add_segment(spark, batch, index_path)
                     engine = _segs.open_multi_search(index_path, spark)
+                    # refresh the conditional-GET watermark: a client whose
+                    # If-Modified-Since predates this ingest must get a
+                    # fresh 200, not a stale 304 of the pre-bulk corpus
+                    mtime = _time.time()
+                    last_modified = formatdate(mtime, usegmt=True)
                 self._send(
                     200,
                     {

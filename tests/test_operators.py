@@ -510,3 +510,41 @@ def test_percolate_clause_gates_and_broadcast(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="registry"):
         percolate(spark, docs, [])
+
+
+def test_mixture_sample_bottleneck_rate_float_edge(spark):
+    # shares/counts whose bottleneck rate float-rounds above 1.0
+    # (0.3 * (7 / 0.3) / 7 = 1.0000000000000002) must not raise
+    from gazetteer_search_spark.operators import sampling
+
+    rows = [(i, "en") for i in range(7)] + [(100 + i, "fr") for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.mixture_sample(d, "lang", {"en": 0.3, "fr": 0.7})
+    got = {r.lang: r.c for r in out.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert got["en"] == 7  # bottleneck stratum kept whole
+
+
+def test_numeric_stats_percentile_labels(spark):
+    from gazetteer_search_spark.operators import aggs
+
+    d = spark.range(0, 101).select(F.col("id").alias("v"))
+    row = aggs.numeric_stats(d, "v", (0.29, 0.99, 0.999)).collect()[0]
+    # 0.29 must not truncate to p28; 0.99 vs 0.999 must not collide
+    assert set(row.asDict()) >= {"p29", "p99", "p99_9"}
+    assert row.p29 == pytest.approx(29.0)
+
+
+def test_pack_sequences_duplicate_ids_rows_frame(spark):
+    # two rows sharing (group, id): the ROWS frame must give each its own
+    # prefix sum — slices tile without overlap and mass is conserved
+    from gazetteer_search_spark.operators import packing
+
+    d = spark.createDataFrame(
+        [(1, "g", 5), (1, "g", 5), (2, "g", 5)],
+        "doc_id long, grp string, n long",
+    )
+    packed = packing.pack_sequences(d, budget=8, token_col="n", group_col="grp")
+    total = packed.agg(F.sum("n_slice")).collect()[0][0]
+    assert total == 15
+    man = packing.sequence_manifest(packed).orderBy("seq_id").collect()
+    assert [r.n_tokens for r in man] == [8, 7]
