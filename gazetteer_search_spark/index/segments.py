@@ -598,6 +598,28 @@ class MultiExecutor:
         (tombstones masked at decode), so per-generation counts sum."""
         return sum(s.match_count(groups, msm, options) for s in self.subs)
 
+    def explain_hits(self, ids, groups) -> list[tuple]:
+        """Per-hit explanation across generations: every live doc exists in
+        exactly ONE generation (tombstone masks kill superseded copies at
+        decode), so the per-generation point-lookups concatenate exactly."""
+        rows: list[tuple] = []
+        for s in self.subs:
+            rows.extend(s.explain_hits(ids, groups))
+        rows.sort()
+        return rows
+
+    def group_max_scores(self, ids, groups) -> dict[int, float]:
+        """Rescore's secondary scorer across generations: disjoint live docs
+        -> the per-generation dicts never share a key, plain union."""
+        out: dict[int, float] = {}
+        for s in self.subs:
+            out.update(s.group_max_scores(ids, groups))
+        return out
+
+    def explain_rung(self, groups, msm: int, options) -> list[tuple]:
+        hits = self.search_rung(groups, msm, options)
+        return self.explain_hits([h.doc_id for h in hits], groups)
+
     def df_for_terms(self, terms: list[str]) -> dict[str, int]:
         """Per-generation df summed per term (same df-with-deletes semantics
         as suggest) — more-like-this term selection over a multi-generation

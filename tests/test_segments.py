@@ -494,3 +494,45 @@ def test_multigen_suggest_df_semantics(spark, tmp_path_factory):
     assert exact and set(exact) <= set(multi)
     for t, df in exact.items():
         assert multi[t] >= df
+
+
+def test_multigen_rescore_and_explain(spark, base, tmp_path_factory):
+    """Rescore + explain over a MULTI-GENERATION engine: the secondary
+    point-lookup and the explanation rows span generations (every live doc
+    in exactly one), the rescore score invariant reconstructs, and a
+    superseded doc's old copy never contributes."""
+    import shutil
+
+    from gazetteer_search_spark.search.engine import TermGroup
+
+    root0, corpus0, _ = base
+    root = str(tmp_path_factory.mktemp("seg_rescore"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    segments.add_segment(
+        spark, _v(corpus0, 0, 40, "v2", extra="rescoremark"), root, n_buckets=4
+    )
+    eng = segments.open_multi_search(root)  # Spark-free multi-gen
+    g = [TermGroup(group_id=0, terms=("merge",), required=True)]
+    sec = [TermGroup(group_id=0, terms=("rescoremark",), required=True)]
+    opts = SearchOptions(k=20, prefix=False, fuzzy=False)
+    hits = eng.rescore_rows(g, 1, sec, window_size=60, rescore_weight=5.0,
+                            options=opts)
+    assert hits
+    prim = {h.doc_id: h.score
+            for h in eng._local.search_rung(g, 1, SearchOptions(k=60, prefix=False))}
+    smap = eng._local.group_max_scores(list(prim), sec)
+    assert smap  # segment-resident docs matched the secondary
+    for h in hits:
+        want = prim[h.doc_id] + 5.0 * smap.get(h.doc_id, 0.0)
+        assert h.score == pytest.approx(want, abs=1e-9)
+    # explain across generations: every primary-page hit's score
+    # reconstructs as sum over clauses of max(weighted)
+    page = eng._local.search_rung(g, 1, opts)[:5]
+    exp = eng._local.explain_hits([h.doc_id for h in page], g)
+    per: dict[tuple, float] = {}
+    for d, _t, gid, _c, w in exp:
+        per[(d, gid)] = max(per.get((d, gid), float("-inf")), w)
+    for h in page:
+        got = sum(v for (d, _), v in per.items() if d == h.doc_id)
+        assert got == pytest.approx(round(h.score, 4), abs=2e-3)
