@@ -602,6 +602,14 @@ def main() -> None:
             ratio = results[hi]["build_docs_per_sec"] / results[lo]["build_docs_per_sec"]
             effs[f"{lo}->{hi}"] = ratio / (hi / lo)
         os.makedirs("BENCH", exist_ok=True)
+        # preserve the hand-written "## Round-N notes" history: the ladder only
+        # owns the header/tables ABOVE the first "## " section
+        notes = ""
+        if os.path.exists("BENCH/BASELINE.md"):
+            old = open("BENCH/BASELINE.md").read()
+            idx = old.find("\n## ")
+            if idx >= 0:
+                notes = old[idx:]
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
                 "# BENCH/BASELINE — scaling evidence (CPU-pinned local[N] ladder)\n\n"
@@ -635,6 +643,7 @@ def main() -> None:
                     for k in results[cores[0]]["timings"]
                     if k != "index_build"
                 )
+                + notes
             )
         print(json.dumps({
             "scaling_efficiency": effs,

@@ -84,8 +84,11 @@ def connected_components(
     """(node, comp) for every node that appears in ``pairs``; ``comp`` is the
     MINIMUM node id of the node's connected component (so comp is a stable,
     deterministic representative). Alternating large-star/small-star until
-    the star forest is flat (every edge points at a root), checked with one
-    distributed anti-join per round — never a driver-side union-find."""
+    the star output is a TRUE disjoint star forest: flat (no parent is also
+    a child) AND parent-unique (no child keeps two parents — a two-parent
+    node is a live bridge between two not-yet-merged roots, so flatness
+    alone stops early and splits the component). Both checks are
+    distributed counts — never a driver-side union-find."""
     e0 = (
         pairs.select(
             F.col(a_col).cast("long").alias("u"),
@@ -100,14 +103,26 @@ def connected_components(
     for _ in range(max_iter):
         e = _star_checkpoint(_large_star(e))
         stars = _star_checkpoint(_small_star(e))
-        # converged iff no edge target is itself a child: roots only as b
+        # converged iff stars is a disjoint star forest:
+        #   (1) flat — no parent (b) is itself a child (a)
+        #   (2) parent-unique — no child points at two parents (two parents
+        #       witness an un-merged path between two roots, e.g. the graph
+        #       {5-6, 5-7, 1-6, 2-7} flattens to {(5,1),(5,2),(6,1),(7,2)}
+        #       after one round: flat, but 5 still bridges roots 1 and 2)
         children = stars.select(F.col("a").alias("n")).distinct()
-        unresolved = (
+        flat_viol = (
             stars.select(F.col("b").alias("n")).distinct()
             .join(children, "n", "left_semi")
-            .count()
+            .select(F.lit(1).alias("one"))
         )
-        if unresolved == 0:
+        multi_parent_viol = (
+            stars.groupBy("a")
+            .agg(F.count_distinct("b").alias("nb"))
+            .filter(F.col("nb") > 1)
+            .select(F.lit(1).alias("one"))
+        )
+        # one early-exit action over the (checkpointed) stars, not two counts
+        if flat_viol.unionByName(multi_parent_viol).isEmpty():
             break
         e = (
             stars.select(F.col("a").alias("u"), F.col("b").alias("v"))

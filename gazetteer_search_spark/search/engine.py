@@ -760,6 +760,7 @@ class SearchEngine:
         options: SearchOptions | None = None,
         size: int = 10,
         min_doc_count: int = 2,
+        eager: bool = True,
     ) -> DataFrame:
         """ES significant_terms agg analog (beyond reference): content terms
         OVER-represented in the query's match set relative to the corpus.
@@ -799,7 +800,7 @@ class SearchEngine:
         fgp = F.col("fg_count") / F.lit(ft)
         bgp = F.col("bg_count") / F.lit(n)
         score = (fgp - bgp) * (fgp / bgp)
-        return (
+        plan = (
             fg.join(bg, "term")
             .filter(F.col("fg_count") >= F.lit(int(min_doc_count)))
             .filter(fgp > bgp)
@@ -811,6 +812,19 @@ class SearchEngine:
             .orderBy(F.col("_key").desc(), F.col("term").asc())
             .limit(size)
             .drop("_key")
+        )
+        # the result is <= size rows — materialize it now (eager=True, the
+        # default) so the persisted match set can be released; a lazily
+        # returned plan pins the cached match set for the caller's lifetime
+        # (a leak on a long-running server). eager=False hands back the raw
+        # plan for plan-shape audits — the caller owns unpersisting ``m``
+        # (match_set is deterministic, so a later unpersist is safe).
+        if not eager:
+            return plan
+        rows = plan.collect()
+        m.unpersist()
+        return self.spark.createDataFrame(
+            rows, "term string, fg_count long, bg_count long, score double"
         )
 
     def count_matches(

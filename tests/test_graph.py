@@ -98,6 +98,32 @@ def test_dedup_by_clusters_keeps_min_and_untouched_rows(spark):
     assert kept == [0, 1, 4, 5, 6, 7, 9]
 
 
+def test_bridge_node_does_not_split_component(spark):
+    # regression: {5-6, 5-7, 1-6, 2-7} flattens after one star round to
+    # {(5,1),(5,2),(6,1),(7,2)} — flat (no parent is a child) but node 5
+    # keeps TWO parents, i.e. roots 1 and 2 are still bridged. The old
+    # flatness-only convergence check stopped here and split the single
+    # true component {1,2,5,6,7} into {1,5,6} and {2,5,7} (node 5 in both).
+    _assert_matches(spark, [(5, 6), (5, 7), (1, 6), (2, 7)])
+
+
+def test_sparse_tree_graphs_match_union_find(spark):
+    # sparse trees maximize the chance of flat-but-multi-parent interim
+    # states (dense graphs merge labels fast); random forests over a small
+    # id space stress the convergence check rather than the merge path
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 80
+        nodes = list(range(n))
+        rng.shuffle(nodes)
+        edges = [
+            (nodes[i], nodes[rng.randrange(0, i)])
+            for i in range(1, n)
+            if rng.random() < 0.7  # drop some edges -> forest, not one tree
+        ]
+        _assert_matches(spark, edges)
+
+
 def test_non_convergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(40)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="no convergence"):

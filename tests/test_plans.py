@@ -150,5 +150,5 @@ def test_significant_terms_no_cartesian_and_pruned_match(spark, index):
 
     eng = SearchEngine(spark, index)
     g = [TermGroup(group_id=0, terms=("merge",), required=True)]
-    df = eng.significant_terms(g, 1, SearchOptions(), size=5)
+    df = eng.significant_terms(g, 1, SearchOptions(), size=5, eager=False)
     assert_no_cartesian(df)
