@@ -202,26 +202,20 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    threshold: float = 0.7,
+def band_rows_from_sigs(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Banded LSH candidate generation + exact Jaccard verification.
-
-    Candidates = pairs agreeing on at least one band (rows_per_band =
-    num_hashes/bands). Verification recomputes true n-gram Jaccard only for
-    candidates — the sub-quadratic scale path for near-dup at 100 TB."""
+    """(doc_id, band, bucket) LSH band rows from a (doc_id, sig) signature
+    table — rows_per_band = num_hashes/bands consecutive signature slots
+    hash into one bucket per band. Shared by the batch pair generator and
+    the streaming ingest registry (same family => same buckets, so
+    signatures persisted by one are probe-able by the other)."""
     assert num_hashes % bands == 0
     rpb = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
-
-    band_rows = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -238,6 +232,27 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Banded LSH candidate generation + exact Jaccard verification.
+
+    Candidates = pairs agreeing on at least one band (rows_per_band =
+    num_hashes/bands). Verification recomputes true n-gram Jaccard only for
+    candidates — the sub-quadratic scale path for near-dup at 100 TB."""
+    assert num_hashes % bands == 0
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_fn)
+
+    band_rows = band_rows_from_sigs(sig, num_hashes, bands, hash_fn)
 
     a = band_rows.alias("a")
     b_ = band_rows.alias("b")
