@@ -1568,6 +1568,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), max_hamming=8, bands=16, hash_fn="md5_60"
         )
 
+    def stream_neardup(spark, sf):
+        # incremental near-dup at ingest (streaming/neardup.py): even ids
+        # play the ACCEPTED signature registry, odd ids the incoming batch.
+        # Flags = LSH band candidates (vs registry + earlier-in-batch)
+        # gated on the MinHash slot-agreement Jaccard estimate; md5_60 so
+        # the oracle recomputes signatures, bands and the estimate in SQL.
+        from gazetteer_search_spark.streaming.neardup import flag_batch
+
+        docs = _docs(spark, sf)
+        reg = dedup.minhash_signatures(
+            docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id",
+            n=1, num_hashes=32, hash_fn="md5_60",
+        )
+        flags, _sigs = flag_batch(
+            spark, docs.filter(F.col("doc_id") % 2 == 1), reg,
+            n=1, num_hashes=32, bands=8, threshold=0.5, hash_fn="md5_60",
+        )
+        return flags
+
     def cosine_topk(spark, sf):
         emb = _emb(spark, sf)
         qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
@@ -1754,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         jaccard_pairs=jaccard_pairs,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
+        stream_neardup=stream_neardup,
         cosine_topk=cosine_topk,
         cosine_pairs=cosine_pairs,
         ann_lsh=ann_lsh,
@@ -2572,6 +2592,36 @@ j AS (
   FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
 SELECT id_a, id_b, round(i / (na + nb - i), 6) AS jaccard
 FROM j WHERE i / (na + nb - i) >= 0.8
+"""
+
+    _agree = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(_mh_hashes)
+    )
+    o["stream_neardup"] = f"""
+WITH sh AS (SELECT DISTINCT doc_id, unnest({_w}) AS shingle FROM documents),
+sig AS (SELECT doc_id,
+         {_sig_aggs}
+        FROM sh GROUP BY doc_id),
+bandrows AS (
+  {_band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id
+  FROM bandrows a JOIN bandrows b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1 AND a.doc_id > b.doc_id),
+est AS (
+  SELECT c.doc_id, c.dup_of,
+         round(({_agree}) / 32.0, 6) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_id
+  JOIN sig sb ON sb.doc_id = c.dup_of)
+SELECT doc_id, dup_of, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
     _sim_bits = 60  # md5_60 tops out at bit 59; bits 60..63 sum negative -> 0
