@@ -102,8 +102,12 @@ def flag_against_sigs(
     pairs = None
     if registry_sigs is not None:
         rband = band_rows_from_sigs(registry_sigs, num_hashes, bands, hash_fn)
+        # scale shape: the REGISTRY side is the accepted corpus (up to 10^9
+        # docs) and must not reshuffle per micro-batch — broadcast the
+        # bounded micro-batch's band rows so the registry probe is one
+        # shuffle-free scan (BroadcastHashJoin, registry streamed)
         pairs = (
-            bband.alias("a")
+            F.broadcast(bband.alias("a"))
             .join(
                 rband.alias("b"),
                 (F.col("a.band") == F.col("b.band"))
@@ -136,9 +140,14 @@ def flag_against_sigs(
         if registry_sigs is None
         else registry_sigs.unionByName(batch_sigs)
     )
+    # pairs is candidate-sized (band agreements only) — broadcast it through
+    # both signature joins so the registry-sized all_sigs side never shuffles
     return (
-        pairs.join(
-            batch_sigs.select("doc_id", F.col("sig").alias("sig_a")), "doc_id"
+        F.broadcast(
+            pairs.join(
+                batch_sigs.select("doc_id", F.col("sig").alias("sig_a")),
+                "doc_id",
+            )
         )
         .join(
             all_sigs.select(

@@ -69,6 +69,26 @@ def test_registry_probe_equals_within_batch_split(spark):
     assert got == want
 
 
+def test_registry_probe_plan_broadcasts_batch_never_registry(spark):
+    """Scale contract: the registry is the accepted corpus (up to 10^9
+    docs) and must not reshuffle per micro-batch — every join in the flag
+    plan broadcasts the bounded micro-batch/candidate side, so the plan
+    contains BroadcastHashJoins and ZERO SortMergeJoins (a sort-merge join
+    would shuffle the registry on every batch)."""
+    from gazetteer_search_spark.plans import explain_str
+
+    docs = _docs(spark)
+    reg = minhash_signatures(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id", n=1
+    )
+    flags, _ = flag_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), reg, threshold=0.5
+    )
+    plan = explain_str(flags, mode="simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def _stage(df, dst):
     """One parquet FILE (not directory) for the file-stream source."""
     tmp = str(dst) + ".stage"
