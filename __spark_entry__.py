@@ -998,6 +998,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def boosting_demote(spark, sf):  # ES boosting-query analog (negative
+        # boost): docs matching the demote term stay in the set but their
+        # score multiplies by the factor BEFORE the k-cut — must_not's
+        # softer sibling (same membership read, rescale instead of drop)
+        return _topk_out(
+            _engine(spark, sf).search_rung(
+                [_grp(0, ["spark"])], 1,
+                SearchOptions(demote_terms=("merge",), demote_factor=0.5),
+            )
+        )
+
     def optional_demotion(spark, sf):  # optional-term machinery analog (A6)
         g = [_grp(0, ["the"], required=False, weight=0.5), _grp(1, ["merge"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 1, SearchOptions()))
@@ -1275,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         trim=trim,
         single_term=single_term,
         must_not=must_not,
+        boosting_demote=boosting_demote,
         multi_term_and=multi_term_and,
         snippet=snippet,
         min_should_match_2=min_should_match_2,
@@ -2172,6 +2184,15 @@ ORDER BY doc_count DESC, value ASC LIMIT 10
         1,
         extra_where=(
             "AND p.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'merge')"
+        ),
+    )
+    # negative boost (ES boosting query): members rescale instead of drop
+    o["boosting_demote"] = _search_sql(
+        _values_groups([("spark", 0, True, 1.0)]),
+        1,
+        boost_case=(
+            "* (CASE WHEN p.doc_id IN (SELECT doc_id FROM tf WHERE "
+            "term = 'merge') THEN 0.5 ELSE 1.0 END)"
         ),
     )
     o["distinct_name"] = _search_sql(

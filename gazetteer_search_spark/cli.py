@@ -198,6 +198,8 @@ def cmd_query(args: argparse.Namespace) -> None:
         near_path=args.near,
         exclude_langs=tuple(args.no_class.split(",")) if args.no_class else (),
         exclude_terms=_not_terms(getattr(args, "exclude", None)),
+        demote_terms=_not_terms(getattr(args, "demote", None)),
+        demote_factor=getattr(args, "demote_factor", 0.5),
     )
     t0 = time.time()
     if args.snippet or args.explain or args.rescore:
@@ -683,6 +685,16 @@ def main(argv: list[str] | None = None) -> None:
         "--not", dest="exclude", action="append", metavar="WORD",
         help="must_not clause (repeatable): drop docs matching WORD's "
         "analyzed terms; same as inline -WORD query syntax",
+    )
+    q.add_argument(
+        "--demote", action="append", metavar="WORD",
+        help="negative-boost clause (repeatable, ES boosting-query analog): "
+        "docs matching WORD's analyzed terms stay but their score "
+        "multiplies by --demote-factor before the k-cut",
+    )
+    q.add_argument(
+        "--demote-factor", type=float, default=0.5, metavar="F",
+        help="score multiplier for --demote matches (0 < F < 1; default 0.5)",
     )
     q.add_argument(
         "--snippet", type=int, nargs="?", const=1, default=0, metavar="N",

@@ -72,6 +72,14 @@ class SearchOptions:
     # Lucene-style ``-token`` query syntax (query_ir.extract_negations) or
     # set directly.
     exclude_terms: tuple[str, ...] = ()
+    # negative boost (ES ``boosting`` query analog — must_not's softer
+    # sibling): docs containing ANY of these analyzed index terms stay in
+    # the result set but have their FINAL score multiplied by
+    # ``demote_factor`` (0 < f < 1) BEFORE the k-cut, so demotion is
+    # rank-safe under truncation. The demoting terms contribute no score
+    # of their own and never relax through the ladder.
+    demote_terms: tuple[str, ...] = ()
+    demote_factor: float = 0.5
     lang_boosts: dict[str, float] = field(default_factory=dict)  # base_score analog
     trim: bool = False  # P16 post-retrieval trim (ESDefaultSearch.java:281-313)
     # keyset pagination (T3/S4): resume strictly after this (score, doc_id)
@@ -179,9 +187,14 @@ def topk_from_scored(
     docs: DataFrame | None = None,
     options: SearchOptions | None = None,
     groups: list[TermGroup] | None = None,
+    demote: tuple[DataFrame, float] | None = None,
 ) -> DataFrame:
     """Shared ranking tail: (term, doc_id, score) x groups -> gated, boosted,
     deterministic top-k. All native Catalyst expressions.
+
+    ``demote``: (doc_ids DataFrame, factor) — ES ``boosting`` negative
+    clause: member docs' summed score multiplies by the factor BEFORE the
+    rank/limit (demotion after the cut would be rank-unsafe).
 
     Fast paths (fewer shuffles per query — this is the serving hot path):
     - term->group mapping as a projection (CASE chain) instead of a broadcast
@@ -217,6 +230,7 @@ def topk_from_scored(
                     ),
                     F.sum(_group_bit()).alias("matched_mask"),
                 )
+                per_doc = _apply_demote(per_doc, demote)
                 return finalize_ranked(per_doc, min(msm, n_required), k, docs, options)
 
     if mapped is None:
@@ -234,7 +248,34 @@ def topk_from_scored(
         F.sum(F.when(F.col("required"), 1).otherwise(0)).alias("matched_required"),
         F.sum(_group_bit()).alias("matched_mask"),
     )
+    per_doc = _apply_demote(per_doc, demote)
     return finalize_ranked(per_doc, min(msm, n_required), k, docs, options)
+
+
+def _apply_demote(
+    per_doc: DataFrame, demote: tuple[DataFrame, float] | None
+) -> DataFrame:
+    """Multiply member docs' summed score by the negative-boost factor —
+    one doc_id-keyed left join (the demote set is a bucket-pruned ids-only
+    postings read, same cost class as must_not's anti-join side)."""
+    if demote is None:
+        return per_doc
+    ids_df, factor = demote
+    return (
+        per_doc.join(
+            # distinct: a doc holding several demote terms must demote ONCE
+            # (the join would otherwise duplicate its per_doc row)
+            ids_df.select("doc_id").distinct().withColumn("_dem", F.lit(True)),
+            "doc_id",
+            "left",
+        )
+        .withColumn(
+            "score",
+            F.when(F.col("_dem"), F.col("score") * F.lit(float(factor)))
+            .otherwise(F.col("score")),
+        )
+        .drop("_dem")
+    )
 
 
 def matched_clause_names(mask: int, groups: list[TermGroup]) -> list[str]:
@@ -909,6 +950,11 @@ class SearchEngine:
             for lg, w in options.lang_boosts.items():
                 boost = F.when(F.col("lang") == lg, F.lit(float(w))).otherwise(boost)
             out = out.withColumn("score", F.col("score") * boost)
+        if options.demote_terms:
+            out = _apply_demote(
+                out,
+                (self._excluded_ids(options.demote_terms), options.demote_factor),
+            )
         return out.select(
             "doc_id", "score", "matched_mask", "repo", "path", "lang"
         )
@@ -1334,9 +1380,18 @@ class SearchEngine:
             )
         groups_df = _groups_df(self.spark, groups)
         n_required = sum(1 for g in groups if g.required)
+        demote = None
+        if options.demote_terms:
+            # negative boost (ES boosting query): member ids read the same
+            # way as must_not's exclusion side, applied multiplicatively
+            # inside the ranking tail (before the k-cut)
+            demote = (
+                self._excluded_ids(options.demote_terms),
+                options.demote_factor,
+            )
         return topk_from_scored(
             scored, groups_df, n_required, msm, options.k, self.index.docs, options,
-            groups=groups,
+            groups=groups, demote=demote,
         )
 
     # ---- positional phrase / ordered proximity (beyond reference) -----------
@@ -2163,8 +2218,14 @@ def oracle_topk(
             F.col("term").isin(sorted(set(options.exclude_terms)))
         ).select("doc_id")
         scored = scored.join(excl, "doc_id", "left_anti")
+    demote = None
+    if options is not None and options.demote_terms:
+        dem = scored_all.filter(
+            F.col("term").isin(sorted(set(options.demote_terms)))
+        ).select("doc_id")
+        demote = (dem, options.demote_factor)
     n_required = sum(1 for g in groups if g.required)
     return topk_from_scored(
         scored, _groups_df(spark, groups), n_required, msm, k, docs.drop("tokens"),
-        options, groups=groups,
+        options, groups=groups, demote=demote,
     )

@@ -779,6 +779,9 @@ class LocalExecutor:
                 # the kernel's k+ties truncation, so exclusion queries take
                 # the decode-all path like other doc-side predicates
                 or getattr(options, "exclude_terms", ())
+                # negative boost rescales scores after aggregation — same
+                # truncation-safety argument as must_not
+                or getattr(options, "demote_terms", ())
             )
             and (
                 not (options.repo or options.path_prefix) or rng is not None
@@ -1166,6 +1169,20 @@ class LocalExecutor:
                 )
                 if uids.size == 0:
                     return []
+        dem = getattr(options, "demote_terms", ())
+        if dem:
+            # negative boost (ES boosting query): member docs' scores
+            # rescale by the factor BEFORE the k-cut — same sorted-array
+            # membership mechanics as must_not, multiply instead of drop
+            dm_ids = self._excluded_id_set(dem)
+            if dm_ids.size:
+                pos = np.minimum(np.searchsorted(dm_ids, uids), dm_ids.size - 1)
+                member = dm_ids[pos] == uids
+                score = np.where(
+                    member,
+                    score * float(getattr(options, "demote_factor", 0.5)),
+                    score,
+                )
         near = getattr(options, "near_path", None)
         if near is not None and options.after is not None:
             raise ValueError("near_path sort and the keyset cursor are exclusive")

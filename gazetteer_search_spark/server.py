@@ -241,6 +241,11 @@ def _make_handler(
                 # expansion as inline -WORD query syntax (BooleanPart
                 # must_not analog)
                 exclude_terms=_not_param_terms(qs.get("not") or ()),
+                # demote=WORD (repeatable) + demote_factor=F: negative
+                # boost (ES boosting-query analog) — matches stay, score
+                # multiplies by the factor before the k-cut
+                demote_terms=_not_param_terms(qs.get("demote") or ()),
+                demote_factor=float(_one("demote_factor", "0.5")),
                 repo=_one("repo"),
                 path_prefix=_one("path_prefix"),
                 distinct=_one("distinct", "false").lower() == "true",

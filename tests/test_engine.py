@@ -407,3 +407,76 @@ def test_must_not_exclusion(spark, corpus, engine):
     res, terms = extract_negations("postings -blockMax")
     assert res.strip() == "postings"
     assert set(terms) >= {"block", "max"}
+
+
+def test_boosting_demote(spark, corpus, engine):
+    """Negative boost (ES boosting-query analog): engine rank-identical to
+    the oracle under demote_terms; member docs' scores are exactly
+    factor x their undemoted score, non-members untouched, nobody dropped;
+    serving (LocalExecutor, decode-all route) identical to the Spark path;
+    a doc holding several demote terms demotes ONCE."""
+    from gazetteer_search_spark.search import bm25
+    from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+    groups = [_grp(0, ["postings"])]
+    opts = SearchOptions(k=15, demote_terms=("block",), demote_factor=0.5)
+    got = engine.search_rung(groups, 1, opts)
+    want = oracle_topk(corpus, groups, 1, k=15, options=opts)
+    assert_rank_identical(
+        got.select("doc_id", "score"), want.select("doc_id", "score")
+    )
+    rows = got.collect()
+    assert rows
+
+    block_ids = {
+        r.doc_id
+        for r in bm25.doc_table(corpus, "pandas")
+        .select("doc_id", F.explode("tokens").alias("t"))
+        .filter(F.col("t") == "block")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert block_ids
+    base = {
+        r.doc_id: r.score
+        for r in engine.search_rung(groups, 1, SearchOptions(k=400)).collect()
+    }
+    demoted_seen = 0
+    for r in rows:
+        assert r.doc_id in base
+        if r.doc_id in block_ids:
+            assert r.score == pytest.approx(base[r.doc_id] * 0.5, rel=1e-6)
+            demoted_seen += 1
+        else:
+            assert r.score == pytest.approx(base[r.doc_id], rel=1e-9)
+
+    # demotion keeps members in the set (vs must_not) — the full page holds
+    # the same universe as the undemoted run at the same k
+    full = engine.search_rung(groups, 1, SearchOptions(k=400, demote_terms=("block",))).collect()
+    assert {r.doc_id for r in full} == set(base)
+
+    # serving path identical (demote gates off the pruned kernel)
+    ex = LocalExecutor(engine.index)
+    hits = ex.search_rung(groups, 1, opts)
+    assert [(h.doc_id, round(h.score, 9)) for h in hits] == [
+        (r.doc_id, round(r.score, 9)) for r in rows
+    ]
+
+    # double-membership demotes once: both demote terms hit some doc that
+    # contains both; its score is factor x base, not factor^2 x base
+    opts2 = SearchOptions(k=400, demote_terms=("block", "max"), demote_factor=0.5)
+    got2 = {r.doc_id: r.score for r in engine.search_rung(groups, 1, opts2).collect()}
+    max_ids = {
+        r.doc_id
+        for r in bm25.doc_table(corpus, "pandas")
+        .select("doc_id", F.explode("tokens").alias("t"))
+        .filter(F.col("t") == "max")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    both = (block_ids & max_ids) & set(base)
+    assert both, "corpus must contain docs holding both demote terms"
+    for d in both:
+        assert got2[d] == pytest.approx(base[d] * 0.5, rel=1e-6)

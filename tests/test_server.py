@@ -431,6 +431,50 @@ def test_http_must_not(eng):
         srv.shutdown()
 
 
+def test_http_boosting_demote(eng):
+    """``demote=WORD`` + ``demote_factor=F`` route params (ES boosting-query
+    analog): identical to the engine-level demote_terms call; members stay
+    in the set with factor-scaled scores (vs not=, which drops them)."""
+    srv = make_server(eng, SearchOptions(k=20, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def hits(url):
+            with urllib.request.urlopen(url) as r:
+                return [
+                    (h["doc_id"], h["score"])
+                    for h in json.loads(r.read())["hits"]
+                ]
+
+        o = SearchOptions(k=20, prefix=False)
+        got = hits(f"{base}/search?q=alpha&demote=beta&demote_factor=0.25")
+        want = [
+            (h["doc_id"], h["score"])
+            for h in eng.search_response(
+                "alpha",
+                replace(o, demote_terms=("beta",), demote_factor=0.25),
+            )["hits"]
+        ]
+        assert got and got == want
+        # vs must_not: uncut, the demoted universe equals the unfiltered one
+        got_all = hits(
+            f"{base}/search?q=alpha&demote=beta&demote_factor=0.25&size=500"
+        )
+        plain = hits(f"{base}/search?q=alpha&size=500")
+        assert {d for d, _ in got_all} == {d for d, _ in plain}
+        # docs 0-9 carry 'beta' in the fixture corpus — scaled, not dropped
+        plain_scores = dict(plain)
+        demoted = [d for d, _ in got_all if d < 10]
+        assert demoted
+        got_scores = dict(got_all)
+        for d in demoted:
+            assert abs(got_scores[d] - round(plain_scores[d] * 0.25, 4)) < 2e-4
+    finally:
+        srv.shutdown()
+
+
 def test_http_explain(eng):
     """explain=true attaches per-hit per-term BM25 contributions, and the
     route result is identical to the engine-level explain_hits call."""
