@@ -1623,6 +1623,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, qv, k=10, n_planes=16, bands=8, sig_col="lsh_sig"
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
+    def ann_filtered(spark, sf):
+        # filtered vector search (ES kNN `filter` param semantics): the
+        # attribute predicate PRE-filters the candidate universe — band
+        # probe and exact re-rank run over compliant vectors only, so the
+        # page holds k compliant hits (post-filtering an ANN page under-
+        # fills k, the classic filtered-ANN recall failure). Catalyst pushes
+        # the label predicate below the band filter to the scan.
+        emb = similarity.add_lsh_signature(_emb(spark, sf), n_planes=16, seed=42)
+        qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        return similarity.lsh_ann_topk(
+            emb, qv, k=10, n_planes=16, bands=8, sig_col="lsh_sig",
+            filter_cond=F.col("label") == 2,
+        ).select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+    def semantic_dedup(spark, sf):
+        # embedding-cosine near-dup CLUSTERS, sub-quadratic: LSH band-bucket
+        # candidate pairs (never an all-pairs join) -> exact cosine verify
+        # -> large-star/small-star connected components -> component-min
+        # representative. The embedding twin of dup_clusters' text pipeline.
+        emb = similarity.add_lsh_signature(_emb(spark, sf), n_planes=16, seed=42)
+        return similarity.semantic_dup_clusters(
+            emb, threshold=0.4, n_planes=16, bands=4, sig_col="lsh_sig"
+        ).select("node", "comp", "cluster_size", "is_representative")
+
     def ann_ivf(spark, sf):
         # seed-centroid IVF (no Lloyd): assignment, probe selection and the
         # in-cluster exact re-rank are plain relational algebra — fully
@@ -1789,6 +1813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cosine_topk=cosine_topk,
         cosine_pairs=cosine_pairs,
         ann_lsh=ann_lsh,
+        ann_filtered=ann_filtered,
+        semantic_dedup=semantic_dedup,
         ann_ivf=ann_ivf,
         ann_ivf_trained=ann_ivf_trained,
         text_stats=text_stats_q,
@@ -2708,6 +2734,67 @@ SELECT e.vec_id,
 FROM cand JOIN e USING (vec_id), qv
 ORDER BY round(list_cosine_similarity(e.v, qv.v), 9) DESC, e.vec_id
 LIMIT 10
+"""
+
+    # filtered ANN: same plane constants, candidate set additionally gated
+    # by the attribute predicate (pre-filter — ES kNN filter semantics)
+    o["ann_filtered"] = f"""
+WITH planes(p, pv) AS (VALUES
+  {_plane_rows}),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, planes.pv) >= 0
+                  THEN (1::BIGINT << planes.p) ELSE 0 END)::BIGINT AS s
+  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+q AS (SELECT s AS qs FROM sig WHERE vec_id = 0),
+qv AS (SELECT v FROM e WHERE vec_id = 0),
+cand AS (
+  SELECT sig.vec_id FROM sig JOIN e USING (vec_id), q
+  WHERE e.label = 2
+    AND ({" OR ".join(f"((sig.s >> {b * 2}) & 3) = ((q.qs >> {b * 2}) & 3)" for b in range(8))}))
+SELECT e.vec_id,
+       round(round(list_cosine_similarity(e.v, qv.v), 9), 4) AS cosine
+FROM cand JOIN e USING (vec_id), qv
+ORDER BY round(list_cosine_similarity(e.v, qv.v), 9) DESC, e.vec_id
+LIMIT 10
+"""
+
+    # semantic dedup: LSH band-bucket candidate pairs -> exact cosine gate
+    # -> recursive-CTE reachability (comp = min reachable id = the Spark
+    # large-star/small-star representative) — signatures, banding, verify
+    # AND the closure all recomputed from the embeddings table alone
+    o["semantic_dedup"] = f"""
+WITH RECURSIVE
+planes(p, pv) AS (VALUES
+  {_plane_rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id,
+         sum(CASE WHEN list_dot_product(e.v, planes.pv) >= 0
+                  THEN (1::BIGINT << planes.p) ELSE 0 END)::BIGINT AS s
+  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+slices AS (
+  SELECT vec_id, band, (s >> (band * 4)) & 15 AS slice
+  FROM sig, (VALUES (0), (1), (2), (3)) t(band)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM slices a JOIN slices b
+    ON a.band = b.band AND a.slice = b.slice AND a.vec_id < b.vec_id),
+jp AS (
+  SELECT id_a, id_b
+  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+  WHERE round(list_cosine_similarity(ea.v, eb.v), 9) >= 0.4),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION SELECT id_b, id_a FROM jp),
+walk(node, comp) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT g.a, w.comp FROM edges g JOIN walk w ON w.node = g.b),
+cc AS (SELECT node, min(comp) AS comp FROM walk GROUP BY node)
+SELECT node, comp,
+       count(*) OVER (PARTITION BY comp) AS cluster_size,
+       (node = comp) AS is_representative
+FROM cc
 """
 
     o["ann_ivf"] = """

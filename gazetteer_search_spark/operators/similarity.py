@@ -127,6 +127,113 @@ def cosine_similar_pairs(
     )
 
 
+def lsh_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    sig_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-dup pair mining, sub-quadratic (the SCALE twin of
+    ``cosine_similar_pairs`` — the same candidates-then-verify shape MinHash
+    LSH gives text): vectors sharing at least one band of hyperplane sign
+    bits become candidate pairs via a band-bucket equi-join (never an
+    all-pairs cross join), then one exact cosine computation keeps pairs at
+    or above ``threshold``.
+
+    Recall < 1 by construction — a pair whose signatures disagree on every
+    band is never considered, exactly the random-hyperplane LSH contract
+    (P[bit match] = 1 - angle/pi). Precision is exact: every emitted pair
+    carries its true cosine. At cluster scale the band join shuffles
+    (band, bucket) keys, so co-bucketed vectors land on one executor and
+    the verify is partition-local; pass ``sig_col`` when
+    ``add_lsh_signature`` persisted signatures at ingest.
+
+    Output: (id_a, id_b, cosine), id_a < id_b, distinct pairs."""
+    if sig_col is None:
+        dim = len(df.select(vec_col).first()[0])
+        df = add_lsh_signature(df, vec_col, n_planes, seed, dim=dim)
+        sig_col = "lsh_sig"
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    n = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.col(sig_col).alias("s"),
+    )
+    bucket = n.select(
+        "vid", "v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("s", b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("vid", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = bucket.select(
+        F.col("band"), F.col("bucket"),
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+    )
+    b = bucket.select(
+        F.col("band"), F.col("bucket"),
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+    )
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        # a pair agreeing on several bands must verify ONCE
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                9,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    sig_col: str | None = None,
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup CLUSTERS: LSH-bucketed pair
+    mining (``lsh_cosine_pairs``) -> alternating large-star/small-star
+    connected components -> component-min representative. The embedding-side
+    twin of the text pipeline's ``dedup.ngram_jaccard_pairs`` +
+    ``graph.dup_clusters`` composition: the step between "these two vectors
+    are close" and actually DROPPING rows from a training set.
+
+    Output: (node, comp, cluster_size, is_representative) — every vector
+    that belongs to some near-dup pair, keyed by ``id_col`` value."""
+    from gazetteer_search_spark.operators import graph
+
+    pairs = lsh_cosine_pairs(
+        df, threshold, vec_col, id_col, n_planes, bands, seed, sig_col
+    )
+    return graph.dup_clusters(pairs)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
@@ -324,6 +431,7 @@ def lsh_ann_topk(
     bands: int = 4,
     seed: int = 42,
     sig_col: str | None = None,
+    filter_cond: Column | None = None,
 ) -> DataFrame:
     """ANN: candidates = vectors agreeing with the query on at least one band
     of sign bits; exact cosine re-rank of candidates only.
@@ -332,7 +440,13 @@ def lsh_ann_topk(
     persisted at ingest (same n_planes/seed): the probe is then a pure
     native-column band filter over the stored signature, never recomputing
     the matmul per query (VERDICT r2 "what's wrong" #3). Only the query's own
-    signature is computed (driver-side, trivially cheap)."""
+    signature is computed (driver-side, trivially cheap).
+
+    ``filter_cond``: attribute predicate applied as a PRE-filter (ES kNN
+    ``filter`` semantics) — band probe and re-rank run over the compliant
+    universe only, so the page holds k compliant hits; post-filtering an ANN
+    page would under-fill k. Catalyst pushes it to the scan alongside the
+    band condition."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, n_planes, seed)
     width = n_planes // bands
@@ -344,6 +458,8 @@ def lsh_ann_topk(
         if float(qv @ plane) >= 0:
             qsig |= 1 << i
 
+    if filter_cond is not None:
+        df = df.filter(filter_cond)
     if sig_col is None:
         df = df.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
         sig_col = "_sig"

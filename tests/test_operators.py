@@ -548,3 +548,99 @@ def test_pack_sequences_duplicate_ids_rows_frame(spark):
     assert total == 15
     man = packing.sequence_manifest(packed).orderBy("seq_id").collect()
     assert [r.n_tokens for r in man] == [8, 7]
+
+
+def test_lsh_cosine_pairs_exact_precision_and_filtered_ann(spark):
+    """lsh_cosine_pairs: every emitted pair is a TRUE >=threshold pair with
+    its exact cosine (precision 1 — verify is exact); the pair set is a
+    subset of the brute-force all-pairs set (recall <= 1, the LSH contract).
+    lsh_ann_topk(filter_cond=): pre-filter semantics — the page equals the
+    probe over the pre-filtered table and every hit is compliant."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((150, 16))
+    # plant exact near-dups so >=0.95 pairs exist
+    base[10] = base[3] + 0.01 * rng.standard_normal(16)
+    base[11] = base[3] + 0.01 * rng.standard_normal(16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], int(i % 3)) for i, v in enumerate(base)],
+        ["vec_id", "embedding", "label"],
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.cosine_similar_pairs(emb, threshold=0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.lsh_cosine_pairs(
+            emb, threshold=0.95, n_planes=16, bands=8
+        ).collect()
+    }
+    assert lsh, "planted near-dups must surface"
+    assert set(lsh) <= set(exact)  # precision: no false pairs
+    for k, v in lsh.items():
+        assert v == pytest.approx(exact[k])  # verify is exact cosine
+    # near-identical planted vectors agree on every band -> always candidates
+    assert (3, 10) in lsh and (3, 11) in lsh
+
+    qv = [float(x) for x in base[3]]
+    filt = similarity.lsh_ann_topk(
+        emb, qv, k=5, n_planes=16, bands=8, filter_cond=F.col("label") == 1
+    ).collect()
+    pre = similarity.lsh_ann_topk(
+        emb.filter(F.col("label") == 1), qv, k=5, n_planes=16, bands=8
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in filt] == [
+        (r.vec_id, r.cosine) for r in pre
+    ]
+    labels = {r.vec_id: int(r.vec_id % 3) for r in filt}
+    assert all(v == 1 for v in labels.values())
+
+
+def test_semantic_dup_clusters_closure(spark):
+    """Components are the transitive closure of the LSH pair relation:
+    comp = min reachable id (checked vs a python union-find over the SAME
+    pair set), representatives are component minima, sizes consistent."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal((120, 16))
+    # chain of near-dups: 0~20, 20~40 (transitive 0..40 in one component)
+    base[20] = base[0] + 0.01 * rng.standard_normal(16)
+    base[40] = base[20] + 0.01 * rng.standard_normal(16)
+    base[55] = base[50] + 0.01 * rng.standard_normal(16)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        ["vec_id", "embedding"],
+    )
+    pairs = similarity.lsh_cosine_pairs(
+        emb, threshold=0.95, n_planes=16, bands=8
+    ).collect()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    got = {
+        r.node: (r.comp, r.cluster_size, r.is_representative)
+        for r in similarity.semantic_dup_clusters(
+            emb, threshold=0.95, n_planes=16, bands=8
+        ).collect()
+    }
+    assert {n: c for n, (c, _, _) in got.items()} == want
+    comp_of = {n: c for n, (c, _, _) in got.items()}
+    assert comp_of[0] == comp_of[20] == comp_of[40] == 0  # transitive chain
+    for n, (c, size, rep) in got.items():
+        assert rep == (n == c)
+        assert size == sum(1 for v in comp_of.values() if v == c)
