@@ -332,13 +332,22 @@ def _search_sql(
     extra_ctes: str = "",
     extra_join: str = "",
     extra_where: str = "",
+    tie_breaker: float = 0.0,
 ) -> str:
     lang_f = f"AND d.lang = '{lang}'" if lang else ""
+    gexpr = (
+        "max(s.score * g.weight)"
+        if not tie_breaker
+        else (
+            f"(max(s.score * g.weight) + {tie_breaker!r} * "
+            "(sum(s.score * g.weight) - max(s.score * g.weight)))"
+        )
+    )
     return f"""
 WITH {_BM25_CTES}{extra_ctes},
 grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({groups_sql})),
 per_group AS (
-  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  SELECT s.doc_id, g.group_id, g.required, {gexpr} AS gscore
   FROM {scored_src} s JOIN grp g USING (term)
   GROUP BY s.doc_id, g.group_id, g.required
 ),
@@ -825,6 +834,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge", "join"]), _grp(1, ["spark"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
 
+    def dis_max_tiebreak(spark, sf):
+        # ES dis_max/multi_match tie_breaker: a clause's losing variants
+        # contribute a fraction — gscore = max + 0.3 * (sum - max). Routes
+        # through the serving decode-all path (a non-zero tie_breaker gates
+        # off the block-max kernel: its bounds certify the MAX only).
+        g = [_grp(0, ["merge", "join"]), _grp(1, ["spark"])]
+        return _topk_out(
+            _engine(spark, sf).search_rung(g, 2, SearchOptions(tie_breaker=0.3))
+        )
+
     def percolate_q(spark, sf):
         # percolator (ES percolate analog): 3 registered queries matched
         # against the whole corpus in one broadcast-join pass
@@ -1291,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         snippet=snippet,
         min_should_match_2=min_should_match_2,
         dis_max=dis_max,
+        dis_max_tiebreak=dis_max_tiebreak,
         rescore_window=rescore_window,
         term_vectors=term_vectors_q,
         significant_terms=significant_terms_q,
@@ -1880,6 +1900,13 @@ def oracle_sql() -> dict[str, str]:
             [("merge", 0, True, 1.0), ("join", 0, True, 1.0), ("spark", 1, True, 1.0)]
         ),
         2,
+    )
+    o["dis_max_tiebreak"] = _search_sql(
+        _values_groups(
+            [("merge", 0, True, 1.0), ("join", 0, True, 1.0), ("spark", 1, True, 1.0)]
+        ),
+        2,
+        tie_breaker=0.3,
     )
     # percolator: DuckDB re-tokenizes every doc and re-evaluates the
     # registry's clause gates independently

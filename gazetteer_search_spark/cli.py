@@ -200,6 +200,7 @@ def cmd_query(args: argparse.Namespace) -> None:
         exclude_terms=_not_terms(getattr(args, "exclude", None)),
         demote_terms=_not_terms(getattr(args, "demote", None)),
         demote_factor=getattr(args, "demote_factor", 0.5),
+        tie_breaker=getattr(args, "tie_breaker", 0.0) or 0.0,
     )
     t0 = time.time()
     if args.snippet or args.explain or args.rescore:
@@ -695,6 +696,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument(
         "--demote-factor", type=float, default=0.5, metavar="F",
         help="score multiplier for --demote matches (0 < F < 1; default 0.5)",
+    )
+    q.add_argument(
+        "--tie-breaker", type=float, default=0.0, metavar="F",
+        help="dis_max tie_breaker: a clause scores max + F * (sum of its "
+        "losing variants); 0 (default) = pure dis_max, 1 = bool-OR sum",
     )
     q.add_argument(
         "--snippet", type=int, nargs="?", const=1, default=0, metavar="N",

@@ -80,6 +80,14 @@ class SearchOptions:
     # of their own and never relax through the ladder.
     demote_terms: tuple[str, ...] = ()
     demote_factor: float = 0.5
+    # dis_max tie_breaker (ES dis_max / multi_match tie_breaker): a group's
+    # score is max + tie_breaker * (sum of the other variants' contributions)
+    # — 0.0 (default) is pure dis_max P8, 1.0 is bool-OR sum. Applied on the
+    # Spark path and the serving decode-all path; a non-zero value gates off
+    # the block-max pruned kernel (its per-group upper bounds certify the
+    # MAX, so they would UNDERESTIMATE a tie-broken score — pruning on them
+    # is rank-unsafe; same gating precedent as must_not/demote).
+    tie_breaker: float = 0.0
     lang_boosts: dict[str, float] = field(default_factory=dict)  # base_score analog
     trim: bool = False  # P16 post-retrieval trim (ESDefaultSearch.java:281-313)
     # keyset pagination (T3/S4): resume strictly after this (score, doc_id)
@@ -203,6 +211,7 @@ def topk_from_scored(
       is the identity, so one hash aggregation computes the whole per-doc
       score + required-match count (2 shuffles -> 1).
     """
+    tb = float(getattr(options, "tie_breaker", 0.0) or 0.0) if options else 0.0
     mapped = None
     if groups is not None:
         term2groups: dict[str, list[tuple[TermGroup, float]]] = {}
@@ -239,10 +248,25 @@ def topk_from_scored(
         )
     # dis_max P8 with per-term weights: max over the group's (possibly
     # field-boosted) term contributions. Equivalent to max(score)*weight when
-    # the weight is constant across the group's terms.
-    per_group = mapped.groupBy("doc_id", "group_id", "required").agg(
-        F.max(F.col("score") * F.col("weight")).alias("gscore")
-    )
+    # the weight is constant across the group's terms. With a non-zero
+    # tie_breaker (ES dis_max/multi_match tie_breaker), the losing variants
+    # contribute a fraction: gscore = max + tb * (sum - max) — tb=0 is pure
+    # dis_max, tb=1 is bool-OR sum.
+    if tb > 0.0:
+        per_group = mapped.groupBy("doc_id", "group_id", "required").agg(
+            (
+                F.max(F.col("score") * F.col("weight"))
+                + F.lit(tb)
+                * (
+                    F.sum(F.col("score") * F.col("weight"))
+                    - F.max(F.col("score") * F.col("weight"))
+                )
+            ).alias("gscore")
+        )
+    else:
+        per_group = mapped.groupBy("doc_id", "group_id", "required").agg(
+            F.max(F.col("score") * F.col("weight")).alias("gscore")
+        )
     per_doc = per_group.groupBy("doc_id").agg(
         F.sum("gscore").alias("score"),
         F.sum(F.when(F.col("required"), 1).otherwise(0)).alias("matched_required"),
@@ -917,10 +941,18 @@ class SearchEngine:
                 self._excluded_ids(options.exclude_terms), "doc_id", "left_anti"
             )
         gdf = _groups_df(self.spark, groups)
+        _tb = float(getattr(options, "tie_breaker", 0.0) or 0.0)
+        _w = F.col("score") * F.col("weight")
         per_group = (
             scored.join(F.broadcast(gdf), "term")
             .groupBy("doc_id", "group_id", "required")
-            .agg(F.max(F.col("score") * F.col("weight")).alias("gscore"))
+            .agg(
+                (
+                    (F.max(_w) + F.lit(_tb) * (F.sum(_w) - F.max(_w)))
+                    if _tb > 0.0
+                    else F.max(_w)
+                ).alias("gscore")
+            )
         )
         per_doc = per_group.groupBy("doc_id").agg(
             F.sum("gscore").alias("score"),

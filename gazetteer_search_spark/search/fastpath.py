@@ -725,8 +725,12 @@ class LocalExecutor:
 
     def group_parts(self, groups, options, allowed_range=None) -> list[tuple]:
         """Per-group dis_max partials over THIS executor's bucket shard:
-        [(doc_ids, group_max_scores, required, group_id)]. The shard-level
-        result a term-partitioned serving tier returns to its coordinator."""
+        [(doc_ids, group_max_scores, required, group_id, group_sum_scores)].
+        The shard-level result a term-partitioned serving tier returns to its
+        coordinator. Max and sum are BOTH carried because each merges
+        associatively across shards — the coordinator can then apply any
+        tie_breaker in [0, 1] (gscore = max + tb * (sum - max)) without the
+        shards knowing the query's tb."""
         terms = sorted({t for g in groups for t in g.terms})
         decoded = (
             self._decode_terms(terms, options, allowed_range=allowed_range)
@@ -748,7 +752,9 @@ class LocalExecutor:
             uids, inv = np.unique(gids, return_inverse=True)
             gmax = np.full(uids.size, -np.inf)
             np.maximum.at(gmax, inv, gsc)  # dis_max (P8)
-            parts.append((uids, gmax, g.required, g.group_id))
+            gsum = np.zeros(uids.size)
+            np.add.at(gsum, inv, gsc)  # tie_breaker partial
+            parts.append((uids, gmax, g.required, g.group_id, gsum))
         return parts
 
     def search_rung(self, groups, msm: int, options) -> list[Hit]:
@@ -782,6 +788,10 @@ class LocalExecutor:
                 # negative boost rescales scores after aggregation — same
                 # truncation-safety argument as must_not
                 or getattr(options, "demote_terms", ())
+                # tie_breaker: the kernel's per-group upper bounds certify
+                # the MAX — they UNDERESTIMATE a tie-broken score, so theta
+                # pruning on them is rank-unsafe; decode-all path instead
+                or getattr(options, "tie_breaker", 0.0)
             )
             and (
                 not (options.repo or options.path_prefix) or rng is not None
@@ -1100,12 +1110,12 @@ class LocalExecutor:
             return []
         parts = self.group_parts(groups, options)
         masked = []
-        for uids, gmax, req, gid in parts:
+        for uids, gmax, req, gid, gsum in parts:
             pos = np.minimum(
                 np.searchsorted(allowed_ids, uids), allowed_ids.size - 1
             )
             sel = allowed_ids[pos] == uids
-            masked.append((uids[sel], gmax[sel], req, gid))
+            masked.append((uids[sel], gmax[sel], req, gid, gsum[sel]))
         return self.combine_parts(masked, groups, msm, options)
 
     def combine_parts(self, parts: list[tuple], groups, msm: int, options) -> list[Hit]:
@@ -1114,8 +1124,14 @@ class LocalExecutor:
         if not parts:
             return []
 
+        tb = float(getattr(options, "tie_breaker", 0.0) or 0.0)
         all_ids = np.concatenate([p[0] for p in parts])
-        all_sc = np.concatenate([p[1] for p in parts])
+        # gscore = max + tb * (sum - max): tb=0 collapses to pure dis_max
+        all_sc = np.concatenate(
+            [p[1] + tb * (p[4] - p[1]) for p in parts]
+            if tb > 0.0
+            else [p[1] for p in parts]
+        )
         all_req = np.concatenate(
             [np.full(p[0].size, 1 if p[2] else 0, dtype=np.int64) for p in parts]
         )
@@ -1345,17 +1361,20 @@ def merge_shard_parts(shard_parts: list[list[tuple]]) -> list[tuple]:
     max over shards of (max over shard-local terms) == max over all terms."""
     by_gid: dict[int, list[tuple]] = {}
     for parts in shard_parts:
-        for uids, gmax, required, gid in parts:
-            by_gid.setdefault(gid, []).append((uids, gmax, required))
+        for uids, gmax, required, gid, gsum in parts:
+            by_gid.setdefault(gid, []).append((uids, gmax, required, gsum))
     merged: list[tuple] = []
     for gid in sorted(by_gid):
         chunks = by_gid[gid]
         ids = np.concatenate([c[0] for c in chunks])
         sc = np.concatenate([c[1] for c in chunks])
+        sm = np.concatenate([c[3] for c in chunks])
         uids, inv = np.unique(ids, return_inverse=True)
         gmax = np.full(uids.size, -np.inf)
         np.maximum.at(gmax, inv, sc)
-        merged.append((uids, gmax, chunks[0][2], gid))
+        gsum = np.zeros(uids.size)
+        np.add.at(gsum, inv, sm)  # sums merge additively across shards
+        merged.append((uids, gmax, chunks[0][2], gid, gsum))
     return merged
 
 
@@ -1383,6 +1402,10 @@ def doc_sharded_search_rung(
     terms = sorted({t for g in groups for t in g.terms})
     if not terms:
         return ex._match_all(options)
+    if getattr(options, "tie_breaker", 0.0):
+        # the range kernel certifies per-group MAX bounds only — tie-broken
+        # scores need the decode-all partials (sharded_search_rung)
+        raise ValueError("doc_sharded_search_rung does not support tie_breaker")
     width = max(1, -(-(ex.index.max_doc_id + 1) // n_shards))
     pdf = ex._grouped_blocks(groups)  # one load; each shard clips its range
     if pdf is None:

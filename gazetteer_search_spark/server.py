@@ -246,6 +246,9 @@ def _make_handler(
                 # multiplies by the factor before the k-cut
                 demote_terms=_not_param_terms(qs.get("demote") or ()),
                 demote_factor=float(_one("demote_factor", "0.5")),
+                # tie_breaker=F: ES dis_max/multi_match tie_breaker — a
+                # group scores max + F * (sum of losing variants)
+                tie_breaker=float(_one("tie_breaker", "0")),
                 repo=_one("repo"),
                 path_prefix=_one("path_prefix"),
                 distinct=_one("distinct", "false").lower() == "true",

@@ -480,3 +480,71 @@ def test_boosting_demote(spark, corpus, engine):
     assert both, "corpus must contain docs holding both demote terms"
     for d in both:
         assert got2[d] == pytest.approx(base[d] * 0.5, rel=1e-6)
+
+
+def test_dis_max_tie_breaker(spark, corpus, engine):
+    """ES dis_max tie_breaker: a group's losing variants contribute a
+    fraction — gscore = max + tb * (sum - max). Engine rank-identical to the
+    no-index oracle; group scores formula-exact against singleton-term
+    searches; tb=0 collapses to pure dis_max; serving (decode-all route) and
+    the sharded-partials coordinator merge both identical to the Spark
+    path."""
+    from gazetteer_search_spark.search.fastpath import (
+        LocalExecutor,
+        sharded_search_rung,
+    )
+
+    groups = [_grp(0, ["merge", "postings"]), _grp(1, ["block"])]
+    opts = SearchOptions(k=400, tie_breaker=0.3)
+    got = engine.search_rung(groups, 2, opts)
+    want = oracle_topk(corpus, groups, 2, k=400, options=opts)
+    assert_rank_identical(
+        got.select("doc_id", "score"), want.select("doc_id", "score")
+    )
+    rows = got.collect()
+    assert rows
+
+    def _single(term):
+        return {
+            r.doc_id: r.score
+            for r in engine.search_rung(
+                [_grp(0, [term])], 1, SearchOptions(k=400)
+            ).collect()
+        }
+
+    m, p, b = _single("merge"), _single("postings"), _single("block")
+    both = 0
+    for r in rows:
+        parts = [v for v in (m.get(r.doc_id), p.get(r.doc_id)) if v is not None]
+        assert parts and r.doc_id in b
+        g0 = max(parts) + 0.3 * (sum(parts) - max(parts))
+        assert r.score == pytest.approx(g0 + b[r.doc_id], rel=1e-6), r.doc_id
+        if len(parts) == 2:
+            both += 1
+    assert both, "corpus must contain docs holding both group-0 variants"
+
+    # tb=0 is pure dis_max — and tb>0 actually changes some scores
+    plain = {
+        r.doc_id: r.score
+        for r in engine.search_rung(groups, 2, SearchOptions(k=400)).collect()
+    }
+    assert set(plain) == {r.doc_id for r in rows}  # same match universe
+    changed = sum(
+        1 for r in rows if abs(plain[r.doc_id] - r.score) > 1e-9
+    )
+    assert changed, "tie_breaker must change double-variant docs' scores"
+
+    # serving decode-all path identical
+    ex = LocalExecutor(engine.index)
+    hits = ex.search_rung(groups, 2, opts)
+    assert [(h.doc_id, round(h.score, 9)) for h in hits] == [
+        (r.doc_id, round(r.score, 9)) for r in rows
+    ]
+
+    # term-bucket-sharded partials merge max AND sum associatively
+    n_b = engine.index.n_buckets
+    tshards = [
+        LocalExecutor(engine.index, buckets=list(range(n_b // 2))),
+        LocalExecutor(engine.index, buckets=list(range(n_b // 2, n_b))),
+    ]
+    assert sharded_search_rung(tshards, groups, 2, opts) == hits

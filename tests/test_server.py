@@ -475,6 +475,32 @@ def test_http_boosting_demote(eng):
         srv.shutdown()
 
 
+def test_http_tie_breaker(eng):
+    """``tie_breaker=F`` route param (ES dis_max tie_breaker): threaded into
+    SearchOptions and identical to the engine-level call."""
+    srv = make_server(eng, SearchOptions(k=20, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(
+            f"{base}/search?q=alpha+beta&tie_breaker=0.5"
+        ) as r:
+            got = [
+                (h["doc_id"], h["score"]) for h in json.loads(r.read())["hits"]
+            ]
+        o = SearchOptions(k=20, prefix=False)
+        want = [
+            (h["doc_id"], h["score"])
+            for h in eng.search_response(
+                "alpha beta", replace(o, tie_breaker=0.5)
+            )["hits"]
+        ]
+        assert got and got == want
+    finally:
+        srv.shutdown()
+
+
 def test_http_explain(eng):
     """explain=true attaches per-hit per-term BM25 contributions, and the
     route result is identical to the engine-level explain_hits call."""
