@@ -333,8 +333,25 @@ def _search_sql(
     extra_join: str = "",
     extra_where: str = "",
     tie_breaker: float = 0.0,
+    collapse: str | None = None,
 ) -> str:
     lang_f = f"AND d.lang = '{lang}'" if lang else ""
+    # ``collapse`` is a documents-table EXPRESSION (e.g. "d.source" — the
+    # corpus adapter maps documents.source to the repo column)
+    _ck_sel = f", {collapse} AS _ck" if collapse else ""
+    _ck_cte = (
+        """,
+collapsed AS (
+  SELECT doc_id, score,
+         row_number() OVER (
+           PARTITION BY _ck ORDER BY round(score, 9) DESC, doc_id ASC
+         ) AS rn
+  FROM final
+)"""
+        if collapse
+        else ""
+    )
+    _ck_src = "collapsed WHERE rn = 1" if collapse else "final"
     gexpr = (
         "max(s.score * g.weight)"
         if not tie_breaker
@@ -357,11 +374,11 @@ per_doc AS (
   FROM per_group GROUP BY doc_id
 ),
 final AS (
-  SELECT p.doc_id, p.raw {boost_case} AS score
+  SELECT p.doc_id, p.raw {boost_case} AS score{_ck_sel}
   FROM per_doc p JOIN documents d USING (doc_id) {extra_join}
   WHERE p.matched_required >= {msm} {lang_f} {extra_where}
-)
-SELECT doc_id, round(score, 4) AS score FROM final
+){_ck_cte}
+SELECT doc_id, round(score, 4) AS score FROM {_ck_src}
 ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {k}
 """
 
@@ -844,6 +861,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _engine(spark, sf).search_rung(g, 2, SearchOptions(tie_breaker=0.3))
         )
 
+    def collapse_field(spark, sf):
+        # ES field collapsing: each repo's best-scoring hit only (the
+        # score-based sibling of distinct_name's build-time ordinal) —
+        # window per key BEFORE the k-cut/cursor, decode-all serving route
+        g = [_grp(0, ["merge", "join"]), _grp(1, ["spark"])]
+        return _topk_out(
+            _engine(spark, sf).search_rung(
+                g, 2, SearchOptions(collapse="repo")
+            )
+        )
+
     def percolate_q(spark, sf):
         # percolator (ES percolate analog): 3 registered queries matched
         # against the whole corpus in one broadcast-join pass
@@ -1311,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         min_should_match_2=min_should_match_2,
         dis_max=dis_max,
         dis_max_tiebreak=dis_max_tiebreak,
+        collapse_field=collapse_field,
         rescore_window=rescore_window,
         term_vectors=term_vectors_q,
         significant_terms=significant_terms_q,
@@ -1900,6 +1929,13 @@ def oracle_sql() -> dict[str, str]:
             [("merge", 0, True, 1.0), ("join", 0, True, 1.0), ("spark", 1, True, 1.0)]
         ),
         2,
+    )
+    o["collapse_field"] = _search_sql(
+        _values_groups(
+            [("merge", 0, True, 1.0), ("join", 0, True, 1.0), ("spark", 1, True, 1.0)]
+        ),
+        2,
+        collapse="d.source",
     )
     o["dis_max_tiebreak"] = _search_sql(
         _values_groups(

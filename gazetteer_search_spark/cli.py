@@ -195,6 +195,7 @@ def cmd_query(args: argparse.Namespace) -> None:
         k=args.k, prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
         coalesce=not args.no_coalesce, lang=args.lang, repo=args.repo,
         path_prefix=args.path_prefix, distinct=args.distinct,
+        collapse=getattr(args, "collapse", None),
         near_path=args.near,
         exclude_langs=tuple(args.no_class.split(",")) if args.no_class else (),
         exclude_terms=_not_terms(getattr(args, "exclude", None)),
@@ -681,6 +682,11 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument(
         "--distinct", action="store_true",
         help="collapse duplicate-name hits (DistinctNameFilter analog)",
+    )
+    q.add_argument(
+        "--collapse", metavar="KEY", choices=("repo", "path", "lang"),
+        help="field collapsing (ES collapse analog): keep each KEY value's "
+        "best-scoring hit",
     )
     q.add_argument(
         "--not", dest="exclude", action="append", metavar="WORD",

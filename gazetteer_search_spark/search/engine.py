@@ -98,6 +98,15 @@ class SearchOptions:
     # key's ordinal-0 doc (the persisted build-time by_name_agg_index analog,
     # docs.name_ordinal) — collapse duplicate-name hits inside the search
     distinct: bool = False
+    # field collapsing (ES `collapse` param): keep each key value's BEST-
+    # SCORING doc (rank key (round(score,9) desc, doc_id)) — the score-based
+    # sibling of `distinct` (which keeps the build-time ordinal-0 doc
+    # regardless of query). Applied BEFORE the keyset cursor, so the
+    # collapsed ranking is a stable total order that search_after pages
+    # through without repeats. Allowed keys: repo / path / lang. Gates off
+    # the block-max pruned kernel (a collapsed page of k needs k distinct
+    # keys — deeper than the kernel's k+ties truncation certifies).
+    collapse: str | None = None
     # proximity re-sort (the lat/lon geo-distance sort analog,
     # ESCoalesce.java:49-51 setDistanceSort / SearchAPIAdapter lat+lon
     # params): secondary sort AFTER score by the number of leading '/'
@@ -388,6 +397,7 @@ def finalize_ranked(
     doc_side = (
         options.lang or options.repo or options.path_prefix or options.lang_boosts
         or options.distinct or options.near_path or options.exclude_langs
+        or getattr(options, "collapse", None)
     )
     if docs is None:
         return _rank(gated)
@@ -420,6 +430,25 @@ def finalize_ranked(
         for lg, w in options.lang_boosts.items():
             boost = F.when(F.col("lang") == lg, F.lit(float(w))).otherwise(boost)
         gated = gated.withColumn("score", F.col("score") * boost)
+    coll = getattr(options, "collapse", None)
+    if coll:
+        if coll not in ("repo", "path", "lang"):
+            raise ValueError(
+                f"collapse: unknown key {coll!r} (allowed: repo, path, lang)"
+            )
+        from pyspark.sql import Window as _W
+
+        # keep each key's best doc by the rank key; one window shuffle keyed
+        # on the collapse column (null keys collapse together, like ES
+        # missing-doc-values buckets)
+        w = _W.partitionBy(F.col(coll)).orderBy(
+            F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
+        )
+        gated = (
+            gated.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     if options.near_path is not None:
         gated = gated.withColumn(
             "_prox", path_proximity_col(F.col("path"), options.near_path)
@@ -1383,6 +1412,23 @@ class SearchEngine:
             if options.exclude_terms:
                 d = d.join(
                     self._excluded_ids(options.exclude_terms), "doc_id", "left_anti"
+                )
+            if getattr(options, "collapse", None):
+                coll = options.collapse
+                if coll not in ("repo", "path", "lang"):
+                    raise ValueError(
+                        f"collapse: unknown key {coll!r} "
+                        "(allowed: repo, path, lang)"
+                    )
+                from pyspark.sql import Window as _W
+
+                # scores are constant — the per-key best is the lowest
+                # doc_id; collapse BEFORE the cursor (stable total order)
+                w = _W.partitionBy(F.col(coll)).orderBy(F.col("doc_id").asc())
+                d = (
+                    d.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
                 )
             if options.after is not None:
                 # match_all ranks by doc_id (scores are constant), so the

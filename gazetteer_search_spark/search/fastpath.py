@@ -792,6 +792,9 @@ class LocalExecutor:
                 # the MAX — they UNDERESTIMATE a tie-broken score, so theta
                 # pruning on them is rank-unsafe; decode-all path instead
                 or getattr(options, "tie_breaker", 0.0)
+                # field collapsing: a collapsed page of k needs k DISTINCT
+                # keys — deeper than the kernel's k+ties truncation
+                or getattr(options, "collapse", None)
             )
             and (
                 not (options.repo or options.path_prefix) or rng is not None
@@ -1208,6 +1211,8 @@ class LocalExecutor:
             or ((options.repo or options.path_prefix) and not range_exact)
             or options.lang_boosts or getattr(options, "distinct", False)
             or getattr(options, "exclude_langs", ())
+            # collapse reads every candidate's key column — full-array branch
+            or getattr(options, "collapse", None)
         ) and (near is None or uids.size <= max(4 * options.k, 512)):
             # no doc-side predicate reads metadata: rank FIRST (cursor is a
             # (score, doc_id) predicate), then point-hydrate only the <= k
@@ -1283,6 +1288,24 @@ class LocalExecutor:
             score = score * boost
 
         key9 = np.round(score, 9)
+        coll = getattr(options, "collapse", None)
+        if coll:
+            if coll not in ("repo", "path", "lang"):
+                raise ValueError(
+                    f"collapse: unknown key {coll!r} (allowed: repo, path, lang)"
+                )
+            # keep each key's best by the rank key, BEFORE the cursor —
+            # identical to finalize_ranked's window (null keys collapse
+            # together; pandas duplicated() handles None cleanly)
+            keyarr = {"repo": repo, "path": path, "lang": lang}[coll]
+            order0 = np.lexsort((uids, -key9))
+            dup = pd.Series(keyarr[order0]).duplicated().to_numpy()
+            sel = np.sort(order0[~dup])
+            uids, score, matched, maskv = (
+                uids[sel], score[sel], matched[sel], maskv[sel]
+            )
+            repo, path, lang = repo[sel], path[sel], lang[sel]
+            key9 = key9[sel]
         if options.after is not None:
             a_s, a_d = options.after
             a_key = round(float(a_s), 9)
@@ -1340,6 +1363,19 @@ class LocalExecutor:
                     np.searchsorted(ex_ids, docs["ids"]), ex_ids.size - 1
                 )
                 m &= ex_ids[pos] != docs["ids"]
+        coll = getattr(options, "collapse", None)
+        if coll:
+            if coll not in ("repo", "path", "lang"):
+                raise ValueError(
+                    f"collapse: unknown key {coll!r} (allowed: repo, path, lang)"
+                )
+            # constant scores: per-key best = lowest doc_id; collapse
+            # BEFORE the cursor (docs arrays are doc_id-sorted, so first
+            # occurrence in array order IS the per-key minimum)
+            cand = np.flatnonzero(m)
+            dup = pd.Series(docs[coll][cand]).duplicated().to_numpy()
+            m = np.zeros_like(m)
+            m[cand[~dup]] = True
         if options.after is not None:
             m &= docs["ids"] > int(options.after[1])
         idx = np.flatnonzero(m)[: options.k]

@@ -252,6 +252,9 @@ def _make_handler(
                 repo=_one("repo"),
                 path_prefix=_one("path_prefix"),
                 distinct=_one("distinct", "false").lower() == "true",
+                # collapse=KEY: ES field-collapsing — keep each key value's
+                # best-scoring hit (repo / path / lang)
+                collapse=_one("collapse"),
                 prefix=_one("prefix", str(default_opts.prefix)).lower()
                 == "true",
                 # lat/lon distance-sort analog (SearchAPIAdapter

@@ -548,3 +548,59 @@ def test_dis_max_tie_breaker(spark, corpus, engine):
         LocalExecutor(engine.index, buckets=list(range(n_b // 2, n_b))),
     ]
     assert sharded_search_rung(tshards, groups, 2, opts) == hits
+
+
+def test_collapse_field(spark, corpus, engine):
+    """ES field collapsing: each key's best-scoring doc only (rank key
+    (round(score,9) desc, doc_id)); universe = one hit per distinct key;
+    serving decode-all route identical to the Spark path; collapse applies
+    BEFORE the keyset cursor (stable pagination, no repeated keys across
+    pages); match_all + collapse = first doc per key; unknown key raises."""
+    from gazetteer_search_spark.search.fastpath import LocalExecutor
+
+    groups = [_grp(0, ["postings"])]
+    opts = SearchOptions(k=400, collapse="repo")
+    rows = engine.search_rung(groups, 1, opts).collect()
+    assert rows
+
+    base = engine.search_rung(groups, 1, SearchOptions(k=400)).collect()
+    best = {}
+    meta = {r.doc_id: r.repo for r in base}
+    for r in sorted(base, key=lambda r: (-round(r.score, 9), r.doc_id)):
+        best.setdefault(r.repo, (r.doc_id, r.score))
+    assert {r.doc_id for r in rows} == {d for d, _ in best.values()}
+    assert len(rows) == len(best)  # one hit per distinct key
+    for r in rows:
+        assert r.score == pytest.approx(best[meta[r.doc_id]][1], rel=1e-9)
+
+    # serving path identical
+    ex = LocalExecutor(engine.index)
+    hits = ex.search_rung(groups, 1, opts)
+    assert [(h.doc_id, round(h.score, 9)) for h in hits] == [
+        (r.doc_id, round(r.score, 9)) for r in rows
+    ]
+
+    # cursor composition: page 2 resumes the COLLAPSED order — no key from
+    # page 1 reappears
+    page1 = engine.search_rung(groups, 1, SearchOptions(k=3, collapse="repo")).collect()
+    cur = (page1[-1].score, page1[-1].doc_id)
+    page2 = engine.search_rung(
+        groups, 1, SearchOptions(k=3, collapse="repo", after=cur)
+    ).collect()
+    assert [r.doc_id for r in rows][:6] == [
+        r.doc_id for r in page1 + page2
+    ]
+    assert not ({r.repo for r in page1} & {r.repo for r in page2})
+
+    # match_all + collapse: lowest doc_id per key, both tiers
+    ma = engine.search_rung([], 0, SearchOptions(k=400, collapse="repo")).collect()
+    all_docs = engine.search_rung([], 0, SearchOptions(k=100000)).collect()
+    first = {}
+    for r in sorted(all_docs, key=lambda r: r.doc_id):
+        first.setdefault(r.repo, r.doc_id)
+    assert {r.doc_id for r in ma} == set(first.values())
+    ma_local = ex.search_rung([], 0, SearchOptions(k=400, collapse="repo"))
+    assert [h.doc_id for h in ma_local] == [r.doc_id for r in ma]
+
+    with pytest.raises(ValueError, match="collapse"):
+        engine.search_rung(groups, 1, SearchOptions(k=5, collapse="nope")).collect()

@@ -501,6 +501,35 @@ def test_http_tie_breaker(eng):
         srv.shutdown()
 
 
+def test_http_collapse(eng):
+    """``collapse=KEY`` route param (ES field-collapsing): identical to the
+    engine-level call; one hit per distinct key value."""
+    srv = make_server(eng, SearchOptions(k=20, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(
+            f"{base}/search?q=alpha&collapse=lang&size=10"
+        ) as r:
+            hits = json.loads(r.read())["hits"]
+        o = SearchOptions(k=10, prefix=False)
+        want = eng.search_response("alpha", replace(o, collapse="lang"))["hits"]
+        assert [(h["doc_id"], h["score"]) for h in hits] == [
+            (h["doc_id"], h["score"]) for h in want
+        ]
+        langs = [h["lang"] for h in hits]
+        assert len(langs) == len(set(langs)) == 2  # python / java fixture
+        # bad key -> 400, not a stack trace
+        try:
+            urllib.request.urlopen(f"{base}/search?q=alpha&collapse=nope")
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+
+
 def test_http_explain(eng):
     """explain=true attaches per-hit per-term BM25 contributions, and the
     route result is identical to the engine-level explain_hits call."""
