@@ -1006,6 +1006,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
         return eng.facets(g, 1, SearchOptions(), keys=("lang", "repo"), size=5)
 
+    def facet_composite(spark, sf):  # ES composite-agg analog (beyond
+        # reference; engine.composite_buckets): buckets ordered by KEY with
+        # a (facet, value) after-cursor — deterministic paging past the
+        # terms-agg size ceiling; page resumes strictly after ('lang','en')
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return eng.composite_buckets(
+            g, 1, SearchOptions(), keys=("lang", "repo"), size=6,
+            after=("lang", "en"),
+        )
+
+    def top_hits_bucket(spark, sf):  # ES top_hits-inside-terms-agg analog
+        # (beyond reference; engine.top_hits): each lang bucket's top-3
+        # scoring docs of the FULL match set (rank key round(score,9) desc,
+        # doc_id) — the per-bucket drill-down
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return eng.top_hits(g, 1, SearchOptions(), key="lang", n=3).select(
+            "value", "bucket_rank", "doc_id", F.round("score", 4).alias("score")
+        )
+
     def count_query(spark, sf):  # ES _count / track_total_hits=true analog
         # (beyond reference; engine.count_matches): the EXACT match count of
         # a 2-clause OR — the full match-set size, no ranking work
@@ -1354,6 +1375,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         explain_terms=explain_terms,
         mlt_doc0=mlt_doc0,
         facet_query=facet_query,
+        facet_composite=facet_composite,
+        top_hits_bucket=top_hits_bucket,
         count_query=count_query,
         export_scored=export_scored,
         tag_stats=tag_stats,
@@ -2191,6 +2214,63 @@ per_doc AS (
 )
 SELECT count(*)::BIGINT AS n_matches FROM per_doc WHERE matched_required >= 1
 """
+    o["facet_composite"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_facet_groups})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+m AS (
+  SELECT p.doc_id, d.lang, d.source AS repo
+  FROM per_doc p JOIN documents d USING (doc_id)
+  WHERE p.matched_required >= 1
+),
+u AS (
+  SELECT 'lang' AS facet, CAST(lang AS VARCHAR) AS value,
+         count(*)::BIGINT AS doc_count
+  FROM m WHERE lang IS NOT NULL GROUP BY lang
+  UNION ALL
+  SELECT 'repo' AS facet, CAST(repo AS VARCHAR) AS value,
+         count(*)::BIGINT AS doc_count
+  FROM m WHERE repo IS NOT NULL GROUP BY repo
+)
+SELECT facet, value, doc_count FROM u
+WHERE (facet > 'lang') OR (facet = 'lang' AND value > 'en')
+ORDER BY facet, value LIMIT 6
+"""
+
+    o["top_hits_bucket"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_facet_groups})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+th AS (
+  SELECT CAST(d.lang AS VARCHAR) AS value, p.doc_id, p.raw AS score
+  FROM per_doc p JOIN documents d USING (doc_id)
+  WHERE p.matched_required >= 1 AND d.lang IS NOT NULL
+)
+SELECT value, rn::BIGINT AS bucket_rank, doc_id, round(score, 4) AS score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY value ORDER BY round(score, 9) DESC, doc_id ASC
+  ) AS rn FROM th
+) WHERE rn <= 3
+"""
+
     o["export_scored"] = f"""
 WITH {_BM25_CTES},
 grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_facet_groups})),

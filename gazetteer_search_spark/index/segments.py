@@ -598,6 +598,47 @@ class MultiExecutor:
         (tombstones masked at decode), so per-generation counts sum."""
         return sum(s.match_count(groups, msm, options) for s in self.subs)
 
+    def composite_rows(
+        self, groups, msm: int, options, keys=("lang",), size: int = 10,
+        after=None,
+    ) -> list[tuple]:
+        """Composite-agg paging across generations: disjoint per-generation
+        counts sum per (facet, value); the key order + after-cursor + page
+        cut apply to the MERGED buckets (per-generation pages can't be
+        cut early — a bucket past one generation's page boundary could
+        merge into an earlier key position)."""
+        agg: dict[tuple[str, str], int] = {}
+        for s in self.subs:
+            for f, v, c in s.composite_rows(
+                groups, msm, options, keys, size=1 << 62, after=None
+            ):
+                agg[(f, v)] = agg.get((f, v), 0) + int(c)
+        out = sorted((f, v, c) for (f, v), c in agg.items())
+        if after is not None:
+            af, av = after
+            out = [b for b in out if (b[0], b[1]) > (af, av)]
+        return out[:size]
+
+    def top_hits_rows(
+        self, groups, msm: int, options, key: str = "lang", n: int = 3
+    ) -> list[tuple]:
+        """top_hits across generations: per-generation uncut bucket pages
+        interleave by the rank key (disjoint live docs), then the running
+        top-n per bucket — the same merge-then-cut rule as facet_rows."""
+        rows: list[tuple] = []
+        for s in self.subs:
+            rows.extend(s.top_hits_rows(groups, msm, options, key, n=1 << 62))
+        # global rank order inside each bucket: (value, score desc, doc_id)
+        rows.sort(key=lambda r: (r[0], -round(r[3], 9), r[2]))
+        out: list[tuple] = []
+        counts: dict[str, int] = {}
+        for v, _rk, d, sc in rows:
+            c = counts.get(v, 0)
+            if c < n:
+                counts[v] = c + 1
+                out.append((v, c + 1, d, sc))
+        return out
+
     def explain_hits(self, ids, groups) -> list[tuple]:
         """Per-hit explanation across generations: every live doc exists in
         exactly ONE generation (tombstone masks kill superseded copies at

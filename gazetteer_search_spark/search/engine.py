@@ -464,6 +464,15 @@ FACET_SCHEMA = T.StructType(
     ]
 )
 
+TOP_HITS_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType(), False),
+        T.StructField("bucket_rank", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
 EXPLAIN_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -847,6 +856,104 @@ class SearchEngine:
             .drop("_rn")
         )
 
+    def composite_buckets(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        keys: tuple[str, ...] = ("lang",),
+        size: int = 10,
+        after: tuple[str, str] | None = None,
+    ) -> DataFrame:
+        """ES composite-agg analog: buckets over the full match set ordered
+        by KEY (facet asc, value asc) — NOT by count — with deterministic
+        ``after``-key paging over the ENTIRE bucket space. This is how ES
+        pages aggregations past the terms-agg size ceiling: a (facet, value)
+        cursor resumes strictly after the last bucket of the previous page,
+        so any number of buckets streams out in fixed-size pages with no
+        coordinator-side giant sort buffer. Output (facet, value, doc_count).
+
+        Scale shape: one hash aggregation over the exploded key map (same
+        single pass as ``facets``), then a key-range filter the aggregation's
+        own partitioning serves — no window, no global re-sort beyond the
+        k-bounded page TakeOrdered."""
+        options = options or SearchOptions()
+        if self._local is not None and self.spark is not None:
+            rows = self._local.composite_rows(
+                groups, msm, options, keys, size, after
+            )
+            return self.spark.createDataFrame(rows, FACET_SCHEMA)
+        m = self.match_set(groups, msm, options)
+        pairs: list[F.Column] = []
+        for k in keys:
+            if k not in m.columns:
+                raise ValueError(
+                    f"unknown facet key {k!r}; available: "
+                    f"{[c for c in m.columns if c != 'doc_id']}"
+                )
+            pairs += [F.lit(k), F.col(k).cast("string")]
+        b = (
+            m.select(F.explode(F.create_map(*pairs)).alias("facet", "value"))
+            .filter(F.col("value").isNotNull())
+            .groupBy("facet", "value")
+            .agg(F.count("*").alias("doc_count"))
+        )
+        if after is not None:
+            af, av = after
+            b = b.filter(
+                (F.col("facet") > F.lit(af))
+                | ((F.col("facet") == F.lit(af)) & (F.col("value") > F.lit(av)))
+            )
+        return b.orderBy("facet", "value").limit(size)
+
+    def top_hits(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        key: str = "lang",
+        n: int = 3,
+    ) -> DataFrame:
+        """ES top_hits-inside-terms-agg analog: for EVERY bucket of ``key``
+        in the full match set, the bucket's top-``n`` docs by the rank key
+        (round(score,9) desc, doc_id) — "show me the best hits per language/
+        repo", the drill-down ES attaches inside aggregation buckets.
+        Output (value, bucket_rank, doc_id, score), ordered (value asc,
+        bucket_rank asc). Null keys are excluded (no bucket).
+
+        Scale shape: scored_matches (the uncut top-k pipeline — one
+        bucket-pruned decode + one doc-keyed join) + ONE window partitioned
+        by the bucket key; per-bucket state is the running top-n, never the
+        full bucket. Serving nodes answer via the decode-all partials twin
+        (fastpath.top_hits_rows) — corpus-shaped by nature, like every
+        aggregation."""
+        from pyspark.sql import Window as _W
+
+        options = options or SearchOptions()
+        if self._local is not None and self.spark is not None:
+            rows = self._local.top_hits_rows(groups, msm, options, key, n)
+            return self.spark.createDataFrame(rows, TOP_HITS_SCHEMA)
+        if key not in ("repo", "path", "lang"):
+            raise ValueError(
+                f"top_hits: unknown key {key!r} (allowed: repo, path, lang)"
+            )
+        s = self.scored_matches(groups, msm, options)
+        w = _W.partitionBy(key).orderBy(
+            F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
+        )
+        return (
+            s.filter(F.col(key).isNotNull())
+            .withColumn("bucket_rank", F.row_number().over(w))
+            .filter(F.col("bucket_rank") <= F.lit(n))
+            .select(
+                F.col(key).cast("string").alias("value"),
+                F.col("bucket_rank").cast("long").alias("bucket_rank"),
+                "doc_id",
+                "score",
+            )
+            .orderBy("value", "bucket_rank")
+        )
+
     def significant_terms(
         self,
         groups: list[TermGroup],
@@ -1061,6 +1168,45 @@ class SearchEngine:
             for r in self.facets(
                 groups, msm, options, keys, size, min_doc_count
             ).collect()
+        ]
+
+    def composite_rows(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        keys: tuple[str, ...] = ("lang",),
+        size: int = 10,
+        after: tuple[str, str] | None = None,
+    ) -> list[tuple]:
+        """Rows-level composite buckets (the serving/HTTP surface)."""
+        options = options or SearchOptions()
+        if self._local is not None:
+            return self._local.composite_rows(
+                groups, msm, options, keys, size, after
+            )
+        return [
+            (r.facet, r.value, int(r.doc_count))
+            for r in self.composite_buckets(
+                groups, msm, options, keys, size, after
+            ).collect()
+        ]
+
+    def top_hits_rows(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        key: str = "lang",
+        n: int = 3,
+    ) -> list[tuple]:
+        """Rows-level per-bucket top hits (the serving/HTTP surface)."""
+        options = options or SearchOptions()
+        if self._local is not None:
+            return self._local.top_hits_rows(groups, msm, options, key, n)
+        return [
+            (r.value, int(r.bucket_rank), int(r.doc_id), float(r.score))
+            for r in self.top_hits(groups, msm, options, key, n).collect()
         ]
 
     def _df_for_terms(self, terms: list[str]) -> dict[str, int]:

@@ -910,6 +910,66 @@ class LocalExecutor:
             out.extend((key, v, c) for v, c in buckets[:size])
         return out
 
+    def composite_rows(
+        self, groups, msm: int, options, keys=("lang",), size: int = 10,
+        after: tuple[str, str] | None = None,
+    ) -> list[tuple]:
+        """ES composite-agg twin of engine.composite_buckets: buckets over
+        the full match set ordered by (facet asc, value asc), resumed
+        strictly after the ``after`` (facet, value) cursor, ``size`` per
+        page. Null keys excluded."""
+        docs = self._load_docs()
+        pos = self._match_positions(groups, msm, options)
+        out: list[tuple] = []
+        for key in keys:
+            if key not in docs or docs[key] is None:
+                raise ValueError(
+                    f"unknown facet key {key!r}; serving facets cover "
+                    f"{sorted(k for k in docs if k != 'ids')}"
+                )
+            vc = pd.Series(docs[key][pos]).value_counts(dropna=True)
+            out.extend(
+                (key, str(v), int(c))
+                for v, c in vc.items()
+                if v is not None
+            )
+        out.sort(key=lambda b: (b[0], b[1]))
+        if after is not None:
+            af, av = after
+            out = [b for b in out if (b[0], b[1]) > (af, av)]
+        return out[:size]
+
+    def top_hits_rows(
+        self, groups, msm: int, options, key: str = "lang", n: int = 3
+    ) -> list[tuple]:
+        """ES top_hits-per-bucket twin of engine.top_hits: the decode-all
+        rung UNCUT (k lifted to the corpus bound), then the running top-n
+        per bucket in rank order. Rows (value, bucket_rank, doc_id, score),
+        ordered (value asc, bucket_rank asc)."""
+        if key not in ("repo", "path", "lang"):
+            raise ValueError(
+                f"top_hits: unknown key {key!r} (allowed: repo, path, lang)"
+            )
+        import dataclasses as _dc
+
+        uncut = _dc.replace(options, k=1 << 31, after=None)
+        hits = self.combine_parts(
+            self.group_parts(groups, uncut), groups, msm, uncut
+        )
+        buckets: dict[str, list] = {}
+        for h in hits:  # already rank-ordered (round(score,9) desc, doc_id)
+            v = getattr(h, key)
+            if v is None:
+                continue
+            lst = buckets.setdefault(str(v), [])
+            if len(lst) < n:
+                lst.append(h)
+        return [
+            (v, i + 1, int(h.doc_id), float(h.score))
+            for v in sorted(buckets)
+            for i, h in enumerate(buckets[v])
+        ]
+
     def explain_hits(self, ids, groups) -> list[tuple]:
         """ES Explain-API analog (serving side): per-term BM25 contributions
         for specific docs. Rows ``(doc_id, term, group_id, contrib,

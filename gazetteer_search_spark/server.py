@@ -344,6 +344,12 @@ def _make_handler(
             if u.path == "/count":
                 self._do_count(u)
                 return
+            if u.path == "/composite":
+                self._do_composite(u)
+                return
+            if u.path == "/tophits":
+                self._do_tophits(u)
+                return
             if u.path == "/termvectors":
                 self._do_termvectors(u)
                 return
@@ -357,6 +363,7 @@ def _make_handler(
                         "error": "not found",
                         "routes": [
                             "/search", "/suggest", "/mlt", "/count",
+                            "/composite", "/tophits",
                             "/termvectors", "/spell", "/stats", "/classes", "/ui"
                         ],
                     },
@@ -450,6 +457,87 @@ def _make_handler(
                 self._send(400, {"error": str(e)})
                 return
             self._send(200, {"query": q, "count": int(n), "relation": "eq"})
+
+        def _do_composite(self, u) -> None:
+            """Composite-agg route (ES composite analog): GET /composite?
+            q=...&key=lang&key=repo&size=N&after_facet=F&after_value=V —
+            buckets of the winning rung's FULL match set, key-ordered, with
+            deterministic after-key paging. The response's last bucket is
+            the next page's cursor."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            keys = tuple(qs.get("key") or ("lang",))
+            size = int((qs.get("size") or ["10"])[0])
+            af = (qs.get("after_facet") or [None])[0]
+            av = (qs.get("after_value") or [None])[0]
+            after = (af, av) if af is not None and av is not None else None
+            try:
+                opts = replace(
+                    default_opts,
+                    lang=(qs.get("lang") or [None])[0],
+                    repo=(qs.get("repo") or [None])[0],
+                )
+                with lock:
+                    _rows, meta = engine._search_ladder(q, opts)
+                    if "msm" not in meta:
+                        self._send(400, {"error": "unsupported query shape"})
+                        return
+                    rows = engine.composite_rows(
+                        meta["groups"], meta["msm"], opts, keys, size, after
+                    )
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(200, {
+                "query": q,
+                "buckets": [
+                    {"facet": f, "value": v, "doc_count": int(c)}
+                    for f, v, c in rows
+                ],
+                "after": (
+                    {"facet": rows[-1][0], "value": rows[-1][1]}
+                    if rows else None
+                ),
+            })
+
+        def _do_tophits(self, u) -> None:
+            """Per-bucket top hits route (ES top_hits-inside-terms-agg
+            analog): GET /tophits?q=...&key=lang&n=3 — each bucket's best-n
+            docs of the FULL match set by the rank key."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            key = (qs.get("key") or ["lang"])[0]
+            n = int((qs.get("n") or ["3"])[0])
+            try:
+                opts = replace(
+                    default_opts,
+                    lang=(qs.get("lang") or [None])[0],
+                    repo=(qs.get("repo") or [None])[0],
+                )
+                with lock:
+                    _rows, meta = engine._search_ladder(q, opts)
+                    if "msm" not in meta:
+                        self._send(400, {"error": "unsupported query shape"})
+                        return
+                    rows = engine.top_hits_rows(
+                        meta["groups"], meta["msm"], opts, key, n
+                    )
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            buckets: dict[str, list] = {}
+            for v, rk, d, sc in rows:
+                buckets.setdefault(v, []).append(
+                    {"bucket_rank": int(rk), "doc_id": int(d),
+                     "score": round(float(sc), 4)}
+                )
+            self._send(200, {"query": q, "key": key, "buckets": buckets})
 
         def _do_mlt(self, u) -> None:
             """More-like-this route (ES _mlt analog): GET /mlt with either

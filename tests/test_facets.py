@@ -183,3 +183,168 @@ def test_significant_terms_shape_and_gates(spark_eng):
         [TermGroup(group_id=0, terms=("zzznotaword",), required=True)], 1
     )
     assert empty.count() == 0
+
+
+@pytest.mark.parametrize("case", CASES[:5], ids=range(5))
+def test_composite_buckets_spark_equals_serving(spark_eng, local_eng, case):
+    """Composite-agg paging: Spark single-pass agg == serving numpy twin,
+    for every page; pages tile the full bucket space without overlap."""
+    groups, msm, opts = case
+    full = [
+        (r.facet, r.value, r.doc_count)
+        for r in spark_eng.composite_buckets(
+            groups, msm, opts, keys=("lang", "repo"), size=1 << 30
+        ).collect()
+    ]
+    assert full == sorted(full)  # key order, the composite contract
+    # page through with the after-cursor, both engines
+    for eng in (spark_eng, local_eng):
+        pages, after = [], None
+        while True:
+            page = [
+                (r.facet, r.value, r.doc_count)
+                for r in eng.composite_buckets(
+                    groups, msm, opts, keys=("lang", "repo"), size=3,
+                    after=after,
+                ).collect()
+            ]
+            if not page:
+                break
+            pages.extend(page)
+            after = (page[-1][0], page[-1][1])
+        assert pages == full
+
+
+def test_top_hits_spark_equals_serving(spark_eng, local_eng):
+    """top_hits per bucket: Spark window over scored_matches == the serving
+    decode-all twin; each bucket's hits are the bucket's best by the rank
+    key and carry correct in-bucket ranks."""
+    groups = [_grp(0, ["merge"]), _grp(1, ["postings"])]
+    want = [
+        (r.value, r.bucket_rank, r.doc_id, round(r.score, 9))
+        for r in spark_eng.top_hits(
+            groups, 1, SearchOptions(), key="lang", n=3
+        ).collect()
+    ]
+    got = [
+        (r.value, r.bucket_rank, r.doc_id, round(r.score, 9))
+        for r in local_eng.top_hits(
+            groups, 1, SearchOptions(), key="lang", n=3
+        ).collect()
+    ]
+    assert want and got == want
+    # per-bucket ranks are 1..n and scores non-increasing within a bucket
+    by_bucket = {}
+    for v, rk, d, sc in want:
+        by_bucket.setdefault(v, []).append((rk, sc))
+    for v, rows in by_bucket.items():
+        assert [rk for rk, _ in rows] == list(range(1, len(rows) + 1))
+        assert all(a[1] >= b[1] for a, b in zip(rows, rows[1:]))
+    # n=1 is each bucket's single best — prefix of the n=3 result
+    one = [
+        (r.value, r.doc_id)
+        for r in spark_eng.top_hits(
+            groups, 1, SearchOptions(), key="lang", n=1
+        ).collect()
+    ]
+    assert one == [(v, d) for v, rk, d, _ in want if rk == 1]
+
+
+def test_composite_and_top_hits_multigen(spark, index, tmp_path_factory):
+    """Multi-generation composite paging + top_hits: disjoint live docs sum
+    per bucket; the key cursor and per-bucket cuts apply AFTER the merge
+    (a compacted single-generation twin gives the same answer)."""
+    import shutil
+
+    from gazetteer_search_spark.index import segments as segs
+
+    root = str(tmp_path_factory.mktemp("idx_comp_seg"))
+    shutil.rmtree(root)
+    shutil.copytree(index.paths.root, root)
+    upd = (
+        synthetic_corpus(spark, 30)
+        .withColumn("lang", F.lit("zig"))
+        .withColumn("commit", F.sha1(F.concat_ws("-", "path", F.lit("v2"))))
+    )
+    segs.add_segment(spark, upd, root, n_buckets=2)
+    meng = segs.open_multi_search(root)
+
+    rows = meng.composite_rows(
+        [], 0, SearchOptions(), keys=("lang",), size=100
+    )
+    by_val = {v: c for _, v, c in rows}
+    assert by_val.get("zig") == 30
+    assert sum(by_val.values()) == N_DOCS
+    assert [(f, v) for f, v, _ in rows] == sorted((f, v) for f, v, _ in rows)
+    # cursor pages tile the merged bucket space
+    page = meng.composite_rows(
+        [], 0, SearchOptions(), keys=("lang",), size=2,
+        after=(rows[1][0], rows[1][1]),
+    )
+    assert [(f, v, c) for f, v, c in page] == rows[2:4]
+
+    g = [_grp(0, ["postings"])]
+    th = meng.top_hits_rows(g, 1, SearchOptions(), key="lang", n=2)
+    assert th
+    # per-bucket ranks 1..n; within a bucket scores non-increasing and the
+    # upserted generation's docs appear under their NEW lang only
+    seen = {}
+    for v, rk, d, sc in th:
+        seen.setdefault(v, []).append((rk, sc))
+    for v, rows2 in seen.items():
+        assert [rk for rk, _ in rows2] == list(range(1, len(rows2) + 1))
+        assert all(a[1] >= b[1] for a, b in zip(rows2, rows2[1:]))
+
+
+def test_http_composite_and_tophits(local_eng):
+    """/composite pages buckets by key with the after cursor; /tophits
+    returns each bucket's best-n — both identical to the engine-level
+    calls."""
+    srv = make_server(local_eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(
+            f"{base}/composite?q=postings&key=lang&key=repo&size=4"
+        ) as r:
+            p1 = json.loads(r.read())
+        assert len(p1["buckets"]) == 4
+        assert p1["after"] == {
+            "facet": p1["buckets"][-1]["facet"],
+            "value": p1["buckets"][-1]["value"],
+        }
+        with urllib.request.urlopen(
+            f"{base}/composite?q=postings&key=lang&key=repo&size=4"
+            f"&after_facet={p1['after']['facet']}"
+            f"&after_value={urllib.parse.quote(p1['after']['value'])}"
+        ) as r:
+            p2 = json.loads(r.read())
+        got = [
+            (b["facet"], b["value"], b["doc_count"])
+            for b in p1["buckets"] + p2["buckets"]
+        ]
+        from gazetteer_search_spark.analyzer.query_ir import analyze_query
+        g = [_grp(0, ["postings"])]
+        want = local_eng.composite_rows(
+            g, 1, SearchOptions(prefix=False), keys=("lang", "repo"), size=8
+        )
+        assert got == [(f, v, int(c)) for f, v, c in want]
+        assert got == sorted(got)  # key order across the page boundary
+
+        with urllib.request.urlopen(
+            f"{base}/tophits?q=postings&key=lang&n=2"
+        ) as r:
+            th = json.loads(r.read())
+        assert th["key"] == "lang" and th["buckets"]
+        want_th = local_eng.top_hits_rows(
+            g, 1, SearchOptions(prefix=False), key="lang", n=2
+        )
+        got_th = [
+            (v, b["bucket_rank"], b["doc_id"])
+            for v in sorted(th["buckets"])
+            for b in th["buckets"][v]
+        ]
+        assert got_th == [(v, rk, d) for v, rk, d, _ in want_th]
+    finally:
+        srv.shutdown()
