@@ -1027,6 +1027,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value", "bucket_rank", "doc_id", F.round("score", 4).alias("score")
         )
 
+    def facet_cardinality_q(spark, sf):  # ES terms-agg + cardinality
+        # sub-agg analog (beyond reference; engine.facet_cardinality): per
+        # lang bucket of the FULL match set, doc count AND distinct repos —
+        # one hash agg with (bucket, metric)-keyed distinct partials; the
+        # HLL sketch (exact=False) is the 100-TB twin
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return eng.facet_cardinality(
+            g, 1, SearchOptions(), key="lang", metric="repo"
+        )
+
     def count_query(spark, sf):  # ES _count / track_total_hits=true analog
         # (beyond reference; engine.count_matches): the EXACT match count of
         # a 2-clause OR — the full match-set size, no ranking work
@@ -1377,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         facet_query=facet_query,
         facet_composite=facet_composite,
         top_hits_bucket=top_hits_bucket,
+        facet_cardinality=facet_cardinality_q,
         count_query=count_query,
         export_scored=export_scored,
         tag_stats=tag_stats,
@@ -1841,6 +1853,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), budget=512, group_col="lang"
         )
 
+    def date_histogram_q(spark, sf):
+        # ES date_histogram (calendar_interval=hour) with min_doc_count=0 /
+        # extended-bounds zero-fill: sparse purchase events bucketed hourly,
+        # every hour between first and last bucket present (empties carry
+        # doc_count=0, value_sum=0.0) — one hash agg + a one-row sequence
+        # grid, never a second corpus pass
+        from gazetteer_search_spark.operators import aggs
+
+        e = spark.read.parquet(f"{sf}/events.parquet").filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 95)
+        )
+        return aggs.date_histogram(
+            e, "ts", "hour", value_col="value", fill_empty=True
+        )
+
+    def chunk_overlap_q(spark, sf):
+        # RAG sliding-window chunking (operators/packing.py): 40-token
+        # windows advancing by 30 (10-token overlap so no answer span cuts
+        # at a boundary); map-only — tokenize, sequence, explode, slice
+        from gazetteer_search_spark.operators import packing
+
+        return packing.chunk_documents(_docs(spark, sf), size=40, overlap=10)
+
     def mixture_sample_q(spark, sf):
         # domain-weighted mixture: target 50/30/20 en/fr/zh — bottleneck
         # stratum kept whole, others down-sampled deterministically
@@ -1876,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mixture_sample=mixture_sample_q,
         dup_clusters=dup_clusters_q,
         pack_sequences=pack_sequences_q,
+        date_histogram=date_histogram_q,
+        chunk_overlap=chunk_overlap_q,
         hist_nchars=hist_nchars,
         stats_nchars=stats_nchars,
         jaccard_pairs=jaccard_pairs,
@@ -2271,6 +2308,29 @@ SELECT value, rn::BIGINT AS bucket_rank, doc_id, round(score, 4) AS score FROM (
 ) WHERE rn <= 3
 """
 
+    o["facet_cardinality"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_facet_groups})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+m AS (
+  SELECT p.doc_id, d.lang, d.source AS repo
+  FROM per_doc p JOIN documents d USING (doc_id)
+  WHERE p.matched_required >= 1
+)
+SELECT CAST(lang AS VARCHAR) AS value, count(*)::BIGINT AS doc_count,
+       count(DISTINCT repo)::BIGINT AS n_distinct
+FROM m WHERE lang IS NOT NULL GROUP BY lang ORDER BY value
+"""
+
     o["export_scored"] = f"""
 WITH {_BM25_CTES},
 grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_facet_groups})),
@@ -2641,6 +2701,41 @@ WHERE i / (sa.n + sb.n - i) >= 0.8
 
     # concat-and-chunk packing: window cumsum + generate_series recomputes
     # every (doc, sequence) slice independently
+    o["date_histogram"] = """
+WITH f AS (
+  SELECT date_trunc('hour', ts) AS bucket, value
+  FROM events WHERE event_type = 'purchase' AND value > 95
+),
+a AS (
+  SELECT bucket, count(*)::BIGINT AS doc_count,
+         round(sum(value), 4) AS value_sum
+  FROM f GROUP BY bucket
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM a),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT g.bucket, coalesce(a.doc_count, 0)::BIGINT AS doc_count,
+       coalesce(a.value_sum, 0.0) AS value_sum
+FROM grid g LEFT JOIN a USING (bucket) ORDER BY bucket
+"""
+
+    o["chunk_overlap"] = f"""
+WITH t AS (SELECT doc_id, {_w} AS toks FROM documents),
+n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t WHERE len(toks) > 0),
+s AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0, ((n - 1) // 30) * 30, 30)) AS start
+  FROM n
+)
+SELECT doc_id, (start // 30)::BIGINT AS chunk_id, start::BIGINT AS chunk_start,
+       least(40, n - start)::BIGINT AS n_tokens,
+       array_to_string(list_slice(toks, start + 1, least(start + 40, n)), ' ')
+         AS chunk_text
+FROM s
+"""
+
     o["pack_sequences"] = f"""
 WITH t AS (SELECT doc_id, lang, len({_w})::BIGINT AS n FROM documents),
 c AS (

@@ -598,6 +598,27 @@ class MultiExecutor:
         (tombstones masked at decode), so per-generation counts sum."""
         return sum(s.match_count(groups, msm, options) for s in self.subs)
 
+    def cardinality_rows(
+        self, groups, msm: int, options, key: str = "lang",
+        metric: str = "repo",
+    ) -> list[tuple]:
+        """Cardinality sub-agg across generations: live docs are disjoint
+        (tombstones masked at decode) so per-bucket doc counts SUM, but a
+        metric value present in several generations must count ONCE — the
+        distinct (bucket, metric) pair sets union before counting."""
+        from gazetteer_search_spark.search.fastpath import (
+            rows_from_cardinality_parts,
+        )
+
+        counts: dict[str, int] = {}
+        pairs: set[tuple[str, str]] = set()
+        for s in self.subs:
+            c, p = s.cardinality_parts(groups, msm, options, key, metric)
+            for k, n in c.items():
+                counts[k] = counts.get(k, 0) + int(n)
+            pairs |= p
+        return rows_from_cardinality_parts(counts, pairs)
+
     def composite_rows(
         self, groups, msm: int, options, keys=("lang",), size: int = 10,
         after=None,

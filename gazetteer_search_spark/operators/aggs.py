@@ -32,6 +32,63 @@ def histogram(df: DataFrame, col: str, interval: float) -> DataFrame:
     )
 
 
+_CALENDAR_INTERVALS = ("hour", "day", "week", "month", "year")
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    interval: str = "day",
+    value_col: str | None = None,
+    min_doc_count: int = 1,
+    fill_empty: bool = False,
+) -> DataFrame:
+    """ES date_histogram agg: calendar-interval buckets over a timestamp
+    column (``date_trunc`` semantics — the ES calendar_interval form), with
+    optional per-bucket metric sum and the ES min_doc_count=0 /
+    extended-bounds shape via ``fill_empty``: every interval between the
+    first and last non-empty bucket appears, empties carrying zero counts
+    (how ES renders gap-free time series for sparse data).
+
+    Output: (bucket timestamp, doc_count [, value_sum]), bucket-ascending.
+
+    Scale shape: ONE hash aggregation keyed by the truncated timestamp
+    (map-side partials free); the zero-fill grid derives from the agg's own
+    min/max — a one-row ``sequence`` + explode broadcast-joined back, so
+    the fill costs O(buckets), never a second corpus pass."""
+    if interval not in _CALENDAR_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {_CALENDAR_INTERVALS}, got {interval!r}"
+        )
+    aggs = [F.count("*").alias("doc_count")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).alias("value_sum"))
+    base = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.date_trunc(interval, F.col(ts_col)).alias("bucket"))
+        .agg(*aggs)
+    )
+    if fill_empty:
+        grid = base.agg(
+            F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+        ).select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval 1 {interval}"))
+            ).alias("bucket")
+        )
+        base = (
+            grid.join(F.broadcast(base), "bucket", "left")
+            .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+        )
+        if value_col is not None:
+            base = base.withColumn(
+                "value_sum", F.coalesce("value_sum", F.lit(0.0))
+            )
+    else:
+        base = base.filter(F.col("doc_count") >= F.lit(min_doc_count))
+    return base.orderBy("bucket")
+
+
 def numeric_stats(
     df: DataFrame, col: str, percentiles: tuple[float, ...] = (0.5, 0.95)
 ) -> DataFrame:

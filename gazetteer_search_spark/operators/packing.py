@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gazetteer_search_spark.operators.textstats import token_count
+from gazetteer_search_spark.operators.textstats import token_count, words_col
 
 
 def pack_sequences(
@@ -102,4 +102,62 @@ def sequence_manifest(packed: DataFrame) -> DataFrame:
     return packed.groupBy("pack_group", "seq_id").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_slice").alias("n_tokens"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: split each document's token
+    sequence into windows of ``size`` tokens advancing by ``size - overlap``
+    — the standard retrieval-corpus preparation where consecutive chunks
+    share ``overlap`` tokens so no answer span is cut at a boundary. The
+    complement of ``pack_sequences``: packing concatenates ACROSS documents
+    for training, chunking splits WITHIN documents for retrieval.
+
+    One row per (document, chunk): (doc_id, chunk_id, chunk_start,
+    n_tokens, chunk_text). Chunk starts are 0, step, 2*step, ... while the
+    start lies inside the document, so every token appears in >= 1 chunk
+    and the final chunk clips at the document end (may be shorter than
+    ``size``, never pure overlap). Zero-token docs drop.
+
+    Scale shape: map-only — tokenize, compute the start grid with
+    ``sequence``, explode, slice; no shuffle, no window, no UDF. At 100 TB
+    this chunker is a single narrow stage whose output partitioning is the
+    input's."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    if not (0 <= overlap < size):
+        raise ValueError(
+            f"overlap must be in [0, size), got overlap={overlap} size={size}"
+        )
+    step = size - overlap
+    toks = words_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    ).withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    last_start = F.expr(f"((n - 1) DIV {step}) * {step}")
+    return (
+        base.withColumn(
+            "chunk_start",
+            F.explode(F.sequence(F.lit(0), last_start, F.lit(step))),
+        )
+        .select(
+            "doc_id",
+            (F.col("chunk_start") / F.lit(step))
+            .cast("long")
+            .alias("chunk_id"),
+            F.col("chunk_start").cast("long").alias("chunk_start"),
+            F.least(F.lit(size), F.col("n") - F.col("chunk_start"))
+            .cast("long")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("chunk_start") + F.lit(1), size),
+                " ",
+            ).alias("chunk_text"),
+        )
     )

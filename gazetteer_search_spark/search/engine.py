@@ -473,6 +473,14 @@ TOP_HITS_SCHEMA = T.StructType(
     ]
 )
 
+CARDINALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("value", T.StringType(), False),
+        T.StructField("doc_count", T.LongType(), False),
+        T.StructField("n_distinct", T.LongType(), False),
+    ]
+)
+
 EXPLAIN_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -953,6 +961,79 @@ class SearchEngine:
             )
             .orderBy("value", "bucket_rank")
         )
+
+    def facet_cardinality(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        key: str = "lang",
+        metric: str = "repo",
+        exact: bool = True,
+    ) -> DataFrame:
+        """ES terms-agg with a cardinality sub-agg: for every ``key`` bucket
+        of the FULL match set, the bucket's doc count AND the number of
+        distinct ``metric`` values inside it — "how many repos does each
+        language's match set span", the bucket-diversity drill-down ES
+        nests as ``aggs: {cardinality: {field}}``. Output (value,
+        doc_count, n_distinct), value-ascending; null bucket keys excluded,
+        null metric values don't count (both the ES contract).
+
+        Scale shape: one hash aggregation over the match set. ``exact=True``
+        is count(DISTINCT metric) — partials keyed by (bucket, metric);
+        ``exact=False`` is the HLL++ sketch (approx_count_distinct) —
+        constant per-bucket memory, mergeable partials, the 100-TB default
+        exactly as in ES. Serving nodes answer from the numpy twin
+        (fastpath.cardinality_rows), multi-generation via disjoint count
+        sums + distinct-pair unions (segments.cardinality_rows)."""
+        options = options or SearchOptions()
+        if self._local is not None and self.spark is not None:
+            rows = self._local.cardinality_rows(
+                groups, msm, options, key, metric
+            )
+            return self.spark.createDataFrame(rows, CARDINALITY_SCHEMA)
+        m = self.match_set(groups, msm, options)
+        for c in (key, metric):
+            if c not in m.columns:
+                raise ValueError(
+                    f"unknown column {c!r}; available: "
+                    f"{[x for x in m.columns if x != 'doc_id']}"
+                )
+        agg = (
+            F.count_distinct(F.col(metric))
+            if exact
+            else F.approx_count_distinct(metric)
+        )
+        return (
+            m.filter(F.col(key).isNotNull())
+            .groupBy(F.col(key).cast("string").alias("value"))
+            .agg(
+                F.count("*").alias("doc_count"),
+                agg.cast("long").alias("n_distinct"),
+            )
+            .orderBy("value")
+        )
+
+    def facet_cardinality_rows(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        key: str = "lang",
+        metric: str = "repo",
+    ) -> list[tuple]:
+        """Rows-level per-bucket cardinality (the serving/HTTP surface)."""
+        options = options or SearchOptions()
+        if self._local is not None:
+            return self._local.cardinality_rows(
+                groups, msm, options, key, metric
+            )
+        return [
+            (r.value, int(r.doc_count), int(r.n_distinct))
+            for r in self.facet_cardinality(
+                groups, msm, options, key, metric
+            ).collect()
+        ]
 
     def significant_terms(
         self,

@@ -96,6 +96,21 @@ def _path_proximity_np(paths: np.ndarray, near: str) -> np.ndarray:
     return out
 
 
+def rows_from_cardinality_parts(
+    counts: dict, pairs: set
+) -> list[tuple]:
+    """(value, doc_count, n_distinct) value-ascending from cardinality
+    partials — shared by the single-index twin and the multi-generation
+    merge (segments.MultiExecutor.cardinality_rows)."""
+    ndist: dict[str, int] = {}
+    for k, _m in pairs:
+        ndist[k] = ndist.get(k, 0) + 1
+    return [
+        (k, int(c), int(ndist.get(k, 0)))
+        for k, c in sorted(counts.items())
+    ]
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Classic edit distance — same function as Spark's levenshtein and
     DuckDB's. The fuzzy expansion combines it with the adjacent-transposition
@@ -909,6 +924,47 @@ class LocalExecutor:
             )
             out.extend((key, v, c) for v, c in buckets[:size])
         return out
+
+    def cardinality_parts(
+        self, groups, msm: int, options, key: str = "lang",
+        metric: str = "repo",
+    ) -> tuple[dict, set]:
+        """Partials behind the cardinality sub-agg: per-bucket doc counts
+        plus the distinct (bucket, metric) pair set — the merge unit for
+        multi-generation serving (counts of disjoint live docs SUM; distinct
+        sets must UNION before counting, a count of counts would overcount
+        values present in several generations)."""
+        docs = self._load_docs()
+        for c in (key, metric):
+            if c not in docs or docs[c] is None:
+                raise ValueError(
+                    f"unknown column {c!r}; serving covers "
+                    f"{sorted(k for k in docs if k != 'ids')}"
+                )
+        pos = self._match_positions(groups, msm, options)
+        kv = docs[key][pos]
+        mv = docs[metric][pos]
+        counts: dict[str, int] = {}
+        pairs: set[tuple[str, str]] = set()
+        for k, m in zip(kv, mv):
+            if k is None:
+                continue
+            ks = str(k)
+            counts[ks] = counts.get(ks, 0) + 1
+            if m is not None:
+                pairs.add((ks, str(m)))
+        return counts, pairs
+
+    def cardinality_rows(
+        self, groups, msm: int, options, key: str = "lang",
+        metric: str = "repo",
+    ) -> list[tuple]:
+        """ES terms+cardinality twin of engine.facet_cardinality: (value,
+        doc_count, n_distinct) value-ascending over the full match set."""
+        counts, pairs = self.cardinality_parts(
+            groups, msm, options, key, metric
+        )
+        return rows_from_cardinality_parts(counts, pairs)
 
     def composite_rows(
         self, groups, msm: int, options, keys=("lang",), size: int = 10,

@@ -350,6 +350,9 @@ def _make_handler(
             if u.path == "/tophits":
                 self._do_tophits(u)
                 return
+            if u.path == "/facetcard":
+                self._do_facetcard(u)
+                return
             if u.path == "/termvectors":
                 self._do_termvectors(u)
                 return
@@ -363,7 +366,7 @@ def _make_handler(
                         "error": "not found",
                         "routes": [
                             "/search", "/suggest", "/mlt", "/count",
-                            "/composite", "/tophits",
+                            "/composite", "/tophits", "/facetcard",
                             "/termvectors", "/spell", "/stats", "/classes", "/ui"
                         ],
                     },
@@ -538,6 +541,43 @@ def _make_handler(
                      "score": round(float(sc), 4)}
                 )
             self._send(200, {"query": q, "key": key, "buckets": buckets})
+
+        def _do_facetcard(self, u) -> None:
+            """Per-bucket cardinality route (ES terms-agg + cardinality
+            sub-agg analog): GET /facetcard?q=...&key=lang&metric=repo —
+            each bucket's doc count and distinct-metric count over the FULL
+            match set."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            key = (qs.get("key") or ["lang"])[0]
+            metric = (qs.get("metric") or ["repo"])[0]
+            try:
+                opts = replace(
+                    default_opts,
+                    lang=(qs.get("lang") or [None])[0],
+                    repo=(qs.get("repo") or [None])[0],
+                )
+                with lock:
+                    _rows, meta = engine._search_ladder(q, opts)
+                    if "msm" not in meta:
+                        self._send(400, {"error": "unsupported query shape"})
+                        return
+                    rows = engine.facet_cardinality_rows(
+                        meta["groups"], meta["msm"], opts, key, metric
+                    )
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(200, {
+                "query": q, "key": key, "metric": metric,
+                "buckets": [
+                    {"value": v, "doc_count": int(c), "n_distinct": int(d)}
+                    for v, c, d in rows
+                ],
+            })
 
         def _do_mlt(self, u) -> None:
             """More-like-this route (ES _mlt analog): GET /mlt with either

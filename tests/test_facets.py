@@ -348,3 +348,111 @@ def test_http_composite_and_tophits(local_eng):
         assert got_th == [(v, rk, d) for v, rk, d, _ in want_th]
     finally:
         srv.shutdown()
+
+
+def test_facet_cardinality_spark_equals_serving(spark_eng, local_eng):
+    """terms+cardinality sub-agg: Spark one-pass agg == serving numpy twin;
+    n_distinct is the true per-bucket distinct-repo count."""
+    groups = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+    want = [
+        (r.value, r.doc_count, r.n_distinct)
+        for r in spark_eng.facet_cardinality(
+            groups, 1, SearchOptions(), key="lang", metric="repo"
+        ).collect()
+    ]
+    got = [
+        (r.value, r.doc_count, r.n_distinct)
+        for r in local_eng.facet_cardinality(
+            groups, 1, SearchOptions(), key="lang", metric="repo"
+        ).collect()
+    ]
+    assert want and got == want
+    assert [v for v, _, _ in want] == sorted(v for v, _, _ in want)
+    # brute-force recompute from the match set itself
+    m = spark_eng.match_set(groups, 1, SearchOptions()).collect()
+    by = {}
+    for r in m:
+        if r.lang is None:
+            continue
+        c, s = by.setdefault(r.lang, [0, set()])
+        by[r.lang][0] += 1
+        if r.repo is not None:
+            s.add(r.repo)
+    assert want == [
+        (v, c, len(s)) for v, (c, s) in sorted(by.items())
+    ]
+    # HLL twin: within sketch tolerance of exact
+    approx = {
+        r.value: r.n_distinct
+        for r in spark_eng.facet_cardinality(
+            groups, 1, SearchOptions(), key="lang", metric="repo",
+            exact=False,
+        ).collect()
+    }
+    for v, _c, nd in want:
+        assert abs(approx[v] - nd) <= max(2, int(0.1 * nd))
+
+
+def test_facet_cardinality_multigen(spark, index, tmp_path_factory):
+    """Across generations: doc counts sum (disjoint live docs) but distinct
+    metric values dedup via pair-set union — a repo present in BOTH
+    generations counts once."""
+    import shutil
+
+    from gazetteer_search_spark.index import segments as segs
+
+    root = str(tmp_path_factory.mktemp("idx_card_seg"))
+    shutil.rmtree(root)
+    shutil.copytree(index.paths.root, root)
+    # upsert 20 docs: same repos as base (no new repos), new lang
+    upd = (
+        synthetic_corpus(spark, 20)
+        .withColumn("lang", F.lit("zig"))
+        .withColumn("commit", F.sha1(F.concat_ws("-", "path", F.lit("v2"))))
+    )
+    segs.add_segment(spark, upd, root, n_buckets=2)
+    meng = segs.open_multi_search(root)
+
+    rows = meng.facet_cardinality_rows(
+        [], 0, SearchOptions(), key="lang", metric="repo"
+    )
+    by = {v: (c, d) for v, c, d in rows}
+    assert by["zig"][0] == 20
+    assert sum(c for c, _ in by.values()) == N_DOCS  # disjoint counts sum
+    # single-generation recompute twin: corpus with the upsert applied
+    # must give identical buckets (union-not-sum of distinct repos)
+    base = synthetic_corpus(spark, N_DOCS).collect()
+    upd_paths = {r.path for r in upd.select("path").collect()}
+    truth = {}
+    for r in base:
+        lang = "zig" if r.path in upd_paths else r.lang
+        c, s = truth.setdefault(lang, [0, set()])
+        truth[lang][0] += 1
+        s.add(r.repo)
+    assert rows == [
+        (v, c, len(s)) for v, (c, s) in sorted(truth.items())
+    ]
+
+
+def test_http_facetcard(local_eng):
+    """/facetcard returns per-bucket doc_count + n_distinct identical to
+    the engine-level call."""
+    srv = make_server(local_eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/facetcard?q=postings&key=lang&metric=repo"
+        ) as r:
+            resp = json.loads(r.read())
+        g = [_grp(0, ["postings"])]
+        want = local_eng.facet_cardinality_rows(
+            g, 1, SearchOptions(prefix=False), key="lang", metric="repo"
+        )
+        assert [
+            (b["value"], b["doc_count"], b["n_distinct"])
+            for b in resp["buckets"]
+        ] == [(v, c, d) for v, c, d in want]
+        assert resp["key"] == "lang" and resp["metric"] == "repo"
+    finally:
+        srv.shutdown()

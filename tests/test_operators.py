@@ -423,6 +423,41 @@ def test_aggs_histogram_and_stats(spark):
         aggs.histogram(d, "v", 0)
 
 
+def test_aggs_date_histogram(spark):
+    from datetime import datetime as DT
+
+    from gazetteer_search_spark.operators import aggs
+
+    d = spark.createDataFrame(
+        [
+            (DT(2024, 1, 1, 10, 5), 1.0),
+            (DT(2024, 1, 1, 10, 40), 2.0),
+            (DT(2024, 1, 1, 13, 0), 4.0),   # 11:00 and 12:00 empty
+            (DT(2024, 1, 2, 1, 0), 8.0),
+            (None, 99.0),                    # NULL ts drops, like ES
+        ],
+        "ts timestamp, value double",
+    )
+    # min_doc_count=1 (default): only non-empty buckets
+    got = aggs.date_histogram(d, "ts", "hour", value_col="value").collect()
+    assert [(r.bucket.hour, r.doc_count, r.value_sum) for r in got] == [
+        (10, 2, 3.0), (13, 1, 4.0), (1, 1, 8.0)
+    ]
+    # fill_empty: every hour between first and last bucket, zeros filled
+    filled = aggs.date_histogram(
+        d, "ts", "hour", value_col="value", fill_empty=True
+    ).collect()
+    assert len(filled) == 16  # 10:00 Jan 1 .. 01:00 Jan 2 inclusive
+    z = {r.bucket.hour: (r.doc_count, r.value_sum) for r in filled[:4]}
+    assert z[11] == (0, 0.0) and z[12] == (0, 0.0) and z[13] == (1, 4.0)
+    assert sum(r.doc_count for r in filled) == 4
+    # day granularity + count only
+    days = aggs.date_histogram(d, "ts", "day").collect()
+    assert [(r.bucket.day, r.doc_count) for r in days] == [(1, 3), (2, 1)]
+    with pytest.raises(ValueError, match="interval must be one of"):
+        aggs.date_histogram(d, "ts", "fortnight")
+
+
 def test_mixture_sample_hits_target_shares(spark):
     from gazetteer_search_spark.operators import sampling
 

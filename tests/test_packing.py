@@ -99,3 +99,77 @@ def test_default_token_count_and_global_stream(spark):
 def test_bad_budget_rejected(spark, docs):
     with pytest.raises(ValueError, match="budget"):
         packing.pack_sequences(docs, budget=0, token_col="n")
+
+
+@pytest.fixture(scope="module")
+def text_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta " * 12),          # 48 tokens
+        (1, "one two three"),                         # 3 tokens (< size)
+        (2, "x " * 10),                               # exactly one step
+        (3, ""),                                      # zero tokens -> drops
+        (4, "Word9 WORD9 word9 " * 25),               # folding + 75 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_overlap_invariants(spark, text_docs):
+    """Every token covered; consecutive chunks share exactly `overlap`
+    tokens; final chunk clips at the doc end and is never pure overlap."""
+    size, overlap = 10, 3
+    step = size - overlap
+    rows = packing.chunk_documents(
+        text_docs, size=size, overlap=overlap
+    ).collect()
+    toks = {
+        r.doc_id: r.toks
+        for r in text_docs.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != F.lit("")
+            ).alias("toks"),
+        ).collect()
+    }
+    assert 3 not in {r.doc_id for r in rows}  # zero-token doc drops
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = len(toks[d])
+        # start grid: 0, step, ... last start inside the doc
+        assert [c.chunk_start for c in chunks] == list(range(0, n, step))
+        for c in chunks:
+            want = toks[d][c.chunk_start : c.chunk_start + size]
+            assert c.chunk_text == " ".join(want)
+            assert c.n_tokens == len(want)
+        # consecutive chunks share exactly `overlap` tokens (except a
+        # clipped tail shorter than overlap shares what remains)
+        for a, b in zip(chunks, chunks[1:]):
+            shared = toks[d][b.chunk_start : a.chunk_start + size]
+            assert a.chunk_text.split(" ")[step:] == shared[: len(shared)]
+        # coverage: stitching non-overlap prefixes + last chunk == doc
+        rebuilt = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split(" ")[:step])
+        rebuilt.extend(chunks[-1].chunk_text.split(" "))
+        assert rebuilt == toks[d]
+
+
+def test_chunk_no_overlap_tiles_exactly(spark, text_docs):
+    rows = packing.chunk_documents(text_docs, size=10, overlap=0).collect()
+    d0 = sorted(
+        (r for r in rows if r.doc_id == 0), key=lambda r: r.chunk_id
+    )
+    assert [r.chunk_start for r in d0] == [0, 10, 20, 30, 40]
+    assert [r.n_tokens for r in d0] == [10, 10, 10, 10, 8]
+    assert sum(r.n_tokens for r in d0) == 48  # tiles, no double-count
+
+
+def test_chunk_bad_params_rejected(spark, text_docs):
+    with pytest.raises(ValueError, match="size must be positive"):
+        packing.chunk_documents(text_docs, size=0)
+    with pytest.raises(ValueError, match="overlap must be in"):
+        packing.chunk_documents(text_docs, size=10, overlap=10)
+    with pytest.raises(ValueError, match="overlap must be in"):
+        packing.chunk_documents(text_docs, size=10, overlap=-1)
