@@ -152,3 +152,55 @@ def test_significant_terms_no_cartesian_and_pruned_match(spark, index):
     g = [TermGroup(group_id=0, terms=("merge",), required=True)]
     df = eng.significant_terms(g, 1, SearchOptions(), size=5, eager=False)
     assert_no_cartesian(df)
+
+
+def test_chunk_documents_map_only(spark):
+    """Sliding-window chunking is a single narrow stage: tokenize, sequence
+    grid, explode, slice — ZERO exchanges; any shuffle here would re-
+    partition 100 TB of text for a per-row transformation."""
+    from gazetteer_search_spark.operators import packing
+    from gazetteer_search_spark.plans import explain_str
+
+    d = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta "), F.col("id").cast("string"))
+        .alias("text"),
+    )
+    chunks = packing.chunk_documents(d, size=3, overlap=1)
+    plan = explain_str(chunks, mode="simple")
+    assert "Exchange" not in plan, plan
+    assert_no_cartesian(chunks)
+
+
+def test_date_histogram_fill_grid_broadcasts(spark):
+    """The zero-fill grid joins the agg back to itself: the grid side (one
+    row exploded to O(buckets)) must broadcast — a shuffle join keyed on
+    bucket timestamps would re-shuffle the aggregated data for a
+    bucket-count-sized join."""
+    from datetime import datetime as DT
+
+    from gazetteer_search_spark.operators import aggs
+
+    d = spark.createDataFrame(
+        [(DT(2024, 1, 1, h % 5), float(h)) for h in range(50)],
+        "ts timestamp, value double",
+    )
+    filled = aggs.date_histogram(
+        d, "ts", "hour", value_col="value", fill_empty=True
+    )
+    assert uses_broadcast_join(filled)
+    assert_no_cartesian(filled)
+
+
+def test_facet_cardinality_single_agg_no_cartesian(spark, index):
+    """The cardinality sub-agg rides the match set's existing decode +
+    doc-join: keyed joins only, and the distinct partials hang off ONE
+    aggregation (no per-bucket re-scan)."""
+    from gazetteer_search_spark.search.engine import (
+        SearchEngine, SearchOptions, TermGroup,
+    )
+
+    eng = SearchEngine(spark, index)
+    g = [TermGroup(group_id=0, terms=("merge",), required=True)]
+    df = eng.facet_cardinality(g, 1, SearchOptions(), "lang", "repo")
+    assert_no_cartesian(df)
