@@ -786,6 +786,16 @@ _FUZZY_GRP = (
 # regexp/wildcard expansion (search/patterns.py): the SAME anchored
 # case-insensitive pattern string drives Spark rlike (Java regex), the serving
 # executor's Python re and DuckDB's RE2 — tests pin the portable dialect
+# fuzziness=2 (Lucene's max): unrestricted Damerau-Levenshtein — DuckDB's
+# native damerau_levenshtein is the SAME variant the engine's shared
+# fastpath.damerau_levenshtein computes (Spark pandas-UDF dictionary scan and
+# the serving twin), so the oracle recomputes the expansion exactly
+_FUZZY2_GRP = (
+    "SELECT term, {gid} AS group_id, TRUE AS required, 1.0 AS weight FROM ("
+    "SELECT term, df FROM dfreq WHERE length(term) BETWEEN {lo} AND {hi} "
+    "AND damerau_levenshtein(term, '{t}') <= 2 ORDER BY df DESC, term LIMIT 32)"
+)
+
 _REGEX_GRP = (
     "SELECT term, {gid} AS group_id, TRUE AS required, 1.0 AS weight FROM ("
     "SELECT term, df FROM dfreq WHERE regexp_matches(term, '{rx}') "
@@ -950,6 +960,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fuzzy_1(spark, sf):  # street-match-2.json fuzziness analog (P15)
         eng = _engine(spark, sf)
         g = [_grp(0, ["merje"] + eng.expand_fuzzy("merje"))]
+        return _topk_out(eng.search_rung(g, 1, SearchOptions()))
+
+    def fuzzy_2(spark, sf):  # ES fuzziness=2 (the Lucene automaton max):
+        # "mrg" is TWO edits from "merge" — invisible to the fuzziness=1
+        # rung; expansion = unrestricted Damerau-Levenshtein <= 2 over the
+        # length-banded dictionary, computed dictionary-side (pandas UDF /
+        # serving band scan), df-ranked, capped — engine.expand_fuzzy
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["mrg"] + eng.expand_fuzzy("mrg", 2))]
         return _topk_out(eng.search_rung(g, 1, SearchOptions()))
 
     def fuzzy_osa(spark, sf):  # Damerau/OSA fuzziness: ES fuzziness=1 counts
@@ -1380,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         percolate=percolate_q,
         prefix=prefix,
         fuzzy_1=fuzzy_1,
+        fuzzy_2=fuzzy_2,
         fuzzy_osa=fuzzy_osa,
         regexp_term=regexp_term,
         wildcard_term=wildcard_term,
@@ -2176,6 +2196,12 @@ LIMIT 20
         _values_groups([("merje", 0, True, 1.0)])
         + " UNION ALL "
         + _FUZZY_GRP.format(gid=0, lo=4, hi=6, t="merje"),
+        1,
+    )
+    o["fuzzy_2"] = _search_sql(
+        _values_groups([("mrg", 0, True, 1.0)])
+        + " UNION ALL "
+        + _FUZZY2_GRP.format(gid=0, lo=1, hi=5, t="mrg"),
         1,
     )
     o["fuzzy_osa"] = _search_sql(

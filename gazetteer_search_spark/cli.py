@@ -186,6 +186,7 @@ def _not_terms(words: list[str] | None) -> tuple[str, ...]:
 
 def cmd_query(args: argparse.Namespace) -> None:
     from gazetteer_search_spark.search.engine import SearchOptions
+    from gazetteer_search_spark.server import _parse_fuzziness
 
     spark = _spark("gss-query")
     # serving=True: indexes that fit a serving node answer driver-side in
@@ -202,6 +203,7 @@ def cmd_query(args: argparse.Namespace) -> None:
         demote_terms=_not_terms(getattr(args, "demote", None)),
         demote_factor=getattr(args, "demote_factor", 0.5),
         tie_breaker=getattr(args, "tie_breaker", 0.0) or 0.0,
+        fuzziness=_parse_fuzziness(getattr(args, "fuzziness", "1")),
     )
     t0 = time.time()
     if args.snippet or args.explain or args.rescore:
@@ -666,6 +668,9 @@ def main(argv: list[str] | None = None) -> None:
     q.add_argument("--k", type=int, default=20)
     q.add_argument("--no-prefix", action="store_true")
     q.add_argument("--no-fuzzy", action="store_true")
+    q.add_argument("--fuzziness", default="1", metavar="0|1|2|auto",
+                   help="max edits per term on the fuzzy rung (ES "
+                        "fuzziness; auto = length-laddered)")
     q.add_argument("--no-coalesce", action="store_true")
     q.add_argument("--lang")
     q.add_argument("--repo")

@@ -692,12 +692,12 @@ class MultiExecutor:
                 agg[t] = agg.get(t, 0) + int(df)
         return agg
 
-    def expand_fuzzy(self, term: str) -> list[str]:
+    def expand_fuzzy(self, term: str, max_edits: int = 1) -> list[str]:
         from gazetteer_search_spark.search.fastpath import MAX_FUZZY_EXPANSIONS
 
         out: dict[str, None] = {}
         for s in self.subs:
-            for t in s.expand_fuzzy(term):
+            for t in s.expand_fuzzy(term, max_edits):
                 out.setdefault(t, None)
         return list(out)[:MAX_FUZZY_EXPANSIONS]
 

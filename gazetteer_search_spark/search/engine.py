@@ -30,6 +30,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -55,6 +57,13 @@ class SearchOptions:
     k: int = 20
     prefix: bool = True
     fuzzy: bool = True
+    # ES ``fuzziness`` parameter: max edits per term for the fuzzy rung.
+    # 1 (default, the reference's shape) = Damerau/OSA <= 1 via the native
+    # decomposition (P15); 2 = unrestricted Damerau-Levenshtein <= 2 (the
+    # Lucene max — distances computed dictionary-side, see expand_fuzzy);
+    # 0 disables expansion even on the fuzzy rung; "auto" = the ES AUTO
+    # ladder (term length < 3 -> 0, 3..5 -> 1, > 5 -> 2).
+    fuzziness: int | str = 1
     coalesce: bool = True
     lang: str | None = None  # doc-type filter analog (SURVEY §1.4)
     repo: str | None = None  # refs/bbox filter analog (P12/P13)
@@ -161,6 +170,21 @@ class TermGroup:
             if t not in out or eff > out[t]:
                 out[t] = eff
         return out
+
+
+def resolve_fuzziness(fuzziness: int | str, term: str) -> int:
+    """Effective max edits for one term. Ints clamp-validate to {0, 1, 2}
+    (2 is the Lucene automaton ceiling ES inherits); "auto" is the ES AUTO
+    ladder: terms shorter than 3 chars get 0 edits, 3-5 chars get 1,
+    longer get 2."""
+    if fuzziness == "auto":
+        n = len(term)
+        return 0 if n < 3 else (1 if n <= 5 else 2)
+    if fuzziness in (0, 1, 2):
+        return int(fuzziness)
+    raise ValueError(
+        f"fuzziness must be 0, 1, 2 or 'auto'; got {fuzziness!r}"
+    )
 
 
 def transpositions(term: str) -> set[str]:
@@ -615,27 +639,63 @@ class SearchEngine:
         )
         return [(r.term, int(r.df)) for r in rows]
 
-    def expand_fuzzy(self, term: str) -> list[str]:
-        """Damerau (OSA) edit-distance<=1 expansion against the term
-        dictionary (P15; ES ``fuzziness=1`` counts a TRANSPOSITION as one
-        edit, MainAddressQueryBuilder.java:291-293 — plain Levenshtein would
-        cost "teh"->"the" two edits and miss the most common typo class).
-        OSA<=1 decomposes exactly as Levenshtein<=1 OR membership in the
-        term's adjacent-transposition set — the transposition half is a
-        GENERATED IN-list equality predicate (n-1 strings from the query
-        term), not a per-row distance UDF, so the whole expansion stays one
-        pruned dictionary scan with native predicates."""
+    def expand_fuzzy(self, term: str, max_edits: int = 1) -> list[str]:
+        """Damerau edit-distance expansion against the term dictionary (P15;
+        ES ``fuzziness`` — MainAddressQueryBuilder.java:291-293 sets 1).
+
+        ``max_edits=1`` (default): OSA<=1 decomposes exactly as
+        Levenshtein<=1 OR membership in the term's adjacent-transposition
+        set — the transposition half is a GENERATED IN-list equality
+        predicate (n-1 strings from the query term), not a per-row distance
+        UDF, so the whole expansion stays one pruned dictionary scan with
+        native predicates (a transposition counts ONE edit — plain
+        Levenshtein would cost "teh"->"the" two and miss the most common
+        typo class).
+
+        ``max_edits=2`` (the Lucene automaton ceiling): unrestricted
+        Damerau-Levenshtein <= 2 — the decomposition trick doesn't extend
+        (the transposition neighborhood of radius 2 is O(n^2) strings
+        composed with every 1-edit, no longer an IN-list), so the distance
+        runs as an Arrow-batched pandas UDF over the length-banded
+        dictionary slice: dictionary-shaped work computed WHERE THE
+        DICTIONARY LIVES (exactly as Lucene intersects its automaton with
+        the term dict per segment), only the df-ranked top survivors reach
+        the driver. Unrestricted DL (not OSA) is the variant DuckDB's
+        ``damerau_levenshtein`` implements, which keeps the oracle an exact
+        independent recompute."""
+        if max_edits <= 0:
+            return []
         if self._local is not None:
-            return self._local.expand_fuzzy(term)
+            return self._local.expand_fuzzy(term, max_edits)
         n = len(term)
-        trans = transpositions(term)
-        cond = F.levenshtein(F.col("term"), F.lit(term)) <= 1
-        if trans:
-            cond = cond | F.col("term").isin(sorted(trans))
+        if max_edits == 1:
+            trans = transpositions(term)
+            cond = F.levenshtein(F.col("term"), F.lit(term)) <= 1
+            if trans:
+                cond = cond | F.col("term").isin(sorted(trans))
+            d = self._term_stats.filter(
+                F.length("term").between(n - 1, n + 1)
+            ).filter(cond)
+        else:
+            from gazetteer_search_spark.search.fastpath import (
+                damerau_levenshtein,
+            )
+
+            @F.pandas_udf("boolean")
+            def _within(col: pd.Series) -> pd.Series:
+                return col.map(
+                    lambda t: damerau_levenshtein(t, term, cap=2) <= 2
+                )
+
+            d = (
+                self._term_stats.filter(
+                    F.length("term").between(n - 2, n + 2)
+                )
+                .filter(~F.col("term").contains(":"))
+                .filter(_within(F.col("term")))
+            )
         rows = (
-            self._term_stats.filter(F.length("term").between(n - 1, n + 1))
-            .filter(cond)
-            .orderBy(F.col("df").desc(), F.col("term"))
+            d.orderBy(F.col("df").desc(), F.col("term"))
             .limit(MAX_FUZZY_EXPANSIONS)
             .select("term")
             .collect()
@@ -689,7 +749,9 @@ class SearchEngine:
         for tok in query.tokens[: MAX_GROUP_ID - 1]:
             terms = list(tok.all_forms())
             if fuzzy and not tok.optional and not tok.numbers_only:
-                terms += self.expand_fuzzy(tok.text)
+                terms += self.expand_fuzzy(
+                    tok.text, resolve_fuzziness(options.fuzziness, tok.text)
+                )
             groups.append(
                 TermGroup(
                     group_id=gid,

@@ -111,6 +111,53 @@ def rows_from_cardinality_parts(
     ]
 
 
+def damerau_levenshtein(a: str, b: str, cap: int = 2) -> int:
+    """UNRESTRICTED Damerau-Levenshtein distance (transposed letters may be
+    edited again — e.g. dl("ca", "abc") == 2 where the restricted/OSA form
+    gives 3), truncated at ``cap + 1``: once the row minimum exceeds the
+    cap the exact value doesn't matter and the scan exits early. This is
+    the variant DuckDB's native ``damerau_levenshtein`` implements, so the
+    three fuzziness=2 implementations (Spark pandas-UDF dictionary scan,
+    this serving twin, the DuckDB oracle) agree exactly."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    # Lowrance-Wagner: full (la+2) x (lb+2) table with the "last occurrence"
+    # row/col registers; strings here are dictionary terms (short), so the
+    # quadratic table is a handful of ints
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        best = inf
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            m = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,              # substitute / match
+                d[i + 1][j] + 1,             # insert
+                d[i][j + 1] + 1,             # delete
+                d[k][m] + (i - k - 1) + 1 + (j - m - 1),  # transpose
+            )
+            best = min(best, d[i + 1][j + 1])
+        da[a[i - 1]] = i
+        if best > cap:
+            return cap + 1
+    return d[la + 1][lb + 1]
+
+
 def _levenshtein(a: str, b: str) -> int:
     """Classic edit distance — same function as Spark's levenshtein and
     DuckDB's. The fuzzy expansion combines it with the adjacent-transposition
@@ -419,8 +466,10 @@ class LocalExecutor:
             self._expand_cache.move_to_end(key)
         return self._expand_cache[key]
 
-    def expand_fuzzy(self, term: str) -> list[str]:
-        key = ("f", term)
+    def expand_fuzzy(self, term: str, max_edits: int = 1) -> list[str]:
+        if max_edits <= 0:
+            return []
+        key = ("f", term, max_edits)
         if key not in self._expand_cache:
             from gazetteer_search_spark.search.engine import transpositions
 
@@ -428,16 +477,29 @@ class LocalExecutor:
             n = len(term)
             lens = ts["term"].str.len()
             cand = ts[
-                (lens >= n - 1) & (lens <= n + 1) & ~ts["term"].str.contains(":")
+                (lens >= n - max_edits)
+                & (lens <= n + max_edits)
+                & ~ts["term"].str.contains(":")
             ]
-            # OSA <= 1 (ES fuzziness=1 counts a transposition as one edit):
-            # Levenshtein <= 1 OR adjacent-transposition membership — same
-            # decomposition as the Spark path and the DuckDB oracle
-            trans = transpositions(term)
-            keep = [
-                _levenshtein(t, term) <= 1 or t in trans
-                for t in cand["term"].tolist()
-            ]
+            if max_edits == 1:
+                # OSA <= 1 (ES fuzziness=1 counts a transposition as one
+                # edit): Levenshtein <= 1 OR adjacent-transposition
+                # membership — same decomposition as the Spark path and
+                # the DuckDB oracle
+                trans = transpositions(term)
+                keep = [
+                    _levenshtein(t, term) <= 1 or t in trans
+                    for t in cand["term"].tolist()
+                ]
+            else:
+                # fuzziness=2: unrestricted Damerau-Levenshtein, the same
+                # function the Spark pandas UDF and DuckDB's native
+                # damerau_levenshtein compute — banded scan of the cached
+                # dictionary (Lucene runs its automaton over the same dict)
+                keep = [
+                    damerau_levenshtein(t, term, cap=2) <= 2
+                    for t in cand["term"].tolist()
+                ]
             cand = cand[np.asarray(keep, dtype=bool)] if len(cand) else cand
             cand = cand.sort_values(["df", "term"], ascending=[False, True])
             self._cache_put(key, cand["term"].head(MAX_FUZZY_EXPANSIONS).tolist())

@@ -127,6 +127,13 @@ def _snippet_lines(v: str) -> int:
         return 0
 
 
+def _parse_fuzziness(v: str | int) -> int | str:
+    """fuzziness=0|1|2|auto query/CLI parameter -> SearchOptions value
+    (validation itself happens in engine.resolve_fuzziness)."""
+    s = str(v).strip().lower()
+    return "auto" if s == "auto" else int(s)
+
+
 def _not_param_terms(words) -> tuple[str, ...]:
     """not=WORD params -> analyzed excluded terms (cli._not_terms twin)."""
     if not words:
@@ -249,6 +256,11 @@ def _make_handler(
                 # tie_breaker=F: ES dis_max/multi_match tie_breaker — a
                 # group scores max + F * (sum of losing variants)
                 tie_breaker=float(_one("tie_breaker", "0")),
+                # fuzziness=0|1|2|auto: max edits per term on the fuzzy
+                # rung (ES fuzziness param; auto = the ES AUTO ladder)
+                fuzziness=_parse_fuzziness(
+                    _one("fuzziness", str(default_opts.fuzziness))
+                ),
                 repo=_one("repo"),
                 path_prefix=_one("path_prefix"),
                 distinct=_one("distinct", "false").lower() == "true",

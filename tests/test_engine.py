@@ -100,6 +100,75 @@ def test_fuzzy_transposition_one_edit(engine):
     assert "merge" in LocalExecutor(engine.index).expand_fuzzy("emrge")
 
 
+def test_fuzziness_2_expansion_three_tiers(engine):
+    """fuzziness=2 (ES/Lucene max): unrestricted Damerau-Levenshtein <= 2.
+    Spark pandas-UDF dictionary scan == serving banded scan == brute-force
+    recompute over the dictionary; a distance-2 typo invisible at <=1."""
+    from gazetteer_search_spark.search.fastpath import (
+        LocalExecutor,
+        damerau_levenshtein,
+    )
+
+    # unit: unrestricted form (OSA would give 3 for ca->abc), cap truncation
+    assert damerau_levenshtein("ca", "abc") == 2
+    assert damerau_levenshtein("teh", "the") == 1  # transposition = 1 edit
+    assert damerau_levenshtein("merge", "mrg", cap=2) == 2
+    assert damerau_levenshtein("abcdef", "fedcba", cap=2) == 3  # truncated
+
+    typo = "mrg"  # two deletions from "merge"
+    assert "merge" not in engine.expand_fuzzy(typo, 1)
+    spark_exp = engine.expand_fuzzy(typo, 2)
+    assert "merge" in spark_exp
+    serve_exp = LocalExecutor(engine.index).expand_fuzzy(typo, 2)
+    assert serve_exp == spark_exp
+    # brute force over the full dictionary (df-ranked, capped like both)
+    ts = [
+        (r.term, int(r.df))
+        for r in engine._term_stats.select("term", "df").collect()
+        if ":" not in r.term
+    ]
+    brute = sorted(
+        (t for t, _ in ts if damerau_levenshtein(t, typo, cap=2) <= 2),
+        key=lambda t: (-dict(ts)[t], t),
+    )[:32]
+    assert spark_exp == brute
+    # max_edits=0 expands nothing
+    assert engine.expand_fuzzy(typo, 0) == []
+
+
+def test_resolve_fuzziness_auto_ladder():
+    from gazetteer_search_spark.search.engine import resolve_fuzziness
+
+    assert resolve_fuzziness("auto", "ab") == 0
+    assert resolve_fuzziness("auto", "abc") == 1
+    assert resolve_fuzziness("auto", "abcde") == 1
+    assert resolve_fuzziness("auto", "abcdef") == 2
+    assert resolve_fuzziness(2, "ab") == 2
+    with pytest.raises(ValueError, match="fuzziness"):
+        resolve_fuzziness(3, "abc")
+    with pytest.raises(ValueError, match="fuzziness"):
+        resolve_fuzziness("AUTO?", "abc")
+
+
+def test_fuzziness_option_reaches_the_ladder(engine):
+    """SearchOptions.fuzziness threads into the fuzzy rung: a distance-2
+    typo finds its docs at fuzziness=2 (and auto, term length 6+) but not
+    at the default 1."""
+    q = "mergexy"  # merge + two trailing insertions -> DL 2
+    miss = engine.search_hits(q, SearchOptions(k=5, prefix=False))
+    hit2 = engine.search_hits(
+        q, SearchOptions(k=5, prefix=False, fuzziness=2)
+    )
+    hit_auto = engine.search_hits(
+        q, SearchOptions(k=5, prefix=False, fuzziness="auto")
+    )
+    assert not miss
+    assert hit2
+    assert [(h.doc_id, h.score) for h in hit_auto] == [
+        (h.doc_id, h.score) for h in hit2
+    ]
+
+
 def test_coalesce_ladder_falls_through(engine):
     """Strict AND on a nonsense+real pair yields nothing; the ladder's OR rung
     (msm capped) still returns the real term's docs (ESCoalesce.java:30-64)."""

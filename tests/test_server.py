@@ -501,6 +501,35 @@ def test_http_tie_breaker(eng):
         srv.shutdown()
 
 
+def test_http_fuzziness(eng):
+    """``fuzziness=`` route param (ES fuzziness): a distance-2 typo hits
+    only at fuzziness=2; identical to the engine-level call."""
+    srv = make_server(eng, SearchOptions(k=20, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/search?q=gam") as r:
+            miss = json.loads(r.read())["hits"]
+        with urllib.request.urlopen(f"{base}/search?q=gam&fuzziness=2") as r:
+            got = [
+                (h["doc_id"], h["score"]) for h in json.loads(r.read())["hits"]
+            ]
+        assert not miss and got
+        o = SearchOptions(k=20, prefix=False)
+        want = [
+            (h["doc_id"], h["score"])
+            for h in eng.search_response("gam", replace(o, fuzziness=2))["hits"]
+        ]
+        assert got == want
+        with urllib.request.urlopen(f"{base}/search?q=gam&fuzziness=bogus") as r:
+            assert json.loads(r.read())  # falls back to an error envelope
+    except urllib.error.HTTPError as e:
+        assert e.code == 400  # bogus fuzziness rejected is also acceptable
+    finally:
+        srv.shutdown()
+
+
 def test_http_collapse(eng):
     """``collapse=KEY`` route param (ES field-collapsing): identical to the
     engine-level call; one hit per distinct key value."""
