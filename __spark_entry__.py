@@ -1863,6 +1863,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             aggs.cardinality(d, "lang")
         )
 
+    def filters_agg_q(spark, sf):
+        # ES filters agg analog: named buckets from arbitrary conditions,
+        # OVERLAPPING (a long English doc counts in both "en" and
+        # "long_en") — one conditional-sum hash agg + stack, never one
+        # scan per bucket
+        from gazetteer_search_spark.operators import aggs
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return aggs.filters_agg(
+            d,
+            {
+                "short": F.col("n_chars") < 250,
+                "en": F.col("lang") == "en",
+                "long_en": (F.col("lang") == "en")
+                & (F.col("n_chars") >= 400),
+            },
+        )
+
+    def range_agg_q(spark, sf):
+        # ES range agg analog: half-open [from, to) buckets with open ends
+        # and a deliberate 90-100 overlap — same one-pass conditional-sum
+        # shape
+        from gazetteer_search_spark.operators import aggs
+
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        return aggs.range_agg(
+            e, "value", [(None, 50.0), (50.0, 100.0), (90.0, None)]
+        )
+
+    def rare_terms_q(spark, sf):
+        # ES rare_terms agg analog: the Zipf TAIL of a terms agg — exact
+        # char counts held by at most one document, rarest-then-value order
+        from gazetteer_search_spark.operators import aggs
+
+        return aggs.rare_terms(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            "n_chars",
+            max_doc_count=1,
+            size=50,
+        )
+
     def pack_sequences_q(spark, sf):
         # concat-and-chunk training packing (operators/packing.py): per-lang
         # token streams cut at exact 512-token boundaries; one window cumsum
@@ -1935,6 +1976,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         chunk_overlap=chunk_overlap_q,
         hist_nchars=hist_nchars,
         stats_nchars=stats_nchars,
+        filters_agg=filters_agg_q,
+        range_agg=range_agg_q,
+        rare_terms=rare_terms_q,
         jaccard_pairs=jaccard_pairs,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
@@ -2724,6 +2768,36 @@ WHERE i / (sa.n + sb.n - i) >= 0.8
         "round(quantile_cont(n_chars, 0.95), 6) AS p95, "
         "count(DISTINCT lang)::BIGINT AS cardinality FROM documents"
     )
+
+    # ES filters/range aggs: overlapping named buckets as conditional sums
+    # over ONE scan, unpivoted — the oracle recomputes each bucket the naive
+    # way (one filtered count per bucket) and must agree
+    o["filters_agg"] = """
+SELECT 'en' AS bucket, count(*)::BIGINT AS doc_count
+  FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT 'long_en', count(*)::BIGINT FROM documents
+  WHERE lang = 'en' AND n_chars >= 400
+UNION ALL
+SELECT 'short', count(*)::BIGINT FROM documents WHERE n_chars < 250
+ORDER BY bucket
+"""
+    o["range_agg"] = """
+SELECT '*-50' AS bucket, count(*)::BIGINT AS doc_count
+  FROM events WHERE value < 50
+UNION ALL
+SELECT '50-100', count(*)::BIGINT FROM events
+  WHERE value >= 50 AND value < 100
+UNION ALL
+SELECT '90-*', count(*)::BIGINT FROM events WHERE value >= 90
+ORDER BY bucket
+"""
+    o["rare_terms"] = """
+SELECT n_chars AS value, count(*)::BIGINT AS doc_count
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY n_chars HAVING count(*) <= 1
+ORDER BY doc_count, value LIMIT 50
+"""
 
     # concat-and-chunk packing: window cumsum + generate_series recomputes
     # every (doc, sequence) slice independently

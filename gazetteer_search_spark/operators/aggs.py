@@ -114,6 +114,98 @@ def numeric_stats(
     return df.agg(*aggs)
 
 
+def filters_agg(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES ``filters`` agg: one named bucket per arbitrary filter condition,
+    buckets may OVERLAP (a doc matching two filters counts in both — the ES
+    semantics, unlike a terms agg's partition).
+
+    Output: (bucket, doc_count), bucket name-ascending.
+
+    Scale shape: ONE pass — every bucket is a conditional-sum column in a
+    single hash aggregation (map-side partials free), then the one result
+    row unpivots via ``stack``. N buckets never cost N scans; there is no
+    per-bucket job and no shuffle keyed by data values at all."""
+    if not filters:
+        raise ValueError("filters_agg needs at least one named filter")
+    names = sorted(filters)
+    row = df.agg(
+        *[
+            F.sum(F.when(filters[n], 1).otherwise(0))
+            .cast("long")
+            .alias(f"_b{i}")
+            for i, n in enumerate(names)
+        ]
+    )
+    pairs = ", ".join(f"'{n}', _b{i}" for i, n in enumerate(names))
+    return (
+        row.selectExpr(
+            f"stack({len(names)}, {pairs}) AS (bucket, doc_count)"
+        )
+        .withColumn("doc_count", F.coalesce("doc_count", F.lit(0)))
+        .orderBy("bucket")
+    )
+
+
+def range_agg(
+    df: DataFrame,
+    col: str,
+    ranges: list[tuple[float | None, float | None]],
+) -> DataFrame:
+    """ES ``range`` agg: half-open buckets ``[from, to)`` over a numeric
+    column; ``None`` leaves an end unbounded; ranges may overlap (a value in
+    two ranges counts in both). Bucket keys use the ES ``from-to`` form with
+    ``*`` for the open end. NULL values drop (ES missing-value behavior).
+
+    Same one-pass conditional-sum shape as :func:`filters_agg` — N ranges
+    are N columns of one aggregation, not N scans."""
+    if not ranges:
+        raise ValueError("range_agg needs at least one range")
+
+    def _key(lo: float | None, hi: float | None) -> str:
+        f = lambda v: "*" if v is None else f"{v:g}"
+        return f"{f(lo)}-{f(hi)}"
+
+    conds = []
+    for lo, hi in ranges:
+        if lo is None and hi is None:
+            c = F.col(col).isNotNull()
+        elif lo is None:
+            c = F.col(col) < F.lit(hi)
+        elif hi is None:
+            c = F.col(col) >= F.lit(lo)
+        else:
+            if hi <= lo:
+                raise ValueError(f"empty range [{lo}, {hi})")
+            c = (F.col(col) >= F.lit(lo)) & (F.col(col) < F.lit(hi))
+        conds.append((_key(lo, hi), c))
+    return filters_agg(df, dict(conds))
+
+
+def rare_terms(
+    df: DataFrame, col: str, max_doc_count: int = 1, size: int = 100
+) -> DataFrame:
+    """ES ``rare_terms`` agg: the LONG-TAIL complement of a terms agg —
+    values appearing at most ``max_doc_count`` times, rarest first (then
+    value-ascending for determinism), capped at ``size``.
+
+    Scale shape: one hash aggregation keyed by the value + a HAVING filter;
+    the count <= K predicate drops the head of the Zipf curve before the
+    final order-by, so the sort sees only the tail (ES approximates this
+    with a CuckooFilter for the same reason — bounding what survives the
+    per-shard merge; exact is affordable here because the filter comes
+    first)."""
+    if max_doc_count < 1:
+        raise ValueError(f"max_doc_count must be >= 1, got {max_doc_count}")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(F.col(col).alias("value"))
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") <= F.lit(max_doc_count))
+        .orderBy("doc_count", "value")
+        .limit(size)
+    )
+
+
 def cardinality(
     df: DataFrame, col: str, exact: bool = True, rsd: float = 0.05
 ) -> DataFrame:

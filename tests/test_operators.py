@@ -458,6 +458,67 @@ def test_aggs_date_histogram(spark):
         aggs.date_histogram(d, "ts", "fortnight")
 
 
+def test_aggs_filters_range_rare(spark):
+    """ES filters / range / rare_terms aggs: overlapping named buckets from
+    one conditional-sum pass; half-open range semantics with open ends;
+    the long-tail complement of a terms agg."""
+    from gazetteer_search_spark.operators import aggs
+
+    d = spark.createDataFrame(
+        [(0, 10, "en"), (1, 55, "en"), (2, 95, "fr"), (3, 95, "en"),
+         (4, None, "fr")],
+        "doc_id long, v long, lang string",
+    )
+    got = {
+        (r.bucket, r.doc_count)
+        for r in aggs.filters_agg(
+            d,
+            {
+                "en": F.col("lang") == "en",
+                "big_en": (F.col("lang") == "en") & (F.col("v") >= 50),
+                "none": F.col("lang") == "zz",  # empty bucket still emitted
+            },
+        ).collect()
+    }
+    assert got == {("en", 3), ("big_en", 2), ("none", 0)}  # overlap allowed
+
+    rng = {
+        (r.bucket, r.doc_count)
+        for r in aggs.range_agg(
+            d, "v", [(None, 50.0), (50.0, 100.0), (90.0, None)]
+        ).collect()
+    }
+    # NULL drops; 95 counts in BOTH 50-100 and 90-* (ES overlap semantics)
+    assert rng == {("*-50", 1), ("50-100", 3), ("90-*", 2)}
+
+    rare = [(r.value, r.doc_count) for r in aggs.rare_terms(d, "v").collect()]
+    assert rare == [(10, 1), (55, 1)]  # 95 has df 2, NULL drops
+    assert aggs.rare_terms(d, "v", max_doc_count=2, size=2).count() == 2
+    with pytest.raises(ValueError, match="at least one"):
+        aggs.filters_agg(d, {})
+    with pytest.raises(ValueError, match="empty range"):
+        aggs.range_agg(d, "v", [(5.0, 5.0)])
+    with pytest.raises(ValueError, match="max_doc_count"):
+        aggs.rare_terms(d, "v", max_doc_count=0)
+
+
+def test_aggs_filters_one_pass_plan(spark):
+    """The N-bucket filters agg is ONE aggregation over ONE scan — the plan
+    contains a single HashAggregate pair (partial+final) and one relation
+    scan, not one job per bucket."""
+    from gazetteer_search_spark.operators import aggs
+
+    d = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    plan = aggs.filters_agg(
+        d, {f"b{i}": F.col("v") == i for i in range(5)}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range (0, 100") == 1  # one scan of the source
+    # one partial + one final hash aggregate, regardless of bucket count
+    assert plan.count("HashAggregate") == 2
+
+
 def test_mixture_sample_hits_target_shares(spark):
     from gazetteer_search_spark.operators import sampling
 
