@@ -91,6 +91,51 @@ def cmd_add_segment(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_delete_by_query(args: argparse.Namespace) -> None:
+    """ES _delete_by_query analog: matched LIVE docs get a tombstone-only
+    segment (no index rewrite; compaction purges physically later)."""
+    from gazetteer_search_spark.index.segments import delete_by_query
+
+    spark = _spark("gss-delete-by-query")
+    t0 = time.time()
+    res = delete_by_query(spark, args.index, where=args.where)
+    print(json.dumps({
+        "index": args.index, "seg_id": res["seg_id"],
+        "deleted": res["n_tombstones"],
+        "seconds": round(time.time() - t0, 2),
+    }))
+
+
+def cmd_update_by_query(args: argparse.Namespace) -> None:
+    """ES _update_by_query analog: matched LIVE docs are re-indexed as a new
+    generation with --set column=SQL-expression applied (painless-script
+    analog), superseding their old versions via the upsert-key tombstones."""
+    from gazetteer_search_spark.index.segments import (
+        list_segments,
+        update_by_query,
+    )
+
+    spark = _spark("gss-update-by-query")
+    set_exprs = {}
+    for s in args.set:
+        col, _, expr = s.partition("=")
+        if not col or not expr:
+            raise SystemExit(f"--set needs COLUMN=EXPRESSION, got {s!r}")
+        set_exprs[col.strip()] = expr
+    source = spark.read.parquet(args.source) if args.source else None
+    t0 = time.time()
+    idx, n = update_by_query(
+        spark, args.index, args.where, set_exprs, source=source,
+        key_cols=tuple(args.key.split(",")), n_buckets=args.n_buckets,
+    )
+    print(json.dumps({
+        "index": args.index, "updated": int(n),
+        "seg_id": None if idx is None
+        else int(list_segments(args.index)[-1]["seg_id"]),
+        "seconds": round(time.time() - t0, 2),
+    }))
+
+
 def cmd_stream_ingest(args: argparse.Namespace) -> None:
     """Continuous incremental indexing from a growing parquet directory: each
     micro-batch becomes a generation (or spools under the row floor), with
@@ -871,6 +916,33 @@ def main(argv: list[str] | None = None) -> None:
         "are tombstoned; reference ImportMode.update deletes-by-id per batch)",
     )
     sg.set_defaults(fn=cmd_add_segment)
+
+    dq = sub.add_parser("delete-by-query")
+    dq.add_argument("--index", required=True)
+    dq.add_argument(
+        "--where", required=True,
+        help="SQL predicate over docs-store columns (repo/path/lang/...); "
+        "matched LIVE docs get a tombstone-only segment",
+    )
+    dq.set_defaults(fn=cmd_delete_by_query)
+
+    uq = sub.add_parser("update-by-query")
+    uq.add_argument("--index", required=True)
+    uq.add_argument("--where", required=True,
+                    help="SQL predicate selecting LIVE docs to re-index")
+    uq.add_argument(
+        "--set", action="append", required=True, metavar="COL=EXPR",
+        help="column = SQL expression applied to each matched doc "
+        "(repeatable; the painless-script analog)",
+    )
+    uq.add_argument(
+        "--source",
+        help="original corpus parquet (required for indexes built without "
+        "--store-content)",
+    )
+    uq.add_argument("--n-buckets", type=int, default=8)
+    uq.add_argument("--key", default="repo,path")
+    uq.set_defaults(fn=cmd_update_by_query)
 
     si = sub.add_parser("stream-ingest")
     si.add_argument("--index", required=True)

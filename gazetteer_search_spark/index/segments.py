@@ -126,8 +126,26 @@ def frozen_stats_from_base(spark: SparkSession, index_dir: str) -> FrozenStats:
 
 
 def _gen_dirs(index_dir: str) -> list[str]:
-    """All generation roots, oldest first (base is generation 0)."""
-    return [index_dir] + [s["path"] for s in list_segments(index_dir)]
+    """Payload-carrying generation roots, oldest first (base is generation
+    0). A tombstone-only segment (delete_by_query) is a lineage row with
+    n_docs == 0 — it contributes deletions, never documents, so readers of
+    docs/postings must skip it."""
+    return [index_dir] + [
+        s["path"] for s in list_segments(index_dir) if s["n_docs"] > 0
+    ]
+
+
+def _gen_entries(index_dir: str) -> list[tuple[int, str]]:
+    """(generation ordinal, root) for payload-carrying generations, oldest
+    first: ordinal 0 is the base, a segment's ordinal is its seg_id. Used
+    with seg_id-keyed tombstones — segment S's tombstones apply to every
+    generation with ordinal < S, an alignment that stays correct when
+    tombstone-only segments create gaps in the payload sequence."""
+    return [(0, index_dir)] + [
+        (int(s["seg_id"]), s["path"])
+        for s in list_segments(index_dir)
+        if s["n_docs"] > 0
+    ]
 
 
 def _base_rules(index_dir: str):
@@ -478,13 +496,15 @@ class MultiExecutor:
         from gazetteer_search_spark.search.fastpath import LocalExecutor
 
         segs = list_segments(index_dir)
-        tombs = [_tombstones_local(s["path"]) for s in segs]
-        gens = _gen_dirs(index_dir)
+        tombs = [
+            (int(s["seg_id"]), _tombstones_local(s["path"])) for s in segs
+        ]
         self.subs = []
-        for g, gdir in enumerate(gens):
-            # tombstones of segments NEWER than generation g (segment i is
-            # generation i+1, so its tombstones apply to generations <= i)
-            newer = [t for i, t in enumerate(tombs) if i + 1 > g]
+        for gid, gdir in _gen_entries(index_dir):
+            # tombstones of segments NEWER than this generation (seg_id
+            # order IS generation order; tombstone-only segments contribute
+            # deletions here but never an executor)
+            newer = [t for sid, t in tombs if sid > gid]
             denied = (
                 np.unique(np.concatenate(newer))
                 if newer and sum(t.size for t in newer)
@@ -730,21 +750,197 @@ def live_view(spark: SparkSession, index_dir: str):
     return _live_docs_and_tf(spark, index_dir)
 
 
+def live_docs(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Live docs-table rows across all generations — the docs half of
+    :func:`live_view` without the postings decode. The match surface for
+    delete_by_query / update_by_query: per-generation anti-join against the
+    union of newer tombstones, so superseded and already-deleted rows never
+    re-match."""
+    tomb = [
+        (
+            int(s["seg_id"]),
+            spark.read.parquet(os.path.join(s["path"], "tombstones")),
+        )
+        for s in list_segments(index_dir)
+    ]
+    out = None
+    for gid, gdir in _gen_entries(index_dir):
+        d = spark.read.parquet(IndexPaths(gdir).docs)
+        for sid, t in tomb:
+            if sid > gid:
+                d = d.join(t, "doc_id", "left_anti")
+        out = (
+            d
+            if out is None
+            else out.unionByName(d, allowMissingColumns=True)
+        )
+    return out
+
+
+def delete_by_query(
+    spark: SparkSession | None,
+    index_dir: str,
+    where: str | None = None,
+    doc_ids=None,
+) -> dict:
+    """ES ``_delete_by_query`` analog (the reference's delete-by-query /
+    generation-purge semantics, SURVEY S3): write a TOMBSTONE-ONLY segment
+    — a lineage row with n_docs=0 whose tombstone list masks every older
+    generation at decode. No index file is rewritten; readers see the
+    deletion once the manifest row lands (the same visibility rule as
+    upsert segments), and compaction physically purges the rows later —
+    ``compaction_due`` counts these tombstones toward its ratio trigger, so
+    heavy deletion schedules its own merge (the Lucene .del-file design).
+
+    Exactly one of:
+
+    - ``where``: SQL predicate over docs-store columns (repo/path/lang/
+      commit/...), evaluated against LIVE rows only — already-superseded
+      docs never re-count. Needs ``spark``; the id set is computed and
+      written fully distributed (no driver round-trip).
+    - ``doc_ids``: an explicit id set — a single-column DataFrame (batch
+      form), or a python sequence (the Spark-FREE micro-delete path: pure
+      pyarrow, the localbuild twin for deletes).
+
+    Returns {"seg_id", "n_tombstones"}; a zero-match delete creates no
+    segment (seg_id None), like ES reporting deleted=0."""
+    if (where is None) == (doc_ids is None):
+        raise ValueError("delete_by_query needs exactly one of where / doc_ids")
+    segs = list_segments(index_dir)
+    seg_id = (segs[-1]["seg_id"] + 1) if segs else 1
+    seg_dir = os.path.join(_seg_root(index_dir), f"seg_{seg_id:05d}")
+    tomb_dir = os.path.join(seg_dir, "tombstones")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if where is not None or isinstance(doc_ids, DataFrame):
+        if spark is None:
+            raise ValueError(
+                "the where / DataFrame forms need a SparkSession "
+                "(pass a doc_ids sequence for the Spark-free path)"
+            )
+        ids = (
+            live_docs(spark, index_dir).filter(F.expr(where))
+            if where is not None
+            else doc_ids
+        ).select("doc_id").distinct()
+        ids.write.mode("overwrite").parquet(tomb_dir)
+        import pyarrow.dataset as ds_mod
+
+        n_dead = int(ds_mod.dataset(tomb_dir).count_rows())
+    else:
+        arr = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+        os.makedirs(tomb_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(arr, type=pa.int64())], names=["doc_id"]
+            ),
+            os.path.join(tomb_dir, f"part-{uuid.uuid4().hex}-c000.parquet"),
+        )
+        open(os.path.join(tomb_dir, "_SUCCESS"), "a").close()
+        n_dead = int(arr.size)
+
+    if n_dead == 0:
+        import shutil as _sh
+
+        _sh.rmtree(seg_dir, ignore_errors=True)
+        return {"seg_id": None, "n_tombstones": 0}
+
+    import pandas as pd
+
+    _append_seg_manifest(
+        index_dir,
+        {
+            "seg_id": int(seg_id),
+            "path": seg_dir,
+            "n_docs": 0,
+            "n_tombstones": n_dead,
+            "created": pd.Timestamp.utcnow()
+            .tz_localize(None)
+            .to_pydatetime(),
+        },
+    )
+    return {"seg_id": int(seg_id), "n_tombstones": n_dead}
+
+
+def update_by_query(
+    spark: SparkSession,
+    index_dir: str,
+    where: str,
+    set_exprs: dict[str, str],
+    source: DataFrame | None = None,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+    n_buckets: int = 8,
+    **segment_kwargs,
+):
+    """ES ``_update_by_query`` analog: every LIVE doc matching ``where`` is
+    re-indexed as a new generation with ``set_exprs`` applied (column ->
+    SQL expression, the painless-script analog), superseding its old
+    version through the standard ``key_cols`` tombstone mechanism — exactly
+    how ES implements it (scroll the match set, re-index each hit at the
+    next version).
+
+    The updated batch comes from the stored-content docs table
+    (store_content=True bases re-index without the original corpus) or,
+    when given, from ``source`` (the original corpus table) for
+    content-less indexes — matched by ``key_cols`` semi-join.
+
+    Returns (Index, n_matched); nothing matching creates no segment."""
+    matched = live_docs(spark, index_dir).filter(F.expr(where))
+    if source is not None:
+        batch = source.join(
+            matched.select(*key_cols).distinct(), list(key_cols), "left_semi"
+        )
+    else:
+        if not b.read_index_meta(index_dir).get("stored_content"):
+            raise ValueError(
+                "update_by_query without source needs a store_content=True "
+                "index (pass source= to re-read content from the corpus)"
+            )
+        batch = matched.select(
+            *[
+                c
+                for c in ("repo", "path", "commit", "lang", "content")
+                if c in matched.columns
+            ]
+        )
+    for col, expr in set_exprs.items():
+        batch = batch.withColumn(col, F.expr(expr))
+    # materialize BEFORE add_segment writes: the batch's lineage reads the
+    # same index files the new segment's tombstone pass will re-read
+    batch = batch.localCheckpoint(eager=True)
+    n = batch.count()
+    if n == 0:
+        return None, 0
+    idx = add_segment(
+        spark,
+        batch,
+        index_dir,
+        key_cols=key_cols,
+        n_buckets=n_buckets,
+        **segment_kwargs,
+    )
+    return idx, n
+
+
 def _live_docs_and_tf(spark: SparkSession, index_dir: str):
     """(live_docs, live_content_tf) across generations: per-generation
     anti-join against the union of newer tombstones, postings decoded with
     tf (persisted per posting), field-namespace keys excluded (field tokens
     re-derive from doc columns)."""
-    segs = list_segments(index_dir)
-    gens = _gen_dirs(index_dir)
     tomb_dfs = [
-        spark.read.parquet(os.path.join(s["path"], "tombstones")) for s in segs
+        (
+            int(s["seg_id"]),
+            spark.read.parquet(os.path.join(s["path"], "tombstones")),
+        )
+        for s in list_segments(index_dir)
     ]
     live_docs = None
     live_tf = None
-    for g, gdir in enumerate(gens):
+    for gid, gdir in _gen_entries(index_dir):
         paths = IndexPaths(gdir)
-        newer = [t for i, t in enumerate(tomb_dfs) if i + 1 > g]
+        newer = [t for sid, t in tomb_dfs if sid > gid]
         docs_g = spark.read.parquet(paths.docs)
         post_g = decode_postings(
             spark.read.parquet(paths.postings), with_tf=True
@@ -851,10 +1047,9 @@ def _compact_positions(
     facts and doc ids are globally unique across generations."""
     from gazetteer_search_spark.index.builder import term_bucket_col
 
-    segs = list_segments(index_dir)
-    gens = _gen_dirs(index_dir)
+    gens = _gen_entries(index_dir)
     missing = [
-        g for g in gens
+        g for _, g in gens
         if not os.path.isdir(IndexPaths(g).positions)
     ]
     if missing:
@@ -864,14 +1059,18 @@ def _compact_positions(
             "rebuild those segments with positions=True"
         )
     tomb_dfs = [
-        spark.read.parquet(os.path.join(s["path"], "tombstones")) for s in segs
+        (
+            int(s["seg_id"]),
+            spark.read.parquet(os.path.join(s["path"], "tombstones")),
+        )
+        for s in list_segments(index_dir)
     ]
     live = None
-    for g, gdir in enumerate(gens):
+    for gid, gdir in gens:
         p = spark.read.parquet(IndexPaths(gdir).positions).select(
             "term", "doc_id", "positions"
         )
-        for t in (t for i, t in enumerate(tomb_dfs) if i + 1 > g):
+        for t in (t for sid, t in tomb_dfs if sid > gid):
             p = p.join(t, "doc_id", "left_anti")
         live = p if live is None else live.unionByName(p)
     (

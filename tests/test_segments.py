@@ -536,3 +536,165 @@ def test_multigen_rescore_and_explain(spark, base, tmp_path_factory):
     for h in page:
         got = sum(v for (d, _), v in per.items() if d == h.doc_id)
         assert got == pytest.approx(round(h.score, 4), abs=2e-3)
+
+
+def test_delete_by_query_tombstone_only_segment(spark, base, tmp_path_factory):
+    """ES _delete_by_query analog: matched LIVE docs get a TOMBSTONE-ONLY
+    segment (n_docs=0) — no index rewrite, readers mask at decode, a later
+    upsert generation resurrects the key, compaction purges physically."""
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_dbq"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+
+    n_py = N // 5  # LANGS round-robin over doc_id
+
+    # pre-delete baseline: not every synthetic doc contains the query terms,
+    # so expectations derive from the matched set, not from N
+    opts = SearchOptions(k=2 * N, prefix=False, fuzzy=False)
+    hits0 = segments.open_multi_search(root).search_hits("merge postings", opts)
+    n_match_py = sum(1 for h in hits0 if h.lang == "python")
+    n_match_other = len(hits0) - n_match_py
+    assert n_match_py and n_match_other
+
+    res = segments.delete_by_query(spark, root, where="lang = 'python'")
+    assert res["n_tombstones"] == n_py
+    man = segments.list_segments(root)
+    assert len(man) == 1 and man[0]["n_docs"] == 0
+    assert man[0]["n_tombstones"] == n_py
+
+    # serving tier: no python doc survives, other langs untouched
+    eng = segments.open_multi_search(root)
+    hits = eng.search_hits("merge postings", opts)
+    assert hits and not any(h.lang == "python" for h in hits)
+    assert len(hits) == n_match_other
+    # batch view sees ALL live docs, matched or not
+    assert segments.live_docs(spark, root).count() == N - n_py
+
+    # idempotence: nothing left to match -> no new segment (ES deleted=0)
+    res2 = segments.delete_by_query(spark, root, where="lang = 'python'")
+    assert res2 == {"seg_id": None, "n_tombstones": 0}
+    assert len(segments.list_segments(root)) == 1
+
+    # a LATER upsert resurrects deleted keys (tombstones only mask OLDER
+    # generations)
+    batch = _v(corpus0.filter(F.col("lang") == "python"), 0, 10, "v2")
+    n_back = batch.count()
+    resurrected_paths = {r.path for r in batch.select("path").collect()}
+    assert n_back == 2  # doc_ids 0, 5 are python under the round-robin
+    expect_back = sum(1 for h in hits0 if h.path in resurrected_paths)
+    segments.add_segment(spark, batch, root, n_buckets=4)
+    eng2 = segments.open_multi_search(root)
+    back = eng2.search_hits("merge postings", opts)
+    assert sum(1 for h in back if h.lang == "python") == expect_back
+    assert len(back) == n_match_other + expect_back
+
+    # compaction physically purges: compacted count == live count
+    out = str(tmp_path_factory.mktemp("seg_dbq_c"))
+    shutil.rmtree(out)
+    cidx = segments.compact(spark, root, out)
+    assert cidx.n_docs == N - n_py + n_back
+
+
+def test_delete_by_query_docids_spark_free(spark, base, tmp_path_factory):
+    """Explicit-id micro-delete: pure pyarrow (no Spark job), the localbuild
+    twin for deletes; MultiExecutor masks the ids immediately."""
+    root0, _, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_dbq_ids"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+
+    eng = segments.open_multi_search(root)
+    all_opts = SearchOptions(k=2 * N, prefix=False, fuzzy=False)
+    n_match0 = len(eng.search_hits("merge postings", all_opts))
+    opts = SearchOptions(k=5, prefix=False, fuzzy=False)
+    victims = [h.doc_id for h in eng.search_hits("merge postings", opts)]
+    res = segments.delete_by_query(None, root, doc_ids=victims)
+    assert res["n_tombstones"] == 5 and res["seg_id"] == 1
+
+    eng2 = segments.open_multi_search(root)
+    survivors = {h.doc_id for h in eng2.search_hits("merge postings",
+                 all_opts)}
+    assert not (set(victims) & survivors)
+    assert len(survivors) == n_match0 - 5
+    with pytest.raises(ValueError, match="exactly one"):
+        segments.delete_by_query(spark, root)
+    with pytest.raises(ValueError, match="SparkSession"):
+        segments.delete_by_query(None, root, where="lang = 'go'")
+
+
+def test_update_by_query_with_source(spark, base, tmp_path_factory):
+    """ES _update_by_query analog (source-corpus form): matched live docs
+    re-index as a new generation with the SQL 'script' applied; their old
+    versions tombstone via the upsert key; unmatched docs untouched."""
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_ubq"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+
+    opts = SearchOptions(k=2 * N, prefix=False, fuzzy=False)
+    n_match0 = len(
+        segments.open_multi_search(root).search_hits("merge postings", opts)
+    )
+
+    idx, n = segments.update_by_query(
+        spark, root, "lang = 'go'",
+        {"content": "concat(content, ' zzzubqmarker')"},
+        source=corpus0.drop("doc_id"), n_buckets=4,
+    )
+    assert n == N // 5 and idx.n_docs == n
+
+    eng = segments.open_multi_search(root)
+    marked = eng.search_hits("zzzubqmarker", opts)
+    assert len(marked) == n and all(h.lang == "go" for h in marked)
+    # old versions superseded: every (repo, path) appears exactly once and
+    # the matched set is unchanged (content only gained a marker token)
+    allh = eng.search_hits("merge postings", opts)
+    paths = [h.path for h in allh]
+    assert len(paths) == len(set(paths)) == n_match0
+
+    # zero-match update creates no segment
+    idx2, n2 = segments.update_by_query(
+        spark, root, "lang = 'zz'", {"content": "content"},
+        source=corpus0.drop("doc_id"),
+    )
+    assert idx2 is None and n2 == 0
+    assert len(segments.list_segments(root)) == 1
+
+
+def test_update_by_query_stored_content(spark, tmp_path_factory):
+    """store_content=True indexes update from their own docs store — no
+    source corpus needed (the ES shape: scroll hits carry _source)."""
+    root = str(tmp_path_factory.mktemp("seg_ubq_sc"))
+    corpus = synthetic_corpus(spark, 200)
+    builder.build_index(
+        spark, _hid(corpus.drop("doc_id")), root, n_buckets=4,
+        postings_per_group=1 << 16, store_content=True,
+    )
+    idx, n = segments.update_by_query(
+        spark, root, "lang = 'java'",
+        {"content": "concat(content, ' zzzscmarker')"}, n_buckets=4,
+    )
+    assert n == 40 and idx.n_docs == 40
+    eng = segments.open_multi_search(root)
+    hits = eng.search_hits(
+        "zzzscmarker", SearchOptions(k=500, prefix=False, fuzzy=False)
+    )
+    assert len(hits) == 40
+
+    # content-less index without a source corpus is an explicit error
+    root2 = str(tmp_path_factory.mktemp("seg_ubq_nosc"))
+    builder.build_index(
+        spark, _hid(corpus.drop("doc_id")), root2, n_buckets=4,
+        postings_per_group=1 << 16,
+    )
+    with pytest.raises(ValueError, match="store_content"):
+        segments.update_by_query(
+            spark, root2, "lang = 'java'", {"content": "content"}
+        )
