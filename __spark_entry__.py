@@ -241,6 +241,52 @@ def _seg_engines(spark: SparkSession, sf_dir: str):
     return _SEG_ENGINES[sf_dir]
 
 
+_DBQ_MARK = "updbyqmark"
+_DBQ_PRED = "doc_id % 9 = 4"  # update-by-query match predicate (both dialects)
+_DBQ_DELETE_PRED = "lang = 'fr'"  # delete-by-query predicate
+_DBQ_ENGINES: dict[str, object] = {}
+
+
+def _dbq_engine(spark: SparkSession, sf_dir: str):
+    """Multi-generation engine for the delete_by_query / update_by_query
+    entries: a base index over the documents corpus, then an ES-style
+    ``_update_by_query`` (every ``doc_id % 9 == 4`` doc re-indexed with
+    ``_DBQ_MARK`` appended — a new generation + (repo, path) tombstones,
+    frozen-stats scoring), then ``_delete_by_query`` (``lang = 'fr'`` — a
+    tombstone-only segment masking every older generation, no index
+    rewrite). Cached per sf_dir; on-disk manifest state guards re-entry.
+    Reference semantics: delete-by-query / generation purge (SURVEY S3;
+    imp/ImportMode.java update-mode delete + re-insert)."""
+    if sf_dir in _DBQ_ENGINES:
+        return _DBQ_ENGINES[sf_dir]
+    from gazetteer_search_spark.index import segments as segs
+
+    tag = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        fp = "na"
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"gss_dbqbase_v{__version__}_{tag}_{fp}"
+    )
+    corpus = documents_as_corpus(spark, sf_dir)
+    builder.build_index(
+        spark, corpus, base_dir, tokenizer="pandas", n_buckets=8,
+        postings_per_group=1 << 14,
+    )
+    if not segs.list_segments(base_dir):
+        segs.update_by_query(
+            spark, base_dir, _DBQ_PRED,
+            {"content": f"concat(content, ' {_DBQ_MARK}')"},
+            source=corpus, n_buckets=4,
+        )
+        segs.delete_by_query(spark, base_dir, where=_DBQ_DELETE_PRED)
+    _DBQ_ENGINES[sf_dir] = segs.open_multi_search(base_dir, spark)
+    return _DBQ_ENGINES[sf_dir]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -754,6 +800,49 @@ def _seg_multi_sql(groups_sql: str, msm: int, k: int = 20) -> str:
             extra_ctes=_SEG_MULTI_CTES.format(toks=_TOKS),
         )
     )
+
+
+# update_by_query + delete_by_query twin (docs_ubq = documents with the
+# update's SQL script applied to matched rows): updated docs re-score in
+# their segment under the same frozen-stats rule as _SEG_MULTI_CTES; the
+# later tombstone-only delete segment masks lang='fr' rows in EVERY older
+# generation, which in scoring terms is a plain final-filter — deletes
+# never touch frozen statistics
+_UBQ_DOCS_CTE = f"""docs_ubq AS (
+  SELECT doc_id,
+         CASE WHEN {_DBQ_PRED} THEN text || ' {_DBQ_MARK}' ELSE text END AS text,
+         lang
+  FROM documents
+)"""
+
+_UBQ_CTES = f""",
+uv_tok AS (SELECT doc_id, unnest({{toks}}) AS term FROM docs_ubq WHERE {_DBQ_PRED}),
+uv_tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM uv_tok GROUP BY doc_id, term),
+uv_dl AS (SELECT doc_id, count(*)::BIGINT AS doc_len FROM uv_tok GROUP BY doc_id),
+uv_df AS (SELECT term, count(*)::BIGINT AS df FROM uv_tf GROUP BY term),
+uv_scored AS (
+  SELECT uv_tf.doc_id, uv_tf.term,
+         ln(1 + (cst.n_docs - eff.df + 0.5) / (eff.df + 0.5))
+         * (uv_tf.tf * 2.2)
+         / (uv_tf.tf + 1.2 * (0.25 + 0.75 * uv_dl.doc_len / cst.avgdl)) AS score
+  FROM uv_tf
+  JOIN (SELECT uv_df.term, coalesce(dfreq.df, uv_df.df) AS df
+        FROM uv_df LEFT JOIN dfreq USING (term)) eff USING (term)
+  JOIN uv_dl USING (doc_id) CROSS JOIN cst
+),
+live_ubq AS (
+  SELECT * FROM scored WHERE NOT ({_DBQ_PRED})
+  UNION ALL SELECT * FROM uv_scored
+)"""
+
+
+def _dbq_sql(groups_sql: str, msm: int, k: int = 20) -> str:
+    s = _search_sql(
+        groups_sql, msm, k, scored_src="live_ubq",
+        extra_ctes=_UBQ_CTES.format(toks=_TOKS),
+        extra_where=f"AND NOT (d.{_DBQ_DELETE_PRED})",
+    )
+    return s.replace("WITH \ntok AS", f"WITH {_UBQ_DOCS_CTE},\ntok AS", 1)
 
 
 def _seg_compact_sql(groups_sql: str, msm: int, k: int = 20) -> str:
@@ -1366,8 +1455,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge"]), _grp(1, [_SEG_MARK])]
         return _topk_out(compacted.search_rung(g, 1, SearchOptions()))
 
+    def delete_by_query_q(spark, sf):
+        """Search after ES-style _delete_by_query (tombstone-only segment,
+        SURVEY S3): lang='fr' docs masked in every generation at decode, no
+        index rewrite, frozen statistics untouched. Oracle: the same search
+        with the delete predicate as a final filter."""
+        multi = _dbq_engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return _topk_out(multi.search_rung(g, 2, SearchOptions()))
+
+    def update_by_query_q(spark, sf):
+        """Search after ES-style _update_by_query (matched docs re-indexed
+        with a SQL 'script' applied, superseding their old versions via
+        (repo, path) tombstones) followed by _delete_by_query. Oracle
+        recomputes the updated docs' frozen-stats segment scores and the
+        delete mask from the documents table alone."""
+        multi = _dbq_engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, [_DBQ_MARK])]
+        return _topk_out(multi.search_rung(g, 1, SearchOptions()))
+
     q.update(
         near_sort=near_sort,
+        delete_by_query=delete_by_query_q,
+        update_by_query=update_by_query_q,
         phrase_match=phrase_match,
         phrase_near=phrase_near,
         phrase_quoted=phrase_quoted,
@@ -2010,6 +2120,12 @@ def oracle_sql() -> dict[str, str]:
     )
     o["segment_upsert"] = _seg_multi_sql(_seg_groups, 1)
     o["segment_compact"] = _seg_compact_sql(_seg_groups, 1)
+    o["delete_by_query"] = _dbq_sql(
+        _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 2
+    )
+    o["update_by_query"] = _dbq_sql(
+        _values_groups([("merge", 0, True, 1.0), (_DBQ_MARK, 1, True, 1.0)]), 1
+    )
     o["near_sort"] = _near_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 1
     )
