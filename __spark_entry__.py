@@ -2014,6 +2014,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             size=50,
         )
 
+    def multi_terms_q(spark, sf):
+        # ES multi_terms agg analog: buckets keyed by the (lang, source)
+        # COMPOSITE — one hash agg on the tuple, TakeOrdered cut
+        from gazetteer_search_spark.operators import aggs
+
+        return aggs.multi_terms(
+            spark.read.parquet(f"{sf}/documents.parquet"),
+            ["lang", "source"],
+            size=12,
+        )
+
+    def adjacency_matrix_q(spark, sf):
+        # ES adjacency_matrix agg analog: singleton + pairwise-intersection
+        # counts of named filters, one conditional-sum pass
+        from gazetteer_search_spark.operators import aggs
+
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        return aggs.adjacency_matrix(
+            d,
+            {
+                "en": F.col("lang") == "en",
+                "short": F.col("n_chars") < 250,
+                "web": F.col("source") == "web",
+            },
+        )
+
     def pack_sequences_q(spark, sf):
         # concat-and-chunk training packing (operators/packing.py): per-lang
         # token streams cut at exact 512-token boundaries; one window cumsum
@@ -2089,6 +2115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         filters_agg=filters_agg_q,
         range_agg=range_agg_q,
         rare_terms=rare_terms_q,
+        multi_terms=multi_terms_q,
+        adjacency_matrix=adjacency_matrix_q,
         jaccard_pairs=jaccard_pairs,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
@@ -2913,6 +2941,30 @@ SELECT n_chars AS value, count(*)::BIGINT AS doc_count
 FROM documents WHERE n_chars IS NOT NULL
 GROUP BY n_chars HAVING count(*) <= 1
 ORDER BY doc_count, value LIMIT 50
+"""
+    o["multi_terms"] = """
+SELECT lang, source, count(*)::BIGINT AS doc_count,
+       lang || '|' || source AS key
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY lang, source
+ORDER BY doc_count DESC, key ASC LIMIT 12
+"""
+    o["adjacency_matrix"] = """
+WITH cells AS (
+  SELECT 'en' AS key, count(*) FILTER (lang = 'en')::BIGINT AS doc_count
+    FROM documents
+  UNION ALL SELECT 'short', count(*) FILTER (n_chars < 250)::BIGINT
+    FROM documents
+  UNION ALL SELECT 'web', count(*) FILTER (source = 'web')::BIGINT
+    FROM documents
+  UNION ALL SELECT 'en&short',
+    count(*) FILTER (lang = 'en' AND n_chars < 250)::BIGINT FROM documents
+  UNION ALL SELECT 'en&web',
+    count(*) FILTER (lang = 'en' AND source = 'web')::BIGINT FROM documents
+  UNION ALL SELECT 'short&web',
+    count(*) FILTER (n_chars < 250 AND source = 'web')::BIGINT FROM documents
+)
+SELECT key, doc_count FROM cells WHERE doc_count > 0 ORDER BY key
 """
 
     # concat-and-chunk packing: window cumsum + generate_series recomputes

@@ -60,6 +60,7 @@ def cmd_build_index(args: argparse.Namespace) -> None:
         cluster_by=tuple(args.cluster_by.split(",")) if args.cluster_by else None,
         positions=args.positions,
         store_content=args.store_content,
+        postings_codec=args.codec,
     )
     print(json.dumps({
         "out": args.out, "n_docs": idx.n_docs,
@@ -685,6 +686,12 @@ def main(argv: list[str] | None = None) -> None:
         "--attr-dim", default="lang", metavar="COL",
         help="docs column to sub-partition posting blocks by for "
         "block-level filter pruning (default: lang; '' disables)",
+    )
+    b.add_argument(
+        "--codec", default=None, choices=["for", "vbyte"],
+        help="posting-block payload codec (default: for — fixed-width bit "
+        "packing, ~3.3x faster decode + ~30%% smaller than vbyte; a "
+        "resumed build keeps its on-disk codec)",
     )
     b.add_argument(
         "--positions", action="store_true",

@@ -300,6 +300,13 @@ class Index:
     # serving node answers the same repo filters repeatedly)
     _range_cache: dict = field(default_factory=dict, repr=False)
 
+    @property
+    def ids_codec(self) -> str:
+        """Posting-block payload codec (index_meta ``postings_codec``):
+        ``for`` (fixed-width bit packing, 0.8+ default) or ``vbyte``
+        (pre-0.8 indexes — absent meta key)."""
+        return self.meta.get("postings_codec", codec.VBYTE)
+
     def doc_range_for(
         self, repo: str | None = None, path_prefix: str | None = None
     ) -> tuple[int, int] | None:
@@ -414,6 +421,7 @@ def _pack_term(
     rows: list, term: str, bucket: int, salt: int,
     ids: np.ndarray, tfs: np.ndarray, scores: np.ndarray,
     attr_bits: int = -1, base_ord: int = 0, attrs: np.ndarray | None = None,
+    ids_codec: str = codec.VBYTE,
 ) -> int:
     """Append block rows for one (term, salt[, attr]) posting run. Pure
     numpy; the only Python loop is per *block* (>=BLOCK_SIZE postings each).
@@ -433,8 +441,8 @@ def _pack_term(
         btfs = tfs[b : b + bs]
         bsc = scores[b : b + bs]
         mn, mx = int(bids[0]), int(bids[-1])
-        id_b = codec.delta_varbyte_encode(bids, mn)
-        tf_b = codec.varbyte_encode(btfs)
+        id_b = codec.ids_encode(bids, mn, ids_codec)
+        tf_b = codec.tfs_encode(btfs, ids_codec)
         sc_b = codec.f64_encode(bsc)
         rows.append(
             (
@@ -478,19 +486,21 @@ def pack_term_run(
     rows: list, term: str, bucket: int, salt: int,
     ids: np.ndarray, tfs: np.ndarray, scores: np.ndarray,
     attrs: np.ndarray | None,
+    ids_codec: str = codec.VBYTE,
 ) -> None:
     """One (term, salt) posting run -> block rows, with the attribute
     layout decision (single-attr / per-attr split / hybrid byte-masked).
     Shared by the distributed pack kernel (_pack_groups) and the local
     micro-batch segment builder (index/localbuild.py)."""
     if attrs is None:
-        _pack_term(rows, term, bucket, salt, ids, tfs, scores)
+        _pack_term(rows, term, bucket, salt, ids, tfs, scores, ids_codec=ids_codec)
         return
     uattr = np.unique(attrs)
     if uattr.size == 1:
         _pack_term(
             rows, term, bucket, salt, ids, tfs, scores,
             attr_bits=attr_bit_value(min(int(uattr[0]), ATTR_OVERFLOW_ID)),
+            ids_codec=ids_codec,
         )
     elif ids.size >= ATTR_SPLIT_MIN:
         # big mixed run: per-attr sub-runs for values that can fill at least
@@ -508,7 +518,7 @@ def pack_term_run(
                 rows, term, bucket, salt,
                 ids[sub], tfs[sub], scores[sub],
                 attr_bits=attr_bit_value(min(int(aid), ATTR_OVERFLOW_ID)),
-                base_ord=base,
+                base_ord=base, ids_codec=ids_codec,
             )
         if small:
             rem = np.isin(attrs, np.asarray(small))
@@ -518,7 +528,7 @@ def pack_term_run(
             _pack_term(
                 rows, term, bucket, salt,
                 ids[rem], tfs[rem], scores[rem],
-                attr_bits=bits, base_ord=base,
+                attr_bits=bits, base_ord=base, ids_codec=ids_codec,
                 attrs=np.minimum(attrs[rem], ATTR_OVERFLOW_ID),
             )
     else:
@@ -530,12 +540,23 @@ def pack_term_run(
             bits |= attr_bit_value(min(int(aid), ATTR_OVERFLOW_ID))
         _pack_term(
             rows, term, bucket, salt, ids, tfs, scores,
-            attr_bits=bits,
+            attr_bits=bits, ids_codec=ids_codec,
             attrs=np.minimum(attrs, ATTR_OVERFLOW_ID),
         )
 
 
-def _pack_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+def _make_pack_groups(ids_codec: str = codec.VBYTE):
+    """Close the pack kernel over the index's posting codec (index_meta
+    ``postings_codec``): the codec is an index-level layout decision, and
+    applyInPandas kernels receive only their group's rows."""
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _pack_groups(pdf, ids_codec=ids_codec)
+
+    return _pack
+
+
+def _pack_groups(pdf: pd.DataFrame, ids_codec: str = codec.VBYTE) -> pd.DataFrame:
     """applyInPandas kernel: one (term_bucket, salt) group -> block rows for
     EVERY term in the group.
 
@@ -564,6 +585,7 @@ def _pack_groups(pdf: pd.DataFrame) -> pd.DataFrame:
             rows, term, bucket, salt,
             ids_all[idx], tfs_all[idx], sc_all[idx],
             attr_all[idx] if attr_all is not None else None,
+            ids_codec=ids_codec,
         )
     return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
 
@@ -590,6 +612,7 @@ def build_index(
     cluster_by: tuple[str, ...] | None = None,
     positions: bool = False,
     store_content: bool = False,
+    postings_codec: str | None = None,
 ) -> Index:
     """Build (or resume) the full index under ``out_dir``.
 
@@ -707,12 +730,32 @@ def build_index(
 
     rules_set = _acfg.resolve_rules(analyzer_rules)
     _acfg.write_index_rules(out_dir, rules_set)
+    # posting-block payload codec (index_meta "postings_codec"): FOR
+    # fixed-width bit packing by default for NEW indexes (~3.3x faster
+    # block decode + ~30% smaller payloads than VByte — index/codec.py);
+    # a RESUMED build keeps the codec its first run committed to (mixing
+    # codecs across buckets would corrupt reads), and absent meta means a
+    # pre-0.8 VByte index.
+    prior_meta = read_index_meta(out_dir) if resume else {}
+    if prior_meta.get("postings_codec"):
+        if postings_codec and postings_codec != prior_meta["postings_codec"]:
+            raise ValueError(
+                "resume cannot change postings_codec "
+                f"({prior_meta['postings_codec']!r} on disk, "
+                f"{postings_codec!r} requested)"
+            )
+        postings_codec = prior_meta["postings_codec"]
+    elif postings_codec is None:
+        postings_codec = codec.FOR
+    if postings_codec not in codec.CODECS:
+        raise ValueError(f"unknown postings_codec {postings_codec!r}")
     # persisted index-level metadata; written up-front so even a build killed
     # mid-way resumes with the same key/partitioning decisions
     _write_index_meta(
         out_dir,
         {
             "format": _pkg_version(),
+            "postings_codec": postings_codec,
             "n_buckets": int(n_buckets),
             "n_doc_parts": int(n_doc_parts),
             "name_key_sql": name_key,
@@ -1016,7 +1059,7 @@ def build_index(
 
         part = scored.filter(F.col("term_bucket").isin(batch))
         packed = part.groupBy("term_bucket", "salt").applyInPandas(
-            _pack_groups, schema=POSTINGS_SCHEMA
+            _make_pack_groups(postings_codec), schema=POSTINGS_SCHEMA
         )
         (
             packed.repartition(len(batch), "term_bucket")
@@ -1180,7 +1223,8 @@ def _done_buckets(spark: SparkSession, paths: IndexPaths) -> set[int]:
 
 
 def decode_postings(
-    postings: DataFrame, with_tf: bool = False, extra_cols: tuple[str, ...] = ()
+    postings: DataFrame, with_tf: bool = False, extra_cols: tuple[str, ...] = (),
+    ids_codec: str = codec.VBYTE,
 ) -> DataFrame:
     """Decode block rows back to (term, doc_id, score[, tf][, extras]) via
     mapInPandas (Arrow-batched numpy; no per-row Python). ``extra_cols`` are
@@ -1205,7 +1249,7 @@ def decode_postings(
             terms = np.repeat(pdf["term"].to_numpy(), counts)
             ids = np.concatenate(
                 [
-                    codec.delta_varbyte_decode(buf, int(n), int(mn))
+                    codec.ids_decode(buf, int(n), int(mn), ids_codec)
                     for buf, n, mn in zip(
                         pdf["doc_ids_delta_varbyte"], counts, pdf["min_doc_id"]
                     )
@@ -1218,7 +1262,7 @@ def decode_postings(
             if with_tf:
                 data["tf"] = np.concatenate(
                     [
-                        codec.varbyte_decode(buf, int(n))
+                        codec.tfs_decode(buf, int(n), ids_codec)
                         for buf, n in zip(pdf["tfs_varbyte"], counts)
                     ]
                 )

@@ -126,6 +126,7 @@ def build_segment_index_local(
     attr_dict: tuple[list, bool] | None = None,
     positions: bool = False,
     store_content: bool = False,
+    postings_codec: str = "for",
 ) -> int:
     """Write a complete segment index at ``out_dir`` from a COLLECTED batch.
 
@@ -183,6 +184,7 @@ def build_segment_index_local(
         "name_key_sql": name_key_sql,
         "analyzer_hash": rules_set.content_hash(),
         "built_by": "localbuild",
+        "postings_codec": postings_codec,
     }
     if attr_dim is not None and attr_dim in pdf.columns:
         meta.update(
@@ -454,6 +456,7 @@ def build_segment_index_local(
                     g["doc_id"].to_numpy(), g["tf"].to_numpy(),
                     g["score"].to_numpy(),
                     g["attr_id"].to_numpy() if use_attr else None,
+                    ids_codec=postings_codec,
                 )
         n_postings = sum(r[3] for r in rows)
         n_bytes = sum(r[10] for r in rows)

@@ -289,6 +289,10 @@ def add_segment(
         # ...and a store_content base keeps stored content (serving
         # snippets hydrate segment-resident winners too)
         store_content=bool(base_meta.get("stored_content")),
+        # one payload codec per multi-generation index (pre-0.8 base =
+        # vbyte): readers dispatch per generation, but uniformity keeps
+        # compaction/promote byte-comparable with fresh builds
+        postings_codec=base_meta.get("postings_codec", "vbyte"),
     )
 
     # tombstones: older docs sharing an upsert key with this batch. One
@@ -418,6 +422,7 @@ def _add_segment_local(
         ),
         positions=bool(base_meta.get("positions")),
         store_content=bool(base_meta.get("stored_content")),
+        postings_codec=base_meta.get("postings_codec", "vbyte"),
     )
 
     # tombstones: key-pruned pyarrow reads of older generations' docs
@@ -943,7 +948,8 @@ def _live_docs_and_tf(spark: SparkSession, index_dir: str):
         newer = [t for sid, t in tomb_dfs if sid > gid]
         docs_g = spark.read.parquet(paths.docs)
         post_g = decode_postings(
-            spark.read.parquet(paths.postings), with_tf=True
+            spark.read.parquet(paths.postings), with_tf=True,
+            ids_codec=b.read_index_meta(gdir).get("postings_codec", "vbyte"),
         ).filter(~F.col("term").contains(":"))
         for t in newer:
             docs_g = docs_g.join(t, "doc_id", "left_anti")
@@ -1028,6 +1034,8 @@ def compact(
         # after a compaction (ADVICE r4). The dictionary itself is
         # recomputed exactly — that part is deliberate.
         attr_dim=base_meta.get("attr_dim"),
+        # ...and the SAME posting-block codec (pre-0.8 base = vbyte)
+        postings_codec=base_meta.get("postings_codec", "vbyte"),
     )
     if base_meta.get("positions"):
         _compact_positions(spark, index_dir, idx, n_buckets)

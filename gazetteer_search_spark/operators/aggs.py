@@ -220,3 +220,75 @@ def cardinality(
         else F.approx_count_distinct(col, rsd)
     )
     return df.agg(agg.alias("cardinality"))
+
+
+def multi_terms(
+    df: DataFrame,
+    keys: list[str],
+    size: int = 10,
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES ``multi_terms`` agg: buckets keyed by a TUPLE of fields ("terms on
+    a composite key") — (lang, repo) pairs ranked by count. A terms agg per
+    field cannot produce this (marginal counts lose the joint distribution).
+
+    Output: one row per composite bucket — the key fields, doc_count, and
+    ``key`` (the ES pipe-joined display form), count desc then key asc,
+    top-``size``.
+
+    Scale shape: ONE hash aggregation on the composite key (map-side
+    partials free), rows with a NULL component drop (ES missing semantics),
+    and the cut is a TakeOrdered — the full bucket space never sorts."""
+    if not keys or len(keys) < 2:
+        raise ValueError("multi_terms needs >= 2 key fields")
+    cond = None
+    for c in keys:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    out = (
+        df.filter(cond)
+        .groupBy(*[F.col(c).cast("string").alias(c) for c in keys])
+        .agg(F.count("*").alias("doc_count"))
+    )
+    if min_doc_count > 1:
+        out = out.filter(F.col("doc_count") >= min_doc_count)
+    return (
+        out.withColumn("key", F.concat_ws("|", *keys))
+        .orderBy(F.col("doc_count").desc(), F.col("key").asc())
+        .limit(size)
+    )
+
+
+def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
+    """ES ``adjacency_matrix`` agg: given named filters, the doc count of
+    every filter AND every pairwise INTERSECTION (the co-occurrence matrix
+    a graph/venn visualization reads; ES keys intersections "a&b").
+
+    Output: (key, doc_count), key ascending, zero-count cells dropped (ES
+    emits only non-empty cells).
+
+    Scale shape: same one-pass contract as filters_agg — N singletons +
+    N(N-1)/2 intersections are conditional-sum columns of ONE hash
+    aggregation over ONE scan, unpivoted via ``stack``. ES caps N at 100
+    for the same quadratic-columns reason; we inherit that cap."""
+    if not filters:
+        raise ValueError("adjacency_matrix needs at least one named filter")
+    if len(filters) > 100:
+        raise ValueError("adjacency_matrix caps at 100 filters (ES parity)")
+    names = sorted(filters)
+    cells: list[tuple[str, Column]] = [(n, filters[n]) for n in names]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            cells.append((f"{a}&{b}", filters[a] & filters[b]))
+    row = df.agg(
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+            for i, (_, c) in enumerate(cells)
+        ]
+    )
+    pairs = ", ".join(f"'{n}', _c{i}" for i, (n, _) in enumerate(cells))
+    return (
+        row.selectExpr(f"stack({len(cells)}, {pairs}) AS (key, doc_count)")
+        .filter(F.col("doc_count") > 0)
+        .orderBy("key")
+    )

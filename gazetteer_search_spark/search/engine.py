@@ -823,7 +823,7 @@ class SearchEngine:
                     (F.col("max_doc_id") >= rr[0])
                     & (F.col("min_doc_id") <= rr[1])
                 )
-        return decode_postings(pruned)
+        return decode_postings(pruned, ids_codec=self.index.ids_codec)
 
     def match_set(
         self,
@@ -1129,7 +1129,8 @@ class SearchEngine:
                 [], "term string, fg_count long, bg_count long, score double"
             )
         decoded = decode_postings(
-            self.index.postings.filter(~F.col("term").contains(":"))
+            self.index.postings.filter(~F.col("term").contains(":")),
+            ids_codec=self.index.ids_codec,
         )
         fg = (
             decoded.join(m, "doc_id", "left_semi")
@@ -1426,6 +1427,41 @@ class SearchEngine:
             return self.spark.createDataFrame([], RESULT_SCHEMA)
         msm = max(1, int(msm_frac * len(groups)))
         return self.search_rung(groups, msm, options or SearchOptions())
+
+    def analyze(self, text: str, prefix: bool = False) -> dict:
+        """ES ``_analyze`` API analog: expose BOTH sides of the analysis
+        chain for a given text, against THIS index's persisted rule set —
+        the debugging surface for "why does/doesn't this query match".
+
+        - ``index_tokens``: the document-side token stream (the exact terms
+          the index stores for this text — tokenizer kernel only; variant
+          expansion is query-side by design, SURVEY A13).
+        - ``query_tokens``: the query-side IR (typed tokens with
+          synonym/replacer variants, optional marking, removal pre-pass) —
+          the same serialization the search envelope's parsed_query uses.
+
+        Pure driver-side string work: no Spark job, no index IO beyond the
+        already-loaded rules."""
+        from gazetteer_search_spark.analyzer.query_ir import analyze_query
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        q = analyze_query(text, prefix=prefix, rule_set=self.rules)
+        return {
+            "text": text,
+            "index_tokens": tokenize_text(text),
+            "query_tokens": [
+                {
+                    "text": t.text,
+                    "optional": t.optional,
+                    "numbers": t.has_numbers,
+                    "variants": list(t.variants),
+                }
+                for t in q.tokens
+            ],
+            "prefix": q.prefix,
+            "removed": list(q.removed),
+            "analyzer_hash": self.rules.content_hash(),
+        }
 
     def spell_suggest(self, q: str, k: int = 3, max_df: int = 0) -> dict:
         """ES term-suggester / phrase-suggester "did you mean" analog

@@ -723,7 +723,7 @@ class LocalExecutor:
                     buf, sbuf = (
                         bufs[key] if self.lazy_payloads else (idb[i], scb[i])
                     )
-                    ids_b = codec.delta_varbyte_decode(buf, int(cnts[i]), int(mns[i]))
+                    ids_b = codec.ids_decode(buf, int(cnts[i]), int(mns[i]), self.index.ids_codec)
                     sc_b = np.asarray(codec.f64_decode(sbuf, int(cnts[i])))
                     self.decoded_cache[key] = (ids_b, sc_b)
                 if aids is not None and aids[i] is not None:
@@ -1207,6 +1207,7 @@ class LocalExecutor:
             decode_cache=self.decoded_cache,
             attr_keep_id=attr_keep_id,
             allowed_range=allowed_range,
+            ids_codec=self.index.ids_codec,
         )
         out = kernel((0,), pdf)
         self.decoded_cache.trim()
@@ -1273,6 +1274,7 @@ class LocalExecutor:
             decode_cache=self.decoded_cache,
             attr_keep_id=attr_keep_id,
             allowed_range=allowed_range,
+            ids_codec=self.index.ids_codec,
         )
         out = kernel((rng_id,), pdf)
         self.decoded_cache.trim()

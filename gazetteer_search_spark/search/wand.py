@@ -148,6 +148,7 @@ def make_range_kernel(
     decode_cache=None,
     attr_keep_id: int | None = None,
     allowed_range: tuple[int, int] | None = None,
+    ids_codec: str = codec.VBYTE,
 ):
     """Build the applyInPandas kernel (closure over broadcast-size query
     metadata only). ``truncate=False`` when doc-level filters/boosts must be
@@ -311,7 +312,7 @@ def make_range_kernel(
                 ids, sc = cached
             else:
                 buf, sbuf = bufs[int(i)]
-                ids = codec.delta_varbyte_decode(buf, int(cnts[i]), int(mns[i]))
+                ids = codec.ids_decode(buf, int(cnts[i]), int(mns[i]), ids_codec)
                 sc = codec.f64_decode(sbuf, int(cnts[i]))
                 if decode_cache is not None:
                     decode_cache[keys[int(i)]] = (ids, sc)
@@ -454,7 +455,7 @@ def make_range_kernel(
                     pair = _block_pair(g, bi)
                     _prefetch([pair])  # no-op when a batch already pulled it
                     buf, sbuf = _payload_cache[pair]
-                ids = codec.delta_varbyte_decode(buf, n, int(m["mns_raw"][bi]))
+                ids = codec.ids_decode(buf, n, int(m["mns_raw"][bi]), ids_codec)
                 sc = np.asarray(codec.f64_decode(sbuf, n))
                 if decode_cache is not None:
                     decode_cache[_block_pair(g, bi)] = (ids, sc)
@@ -832,7 +833,7 @@ def wand_topk(
                     (F.col("max_doc_id") >= allowed_range[0])
                     & (F.col("min_doc_id") <= allowed_range[1])
                 )
-            star = decode_postings(star_blocks)
+            star = decode_postings(star_blocks, ids_codec=index.ids_codec)
             if allowed_range is not None:
                 # straddling blocks decode out-of-range postings — same
                 # filtered-universe requirement as the block filter above
@@ -963,6 +964,7 @@ def wand_topk(
         and ((not has_doc_side) or allowed_bc is not None),
         counters=counters, initial_theta=initial_theta, allowed_ids=allowed_bc,
         attr_keep_id=attr_keep_id, allowed_range=allowed_range,
+        ids_codec=index.ids_codec,
     )
     per_doc = blocks.groupBy("range_id").applyInPandas(kernel, schema=PER_DOC_SCHEMA)
     return finalize_ranked(per_doc, eff_msm, k, index.docs, options)

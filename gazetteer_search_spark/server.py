@@ -371,6 +371,9 @@ def _make_handler(
             if u.path == "/spell":
                 self._do_spell(u)
                 return
+            if u.path == "/analyze":
+                self._do_analyze(u)
+                return
             if u.path != "/search":
                 self._send(
                     404,
@@ -379,7 +382,8 @@ def _make_handler(
                         "routes": [
                             "/search", "/suggest", "/mlt", "/count",
                             "/composite", "/tophits", "/facetcard",
-                            "/termvectors", "/spell", "/stats", "/classes", "/ui"
+                            "/termvectors", "/spell", "/analyze", "/stats",
+                            "/classes", "/ui"
                         ],
                     },
                 )
@@ -390,6 +394,19 @@ def _make_handler(
                 self._send(200, self._search_response(parse_qs(u.query)))
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
+
+        def _do_analyze(self, u) -> None:
+            """ES _analyze API analog: GET /analyze?text=...&prefix=true —
+            the index-side token stream and the query-side IR (variants,
+            optional marking, removal) under THIS index's persisted analyzer
+            rules. Driver-side string work only."""
+            qs = parse_qs(u.query)
+            text = (qs.get("text") or qs.get("q") or [""])[0]
+            if not text:
+                self._send(400, {"error": "missing text= parameter"})
+                return
+            prefix = (qs.get("prefix") or ["false"])[0].lower() == "true"
+            self._send(200, engine.analyze(text, prefix=prefix))
 
         def _do_spell(self, u) -> None:
             """Did-you-mean route (ES term-suggester analog): GET

@@ -89,6 +89,9 @@ def test_postings_decode_identical(spark, twins):
         dec = decode_postings(
             spark.read.parquet(builder.IndexPaths(_seg(root)).postings),
             with_tf=True,
+            ids_codec=builder.read_index_meta(_seg(root)).get(
+                "postings_codec", "vbyte"
+            ),
         ).collect()
         got[mode] = sorted(
             (r.term, r.doc_id, r.tf, round(r.score, 12)) for r in dec

@@ -740,3 +740,49 @@ def test_semantic_dup_clusters_closure(spark):
     for n, (c, size, rep) in got.items():
         assert rep == (n == c)
         assert size == sum(1 for v in comp_of.values() if v == c)
+
+
+def test_aggs_multi_terms_and_adjacency(spark):
+    """multi_terms: composite-key buckets (joint counts, NULL components
+    drop, count-desc/key-asc order, size cut). adjacency_matrix: singleton
+    + pairwise-intersection counts, zero cells dropped, one-pass plan."""
+    from gazetteer_search_spark.operators import aggs
+
+    d = spark.createDataFrame(
+        [
+            ("en", "web", 10), ("en", "web", 20), ("en", "book", 30),
+            ("fr", "web", 40), ("fr", None, 50), (None, "web", 60),
+        ],
+        "lang string, source string, n int",
+    )
+    mt = [tuple(r) for r in aggs.multi_terms(d, ["lang", "source"], size=2).collect()]
+    # joint counts: en|web=2; ties en|book / fr|web break key-asc
+    assert mt == [("en", "web", 2, "en|web"), ("en", "book", 1, "en|book")]
+    with __import__("pytest").raises(ValueError):
+        aggs.multi_terms(d, ["lang"])
+
+    am = {
+        r["key"]: r["doc_count"]
+        for r in aggs.adjacency_matrix(
+            d,
+            {
+                "en": F.col("lang") == "en",
+                "web": F.col("source") == "web",
+                "big": F.col("n") >= 100,  # empty cell -> dropped
+            },
+        ).collect()
+    }
+    assert am == {"en": 3, "web": 4, "en&web": 2}
+    assert "big" not in am and "en&big" not in am
+    # one-pass contract: single scan, one partial+final HashAggregate pair
+    plan = (
+        aggs.adjacency_matrix(
+            spark.range(0, 50).select((F.col("id") % 5).alias("v")),
+            {f"b{i}": F.col("v") == i for i in range(4)},
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Range (0, 50") == 1
+    assert plan.count("HashAggregate") == 2
+    with __import__("pytest").raises(ValueError):
+        aggs.adjacency_matrix(d, {})

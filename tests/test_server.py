@@ -811,3 +811,39 @@ def test_http_spell_did_you_mean(eng):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_http_analyze(eng):
+    """GET /analyze (ES _analyze API analog): index-side token stream +
+    query-side IR under the index's persisted rules, and route == engine."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(
+            f"{base}/analyze?text=getUserName+the+beta"
+        ) as r:
+            env = json.loads(r.read())
+        assert env == eng.analyze("getUserName the beta", prefix=False)
+        # camelCase splits on the index side, joined identifier doubled
+        assert "user" in env["index_tokens"]
+        assert "getusername" in env["index_tokens"]
+        # removal pre-pass surfaces on the query side
+        assert "the" in env["removed"]
+        assert all(t["text"] != "the" for t in env["query_tokens"])
+        assert env["analyzer_hash"]
+        # prefix flag honored
+        with urllib.request.urlopen(
+            f"{base}/analyze?text=mergePost&prefix=true"
+        ) as r:
+            env2 = json.loads(r.read())
+        assert env2["prefix"]
+        # missing text -> 400
+        try:
+            urllib.request.urlopen(f"{base}/analyze")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
