@@ -600,6 +600,60 @@ ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _phrase_prefix_sql(k: int = 20, cap: int = 50) -> str:
+    """match_phrase_prefix oracle: w0 = doc 0's first token, prefix = first
+    4 chars of its second token. Expansion set = dictionary terms (content
+    namespace) with that prefix, ranked (df desc, term asc), top-``cap`` —
+    the exact engine rewrite (expand_prefix + the ES max_expansions=50
+    slice). Verify: w0 at pos p, ANY expansion term at p+1. Score: group 0 =
+    w0, group 1 = dis_max over the expansion set, msm 2."""
+    return f"""
+WITH {_BM25_CTES},
+w AS (
+  SELECT q[1] AS w0, substring(q[2], 1, 4) AS pre
+  FROM (SELECT {_STOKS} AS q FROM documents WHERE doc_id = 0)
+),
+exp AS (
+  SELECT d.term FROM dfreq d CROSS JOIN w
+  WHERE d.term LIKE w.pre || '%'
+  ORDER BY d.df DESC, d.term LIMIT {cap}
+),
+ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+),
+ph AS (
+  SELECT DISTINCT a.doc_id
+  FROM ptok a
+  JOIN ptok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN exp e ON b.term = e.term
+  CROSS JOIN w
+  WHERE a.term = w.w0
+),
+grp AS (
+  SELECT w0 AS term, 0 AS group_id, TRUE AS required, 1.0 AS weight FROM w
+  UNION ALL SELECT term, 1, TRUE, 1.0 FROM exp
+),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+final AS (
+  SELECT p.doc_id, p.raw AS score
+  FROM per_doc p JOIN ph USING (doc_id)
+  WHERE p.matched_required >= 2
+)
+SELECT doc_id, round(score, 4) AS score FROM final
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # ---- quoted-phrase ladder oracle (phrase + residual term) -----------------
 # the '"w0 w1"~1 w2' query form: quoted terms are exact required groups with
 # a positional chain verify; the residual term analyzes through the ordinary
@@ -1422,6 +1476,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             eng.search(f'"{w0} {w1}"~1 {w2}', SearchOptions(k=20))
         )
 
+    def phrase_prefix(spark, sf):
+        """ES match_phrase_prefix analog through the quoted syntax
+        ('"w0 pre*"'): w0 adjacent-followed by ANY dictionary term starting
+        with a data-derived 4-char prefix — the trailing token expands
+        df-ranked (cap 50, the ES max_expansions default) into one required
+        any-of-these slot, positionally verified BEFORE ranking. The oracle
+        recomputes the expansion set (same df ranking + cap from the raw
+        text) and the adjacency chain."""
+        eng = _engine(spark, sf)
+        w0, w1 = _phrase_words(spark, sf)
+        return _topk_out(
+            eng.search(f'"{w0} {w1[:4]}*"', SearchOptions(k=20))
+        )
+
     def suggest_prefix(spark, sf):
         """Term-dictionary autocomplete (engine.suggest; /suggest route):
         top-15 content-namespace completions of a data-derived 3-char
@@ -1481,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phrase_match=phrase_match,
         phrase_near=phrase_near,
         phrase_quoted=phrase_quoted,
+        phrase_prefix=phrase_prefix,
         suggest_prefix=suggest_prefix,
         repo_filter=repo_filter,
         repo_path_filter=repo_path_filter,
@@ -2171,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
     o["phrase_match"] = _phrase_sql(slop=0)
     o["phrase_near"] = _phrase_sql(slop=2)
     o["phrase_quoted"] = _phrase_quoted_sql(slop=1)
+    o["phrase_prefix"] = _phrase_prefix_sql()
     o["suggest_prefix"] = _suggest_sql(k=15)
     o["multi_term_and"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 2

@@ -1908,13 +1908,38 @@ class SearchEngine:
         from gazetteer_search_spark.search import phrase as _ph
 
         phrase_terms = list(
-            dict.fromkeys(t for terms, _ in phrases for t in terms)
+            dict.fromkeys(t for terms, _, _pfx in phrases for t in terms)
         )
         groups = [
             TermGroup(group_id=i, terms=(t,), required=True, name=t)
             for i, t in enumerate(phrase_terms)
         ]
         qtokens = [QToken(text=t) for t in phrase_terms]
+        # match_phrase_prefix slots ("merge post*"): the trailing token
+        # expands against the term dictionary (df-ranked, Lucene
+        # max_expansions-capped rewrite — expand_prefix) into ONE required
+        # any-of-these group; zero expansions = unsatisfiable, the ES
+        # behavior (an impossible last word must not degrade to the fixed
+        # prefix terms alone)
+        expansions_by_prefix: dict[str, list[str]] = {}
+        unsatisfiable = False
+        for _terms, _slop, pfx in phrases:
+            if pfx is None or pfx in expansions_by_prefix:
+                continue
+            exp = [t for t in self.expand_prefix(pfx) if ":" not in t][:50]
+            expansions_by_prefix[pfx] = exp
+            if not exp:
+                unsatisfiable = True
+            else:
+                groups.append(
+                    TermGroup(
+                        group_id=len(groups),
+                        terms=tuple(exp),
+                        required=True,
+                        name=pfx + "*",
+                    )
+                )
+                qtokens.append(QToken(text=pfx))
         removed: list[str] = []
         if residual:
             rq = analyze_query(residual, prefix=False, rule_set=self.rules)
@@ -1937,12 +1962,31 @@ class SearchEngine:
             "groups": groups,
             "rung": 1,
             "trimmed": False,
-            "phrases": [{"terms": list(t), "slop": s} for t, s in phrases],
+            "phrases": [
+                {
+                    "terms": list(t),
+                    "slop": s,
+                    **({"prefix": pfx} if pfx is not None else {}),
+                }
+                for t, s, pfx in phrases
+            ],
         }
-        # single-token "quoted" terms are exactness-only (presence == phrase);
-        # only multi-token phrases need the positional verify
-        verify = [(t, s) for t, s in phrases if len(t) > 1]
+        # single-slot "quoted" terms are exactness-only (presence == phrase);
+        # only multi-slot phrases need the positional verify. A prefix
+        # phrase appends its expansion set as a final any-of-these slot.
+        verify = []
+        for t, s_, pfx in phrases:
+            slots: list = list(t)
+            if pfx is not None:
+                slots.append(tuple(expansions_by_prefix[pfx]))
+            if len(slots) > 1:
+                verify.append((slots, s_))
 
+        if unsatisfiable:
+            rows: list = []
+            if options.trim:
+                rows, meta["trimmed"] = self._trim_page(rows)
+            return rows, meta
         if self._local is not None:
             if not verify:
                 rows = self.search_rung_rows(groups, msm, options)
@@ -1951,12 +1995,12 @@ class SearchEngine:
                     s.index for s in getattr(self._local, "subs", [])
                 ] or [self.index]
                 allowed = None
-                for terms, slop in verify:
+                for slots, slop in verify:
                     try:
                         ids = np.unique(
                             np.concatenate(
                                 [
-                                    _ph.local_phrase_ids(ix, terms, slop)
+                                    _ph.local_phrase_ids(ix, slots, slop)
                                     for ix in idxs
                                 ]
                             )
@@ -1986,9 +2030,9 @@ class SearchEngine:
                 )
         else:
             cand = None
-            for terms, slop in verify:
+            for slots, slop in verify:
                 c = _ph.phrase_candidates(
-                    self.spark, self.index, terms, slop
+                    self.spark, self.index, slots, slop
                 ).select("doc_id")
                 cand = c if cand is None else cand.join(c, "doc_id", "semi")
             all_terms = sorted({t for g in groups for t in g.terms})

@@ -43,28 +43,50 @@ from gazetteer_search_spark.index.builder import Index, term_bucket_py
 # falls through to the ordinary analyzer, whose kernel strips the quote char.
 _PHRASE_RE = re.compile(r'"([^"]*)"(?:~(\d+))?')
 
+# a phrase slot: one index term, or a TUPLE of alternatives (the
+# match_phrase_prefix expansion set — ANY of them satisfies the position)
+Slot = "str | tuple[str, ...] | list[str]"
+
+
+def _norm_slots(terms: list) -> list[list[str]]:
+    return [[t] if isinstance(t, str) else list(t) for t in terms]
+
 
 def parse_phrase_query(
     q: str,
-) -> tuple[list[tuple[list[str], int]], str] | None:
+) -> tuple[list[tuple[list[str], int, str | None]], str] | None:
     """Extract quoted-phrase clauses from a raw query string.
 
     Returns ``(phrases, residual)`` where ``phrases`` is a list of
-    ``(analyzed_terms, slop)`` — one per non-empty quoted segment, tokenized
-    with the index kernel minus the joined-identifier doubling (tail-offset
-    tokens would demand a false adjacency) — and ``residual`` is the query
-    text outside the quotes, to analyze through the ordinary pipeline.
-    Returns None when the string carries no quoted phrase (the caller keeps
-    the ordinary ladder).
+    ``(analyzed_terms, slop, prefix)`` — one per non-empty quoted segment,
+    tokenized with the index kernel minus the joined-identifier doubling
+    (tail-offset tokens would demand a false adjacency) — and ``residual``
+    is the query text outside the quotes, to analyze through the ordinary
+    pipeline. ``prefix`` (the ES match_phrase_prefix form, quoted text
+    ending ``*``: ``"merge post*"``) is the LAST analyzed sub-token, to be
+    expanded against the term dictionary and appended as a final
+    any-of-these slot; it is excluded from ``analyzed_terms``. Returns None
+    when the string carries no quoted phrase (the caller keeps the
+    ordinary ladder).
     """
     from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
 
-    phrases: list[tuple[list[str], int]] = []
+    phrases: list[tuple[list[str], int, str | None]] = []
 
     def _take(m: re.Match) -> str:
-        terms = tokenize_text(m.group(1), joined_identifiers=False)
+        body = m.group(1)
+        prefix: str | None = None
+        if body.rstrip().endswith("*"):
+            toks = tokenize_text(
+                body.rstrip().rstrip("*"), joined_identifiers=False
+            )
+            if toks:
+                prefix = toks[-1]
+                phrases.append((toks[:-1], int(m.group(2) or 0), prefix))
+            return " "
+        terms = tokenize_text(body, joined_identifiers=False)
         if terms:
-            phrases.append((terms, int(m.group(2) or 0)))
+            phrases.append((terms, int(m.group(2) or 0), None))
         return " "
 
     residual = _PHRASE_RE.sub(_take, q)
@@ -117,12 +139,17 @@ def positions_for_terms(
 
 
 def phrase_candidates(
-    spark: SparkSession, index: Index, terms: list[str], slop: int = 0
+    spark: SparkSession, index: Index, terms: list, slop: int = 0
 ) -> DataFrame:
     """Docs whose token stream contains ``terms`` in order (exact-adjacent at
     slop=0, within a ``1+slop`` step window otherwise) -> (doc_id,
     phrase_freq). One shuffle: the groupBy(doc_id) pivot of the pruned
-    position rows; the chain test is per-row Catalyst."""
+    position rows; the chain test is per-row Catalyst.
+
+    A slot may be a TUPLE of alternative terms (the match_phrase_prefix
+    expansion set): its per-doc position array is the sorted union of the
+    alternatives' arrays — ANY alternative satisfies that position, the ES
+    ``match_phrase_prefix`` last-slot semantics."""
     if not terms:
         raise ValueError("phrase_candidates: empty phrase")
     if not index.meta.get("positions"):
@@ -130,20 +157,41 @@ def phrase_candidates(
             "this index was built without the positions sidecar — rebuild "
             "with build_index(positions=True) to run phrase queries"
         )
-    uniq = list(dict.fromkeys(terms))
-    pos = positions_for_terms(spark, index, uniq)
-    # conditional-aggregation pivot: one column per DISTINCT term (repeated
-    # phrase tokens reuse the same array), one hash agg keyed on doc_id
-    aggs = [
-        F.first(
-            F.when(F.col("term") == F.lit(t), F.col("positions")),
-            ignorenulls=True,
-        ).alias(f"_p{i}")
-        for i, t in enumerate(uniq)
-    ]
+    slots = _norm_slots(terms)
+    if any(not sl for sl in slots):
+        raise ValueError("phrase_candidates: empty expansion slot")
+    uniq = list(dict.fromkeys(tuple(sl) for sl in slots))
+    all_terms = sorted({t for sl in uniq for t in sl})
+    pos = positions_for_terms(spark, index, all_terms)
+    # conditional-aggregation pivot: one column per DISTINCT slot (repeated
+    # phrase tokens reuse the same array), one hash agg keyed on doc_id.
+    # Single-term slots take the row's array directly; multi-term slots
+    # (prefix expansions) sort-merge their alternatives' arrays.
+    aggs = []
+    for i, sl in enumerate(uniq):
+        if len(sl) == 1:
+            aggs.append(
+                F.first(
+                    F.when(F.col("term") == F.lit(sl[0]), F.col("positions")),
+                    ignorenulls=True,
+                ).alias(f"_p{i}")
+            )
+        else:
+            merged = F.array_sort(
+                F.flatten(
+                    F.collect_list(
+                        F.when(
+                            F.col("term").isin(list(sl)), F.col("positions")
+                        )
+                    )
+                )
+            )
+            aggs.append(
+                F.when(F.size(merged) > 0, merged).alias(f"_p{i}")
+            )
     wide = pos.groupBy("doc_id").agg(*aggs)
-    byterm = {t: F.col(f"_p{i}") for i, t in enumerate(uniq)}
-    cols = [byterm[t] for t in terms]
+    byslot = {sl: F.col(f"_p{i}") for i, sl in enumerate(uniq)}
+    cols = [byslot[tuple(sl)] for sl in slots]
     present = reduce(lambda a, b: a & b, [c.isNotNull() for c in cols])
     return (
         wide.filter(present)
@@ -157,13 +205,15 @@ def phrase_candidates(
 # serving twin (Spark-free): pyarrow pruned reads + numpy chain
 # ---------------------------------------------------------------------------
 
-def local_phrase_ids(index: Index, terms: list[str], slop: int = 0) -> np.ndarray:
+def local_phrase_ids(index: Index, terms: list, slop: int = 0) -> np.ndarray:
     """Sorted int64 doc ids matching the phrase — the serving tier's
     positional verify. slop=0 is fully vectorized: per phrase offset k the
     (doc, pos-k) pairs form a key set, and the phrase's start positions are
     the n-way ``np.intersect1d`` of those sets (docs first narrowed to the
-    terms' intersection, so keys stay small). slop>0 walks the (few)
-    intersection docs with a searchsorted window chain."""
+    slots' intersection, so keys stay small). slop>0 walks the (few)
+    intersection docs with a searchsorted window chain. A slot may be a
+    tuple of alternative terms (match_phrase_prefix expansions) — its rows
+    are the union of the alternatives' rows."""
     if not terms:
         raise ValueError("local_phrase_ids: empty phrase")
     if not index.meta.get("positions"):
@@ -173,38 +223,43 @@ def local_phrase_ids(index: Index, terms: list[str], slop: int = 0) -> np.ndarra
         )
     import pyarrow.dataset as ds_mod
 
-    uniq = list(dict.fromkeys(terms))
+    slots = _norm_slots(terms)
+    if any(not sl for sl in slots):
+        raise ValueError("local_phrase_ids: empty expansion slot")
+    uniq = list(dict.fromkeys(tuple(sl) for sl in slots))
+    all_terms = sorted({t for sl in uniq for t in sl})
     dset = ds_mod.dataset(index.paths.positions, partitioning="hive")
-    buckets = sorted({term_bucket_py(t, index.n_buckets) for t in uniq})
+    buckets = sorted({term_bucket_py(t, index.n_buckets) for t in all_terms})
     tbl = dset.to_table(
         columns=["term", "doc_id", "positions"],
         filter=ds_mod.field("term_bucket").isin(buckets)
-        & ds_mod.field("term").isin(uniq),
+        & ds_mod.field("term").isin(all_terms),
     )
     terms_a = np.asarray(tbl["term"])
     ids_a = np.asarray(tbl["doc_id"], dtype=np.int64)
     pos_list = tbl["positions"]
-    rows_by_term: dict[str, np.ndarray] = {}
-    for t in uniq:
-        rows_by_term[t] = np.flatnonzero(terms_a == t)
-        if rows_by_term[t].size == 0:
+    rows_by_slot: dict[tuple, np.ndarray] = {}
+    for sl in uniq:
+        rows_by_slot[sl] = np.flatnonzero(np.isin(terms_a, list(sl)))
+        if rows_by_slot[sl].size == 0:
             return np.empty(0, dtype=np.int64)
     common = reduce(
-        np.intersect1d, [np.sort(ids_a[rows_by_term[t]]) for t in uniq]
+        np.intersect1d,
+        [np.unique(ids_a[rows_by_slot[sl]]) for sl in uniq],
     )
     if common.size == 0:
         return np.empty(0, dtype=np.int64)
-    if len(terms) == 1:
+    if len(slots) == 1:
         return common
 
-    # per-term (doc ordinal within `common`, positions) — flattened via the
+    # per-slot (doc ordinal within `common`, positions) — flattened via the
     # arrow list offsets, no per-row python
     flat = pos_list.combine_chunks()
     offs = flat.offsets.to_numpy(zero_copy_only=False)
     vals = flat.values.to_numpy(zero_copy_only=False).astype(np.int64)
 
-    def term_pairs(t: str, shift: int) -> np.ndarray:
-        rows = rows_by_term[t]
+    def slot_pairs(sl: tuple, shift: int) -> np.ndarray:
+        rows = rows_by_slot[sl]
         o = np.searchsorted(common, ids_a[rows])
         o = np.minimum(o, common.size - 1)
         keep = common[o] == ids_a[rows]
@@ -220,8 +275,8 @@ def local_phrase_ids(index: Index, terms: list[str], slop: int = 0) -> np.ndarra
     if slop == 0:
         big = int(vals.max(initial=0)) + 2
         keysets = []
-        for k, t in enumerate(terms):
-            ords, p = term_pairs(t, k)
+        for k, sl in enumerate(slots):
+            ords, p = slot_pairs(tuple(sl), k)
             keysets.append(np.unique(ords * big + p))
         starts = reduce(np.intersect1d, keysets)
         if starts.size == 0:
@@ -230,8 +285,8 @@ def local_phrase_ids(index: Index, terms: list[str], slop: int = 0) -> np.ndarra
 
     # slop > 0: window chain per intersection doc
     per_doc: list[dict[int, np.ndarray]] = []
-    for t in terms:
-        ords, p = term_pairs(t, 0)
+    for sl in slots:
+        ords, p = slot_pairs(tuple(sl), 0)
         order = np.argsort(ords, kind="stable")
         ords, p = ords[order], p[order]
         cuts = np.searchsorted(ords, np.arange(common.size + 1))
@@ -241,7 +296,7 @@ def local_phrase_ids(index: Index, terms: list[str], slop: int = 0) -> np.ndarra
     out = []
     for d in range(common.size):
         frontier = per_doc[0].get(d, np.empty(0, dtype=np.int64))
-        for k in range(1, len(terms)):
+        for k in range(1, len(slots)):
             nxt = per_doc[k].get(d, np.empty(0, dtype=np.int64))
             if frontier.size == 0 or nxt.size == 0:
                 frontier = np.empty(0, dtype=np.int64)

@@ -196,11 +196,23 @@ def test_empty_phrase_raises(spark, index):
 
 def test_parse_phrase_query():
     assert ph.parse_phrase_query('"merge postings"') == (
-        [(["merge", "postings"], 0)], "")
+        [(["merge", "postings"], 0, None)], "")
     assert ph.parse_phrase_query('"merge postings"~2 block') == (
-        [(["merge", "postings"], 2)], "block")
+        [(["merge", "postings"], 2, None)], "block")
     two = ph.parse_phrase_query('"block max" near "merge postings"~1')
-    assert two == ([(["block", "max"], 0), (["merge", "postings"], 1)], "near")
+    assert two == (
+        [(["block", "max"], 0, None), (["merge", "postings"], 1, None)],
+        "near",
+    )
+    # match_phrase_prefix form: trailing * inside the quotes
+    assert ph.parse_phrase_query('"merge post*"') == (
+        [(["merge"], 0, "post")], "")
+    assert ph.parse_phrase_query('"merge post*"~1') == (
+        [(["merge"], 1, "post")], "")
+    # camelCase last word: fixed sub-tokens stay slots, tail is the prefix
+    assert ph.parse_phrase_query('"mergePost*"') == (
+        [(["merge"], 0, "post")], "")
+    assert ph.parse_phrase_query('"post*"') == ([([], 0, "post")], "")
     # no quotes / unbalanced / empty quotes -> ordinary ladder
     assert ph.parse_phrase_query("merge postings") is None
     assert ph.parse_phrase_query('"merge postings') is None
@@ -366,3 +378,78 @@ def test_multigen_quoted_phrase_and_compaction(spark, tmp_path_factory):
     ce = SearchEngine(None, builder.load_index_local(cdir), serving=True)
     chits = ce.search_hits('"zephyr quantum"', opts)
     assert {r.doc_id for r in chits} == new_ids
+
+
+def brute_prefix_phrase_ids(
+    doc_tokens: dict, fixed: list[str], prefix: str, slop: int = 0
+) -> list[int]:
+    """match_phrase_prefix reference semantics: the fixed chain followed by
+    ANY token starting with ``prefix`` at the next (slop-windowed) step."""
+    hits = []
+    for doc_id, toks in doc_tokens.items():
+        starts = (
+            [i for i, x in enumerate(toks) if x == fixed[0]]
+            if fixed
+            else [i for i, x in enumerate(toks) if x.startswith(prefix)]
+        )
+        slots = fixed[1:] if fixed else []
+
+        def chain(k: int, p: int) -> bool:
+            if k < len(slots):
+                return any(
+                    p < q <= p + 1 + slop and chain(k + 1, q)
+                    for q, x in enumerate(toks)
+                    if x == slots[k]
+                )
+            if not fixed:  # bare "pre*" phrase: start already matched
+                return True
+            return any(
+                p < q <= p + 1 + slop and toks[q].startswith(prefix)
+                for q in range(len(toks))
+            )
+
+        if any(chain(0, p) for p in starts):
+            hits.append(doc_id)
+    return sorted(hits)
+
+
+@pytest.mark.parametrize("q,fixed,prefix,slop", [
+    ('"merge post*"', ["merge"], "post", 0),
+    ('"merge post*"~1', ["merge"], "post", 1),
+    ('"block ma*"', ["block"], "ma", 0),
+])
+def test_match_phrase_prefix_bruteforce_both_tiers(
+    spark, index, doc_tokens, q, fixed, prefix, slop
+):
+    """The ES match_phrase_prefix form ("... tail*"): quoted-syntax results
+    equal the brute-force token walk on BOTH tiers, and the expansion set
+    is the dictionary prefix scan."""
+    want = brute_prefix_phrase_ids(doc_tokens, fixed, prefix, slop)
+    assert want  # fixture corpus must exercise the hit path
+    eng = SearchEngine(spark, index)
+    srv = SearchEngine(spark, index, serving=True)
+    opts = SearchOptions(k=N_DOCS)
+    got_spark = sorted(r.doc_id for r in eng.search(q, opts).collect())
+    got_srv = sorted(r.doc_id for r in srv.search(q, opts).collect())
+    assert got_spark == want
+    assert got_srv == want
+
+
+def test_match_phrase_prefix_edges(spark, index, doc_tokens):
+    eng = SearchEngine(spark, index)
+    opts = SearchOptions(k=N_DOCS)
+    # unsatisfiable tail: zero dictionary expansions -> zero hits (never
+    # degrades to the fixed terms alone)
+    assert eng.search('"merge zzzyx*"', opts).collect() == []
+    # bare single-slot prefix phrase: presence-only (== prefix term match)
+    got = sorted(r.doc_id for r in eng.search('"post*"', opts).collect())
+    want = sorted(
+        d for d, toks in doc_tokens.items()
+        if any(t.startswith("post") for t in toks)
+    )
+    assert got == want
+    # envelope carries the prefix on the phrase clause
+    env = eng.search_response('"merge post*"', SearchOptions(k=5))
+    assert env["parsed_query"]["phrases"] == [
+        {"terms": ["merge"], "slop": 0, "prefix": "post"}
+    ]
