@@ -10,6 +10,7 @@ the REAL product path: compressed posting-block index + BM25 engine
 
 from __future__ import annotations
 
+import math
 import os
 import re
 import sys
@@ -2169,7 +2170,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "node", "comp", "cluster_size", "is_representative"
         )
 
+    def pipeline_aggs_q(spark, sf):
+        # ES pipeline aggregations (derivative / serial_diff /
+        # cumulative_sum / moving_fn avg) over the zero-filled hourly
+        # date_histogram — the window frame runs over POST-AGGREGATION
+        # bucket rows (O(buckets), ES's coordinating-node reduction), never
+        # the raw events
+        from gazetteer_search_spark.operators import aggs
+
+        e = spark.read.parquet(f"{sf}/events.parquet").filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 95)
+        )
+        base = aggs.date_histogram(
+            e, "ts", "hour", value_col="value", fill_empty=True
+        )
+        return aggs.pipeline_aggs(
+            base, value_col="doc_count", order_col="bucket", window=3, lag=2
+        )
+
+    def near_unordered(spark, sf):
+        # unordered proximity (ES span_near in_order=false): doc 0's first
+        # two tokens co-occurring within a 6-position span in ANY order —
+        # min-window verify over the positions sidecar BEFORE ranking. The
+        # oracle recomputes the span test as abs(pos_a - pos_b) <= 6.
+        eng = _engine(spark, sf)
+        w0, w1 = _phrase_words(spark, sf)
+        return _topk_out(
+            eng.search_near_unordered([w0, w1], 6, SearchOptions(k=20))
+        )
+
+    def bpe_pairs_q(spark, sf):
+        # distributed BPE training's first-iteration objective
+        # (operators/bpe.py): adjacent character-pair counts weighted by
+        # word frequency over the corpus word dictionary (the Sennrich
+        # subword-nmt objective; '</w>' end-of-word marker), top-20 —
+        # the full train_bpe loop is pinned Spark-vs-reference in
+        # tests/test_bpe.py (iterative argmax is not ANSI-SQL)
+        from gazetteer_search_spark.operators import bpe
+
+        words = bpe.init_words(bpe.word_freqs(_docs(spark, sf), "text"))
+        return (
+            bpe.pair_counts(words)
+            .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+            .limit(20)
+        )
+
+    def span_dup_fraction_q(spark, sf):
+        # cross-corpus duplicated-span mass (MassiveText/Gopher signal,
+        # operators/dedup.py::span_dup_stats): per doc, the fraction of its
+        # distinct 8-grams appearing in >= 2 documents — md5_60 hash family
+        # so the oracle recomputes the exact same int64 span keys
+        from gazetteer_search_spark.operators import dedup
+
+        return (
+            dedup.span_dup_stats(
+                _docs(spark, sf), n=8, min_df=2, hash_fn="md5_60"
+            )
+            .orderBy(F.col("dup_fraction").desc(), F.col("doc_id").asc())
+            .limit(20)
+        )
+
+    def decay_boost(spark, sf):
+        # ES function_score gauss decay (search/bm25.py::gauss_decay):
+        # the 2-clause AND's BM25 scores multiplied by a gaussian over each
+        # doc's n_chars distance from origin=600 (scale=200, decay=0.5 —
+        # the exact ES sigma formula), re-ranked
+        from gazetteer_search_spark.search import bm25 as _bm25
+
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        scored = eng.scored_matches(g, 2, SearchOptions())
+        docs = _docs(spark, sf).select("doc_id", "n_chars")
+        fs = scored.join(docs, "doc_id").withColumn(
+            "fs",
+            F.col("score")
+            * _bm25.gauss_decay(F.col("n_chars"), 600.0, 200.0),
+        )
+        return (
+            fs.orderBy(
+                F.round(F.col("fs"), 9).desc(), F.col("doc_id").asc()
+            )
+            .select("doc_id", F.round("fs", 4).alias("score"))
+            .limit(20)
+        )
+
     q.update(
+        pipeline_aggs=pipeline_aggs_q,
+        near_unordered=near_unordered,
+        bpe_pairs=bpe_pairs_q,
+        span_dup_fraction=span_dup_fraction_q,
+        decay_boost=decay_boost,
         decontaminate=decontaminate_q,
         pii_redact=pii_redact,
         repetition_stats=repetition_stats_q,
@@ -3544,5 +3634,177 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000 <
                 WHEN 'es' THEN 500000
                 WHEN 'zh' THEN 1000000
                 ELSE 100000 END
+"""
+
+    # ---- wave 7: pipeline aggs / unordered near / BPE / span-dup / decay --
+
+    # ES pipeline aggs over the zero-filled hourly histogram: lag-1
+    # derivative, lag-2 serial_diff, running cum_sum, trailing-3 moving avg
+    # — plain SQL window functions over the bucket rows
+    o["pipeline_aggs"] = """
+WITH f AS (
+  SELECT date_trunc('hour', ts) AS bucket, value
+  FROM events WHERE event_type = 'purchase' AND value > 95
+),
+a AS (
+  SELECT bucket, count(*)::BIGINT AS doc_count,
+         round(sum(value), 4) AS value_sum
+  FROM f GROUP BY bucket
+),
+bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM a),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+),
+filled AS (
+  SELECT g.bucket, coalesce(a.doc_count, 0)::BIGINT AS doc_count,
+         coalesce(a.value_sum, 0.0) AS value_sum
+  FROM grid g LEFT JOIN a USING (bucket)
+)
+SELECT bucket, doc_count, value_sum,
+       round(doc_count::DOUBLE - lag(doc_count::DOUBLE, 1)
+             OVER (ORDER BY bucket), 4) AS derivative,
+       round(doc_count::DOUBLE - lag(doc_count::DOUBLE, 2)
+             OVER (ORDER BY bucket), 4) AS serial_diff,
+       round(sum(doc_count::DOUBLE) OVER (
+             ORDER BY bucket ROWS UNBOUNDED PRECEDING), 4) AS cum_sum,
+       round(avg(doc_count::DOUBLE) OVER (
+             ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             4) AS moving_avg
+FROM filled ORDER BY bucket
+"""
+
+    # unordered proximity: same 2-required-group BM25 as the phrase oracle,
+    # with the positional verify abs(pos_a - pos_b) <= 6 (any order)
+    o["near_unordered"] = f"""
+WITH {_BM25_CTES},
+w AS (
+  SELECT q[1] AS w0, q[2] AS w1
+  FROM (SELECT {_STOKS} AS q FROM documents WHERE doc_id = 0)
+),
+ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+),
+ph AS (
+  SELECT DISTINCT a.doc_id
+  FROM ptok a JOIN ptok b ON b.doc_id = a.doc_id CROSS JOIN w
+  WHERE a.term = w.w0 AND b.term = w.w1 AND abs(b.pos - a.pos) <= 6
+),
+grp AS (
+  SELECT w0 AS term, 0 AS group_id, TRUE AS required, 1.0 AS weight FROM w
+  UNION ALL SELECT w1, 1, TRUE, 1.0 FROM w
+),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+final AS (
+  SELECT p.doc_id, p.raw AS score
+  FROM per_doc p JOIN ph USING (doc_id)
+  WHERE p.matched_required >= 2
+)
+SELECT doc_id, round(score, 4) AS score FROM final
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 20
+"""
+
+    # BPE first-iteration pair counts: word dictionary -> char symbols +
+    # '</w>' -> adjacent pairs weighted by word freq, top-20
+    o["bpe_pairs"] = r"""
+WITH wf AS (
+  SELECT word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY word
+),
+cs AS (
+  SELECT freq, list_append(string_split(word, ''), '</w>') AS syms FROM wf
+),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                i -> syms[i] || ' ' || syms[i + 1])) AS pair,
+         freq
+  FROM cs
+)
+SELECT pair, sum(freq)::BIGINT AS cnt FROM p GROUP BY pair
+ORDER BY cnt DESC, pair ASC LIMIT 20
+"""
+
+    # cross-corpus duplicated 8-gram spans, md5_60 span keys — the oracle
+    # recomputes the identical int64 hashes, span df, and per-doc fractions
+    o["span_dup_fraction"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 8 THEN
+           list_distinct(list_transform(generate_series(1, len(ws) - 7),
+             i -> array_to_string(ws[i:i+7], ' ')))
+         ELSE [] END AS grams
+  FROM d
+),
+sp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS h
+  FROM g
+),
+sdf AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS sdocs FROM sp GROUP BY h
+  ) WHERE sdocs >= 2
+),
+per AS (
+  SELECT sp.doc_id, count(*)::BIGINT AS n_spans,
+         sum(CASE WHEN sdf.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS dup_spans
+  FROM sp LEFT JOIN sdf USING (h) GROUP BY sp.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(per.dup_spans, 0)::BIGINT AS dup_spans,
+       round(CASE WHEN coalesce(per.n_spans, 0) > 0
+             THEN per.dup_spans::DOUBLE / per.n_spans
+             ELSE 0.0 END, 6) AS dup_fraction
+FROM d LEFT JOIN per USING (doc_id)
+ORDER BY dup_fraction DESC, doc_id ASC LIMIT 20
+"""
+
+    # function_score gauss decay: scored 2-clause AND joined to n_chars,
+    # multiplied by exp(-max(0, |n_chars-600|)^2 / (2 sigma^2)) with the
+    # exact ES sigma (scale=200, decay=0.5) inlined as a literal
+    _sigma2 = -(200.0 * 200.0) / (2.0 * math.log(0.5))
+    o["decay_boost"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight
+        FROM ({_facet_groups})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required, max(s.score * g.weight) AS gscore
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+per_doc AS (
+  SELECT doc_id, sum(gscore) AS raw,
+         sum(CASE WHEN required THEN 1 ELSE 0 END)::BIGINT AS matched_required
+  FROM per_group GROUP BY doc_id
+),
+fs AS (
+  SELECT p.doc_id,
+         p.raw * exp(-pow(abs(d.n_chars::DOUBLE - 600.0), 2)
+                     / (2.0 * {_sigma2!r})) AS fscore
+  FROM per_doc p JOIN documents d USING (doc_id)
+  WHERE p.matched_required >= 2
+)
+SELECT doc_id, round(fscore, 4) AS score FROM fs
+ORDER BY round(fscore, 9) DESC, doc_id ASC LIMIT 20
 """
     return o

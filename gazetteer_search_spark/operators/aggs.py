@@ -292,3 +292,78 @@ def adjacency_matrix(df: DataFrame, filters: dict[str, Column]) -> DataFrame:
         .filter(F.col("doc_count") > 0)
         .orderBy("key")
     )
+
+
+def pipeline_aggs(
+    buckets: DataFrame,
+    value_col: str = "doc_count",
+    order_col: str = "bucket",
+    window: int = 3,
+    lag: int = 1,
+) -> DataFrame:
+    """ES pipeline aggregations over a parent bucket agg (date_histogram /
+    histogram output): per ordered bucket —
+
+    - ``derivative``   value - lag(value)           (ES derivative)
+    - ``serial_diff``  value - lag(value, ``lag``)  (ES serial_diff)
+    - ``cum_sum``      running total                (ES cumulative_sum)
+    - ``moving_avg``   mean over the trailing ``window`` buckets including
+      the current one (ES moving_fn ``MovingFunctions.unweightedAvg`` with
+      the window fully shifted into the past)
+
+    First buckets where a lag is undefined carry NULL (ES skip gap policy).
+
+    Scale shape: the input is POST-AGGREGATION bucket rows — O(buckets),
+    not O(corpus) — so the single unpartitioned sort window here is a
+    driver-sized frame by construction (ES computes these reductions on
+    the coordinating node for the same reason). Never point this at raw
+    events; aggregate first."""
+    from pyspark.sql.window import Window
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    w = Window.orderBy(order_col)
+    v = F.col(value_col).cast("double")
+    return buckets.select(
+        "*",
+        F.round(v - F.lag(v, 1).over(w), 4).alias("derivative"),
+        F.round(v - F.lag(v, lag).over(w), 4).alias("serial_diff"),
+        F.round(
+            F.sum(v).over(w.rowsBetween(Window.unboundedPreceding, 0)), 4
+        ).alias("cum_sum"),
+        F.round(
+            F.avg(v).over(w.rowsBetween(-(window - 1), 0)), 4
+        ).alias("moving_avg"),
+    )
+
+
+def bucket_script(
+    buckets: DataFrame, name: str, expr: str
+) -> DataFrame:
+    """ES bucket_script: a per-bucket scalar computed from sibling metrics
+    (e.g. ``value_sum / doc_count``) — a plain projection, expressed as a
+    SQL string over the bucket row's columns."""
+    return buckets.withColumn(name, F.round(F.expr(expr), 4))
+
+
+def bucket_selector(buckets: DataFrame, predicate: str) -> DataFrame:
+    """ES bucket_selector: drop buckets failing a predicate over their
+    metrics (HAVING over the parent agg) — a plain filter."""
+    return buckets.filter(F.expr(predicate))
+
+
+def bucket_sort(
+    buckets: DataFrame,
+    by: str,
+    ascending: bool = False,
+    size: int | None = None,
+    tie_col: str = "bucket",
+) -> DataFrame:
+    """ES bucket_sort: re-order the parent agg's buckets by a metric with a
+    deterministic tie-break, optionally truncating (``size``) — the
+    ``orderBy + limit`` of the bucket space."""
+    col = F.col(by).asc() if ascending else F.col(by).desc()
+    out = buckets.orderBy(col, F.col(tie_col).asc())
+    return out.limit(size) if size is not None else out

@@ -411,3 +411,63 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_df: int = 2,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus duplicated-span statistics (the MassiveText/Gopher
+    "fraction of duplicated n-grams" quality signal, computed ACROSS docs
+    rather than within one): per doc, the fraction of its distinct word
+    ``n``-grams that appear in >= ``min_df`` documents corpus-wide —
+    boilerplate/licence-header/copy-paste mass a near-dup pass at document
+    granularity cannot see.
+
+    Output: (doc_id, n_spans, dup_spans, dup_fraction). Docs shorter than
+    ``n`` words carry n_spans=0 and dup_fraction=0.0.
+
+    Scale shape: spans hash to int64 BEFORE the df count (no string
+    shuffle), ONE hash agg computes span df, ONE join back to the exploded
+    spans, ONE agg per doc — three shuffles total, all on hashes/ids, no
+    self-join. ``hash_fn='md5_60'`` is the oracle-recomputable family
+    (hash64_col); xxhash64 stays the scale default."""
+    spans = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_shingles(F.col(text_col), n)).alias("span"),
+    ).select("doc_id", hash64_col(hash_fn, F.col("span")).alias("h"))
+    span_df = (
+        spans.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("span_docs"))
+        .filter(F.col("span_docs") >= min_df)
+        .select("h")
+    )
+    per_doc = (
+        spans.join(span_df.withColumn("_dup", F.lit(1)), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).alias("dup_spans"),
+        )
+    )
+    # docs with zero spans (shorter than n words) re-enter with zeros
+    all_docs = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.round(
+                F.when(
+                    F.coalesce("n_spans", F.lit(0)) > 0,
+                    F.col("dup_spans") / F.col("n_spans"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

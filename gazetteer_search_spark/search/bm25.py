@@ -142,3 +142,70 @@ def scored_postings(
         idf_col(F.col(score_df_col), n_docs)
         * tf_norm_col(F.col("tf"), F.col("doc_len"), avg_dl),
     )
+
+
+# ---------------------------------------------------------------------------
+# function_score decay family (ES gauss / exp / linear decay functions)
+# ---------------------------------------------------------------------------
+
+def gauss_decay(
+    value: Column, origin: float, scale: float,
+    offset: float = 0.0, decay: float = 0.5,
+) -> Column:
+    """ES function_score ``gauss`` decay: 1.0 inside ``offset`` of
+    ``origin``, then exp(-(d - offset)^2 / (2 sigma^2)) with sigma chosen so
+    the multiplier equals ``decay`` at distance ``scale`` — the exact ES
+    formula (sigma^2 = -scale^2 / (2 ln decay)). Pure Catalyst arithmetic;
+    multiply into any score column."""
+    import math
+
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    sigma2 = -(scale * scale) / (2.0 * math.log(decay))
+    d = F.greatest(
+        F.abs(value.cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    return F.exp(-(d * d) / F.lit(2.0 * sigma2))
+
+
+def exp_decay(
+    value: Column, origin: float, scale: float,
+    offset: float = 0.0, decay: float = 0.5,
+) -> Column:
+    """ES ``exp`` decay: exp(lambda * max(0, |v - origin| - offset)) with
+    lambda = ln(decay) / scale."""
+    import math
+
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    lam = math.log(decay) / scale
+    d = F.greatest(
+        F.abs(value.cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    return F.exp(d * F.lit(lam))
+
+
+def linear_decay(
+    value: Column, origin: float, scale: float,
+    offset: float = 0.0, decay: float = 0.5,
+) -> Column:
+    """ES ``linear`` decay: max(0, (s - d) / s) with
+    s = scale / (1 - decay); floors at zero beyond the support."""
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    s = scale / (1.0 - decay)
+    d = F.greatest(
+        F.abs(value.cast("double") - F.lit(float(origin))) - F.lit(float(offset)),
+        F.lit(0.0),
+    )
+    return F.greatest(
+        (F.lit(s) - d) / F.lit(s), F.lit(0.0)
+    )

@@ -1876,6 +1876,99 @@ class SearchEngine:
         allowed = _ph.local_phrase_ids(self.index, terms, slop)
         return self._local.search_allowed(groups, len(groups), options, allowed)
 
+    def search_near_unordered(
+        self,
+        q: str | list[str],
+        window: int,
+        options: SearchOptions | None = None,
+    ) -> DataFrame:
+        """Unordered proximity (ES span_near ``in_order=false``): all query
+        terms co-occur within a ``window``-position span in ANY order, BM25
+        ranked. Needs the positions sidecar, like search_phrase. The
+        positional verify shrinks candidates BEFORE ranking, so filters /
+        boosts / cursor compose exactly as in search_rung."""
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+        from gazetteer_search_spark.search import phrase as _ph
+
+        options = options or SearchOptions()
+        terms = (
+            tokenize_text(q, joined_identifiers=False)
+            if isinstance(q, str)
+            else list(q)
+        )
+        if not terms:
+            raise ValueError(
+                "search_near_unordered: query analyzed to zero tokens"
+            )
+        uniq = list(dict.fromkeys(terms))
+        groups = [
+            TermGroup(group_id=i, terms=(t,), required=True)
+            for i, t in enumerate(uniq)
+        ]
+        if self._local is not None:
+            if self.spark is None:
+                raise RuntimeError(
+                    "DataFrame results need a SparkSession — on a Spark-free "
+                    "serving engine use search_near_unordered_rows"
+                )
+            rows = self.search_near_unordered_rows(terms, window, options)
+            return self.spark.createDataFrame(rows, RESULT_SCHEMA)
+        cand = _ph.unordered_candidates(
+            self.spark, self.index, uniq, window
+        )
+        scored = self._scored_for_terms(uniq, options).join(
+            cand, "doc_id", "semi"
+        )
+        return topk_from_scored(
+            scored,
+            _groups_df(self.spark, groups),
+            len(groups),
+            len(groups),
+            options.k,
+            self.index.docs,
+            options,
+            groups=groups,
+        )
+
+    def search_near_unordered_rows(
+        self,
+        terms: list[str],
+        window: int,
+        options: SearchOptions | None = None,
+    ) -> list:
+        """Serving-tier unordered proximity: min-window verify via pyarrow
+        pruned reads across every generation (doc ids are globally unique,
+        so the union of per-generation verified sets is exact), then the
+        rank restricted to the verified ids — rank-identical to Spark."""
+        import numpy as np
+
+        from gazetteer_search_spark.search import phrase as _ph
+
+        options = options or SearchOptions()
+        if self._local is None:
+            raise RuntimeError(
+                "search_near_unordered_rows needs a serving engine"
+            )
+        uniq = list(dict.fromkeys(terms))
+        groups = [
+            TermGroup(group_id=i, terms=(t,), required=True)
+            for i, t in enumerate(uniq)
+        ]
+        idxs = [
+            s.index for s in getattr(self._local, "subs", [])
+        ] or [self.index]
+        allowed = np.unique(
+            np.concatenate(
+                [
+                    _ph.local_unordered_near_ids(ix, uniq, window)
+                    for ix in idxs
+                ]
+            )
+        )
+        return self._local.search_allowed(
+            groups, len(groups), options, allowed
+        )
+
     def _phrase_rung(
         self,
         original: str,

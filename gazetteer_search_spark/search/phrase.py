@@ -33,6 +33,7 @@ import re
 from functools import reduce
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -310,3 +311,172 @@ def local_phrase_ids(index: Index, terms: list, slop: int = 0) -> np.ndarray:
         if frontier.size:
             out.append(common[d])
     return np.asarray(sorted(out), dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# unordered proximity (ES span_near in_order=false / intervals any_of)
+# ---------------------------------------------------------------------------
+
+def _min_window_covers(lists: list[np.ndarray], window: int) -> bool:
+    """True when one position can be chosen from every list with
+    max - min <= ``window`` — the classic smallest-range-over-k-sorted-lists
+    sweep: merge all (pos, list_id) ascending, slide a two-pointer window
+    keeping per-list coverage counts, and report the first full-coverage
+    span within bound."""
+    k = len(lists)
+    if k == 1:
+        return lists[0].size > 0
+    if any(a.size == 0 for a in lists):
+        return False
+    pos = np.concatenate(lists)
+    lid = np.concatenate(
+        [np.full(a.size, i, dtype=np.int64) for i, a in enumerate(lists)]
+    )
+    order = np.argsort(pos, kind="stable")
+    pos, lid = pos[order], lid[order]
+    counts = np.zeros(k, dtype=np.int64)
+    covered = 0
+    lo = 0
+    for hi in range(pos.size):
+        c = lid[hi]
+        if counts[c] == 0:
+            covered += 1
+        counts[c] += 1
+        while covered == k:
+            if pos[hi] - pos[lo] <= window:
+                return True
+            c0 = lid[lo]
+            counts[c0] -= 1
+            if counts[c0] == 0:
+                covered -= 1
+            lo += 1
+    return False
+
+
+def local_unordered_near_ids(
+    index: Index, terms: list[str], window: int
+) -> np.ndarray:
+    """Sorted int64 doc ids where all DISTINCT ``terms`` co-occur within a
+    ``window``-position span in ANY order (ES span_near in_order=false) —
+    the serving tier's unordered-proximity verify. Same pruned pyarrow read
+    as local_phrase_ids; the per-doc test is the k-list min-window sweep
+    over the (few) docs already containing every term."""
+    if not terms:
+        raise ValueError("local_unordered_near_ids: empty term list")
+    if not index.meta.get("positions"):
+        raise ValueError(
+            "this index was built without the positions sidecar — rebuild "
+            "with build_index(positions=True) to run proximity queries"
+        )
+    import pyarrow.dataset as ds_mod
+
+    uniq = list(dict.fromkeys(terms))
+    dset = ds_mod.dataset(index.paths.positions, partitioning="hive")
+    buckets = sorted({term_bucket_py(t, index.n_buckets) for t in uniq})
+    tbl = dset.to_table(
+        columns=["term", "doc_id", "positions"],
+        filter=ds_mod.field("term_bucket").isin(buckets)
+        & ds_mod.field("term").isin(uniq),
+    )
+    terms_a = np.asarray(tbl["term"])
+    ids_a = np.asarray(tbl["doc_id"], dtype=np.int64)
+    rows_by_term = {t: np.flatnonzero(terms_a == t) for t in uniq}
+    if any(rows_by_term[t].size == 0 for t in uniq):
+        return np.empty(0, dtype=np.int64)
+    common = reduce(
+        np.intersect1d, [np.unique(ids_a[rows_by_term[t]]) for t in uniq]
+    )
+    if common.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(uniq) == 1:
+        return common
+    flat = tbl["positions"].combine_chunks()
+    offs = flat.offsets.to_numpy(zero_copy_only=False)
+    vals = flat.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    # per term: positions grouped by doc ordinal within `common`
+    per_term: list[dict[int, np.ndarray]] = []
+    for t in uniq:
+        rows = rows_by_term[t]
+        o = np.searchsorted(common, ids_a[rows])
+        o = np.minimum(o, common.size - 1)
+        keep = common[o] == ids_a[rows]
+        rows, o = rows[keep], o[keep]
+        d: dict[int, np.ndarray] = {}
+        for r, ordn in zip(rows, o):
+            seg = vals[offs[r] : offs[r + 1]]
+            d[ordn] = (
+                np.sort(np.concatenate([d[ordn], seg]))
+                if ordn in d
+                else np.sort(seg)
+            )
+        per_term.append(d)
+    out = [
+        common[d]
+        for d in range(common.size)
+        if _min_window_covers(
+            [pt.get(d, np.empty(0, dtype=np.int64)) for pt in per_term],
+            window,
+        )
+    ]
+    return np.asarray(sorted(out), dtype=np.int64)
+
+
+def unordered_candidates(
+    spark: SparkSession, index: Index, terms: list[str], window: int
+) -> DataFrame:
+    """Spark twin of local_unordered_near_ids -> (doc_id,). Candidates
+    first narrow to docs containing EVERY distinct term (the
+    phrase_candidates pivot — one hash agg), then the min-window test
+    runs: for two terms a native ``exists x exists y: |x-y| <= window``
+    Catalyst predicate; for k > 2 an Arrow-batched pandas UDF running the
+    same k-list sweep — over the already-intersected candidate set, which
+    is orders of magnitude smaller than any single posting list."""
+    if not terms:
+        raise ValueError("unordered_candidates: empty term list")
+    if not index.meta.get("positions"):
+        raise ValueError(
+            "this index was built without the positions sidecar — rebuild "
+            "with build_index(positions=True) to run proximity queries"
+        )
+    uniq = list(dict.fromkeys(terms))
+    pos = positions_for_terms(spark, index, uniq)
+    aggs = [
+        F.array_sort(
+            F.flatten(
+                F.collect_list(
+                    F.when(F.col("term") == F.lit(t), F.col("positions"))
+                )
+            )
+        ).alias(f"_p{i}")
+        for i, t in enumerate(uniq)
+    ]
+    wide = pos.groupBy("doc_id").agg(*aggs)
+    cols = [F.col(f"_p{i}") for i in range(len(uniq))]
+    present = reduce(lambda a, b: a & b, [F.size(c) > 0 for c in cols])
+    wide = wide.filter(present)
+    if len(uniq) == 1:
+        return wide.select("doc_id")
+    if len(uniq) == 2:
+        hit = F.exists(
+            cols[0],
+            lambda a: F.exists(
+                cols[1],
+                lambda b: F.abs(a - b) <= F.lit(window),
+            ),
+        )
+        return wide.filter(hit).select("doc_id")
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _covers(packed: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _min_window_covers(
+                    [np.asarray(a, dtype=np.int64) for a in lists], window
+                )
+                for lists in packed
+            ]
+        )
+
+    return wide.filter(_covers(F.array(*cols))).select("doc_id")

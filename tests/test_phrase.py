@@ -453,3 +453,88 @@ def test_match_phrase_prefix_edges(spark, index, doc_tokens):
     assert env["parsed_query"]["phrases"] == [
         {"terms": ["merge"], "slop": 0, "prefix": "post"}
     ]
+
+
+# ---------------------------------------------------------------------------
+# unordered proximity (span_near in_order=false)
+# ---------------------------------------------------------------------------
+
+def brute_unordered_ids(
+    doc_tokens: dict, terms: list[str], window: int
+) -> list[int]:
+    """Reference semantics: a choice of one position per DISTINCT term with
+    max - min <= window, any order."""
+    import itertools
+
+    uniq = list(dict.fromkeys(terms))
+    hits = []
+    for doc_id, toks in doc_tokens.items():
+        pos = [
+            [i for i, x in enumerate(toks) if x == t] for t in uniq
+        ]
+        if any(not p for p in pos):
+            continue
+        if any(
+            max(c) - min(c) <= window
+            for c in itertools.product(*pos)
+        ):
+            hits.append(doc_id)
+    return sorted(hits)
+
+
+UNORDERED_CASES = [
+    (["postings", "merge"], 1),   # reversed order still hits adjacents
+    (["merge", "postings"], 4),
+    (["block", "max"], 2),
+    (["merge", "postings", "block"], 8),  # k=3 -> pandas-UDF sweep path
+    (["merge"], 0),
+]
+
+
+@pytest.mark.parametrize("terms,window", UNORDERED_CASES)
+def test_unordered_candidates_matches_bruteforce(
+    spark, index, doc_tokens, terms, window
+):
+    got = sorted(
+        r.doc_id
+        for r in ph.unordered_candidates(
+            spark, index, terms, window
+        ).collect()
+    )
+    assert got == brute_unordered_ids(doc_tokens, terms, window)
+
+
+@pytest.mark.parametrize("terms,window", UNORDERED_CASES)
+def test_local_unordered_ids_match_spark(spark, index, doc_tokens, terms, window):
+    got = ph.local_unordered_near_ids(index, terms, window).tolist()
+    assert got == brute_unordered_ids(doc_tokens, terms, window)
+
+
+def test_unordered_superset_of_ordered(spark, index, doc_tokens):
+    """Ordered slop-N hits are a subset of unordered window-(1+N) hits for
+    two terms (an ordered chain a<b<=a+1+N implies span <= 1+N)."""
+    ordered = set(brute_phrase_ids(doc_tokens, ["merge", "postings"], 2))
+    unordered = set(
+        ph.local_unordered_near_ids(
+            index, ["merge", "postings"], 3
+        ).tolist()
+    )
+    assert ordered <= unordered
+
+
+def test_engine_search_near_unordered(spark, index, doc_tokens):
+    eng = SearchEngine(spark, index, serving=True)
+    rows = eng.search_near_unordered(
+        ["merge", "postings"], 4, SearchOptions(k=50)
+    ).collect()
+    got = sorted(r.doc_id for r in rows)
+    expect = brute_unordered_ids(doc_tokens, ["merge", "postings"], 4)
+    assert got == sorted(expect)[: len(got)] or set(got) <= set(expect)
+    # rank-identity with the Spark path
+    eng_spark = SearchEngine(spark, index, serving=False)
+    rows2 = eng_spark.search_near_unordered(
+        ["merge", "postings"], 4, SearchOptions(k=50)
+    ).collect()
+    assert [(r.doc_id, round(r.score, 6)) for r in rows] == [
+        (r.doc_id, round(r.score, 6)) for r in rows2
+    ]

@@ -1,0 +1,138 @@
+"""Wave-7 operators: pipeline aggregations over bucket rows, cross-corpus
+duplicated-span stats, and the ES function_score decay family."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.operators import aggs, dedup
+from gazetteer_search_spark.search import bm25
+
+
+# ---------------------------------------------------------------------------
+# pipeline aggregations
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def buckets(spark):
+    rows = [(1, 10), (2, 13), (3, 9), (4, 9), (5, 20)]
+    return spark.createDataFrame(rows, "bucket int, doc_count long")
+
+
+def test_pipeline_aggs_values(spark, buckets):
+    out = {
+        r.bucket: r
+        for r in aggs.pipeline_aggs(buckets, window=2, lag=2).collect()
+    }
+    assert out[1].derivative is None and out[1].cum_sum == 10.0
+    assert out[2].derivative == 3.0 and out[2].serial_diff is None
+    assert out[3].serial_diff == -1.0  # 9 - 10
+    assert out[5].cum_sum == 61.0
+    assert out[2].moving_avg == 11.5  # (10+13)/2
+    assert out[1].moving_avg == 10.0  # window clipped at the start
+
+
+def test_bucket_script_selector_sort(spark, buckets):
+    b = aggs.bucket_script(buckets, "double_count", "doc_count * 2")
+    assert {r.bucket: r.double_count for r in b.collect()}[3] == 18.0
+    kept = aggs.bucket_selector(buckets, "doc_count >= 10").collect()
+    assert sorted(r.bucket for r in kept) == [1, 2, 5]
+    top = aggs.bucket_sort(buckets, "doc_count", size=2).collect()
+    assert [r.bucket for r in top] == [5, 2]
+    # tie-break: buckets 3 and 4 both 9 -> ascending doc_count, bucket asc
+    asc = aggs.bucket_sort(buckets, "doc_count", ascending=True, size=2)
+    assert [r.bucket for r in asc.collect()] == [3, 4]
+
+
+def test_pipeline_aggs_rejects_bad_params(spark, buckets):
+    with pytest.raises(ValueError):
+        aggs.pipeline_aggs(buckets, window=0)
+    with pytest.raises(ValueError):
+        aggs.pipeline_aggs(buckets, lag=0)
+
+
+# ---------------------------------------------------------------------------
+# span_dup_stats
+# ---------------------------------------------------------------------------
+
+def test_span_dup_stats(spark):
+    shared = "a b c d"  # 4-gram shared by docs 1 and 2
+    rows = [
+        (1, f"{shared} x y z"),
+        (2, f"p q {shared}"),
+        (3, "entirely different words here now"),
+        (4, "shorty"),  # < n words -> zero spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.span_dup_stats(df, n=4, min_df=2).collect()
+    }
+    # doc1 grams: 'a b c d','b c d x','c d x y','d x y z' -> 1 dup of 4
+    assert out[1].n_spans == 4 and out[1].dup_spans == 1
+    assert out[1].dup_fraction == 0.25
+    # doc2 grams: 'p q a b','q a b c','a b c d' -> 1 dup of 3
+    assert out[2].n_spans == 3 and out[2].dup_spans == 1
+    assert out[3].dup_spans == 0
+    assert out[4].n_spans == 0 and out[4].dup_fraction == 0.0
+
+
+def test_span_dup_hash_families_agree(spark):
+    rows = [(i, f"w{i} common span body here plus w{i} tail") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        map(tuple, dedup.span_dup_stats(df, n=3, hash_fn="xxhash64").collect())
+    )
+    b = sorted(
+        map(tuple, dedup.span_dup_stats(df, n=3, hash_fn="md5_60").collect())
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# decay functions
+# ---------------------------------------------------------------------------
+
+def _eval(spark, col) -> float:
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_gauss_decay_anchors(spark):
+    # exactly 1.0 at origin, exactly `decay` at origin +/- scale
+    at0 = _eval(spark, bm25.gauss_decay(F.lit(600.0), 600.0, 200.0))
+    at_scale = _eval(spark, bm25.gauss_decay(F.lit(800.0), 600.0, 200.0))
+    assert at0 == pytest.approx(1.0)
+    assert at_scale == pytest.approx(0.5, rel=1e-9)
+    sym = _eval(spark, bm25.gauss_decay(F.lit(400.0), 600.0, 200.0))
+    assert sym == pytest.approx(at_scale)
+
+
+def test_exp_linear_decay_anchors(spark):
+    assert _eval(
+        spark, bm25.exp_decay(F.lit(800.0), 600.0, 200.0)
+    ) == pytest.approx(0.5)
+    assert _eval(
+        spark, bm25.linear_decay(F.lit(800.0), 600.0, 200.0)
+    ) == pytest.approx(0.5)
+    # linear floors at zero beyond the support (d >= scale/(1-decay))
+    assert _eval(
+        spark, bm25.linear_decay(F.lit(600.0 + 401.0), 600.0, 200.0)
+    ) == 0.0
+
+
+def test_decay_offset_plateau(spark):
+    # inside the offset the multiplier is exactly 1.0
+    v = _eval(
+        spark, bm25.gauss_decay(F.lit(650.0), 600.0, 200.0, offset=100.0)
+    )
+    assert v == 1.0
+
+
+def test_decay_rejects_bad_params(spark):
+    with pytest.raises(ValueError):
+        bm25.gauss_decay(F.lit(0.0), 0.0, -1.0)
+    with pytest.raises(ValueError):
+        bm25.exp_decay(F.lit(0.0), 0.0, 1.0, decay=1.5)
