@@ -1069,6 +1069,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "token string, suggestion string, df long"
         )
 
+    def phrase_suggest_q(spark, sf):
+        # whole-phrase did-you-mean (ES phrase-suggester analog): both
+        # tokens OOV -> top-3 OSA<=1 corrections each, 3x3 phrase rewrites
+        # scored by the smoothed unigram LM sum ln((df+0.5)/(n_docs+1)),
+        # top-5 (identity excluded) — dictionary-only, zero postings decode
+        eng = _engine(spark, sf)
+        rows = eng.phrase_suggest("merje sorx", k=5)
+        return spark.createDataFrame(rows, "phrase string, score double")
+
     def significant_terms_q(spark, sf):
         # ES significant_terms agg: terms over-represented in the 'merge'
         # match set vs the corpus, JLH-scored
@@ -1575,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         term_vectors=term_vectors_q,
         significant_terms=significant_terms_q,
         spell_suggest=spell_suggest_q,
+        phrase_suggest=phrase_suggest_q,
         hybrid_rrf=hybrid_rrf,
         percolate=percolate_q,
         prefix=prefix,
@@ -2456,6 +2466,34 @@ SELECT 'vektor' AS token, term AS suggestion, df FROM (
   WHERE length(term) BETWEEN 5 AND 7
     AND term <> 'vektor' AND damerau_levenshtein(term, 'vektor') <= 1
   ORDER BY df DESC, term LIMIT 3)
+"""
+
+    # whole-phrase did-you-mean: per-token OSA<=1 correction sets (the
+    # spell_suggest ranking), cartesian phrase rewrites scored by the
+    # smoothed unigram LM sum — identity excluded by construction (both
+    # tokens are OOV, corrections exclude the raw token)
+    o["phrase_suggest"] = f"""
+WITH {_BM25_CTES},
+c1 AS (
+  SELECT term, df FROM dfreq
+  WHERE length(term) BETWEEN 4 AND 6
+    AND term <> 'merje' AND damerau_levenshtein(term, 'merje') <= 1
+  ORDER BY df DESC, term LIMIT 3
+),
+c2 AS (
+  SELECT term, df FROM dfreq
+  WHERE length(term) BETWEEN 3 AND 5
+    AND term <> 'sorx' AND damerau_levenshtein(term, 'sorx') <= 1
+  ORDER BY df DESC, term LIMIT 3
+),
+p AS (
+  SELECT c1.term || ' ' || c2.term AS phrase,
+         ln((c1.df + 0.5) / (cst.n_docs + 1.0))
+         + ln((c2.df + 0.5) / (cst.n_docs + 1.0)) AS score
+  FROM c1 CROSS JOIN c2 CROSS JOIN cst
+)
+SELECT phrase, round(score, 6) AS score FROM p
+ORDER BY round(score, 9) DESC, phrase ASC LIMIT 5
 """
 
     # significant terms (ES significant_terms analog): fg df within the

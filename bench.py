@@ -510,9 +510,15 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     timings["dedup_minhash"] = time.perf_counter() - t
 
     qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
-    t = time.perf_counter()
-    similarity.cosine_topk_query(emb, qv, k=10).collect()
-    timings["cosine_topk"] = time.perf_counter() - t
+    # best-of-2 like the q_* lines: the first run pays JVM/codegen warmup
+    # for this plan shape and swung 2x between rounds (r4 0.26 vs a cold
+    # 0.57) — the warm number is the one that tracks plan changes
+    best = float("inf")
+    for _ in range(2):
+        t = time.perf_counter()
+        similarity.cosine_topk_query(emb, qv, k=10).collect()
+        best = min(best, time.perf_counter() - t)
+    timings["cosine_topk"] = best
 
     # cluster closure over the near-dup pairs (alternating star, round 5):
     # pairs materialize once (untimed — the mining cost is dedup_minhash's

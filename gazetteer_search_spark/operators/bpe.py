@@ -37,6 +37,7 @@ HuggingFace tokenizers' trainer, both of which train on word counts.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -223,3 +224,84 @@ def train_bpe_reference(
                     out.append(x)
             words[w] = out
     return merges
+
+
+# ---------------------------------------------------------------------------
+# corpus encoding with a frozen merge table (the tokenizer-application op)
+# ---------------------------------------------------------------------------
+
+def merge_ranks(merges: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+    return {pair: i for i, pair in enumerate(merges)}
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic rank-greedy BPE encode of ONE word: repeatedly merge the
+    lowest-rank adjacent pair present (all its occurrences, left to right)
+    until none applies — provably equivalent to replaying the merge table
+    in training order (each merge's pair can only be formed by lower-rank
+    merges), which tests pin against the distributed fold replay."""
+    syms = list(word) + [END_OF_WORD]
+    while len(syms) > 1:
+        best_rank = None
+        for a, b in zip(syms, syms[1:]):
+            r = ranks.get((a, b))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        # apply that merge left-to-right, non-overlapping
+        left = None
+        for pair, r in ranks.items():
+            if r == best_rank:
+                left = pair
+                break
+        a, b = left
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+def encode_corpus(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize a corpus with a frozen BPE merge table -> subword array
+    column (the training-data tokenizer-application pass).
+
+    Shape: an Arrow-batched pandas UDF with a per-batch word->subwords
+    cache — under a Zipf word distribution the per-batch work is
+    ~O(distinct words), not O(tokens), and the merge table rides the UDF
+    closure (broadcast once per executor). Encoding is inherently a
+    per-word sequential reduction (HF tokenizers' Rust core runs the same
+    loop); the batch cache is what makes it a bulk operator rather than a
+    per-row one."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    ranks = merge_ranks(merges)
+
+    @pandas_udf(ArrayType(StringType()))
+    def _enc(s: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def enc_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = encode_word(w, ranks)
+            return got
+
+        return s.map(
+            lambda t: [
+                sub
+                for w in t.lower().split()
+                if w
+                for sub in enc_word(w)
+            ]
+        )
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))

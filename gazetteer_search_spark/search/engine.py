@@ -1498,6 +1498,71 @@ class SearchEngine:
         dym = " ".join(repl.get(t, t) for t in toks) if repl else None
         return {"tokens": out_tokens, "did_you_mean": dym}
 
+    def phrase_suggest(
+        self,
+        q: str,
+        k: int = 5,
+        per_token: int = 3,
+        collate: bool = False,
+    ) -> list[tuple[str, float]]:
+        """ES phrase-suggester analog ("did you mean" for the WHOLE query):
+        rank whole-phrase rewrites, not per-token corrections.
+
+        Per analyzed token: in-vocabulary tokens contribute only themselves;
+        out-of-vocabulary tokens contribute their top-``per_token`` OSA<=1
+        dictionary corrections (df desc, term asc — the exact spell_suggest
+        /fuzzy-rung expansion), falling back to the raw token (df 0) when no
+        correction exists. Whole-phrase candidates are the cartesian product
+        of the per-token candidate lists (bounded: per_token^OOV_tokens),
+        scored by a smoothed unigram language model over the term
+        dictionary — sum of ln((df + 0.5) / (n_docs + 1)) — the ES
+        phrase-suggester's stupid-backoff degenerate (its default
+        ``laplace``-smoothed unigram when no shingle field exists).
+        ``collate=True`` keeps only phrases whose every term is
+        in-vocabulary (the ES collate-prune without the per-candidate
+        query round-trip). Returns [(phrase, score)] ranked (score desc,
+        phrase asc), top-``k``, EXCLUDING the identity rewrite. Serving
+        cost: dictionary-only — zero postings decode."""
+        import itertools
+        import math as _math
+
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        toks = tokenize_text(q, joined_identifiers=False)
+        if not toks:
+            return []
+        dfs = self._df_for_terms(sorted(set(toks)))
+        cands_by_tok: dict[str, list[tuple[str, int]]] = {}
+        for t in dict.fromkeys(toks):
+            df0 = int(dfs.get(t, 0))
+            if df0 > 0:
+                cands_by_tok[t] = [(t, df0)]
+                continue
+            corr = [c for c in self.expand_fuzzy(t) if c != t][:per_token]
+            if corr:
+                cdfs = self._df_for_terms(sorted(corr))
+                cands_by_tok[t] = [
+                    (c, int(cdfs.get(c, 0))) for c in corr
+                ]
+            else:
+                cands_by_tok[t] = [(t, 0)]
+        n = float(self.index.n_docs)
+        out: dict[str, float] = {}
+        for combo in itertools.product(*[cands_by_tok[t] for t in toks]):
+            phrase = " ".join(c for c, _ in combo)
+            if phrase == " ".join(toks):
+                continue
+            if collate and any(df == 0 for _, df in combo):
+                continue
+            score = sum(
+                _math.log((df + 0.5) / (n + 1.0)) for _, df in combo
+            )
+            prev = out.get(phrase)
+            if prev is None or score > prev:
+                out[phrase] = score
+        ranked = sorted(out.items(), key=lambda kv: (-kv[1], kv[0]))
+        return [(p, round(s, 6)) for p, s in ranked[:k]]
+
     def term_vectors(self, doc_id: int) -> list[tuple[str, int, int]]:
         """ES ``_termvectors`` analog (beyond reference — the reference
         delegates per-doc term stats to ES): (term, tf, df) for ONE stored

@@ -350,6 +350,9 @@ def _make_handler(
             if u.path == "/suggest":
                 self._do_suggest(u)
                 return
+            if u.path == "/near":
+                self._do_near(u)
+                return
             if u.path == "/mlt":
                 self._do_mlt(u)
                 return
@@ -380,8 +383,8 @@ def _make_handler(
                     {
                         "error": "not found",
                         "routes": [
-                            "/search", "/suggest", "/mlt", "/count",
-                            "/composite", "/tophits", "/facetcard",
+                            "/search", "/suggest", "/near", "/mlt",
+                            "/count", "/composite", "/tophits", "/facetcard",
                             "/termvectors", "/spell", "/analyze", "/stats",
                             "/classes", "/ui"
                         ],
@@ -420,7 +423,27 @@ def _make_handler(
                 return
             try:
                 k = max(1, min(int((qs.get("size") or ["3"])[0]), 10))
+                phrase = (
+                    qs.get("mode") or ["term"]
+                )[0].lower() == "phrase"
+                collate = (
+                    qs.get("collate") or ["false"]
+                )[0].lower() == "true"
                 with lock:
+                    if phrase:
+                        # ES phrase-suggester: whole-query rewrites ranked
+                        # by the smoothed unigram LM (engine.phrase_suggest)
+                        sug = engine.phrase_suggest(q, k=k, collate=collate)
+                        self._send(
+                            200,
+                            {
+                                "query": q,
+                                "suggestions": [
+                                    {"text": p, "score": s} for p, s in sug
+                                ],
+                            },
+                        )
+                        return
                     resp = engine.spell_suggest(q, k=k)
             except Exception as e:
                 self._send(400, {"error": str(e)})
@@ -664,6 +687,49 @@ def _make_handler(
                             "lang": r.lang,
                         }
                         for r in page_rows
+                    ],
+                },
+            )
+
+        def _do_near(self, u) -> None:
+            """Unordered-proximity route (ES span_near in_order=false
+            analog): GET /near?q=...&window=N&size=K — all analyzed terms
+            within an N-position span in ANY order, BM25-ranked
+            (engine.search_near_unordered_rows; needs a positions-sidecar
+            index)."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            try:
+                window = max(0, int((qs.get("window") or ["4"])[0]))
+                size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
+                from gazetteer_search_spark.analyzer.tokenizer import (
+                    tokenize_text,
+                )
+
+                terms = tokenize_text(q, joined_identifiers=False)
+                with lock:
+                    hits = engine.search_near_unordered_rows(
+                        terms, window, replace(default_opts, k=size)
+                    )
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(
+                200,
+                {
+                    "query": q,
+                    "window": window,
+                    "hits": [
+                        {
+                            "doc_id": int(h.doc_id),
+                            "score": round(float(h.score), 4),
+                            "repo": h.repo,
+                            "path": h.path,
+                        }
+                        for h in hits
                     ],
                 },
             )

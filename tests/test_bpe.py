@@ -83,3 +83,31 @@ def test_pair_counts_weighted_by_freq(spark):
         f for w, f in freqs.items() if "lo" in w
     )
     assert pc["l o"] == expect
+
+
+def test_encode_word_rank_greedy():
+    merges = [("l", "o"), ("lo", "w"), ("e", "r"), ("er", "</w>")]
+    ranks = bpe.merge_ranks(merges)
+    assert bpe.encode_word("lower", ranks) == ["low", "er</w>"]
+    assert bpe.encode_word("xyz", ranks) == ["x", "y", "z", "</w>"]
+
+
+def test_encode_corpus_matches_fold_replay(spark):
+    df = _df(spark)
+    merges, trained = bpe.train_bpe(df, num_merges=12, min_pair_freq=2)
+    # per-word: rank-greedy single-word encoder == the distributed
+    # in-order fold replay (training-state equivalence)
+    ranks = bpe.merge_ranks(merges)
+    for r in trained.collect():
+        assert bpe.encode_word(r.word, ranks) == list(r.syms)
+    # corpus-level: subwords concatenate back to the original words
+    enc = bpe.encode_corpus(df, merges).collect()
+    for row in enc:
+        joined = "".join(row.bpe_tokens).replace(bpe.END_OF_WORD, " ").strip()
+        assert joined == " ".join(row.text.lower().split())
+
+
+def test_encode_corpus_empty_merges(spark):
+    df = spark.createDataFrame([("ab ba",)], "text string")
+    out = bpe.encode_corpus(df, []).collect()[0].bpe_tokens
+    assert out == ["a", "b", "</w>", "b", "a", "</w>"]

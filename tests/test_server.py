@@ -847,3 +847,58 @@ def test_http_analyze(eng):
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_http_near_route(peng):
+    """GET /near: unordered proximity — 'beta alpha' docs match alongside
+    'alpha beta' docs at window 1 (ordered phrase matches only the first
+    set), equal to the engine-level call; missing q is a 400."""
+    srv = make_server(peng, SearchOptions(k=30, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        q = urllib.parse.quote("alpha beta")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/near?q={q}&window=1&size=60"
+        ) as r:
+            env = json.loads(r.read())
+        ids = {h["doc_id"] for h in env["hits"]}
+        assert env["window"] == 1
+        assert any(i < 15 for i in ids) and any(i >= 15 for i in ids)
+        want = peng.search_near_unordered_rows(
+            ["alpha", "beta"], 1, SearchOptions(k=60, prefix=False)
+        )
+        assert [h["doc_id"] for h in env["hits"]] == [
+            h.doc_id for h in want
+        ]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/near")
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_http_spell_phrase_mode(eng):
+    """GET /spell?mode=phrase returns whole-query rewrites (ES
+    phrase-suggester analog) ranked by the unigram LM, equal to the
+    engine-level phrase_suggest call."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        q = urllib.parse.quote("alpa beta")
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/spell?q={q}&mode=phrase&size=5"
+        ) as r:
+            env = json.loads(r.read())
+        texts = [s["text"] for s in env["suggestions"]]
+        assert "alpha beta" in texts
+        want = eng.phrase_suggest("alpa beta", k=5)
+        assert texts == [p for p, _ in want]
+        assert [s["score"] for s in env["suggestions"]] == [
+            s for _, s in want
+        ]
+    finally:
+        srv.shutdown()
