@@ -2180,6 +2180,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "node", "comp", "cluster_size", "is_representative"
         )
 
+    def lm_surprisal_q(spark, sf):
+        # corpus-self LM perplexity filter (CCNet/KenLM shape): per doc the
+        # average -log2 p(token) under the corpus MLE unigram model and
+        # -log2 p(w2|w1) under the bigram model — top-20 outliers by
+        # unigram surprisal. Pure hash-agg + join-back, no self-join.
+        from gazetteer_search_spark.operators import textstats
+
+        return (
+            textstats.lm_surprisal(_docs(spark, sf))
+            .orderBy(F.col("uni_bits").desc(), F.col("doc_id").asc())
+            .limit(20)
+        )
+
     def pipeline_aggs_q(spark, sf):
         # ES pipeline aggregations (derivative / serial_diff /
         # cumulative_sum / moving_fn avg) over the zero-filled hourly
@@ -2265,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q.update(
+        lm_surprisal=lm_surprisal_q,
         pipeline_aggs=pipeline_aggs_q,
         near_unordered=near_unordered,
         bpe_pairs=bpe_pairs_q,
@@ -3672,6 +3686,54 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000 <
                 WHEN 'es' THEN 500000
                 WHEN 'zh' THEN 1000000
                 ELSE 100000 END
+"""
+
+    # corpus-self LM surprisal (CCNet perplexity-filter shape): MLE unigram
+    # + bigram models recomputed from the raw text; first token skipped in
+    # the bigram average (no context), zero-token docs carry zeros
+    o["lm_surprisal"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+t AS (SELECT doc_id, unnest(ws) AS w FROM d),
+uni AS (SELECT w, count(*)::DOUBLE AS c FROM t GROUP BY w),
+tot AS (SELECT count(*)::DOUBLE AS total FROM t),
+pu AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         -sum(log2(c / total)) / count(*) AS ub
+  FROM t JOIN uni USING (w) CROSS JOIN tot GROUP BY doc_id
+),
+p AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2 THEN
+           list_transform(generate_series(1, len(ws) - 1),
+                          i -> ws[i] || ' ' || ws[i + 1])
+         ELSE [] END AS pws
+  FROM d
+),
+pp AS (SELECT doc_id, unnest(pws) AS pw FROM p),
+bic AS (SELECT pw, count(*)::DOUBLE AS bc FROM pp GROUP BY pw),
+ctx AS (
+  SELECT string_split(pw, ' ')[1] AS w1, count(*)::DOUBLE AS cc
+  FROM pp GROUP BY w1
+),
+pb AS (
+  SELECT pp.doc_id, -sum(log2(bc / cc)) / count(*) AS bb
+  FROM pp JOIN bic USING (pw)
+  JOIN ctx ON string_split(pp.pw, ' ')[1] = ctx.w1
+  GROUP BY pp.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pu.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(pu.ub, 0.0), 6) AS uni_bits,
+       round(pow(2.0, coalesce(pu.ub, 0.0)), 6) AS uni_ppl,
+       round(coalesce(pb.bb, 0.0), 6) AS bi_bits,
+       round(pow(2.0, coalesce(pb.bb, 0.0)), 6) AS bi_ppl
+FROM d LEFT JOIN pu USING (doc_id) LEFT JOIN pb USING (doc_id)
+ORDER BY round(coalesce(pu.ub, 0.0), 6) DESC, doc_id ASC LIMIT 20
 """
 
     # ---- wave 7: pipeline aggs / unordered near / BPE / span-dup / decay --

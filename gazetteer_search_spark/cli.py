@@ -419,6 +419,52 @@ def cmd_pack(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_bpe_train(args: argparse.Namespace) -> None:
+    """Distributed BPE tokenizer training (operators/bpe.py): learn
+    --merges merge rules from the corpus word-frequency dictionary (one
+    corpus pass; per merge one native pair-count agg + a 1-row argmax),
+    write the ordered merge table as JSON, print vocab stats."""
+    from gazetteer_search_spark.operators import bpe
+
+    spark = _spark("gss-bpe-train")
+    d = _read_source(spark, args)
+    merges, words = bpe.train_bpe(
+        d, text_col=args.text_col, num_merges=args.merges,
+        min_pair_freq=args.min_pair_freq,
+    )
+    v = bpe.vocab(words)
+    n_sym = v.count()
+    with open(args.out, "w") as f:
+        json.dump({"merges": [list(m) for m in merges]}, f)
+    print(json.dumps({
+        "out": args.out, "merges_learned": len(merges),
+        "vocab_symbols": int(n_sym),
+    }))
+
+
+def cmd_tokenize(args: argparse.Namespace) -> None:
+    """Apply a frozen BPE merge table to a corpus -> subword token arrays
+    (the tokenizer-application pass; Arrow-batched with a per-batch word
+    cache). Reads the merge JSON written by bpe-train."""
+    from gazetteer_search_spark.operators import bpe
+
+    spark = _spark("gss-tokenize")
+    d = _read_source(spark, args)
+    with open(args.merges_file) as f:
+        merges = [tuple(m) for m in json.load(f)["merges"]]
+    enc = bpe.encode_corpus(d, merges, text_col=args.text_col)
+    enc.write.mode("overwrite").parquet(args.out)
+    n_docs, n_tok = (
+        spark.read.parquet(args.out)
+        .agg(F.count("*"), F.sum(F.size("bpe_tokens")))
+        .collect()[0]
+    )
+    print(json.dumps({
+        "out": args.out, "docs": int(n_docs),
+        "bpe_tokens": int(n_tok), "merges_applied": len(merges),
+    }))
+
+
 def cmd_sample(args: argparse.Namespace) -> None:
     """Deterministic content-addressed sampling: uniform --rate, per-stratum
     --rates (en=0.1,zh=1.0), or target --mixture shares (en=0.5,fr=0.5 —
@@ -880,6 +926,21 @@ def main(argv: list[str] | None = None) -> None:
                     default=0.0)
     sm.add_argument("--salt", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    bt = sub.add_parser("bpe-train", help="distributed BPE tokenizer training")
+    _src_args(bt)
+    bt.add_argument("--merges", type=int, default=64,
+                    help="number of merge rules to learn")
+    bt.add_argument("--min-pair-freq", dest="min_pair_freq", type=int,
+                    default=2, help="early-stop threshold on the best pair")
+    bt.set_defaults(fn=cmd_bpe_train)
+
+    tk = sub.add_parser("tokenize",
+                        help="apply a frozen BPE merge table to a corpus")
+    _src_args(tk)
+    tk.add_argument("--merges-file", dest="merges_file", required=True,
+                    help="merge-table JSON written by bpe-train")
+    tk.set_defaults(fn=cmd_tokenize)
 
     pc = sub.add_parser("percolate", help="reverse search: registry routing")
     _src_args(pc)

@@ -204,3 +204,100 @@ def repetition_stats(
             ),
         )
     )
+
+
+def lm_surprisal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigram: bool = True,
+) -> DataFrame:
+    """Corpus-self language-model surprisal per document (the CCNet/KenLM
+    perplexity-filter shape, with the LM trained on the corpus itself in
+    the same job): per doc, average -log2 p(token) under the corpus MLE
+    unigram model, and optionally average -log2 p(w2 | w1) under the
+    corpus bigram model. High-surprisal docs are the distribution outliers
+    a perplexity filter drops; low-surprisal docs are boilerplate.
+
+    Output: (doc_id, n_tokens, uni_bits, uni_ppl[, bi_bits, bi_ppl]) —
+    ``*_bits`` = avg surprisal in bits/token, ``*_ppl`` = 2^bits. Docs
+    with no tokens carry zeros; a doc's first token has no bigram context
+    and is skipped in the bigram average (KenLM's <s> analog would add a
+    boundary context — the corpus-self MLE keeps every probability
+    well-defined without smoothing).
+
+    Scale shape: count tables are hash aggs on the token (map-side
+    partials), each joined back once — no self-joins, no UDF; every
+    shuffle keys on a token/pair hash or doc_id."""
+    words = words_col(F.col(text_col))
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(words).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = toks.count()
+    per_uni = (
+        toks.join(uni, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                -F.sum(F.log2(F.col("c") / F.lit(float(total))))
+                / F.count("*")
+            ).alias("_ub"),
+        )
+    )
+    out = df.select(F.col(id_col).alias("doc_id")).join(
+        per_uni, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.round(F.coalesce("_ub", F.lit(0.0)), 6).alias("uni_bits"),
+        F.round(F.pow(F.lit(2.0), F.coalesce("_ub", F.lit(0.0))), 6).alias(
+            "uni_ppl"
+        ),
+    )
+    if not bigram:
+        return out
+    # adjacent (w1, w2) pairs, order-preserving, NOT distinct
+    pair_arr = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i + F.lit(1)),
+                F.element_at(words, i + F.lit(2)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(pair_arr).alias("pw")
+    )
+    bic = pairs.groupBy("pw").agg(F.count("*").alias("bc"))
+    # context count: pairs sharing the first word (the bigram denominator)
+    ctx = (
+        pairs.select(F.split("pw", " ")[0].alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cc"))
+    )
+    per_bi = (
+        pairs.join(bic, "pw")
+        .withColumn("w1", F.split("pw", " ")[0])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            (
+                -F.sum(F.log2(F.col("bc") / F.col("cc"))) / F.count("*")
+            ).alias("_bb")
+        )
+    )
+    return out.join(per_bi, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "uni_bits",
+        "uni_ppl",
+        F.round(F.coalesce("_bb", F.lit(0.0)), 6).alias("bi_bits"),
+        F.round(F.pow(F.lit(2.0), F.coalesce("_bb", F.lit(0.0))), 6).alias(
+            "bi_ppl"
+        ),
+    )
