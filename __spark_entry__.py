@@ -2180,6 +2180,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "node", "comp", "cluster_size", "is_representative"
         )
 
+    def sort_by_field_q(spark, sf):
+        # ES sort-by-field (sort: [{path: asc}]) + keyset paging
+        # (engine.search_sorted): the 2-clause AND's match set ordered by
+        # the doc path, TakeOrdered k-cut — never a full sort
+        eng = _engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return eng.search_sorted(
+            g, 2, SearchOptions(k=20), by="path", ascending=True
+        )
+
+    def extended_stats_q(spark, sf):
+        # ES extended_stats agg over n_chars: one hash aggregation with
+        # population variance/stddev (the ES definitions)
+        from gazetteer_search_spark.operators import aggs
+
+        return aggs.extended_stats(_docs(spark, sf), "n_chars")
+
+    def percentile_ranks_q(spark, sf):
+        # ES percentile_ranks (inverse percentiles) over event values:
+        # one conditional-sum agg for all probes, stack-unpivoted
+        from gazetteer_search_spark.operators import aggs
+
+        return aggs.percentile_ranks(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            "value",
+            (50.0, 95.0, 99.5),
+        )
+
+    def weighted_avg_q(spark, sf):
+        # ES weighted_avg agg: event values weighted by a deterministic
+        # per-user weight — one hash aggregation
+        from gazetteer_search_spark.operators import aggs
+
+        e = spark.read.parquet(f"{sf}/events.parquet").withColumn(
+            "w", F.col("user_id") % 10 + 1
+        )
+        return aggs.weighted_avg(e, "value", "w")
+
+    def top_metrics_q(spark, sf):
+        # ES top_metrics agg: the metrics of the max-value event row via
+        # max_by — one hash agg, no sort; sort-ties break deterministically
+        # per metric (max among tied rows)
+        from gazetteer_search_spark.operators import aggs
+
+        return aggs.top_metrics(
+            spark.read.parquet(f"{sf}/events.parquet"),
+            "value",
+            ["user_id", "event_type"],
+        )
+
+    def matrix_stats_q(spark, sf):
+        # ES matrix_stats agg (two-field form): population covariance +
+        # Pearson correlation of (value, user_id) in one hash agg
+        from gazetteer_search_spark.operators import aggs
+
+        return aggs.matrix_stats(
+            spark.read.parquet(f"{sf}/events.parquet"), "value", "user_id"
+        )
+
     def lm_surprisal_q(spark, sf):
         # corpus-self LM perplexity filter (CCNet/KenLM shape): per doc the
         # average -log2 p(token) under the corpus MLE unigram model and
@@ -2278,6 +2337,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q.update(
+        sort_by_field=sort_by_field_q,
+        extended_stats=extended_stats_q,
+        percentile_ranks=percentile_ranks_q,
+        weighted_avg=weighted_avg_q,
+        top_metrics=top_metrics_q,
+        matrix_stats=matrix_stats_q,
         lm_surprisal=lm_surprisal_q,
         pipeline_aggs=pipeline_aggs_q,
         near_unordered=near_unordered,
@@ -3686,6 +3751,89 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000 <
                 WHEN 'es' THEN 500000
                 WHEN 'zh' THEN 1000000
                 ELSE 100000 END
+"""
+
+    # sort-by-field + keyset shape: the 2-clause AND match set with the
+    # synthetic path/repo/lang recomputed, path-ascending top-20
+    o["sort_by_field"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight
+        FROM ({_facet_groups})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+m AS (
+  SELECT doc_id FROM per_group GROUP BY doc_id
+  HAVING sum(CASE WHEN required THEN 1 ELSE 0 END) >= 2
+),
+meta AS (
+  SELECT doc_id, source AS repo, {_NPATH} AS path, lang FROM documents
+)
+SELECT m.doc_id, meta.repo, meta.path, meta.lang
+FROM m JOIN meta USING (doc_id)
+ORDER BY path ASC, doc_id ASC LIMIT 20
+"""
+
+    o["extended_stats"] = """
+SELECT count(*)::BIGINT AS n, min(v) AS mn, max(v) AS mx,
+       round(sum(v), 4) AS total, round(avg(v), 6) AS mean,
+       round(sum(v * v), 4) AS sum_sq,
+       round(var_pop(v), 6) AS variance,
+       round(stddev_pop(v), 6) AS std_dev
+FROM (SELECT n_chars::DOUBLE AS v FROM documents WHERE n_chars IS NOT NULL)
+"""
+
+    o["weighted_avg"] = """
+WITH e AS (
+  SELECT value::DOUBLE AS v, (user_id % 10 + 1)::DOUBLE AS w
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT round(sum(v * w) / sum(w), 6) AS weighted_avg,
+       count(*)::BIGINT AS n FROM e
+"""
+
+    o["top_metrics"] = """
+WITH e AS (
+  SELECT value::DOUBLE AS v, user_id, event_type
+  FROM events WHERE value IS NOT NULL
+),
+mx AS (SELECT max(v) AS m FROM e)
+SELECT mx.m AS value_top,
+       (SELECT max(user_id) FROM e WHERE v = mx.m) AS user_id,
+       (SELECT max(event_type) FROM e WHERE v = mx.m) AS event_type
+FROM mx
+"""
+
+    o["matrix_stats"] = """
+WITH e AS (
+  SELECT value::DOUBLE AS a, user_id::DOUBLE AS b
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+)
+SELECT count(*)::BIGINT AS n,
+       round(avg(a), 6) AS mean_a, round(avg(b), 6) AS mean_b,
+       round(var_pop(a), 6) AS var_a, round(var_pop(b), 6) AS var_b,
+       round(covar_pop(a, b), 6) AS covariance,
+       round(corr(a, b), 6) AS correlation
+FROM e
+"""
+
+    o["percentile_ranks"] = """
+WITH e AS (SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL)
+SELECT * FROM (
+  SELECT 50.0 AS value,
+         round(100.0 * sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END)
+               / count(*), 6) AS rank FROM e
+  UNION ALL
+  SELECT 95.0,
+         round(100.0 * sum(CASE WHEN v <= 95.0 THEN 1 ELSE 0 END)
+               / count(*), 6) FROM e
+  UNION ALL
+  SELECT 99.5,
+         round(100.0 * sum(CASE WHEN v <= 99.5 THEN 1 ELSE 0 END)
+               / count(*), 6) FROM e
+) ORDER BY value
 """
 
     # corpus-self LM surprisal (CCNet perplexity-filter shape): MLE unigram

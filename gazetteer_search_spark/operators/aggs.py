@@ -367,3 +367,99 @@ def bucket_sort(
     col = F.col(by).asc() if ascending else F.col(by).desc()
     out = buckets.orderBy(col, F.col(tie_col).asc())
     return out.limit(size) if size is not None else out
+
+
+def extended_stats(df: DataFrame, col: str) -> DataFrame:
+    """ES extended_stats agg: count / min / max / sum / avg plus
+    sum_of_squares, POPULATION variance and std deviation (the ES
+    definitions: variance = sum_of_squares/n - avg^2) — one hash
+    aggregation, map-side partials free."""
+    c = F.col(col).cast("double")
+    return df.filter(c.isNotNull()).agg(
+        F.count("*").alias("n"),
+        F.min(c).alias("mn"),
+        F.max(c).alias("mx"),
+        F.round(F.sum(c), 4).alias("total"),
+        F.round(F.avg(c), 6).alias("mean"),
+        F.round(F.sum(c * c), 4).alias("sum_sq"),
+        F.round(F.var_pop(c), 6).alias("variance"),
+        F.round(F.stddev_pop(c), 6).alias("std_dev"),
+    )
+
+
+def percentile_ranks(
+    df: DataFrame, col: str, values: tuple[float, ...]
+) -> DataFrame:
+    """ES percentile_ranks agg (inverse percentiles): for each given
+    value, the percentage of rows <= it. One conditional-sum hash agg
+    over one scan (no per-value pass), unpivoted via ``stack``."""
+    if not values:
+        raise ValueError("percentile_ranks needs at least one value")
+    c = F.col(col).cast("double")
+    base = df.filter(c.isNotNull())
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.when(c <= F.lit(float(v)), 1).otherwise(0)).alias(f"_c{i}")
+        for i, v in enumerate(values)
+    ]
+    row = base.agg(*aggs)
+    pairs = ", ".join(
+        f"cast({float(v)} as double), round(100.0 * _c{i} / _n, 6)"
+        for i, v in enumerate(values)
+    )
+    return row.selectExpr(
+        f"stack({len(values)}, {pairs}) AS (value, rank)"
+    ).orderBy("value")
+
+
+def weighted_avg(df: DataFrame, value_col: str, weight_col: str) -> DataFrame:
+    """ES weighted_avg agg: sum(v*w)/sum(w), NULL-valued or NULL-weighted
+    rows skipped (ES missing semantics) — one hash aggregation."""
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    return (
+        df.filter(v.isNotNull() & w.isNotNull())
+        .agg(
+            F.round(F.sum(v * w) / F.sum(w), 6).alias("weighted_avg"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def top_metrics(
+    df: DataFrame, sort_col: str, metric_cols: list[str],
+    ascending: bool = False,
+) -> DataFrame:
+    """ES top_metrics agg: the metric columns of the row with the
+    max (or min) sort value — ``max_by``/``min_by`` (one hash agg, no
+    sort). Ties on the sort value break deterministically by taking the
+    extreme (sort_value, metric) tuple, so concurrent-equal rows cannot
+    flap between runs."""
+    if not metric_cols:
+        raise ValueError("top_metrics needs at least one metric column")
+    s = F.col(sort_col)
+    base = df.filter(s.isNotNull())
+    fn = F.min_by if ascending else F.max_by
+    ext = F.min(s) if ascending else F.max(s)
+    # deterministic under sort-ties: pick by the (sort, metric) struct
+    aggs = [ext.alias(f"{sort_col}_top")] + [
+        fn(F.col(m), F.struct(s, F.col(m))).alias(m) for m in metric_cols
+    ]
+    return base.agg(*aggs)
+
+
+def matrix_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """ES matrix_stats agg (two-field form): per-field mean/variance plus
+    POPULATION covariance and Pearson correlation — one hash aggregation
+    over rows where both fields are present (ES drops incomplete rows)."""
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    base = df.filter(a.isNotNull() & b.isNotNull())
+    return base.agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(a), 6).alias("mean_a"),
+        F.round(F.avg(b), 6).alias("mean_b"),
+        F.round(F.var_pop(a), 6).alias("var_a"),
+        F.round(F.var_pop(b), 6).alias("var_b"),
+        F.round(F.covar_pop(a, b), 6).alias("covariance"),
+        F.round(F.corr(a, b), 6).alias("correlation"),
+    )

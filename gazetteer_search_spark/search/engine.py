@@ -1941,6 +1941,51 @@ class SearchEngine:
         allowed = _ph.local_phrase_ids(self.index, terms, slop)
         return self._local.search_allowed(groups, len(groups), options, allowed)
 
+    _SORT_FIELDS = ("repo", "path", "lang", "doc_id")
+
+    def search_sorted(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        by: str = "path",
+        ascending: bool = True,
+        after: tuple | None = None,
+    ) -> DataFrame:
+        """ES sort-by-field + search_after (``sort: [{field: asc}]``): the
+        match set ordered by a DOC FIELD instead of score, with keyset
+        pagination on ``(field, doc_id)``.
+
+        Spark shape: match_set (the same gated, doc-filtered universe the
+        facet/aggregation paths use) -> keyset predicate -> orderBy +
+        limit(k), which Spark executes as a TakeOrdered — a per-partition
+        heap + driver merge of k rows, never a full sort of the match set
+        (the exact doc-values sort ES runs per shard). The ``after``
+        cursor is (last field value, last doc_id); doc_id ascending is the
+        unconditional tiebreak, so pages are gap-and-dup-free under any
+        field-value ties."""
+        options = options or SearchOptions()
+        if by not in self._SORT_FIELDS:
+            raise ValueError(
+                f"search_sorted: by must be one of {self._SORT_FIELDS}, "
+                f"got {by!r}"
+            )
+        m = self.match_set(groups, msm, options)
+        col = F.col(by)
+        if after is not None:
+            av, aid = after
+            if ascending:
+                pred = (col > F.lit(av)) | (
+                    (col == F.lit(av)) & (F.col("doc_id") > F.lit(int(aid)))
+                )
+            else:
+                pred = (col < F.lit(av)) | (
+                    (col == F.lit(av)) & (F.col("doc_id") > F.lit(int(aid)))
+                )
+            m = m.filter(pred)
+        order = [col.asc() if ascending else col.desc(), F.col("doc_id").asc()]
+        return m.orderBy(*order).limit(options.k)
+
     def search_near_unordered(
         self,
         q: str | list[str],

@@ -150,6 +150,17 @@ def _make_handler(
     lock = threading.Lock()
     mtime = _index_mtime(engine)
     last_modified = formatdate(mtime, usegmt=True) if mtime else None
+    # ES request-cache analog: full /search responses keyed by the raw
+    # query string, validated against the index's Last-Modified stamp —
+    # any ingest that advances the stamp (/bulk live reopen) invalidates
+    # every entry at once, exactly the ES cache's refresh semantics. LRU,
+    # bounded; disabled when the index carries no build-time stamp (no
+    # way to validate). `answer_time_ms` is the ORIGINAL computation's
+    # time on a hit (ES caches `took` the same way); X-Cache: HIT|MISS.
+    from collections import OrderedDict as _OD
+
+    req_cache: dict = _OD()
+    REQ_CACHE_MAX = 256
     auth_header = (
         "Basic " + base64.b64encode(auth.encode("utf-8")).decode("ascii")
         if auth
@@ -157,7 +168,9 @@ def _make_handler(
     )
 
     class Handler(BaseHTTPRequestHandler):
-        def _send(self, code: int, payload: dict) -> None:
+        def _send(
+            self, code: int, payload: dict, cache: str | None = None
+        ) -> None:
             body = json.dumps(payload).encode("utf-8")
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -166,6 +179,8 @@ def _make_handler(
                 self.send_header("Access-Control-Allow-Origin", cors_origin)
             if last_modified and code == 200:
                 self.send_header("Last-Modified", last_modified)
+            if cache is not None:
+                self.send_header("X-Cache", cache)
             self.end_headers()
             self.wfile.write(body)
 
@@ -394,7 +409,24 @@ def _make_handler(
             if self._not_modified_short_circuit():
                 return
             try:
-                self._send(200, self._search_response(parse_qs(u.query)))
+                if last_modified is not None:
+                    with lock:
+                        ent = req_cache.get(u.query)
+                        if ent is not None and ent[0] == last_modified:
+                            req_cache.move_to_end(u.query)
+                            payload = ent[1]
+                        else:
+                            payload = None
+                    if payload is not None:
+                        self._send(200, payload, cache="HIT")
+                        return
+                resp = self._search_response(parse_qs(u.query))
+                if last_modified is not None:
+                    with lock:
+                        req_cache[u.query] = (last_modified, resp)
+                        while len(req_cache) > REQ_CACHE_MAX:
+                            req_cache.popitem(last=False)
+                self._send(200, resp, cache="MISS")
             except Exception as e:  # surface the reason, keep serving
                 self._send(400, {"error": str(e)})
 
@@ -1056,6 +1088,10 @@ def _make_handler(
                     # fresh 200, not a stale 304 of the pre-bulk corpus
                     mtime = _time.time()
                     last_modified = formatdate(mtime, usegmt=True)
+                    # the new stamp invalidates by comparison, but a bulk
+                    # landing within the SAME second would leave entries
+                    # stamp-equal — drop them outright
+                    req_cache.clear()
                 self._send(
                     200,
                     {

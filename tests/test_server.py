@@ -902,3 +902,33 @@ def test_http_spell_phrase_mode(eng):
         ]
     finally:
         srv.shutdown()
+
+
+def test_http_request_cache(eng):
+    """ES request-cache analog: identical /search URLs serve from the
+    response cache (X-Cache MISS then HIT, byte-identical bodies),
+    validated against the index Last-Modified stamp."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/search?q=alpha&size=5"
+        with urllib.request.urlopen(url) as r1:
+            b1 = r1.read()
+            lm = r1.headers.get("Last-Modified")
+            c1 = r1.headers.get("X-Cache")
+        with urllib.request.urlopen(url) as r2:
+            b2 = r2.read()
+            c2 = r2.headers.get("X-Cache")
+        if lm is None:
+            pytest.skip("index carries no build-time stamp")
+        assert c1 == "MISS" and c2 == "HIT"
+        assert b1 == b2  # cached body identical, answer_time_ms included
+        # a different query string is its own entry
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=alpha&size=4"
+        ) as r3:
+            assert r3.headers.get("X-Cache") == "MISS"
+    finally:
+        srv.shutdown()

@@ -136,3 +136,123 @@ def test_decay_rejects_bad_params(spark):
         bm25.gauss_decay(F.lit(0.0), 0.0, -1.0)
     with pytest.raises(ValueError):
         bm25.exp_decay(F.lit(0.0), 0.0, 1.0, decay=1.5)
+
+
+# ---------------------------------------------------------------------------
+# extended_stats / percentile_ranks
+# ---------------------------------------------------------------------------
+
+def test_extended_stats(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,)], "v double")
+    r = aggs.extended_stats(df, "v").collect()[0]
+    assert r.n == 3 and r.mn == 1.0 and r.mx == 3.0
+    assert r.total == 6.0 and r.mean == 2.0
+    assert r.sum_sq == 14.0
+    assert r.variance == pytest.approx(2.0 / 3.0, abs=1e-6)
+    assert r.std_dev == pytest.approx(math.sqrt(2.0 / 3.0), abs=1e-6)
+
+
+def test_percentile_ranks(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double")
+    rows = {r.value: r.rank for r in aggs.percentile_ranks(df, "v", (5.0, 10.0, 0.0)).collect()}
+    assert rows[5.0] == 50.0 and rows[10.0] == 100.0 and rows[0.0] == 0.0
+    with pytest.raises(ValueError):
+        aggs.percentile_ranks(df, "v", ())
+
+
+# ---------------------------------------------------------------------------
+# search_sorted keyset paging
+# ---------------------------------------------------------------------------
+
+def test_search_sorted_keyset_pages(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.index import builder
+    from gazetteer_search_spark.search.engine import (
+        SearchEngine, SearchOptions, TermGroup,
+    )
+
+    corpus = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.lit("org/r").alias("repo"),
+        # only 3 distinct paths -> heavy ties exercise the doc_id tiebreak
+        F.format_string("src/p%d/f.py", F.col("id") % 3).alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.lit("alpha beta").alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_sorted"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4)
+    eng = SearchEngine(spark, idx, serving=False)
+    g = [TermGroup(group_id=0, terms=("alpha",), required=True)]
+
+    page1 = eng.search_sorted(g, 1, SearchOptions(k=25), by="path").collect()
+    last = page1[-1]
+    page2 = eng.search_sorted(
+        g, 1, SearchOptions(k=25), by="path",
+        after=(last.path, last.doc_id),
+    ).collect()
+    got = [(r.path, r.doc_id) for r in page1 + page2]
+    want = sorted(
+        [(f"src/p{i % 3}/f.py", i) for i in range(60)]
+    )[:50]
+    assert got == want  # gap-and-dup-free across the keyset boundary
+    # descending order with cursor
+    d1 = eng.search_sorted(
+        g, 1, SearchOptions(k=25), by="path", ascending=False
+    ).collect()
+    dl = d1[-1]
+    d2 = eng.search_sorted(
+        g, 1, SearchOptions(k=25), by="path", ascending=False,
+        after=(dl.path, dl.doc_id),
+    ).collect()
+    gotd = [(r.path, r.doc_id) for r in d1 + d2]
+    wantd = sorted(
+        [(f"src/p{i % 3}/f.py", i) for i in range(60)],
+        key=lambda t: (_desc(t[0]), t[1]),
+    )[:50]
+    assert gotd == wantd
+    with pytest.raises(ValueError):
+        eng.search_sorted(g, 1, SearchOptions(k=5), by="content")
+
+
+class _desc(str):
+    """Inverted string ordering helper for the descending expectation."""
+
+    def __lt__(self, other):  # noqa: D105
+        return str.__gt__(self, other)
+
+
+# ---------------------------------------------------------------------------
+# weighted_avg / top_metrics / matrix_stats
+# ---------------------------------------------------------------------------
+
+def test_weighted_avg(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (3.0, 3.0), (None, 5.0), (7.0, None)], "v double, w double"
+    )
+    r = aggs.weighted_avg(df, "v", "w").collect()[0]
+    assert r.n == 2
+    assert r.weighted_avg == pytest.approx((1.0 + 9.0) / 4.0)
+
+
+def test_top_metrics_ties_deterministic(spark):
+    df = spark.createDataFrame(
+        [(10.0, 1, "a"), (10.0, 5, "b"), (3.0, 9, "z")],
+        "v double, uid long, et string",
+    )
+    r = aggs.top_metrics(df, "v", ["uid", "et"]).collect()[0]
+    assert r.v_top == 10.0 and r.uid == 5 and r.et == "b"
+    r2 = aggs.top_metrics(df, "v", ["uid"], ascending=True).collect()[0]
+    assert r2.v_top == 3.0 and r2.uid == 9
+    with pytest.raises(ValueError):
+        aggs.top_metrics(df, "v", [])
+
+
+def test_matrix_stats(spark):
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, 6.0)], "a double, b double"
+    )
+    r = aggs.matrix_stats(df, "a", "b").collect()[0]
+    assert r.n == 3 and r.correlation == pytest.approx(1.0)
+    assert r.covariance == pytest.approx(2.0 / 3.0 * 2)  # cov_pop = 4/3
