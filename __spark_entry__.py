@@ -3822,16 +3822,16 @@ FROM e
     o["percentile_ranks"] = """
 WITH e AS (SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL)
 SELECT * FROM (
-  SELECT 50.0 AS value,
-         round(100.0 * sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END)
+  SELECT 50.0::DOUBLE AS value,
+         round(100.0::DOUBLE * sum(CASE WHEN v <= 50.0 THEN 1 ELSE 0 END)
                / count(*), 6) AS rank FROM e
   UNION ALL
-  SELECT 95.0,
-         round(100.0 * sum(CASE WHEN v <= 95.0 THEN 1 ELSE 0 END)
+  SELECT 95.0::DOUBLE,
+         round(100.0::DOUBLE * sum(CASE WHEN v <= 95.0 THEN 1 ELSE 0 END)
                / count(*), 6) FROM e
   UNION ALL
-  SELECT 99.5,
-         round(100.0 * sum(CASE WHEN v <= 99.5 THEN 1 ELSE 0 END)
+  SELECT 99.5::DOUBLE,
+         round(100.0::DOUBLE * sum(CASE WHEN v <= 99.5 THEN 1 ELSE 0 END)
                / count(*), 6) FROM e
 ) ORDER BY value
 """

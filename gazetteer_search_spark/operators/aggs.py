@@ -402,8 +402,12 @@ def percentile_ranks(
         for i, v in enumerate(values)
     ]
     row = base.agg(*aggs)
+    # 100.0D: a bare 100.0 literal parses as DECIMAL in Spark SQL and
+    # poisons the output type (Decimal ranks vs the double the caller and
+    # the SQL oracle expect)
     pairs = ", ".join(
-        f"cast({float(v)} as double), round(100.0 * _c{i} / _n, 6)"
+        f"cast({float(v)} as double), "
+        f"round(cast(100.0 as double) * _c{i} / _n, 6)"
         for i, v in enumerate(values)
     )
     return row.selectExpr(
