@@ -2208,6 +2208,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (50.0, 95.0, 99.5),
         )
 
+    def auto_date_histogram_q(spark, sf):
+        # ES auto_date_histogram: finest calendar interval from the
+        # year>month>week>day>hour ladder yielding <= 10 non-empty buckets
+        # (distinct-truncation counts are monotone in fineness, so one
+        # 1-row probe agg decides); then the ordinary bucketing hash agg
+        from gazetteer_search_spark.operators import aggs
+
+        return aggs.auto_date_histogram(
+            spark.read.parquet(f"{sf}/events.parquet"), "ts",
+            target_buckets=10,
+        )
+
     def weighted_avg_q(spark, sf):
         # ES weighted_avg agg: event values weighted by a deterministic
         # per-user weight — one hash aggregation
@@ -2343,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         weighted_avg=weighted_avg_q,
         top_metrics=top_metrics_q,
         matrix_stats=matrix_stats_q,
+        auto_date_histogram=auto_date_histogram_q,
         lm_surprisal=lm_surprisal_q,
         pipeline_aggs=pipeline_aggs_q,
         near_unordered=near_unordered,
@@ -3783,6 +3796,48 @@ SELECT count(*)::BIGINT AS n, min(v) AS mn, max(v) AS mx,
        round(var_pop(v), 6) AS variance,
        round(stddev_pop(v), 6) AS std_dev
 FROM (SELECT n_chars::DOUBLE AS v FROM documents WHERE n_chars IS NOT NULL)
+"""
+
+    # auto_date_histogram: distinct-truncation counts are monotone in
+    # fineness, so "walk coarse->fine, stop at first overflow" equals
+    # "finest interval fitting the target" — the CASE ladder
+    o["auto_date_histogram"] = """
+WITH b AS (SELECT ts FROM events WHERE ts IS NOT NULL),
+c AS (
+  SELECT count(DISTINCT date_trunc('year', ts)) AS y,
+         count(DISTINCT date_trunc('month', ts)) AS mo,
+         count(DISTINCT date_trunc('week', ts)) AS w,
+         count(DISTINCT date_trunc('day', ts)) AS d,
+         count(DISTINCT date_trunc('hour', ts)) AS h
+  FROM b
+),
+ch AS (
+  SELECT CASE WHEN h <= 10 THEN 'hour' WHEN d <= 10 THEN 'day'
+              WHEN w <= 10 THEN 'week' WHEN mo <= 10 THEN 'month'
+              ELSE 'year' END AS iv
+  FROM c
+),
+u AS (
+  -- ::TIMESTAMP: DuckDB's date_trunc returns DATE for day/week/month/year
+  -- while Spark's returns TIMESTAMP
+  SELECT 'hour' AS k, date_trunc('hour', ts)::TIMESTAMP AS bucket,
+         count(*)::BIGINT AS doc_count FROM b GROUP BY 1, 2
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts)::TIMESTAMP, count(*)::BIGINT
+  FROM b GROUP BY 1, 2
+  UNION ALL
+  SELECT 'week', date_trunc('week', ts)::TIMESTAMP, count(*)::BIGINT
+  FROM b GROUP BY 1, 2
+  UNION ALL
+  SELECT 'month', date_trunc('month', ts)::TIMESTAMP, count(*)::BIGINT
+  FROM b GROUP BY 1, 2
+  UNION ALL
+  SELECT 'year', date_trunc('year', ts)::TIMESTAMP, count(*)::BIGINT
+  FROM b GROUP BY 1, 2
+)
+SELECT ch.iv AS "interval", u.bucket, u.doc_count
+FROM u JOIN ch ON u.k = ch.iv
+ORDER BY u.bucket
 """
 
     o["weighted_avg"] = """

@@ -419,6 +419,26 @@ def cmd_pack(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_snapshot(args: argparse.Namespace) -> None:
+    """Consistent index snapshot (ES snapshot API analog): copy the index
+    tree with a segment-listing consistency check + per-file inventory —
+    driver-side file ops, no Spark session."""
+    from gazetteer_search_spark.index import snapshot as snap
+
+    meta = snap.snapshot_index(args.index, args.out)
+    print(json.dumps({
+        "out": args.out, "files": len(meta["files"]),
+        "generations": meta["generations"],
+    }))
+
+
+def cmd_restore(args: argparse.Namespace) -> None:
+    """Restore a snapshot with inventory verification (ES restore analog)."""
+    from gazetteer_search_spark.index import snapshot as snap
+
+    print(json.dumps(snap.restore_snapshot(args.snapshot, args.out)))
+
+
 def cmd_bpe_train(args: argparse.Namespace) -> None:
     """Distributed BPE tokenizer training (operators/bpe.py): learn
     --merges merge rules from the corpus word-frequency dictionary (one
@@ -926,6 +946,16 @@ def main(argv: list[str] | None = None) -> None:
                     default=0.0)
     sm.add_argument("--salt", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    sn = sub.add_parser("snapshot", help="consistent index snapshot")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
+    sn.set_defaults(fn=cmd_snapshot)
+
+    rs = sub.add_parser("restore", help="restore + verify a snapshot")
+    rs.add_argument("--snapshot", required=True)
+    rs.add_argument("--out", required=True)
+    rs.set_defaults(fn=cmd_restore)
 
     bt = sub.add_parser("bpe-train", help="distributed BPE tokenizer training")
     _src_args(bt)

@@ -467,3 +467,46 @@ def matrix_stats(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         F.round(F.covar_pop(a, b), 6).alias("covariance"),
         F.round(F.corr(a, b), 6).alias("correlation"),
     )
+
+
+#: auto_date_histogram's interval ladder (the ES rounding ladder's
+#: calendar members that date_trunc supports), coarse to fine
+_AUTO_LADDER = ("year", "month", "week", "day", "hour")
+
+
+def auto_date_histogram(
+    df: DataFrame, ts_col: str, target_buckets: int = 10
+) -> DataFrame:
+    """ES auto_date_histogram agg: pick the FINEST calendar interval from
+    the ladder (year > month > week > day > hour) that yields at most
+    ``target_buckets`` non-empty buckets, then bucket with it. Two passes:
+    one tiny agg counts distinct truncations per candidate interval (ONE
+    scan, all candidates as conditional count-distincts), the driver picks
+    the interval from that 1-row result, and the chosen bucketing is the
+    ordinary date_histogram hash agg. Output: (interval, bucket,
+    doc_count)."""
+    if target_buckets < 1:
+        raise ValueError(
+            f"target_buckets must be >= 1, got {target_buckets}"
+        )
+    base = df.filter(F.col(ts_col).isNotNull())
+    probe = base.agg(
+        *[
+            F.countDistinct(F.date_trunc(iv, F.col(ts_col))).alias(iv)
+            for iv in _AUTO_LADDER
+        ]
+    ).collect()[0]
+    chosen = _AUTO_LADDER[0]
+    for iv in _AUTO_LADDER:
+        if int(probe[iv]) <= target_buckets:
+            chosen = iv
+        else:
+            break
+    return (
+        base.groupBy(
+            F.date_trunc(chosen, F.col(ts_col)).alias("bucket")
+        )
+        .agg(F.count("*").alias("doc_count"))
+        .select(F.lit(chosen).alias("interval"), "bucket", "doc_count")
+        .orderBy("bucket")
+    )
