@@ -183,6 +183,14 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         "q_phrase_quoted_serve",
         lambda: eng.search_hits(_quoted, SearchOptions(k=20)),
     )
+    # unordered proximity (span_near in_order=false): same positional
+    # sidecar, k-list min-window sweep instead of the ordered chain
+    bench_rows(
+        "q_near_unordered_serve",
+        lambda: eng.search_near_unordered_rows(
+            _ph_words, 4, SearchOptions(k=20)
+        ),
+    )
     # ---- round-5 query-surface ops (serving latencies, warm best-of-3) ------
     # the ES-analog surface widened this round: suggest / must_not / regexp /
     # facets / exact count / explain / more-like-this / snippets — each line

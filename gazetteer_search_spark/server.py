@@ -368,6 +368,9 @@ def _make_handler(
             if u.path == "/near":
                 self._do_near(u)
                 return
+            if u.path == "/sorted":
+                self._do_sorted(u)
+                return
             if u.path == "/mlt":
                 self._do_mlt(u)
                 return
@@ -398,7 +401,7 @@ def _make_handler(
                     {
                         "error": "not found",
                         "routes": [
-                            "/search", "/suggest", "/near", "/mlt",
+                            "/search", "/suggest", "/near", "/sorted", "/mlt",
                             "/count", "/composite", "/tophits", "/facetcard",
                             "/termvectors", "/spell", "/analyze", "/stats",
                             "/classes", "/ui"
@@ -762,6 +765,65 @@ def _make_handler(
                             "path": h.path,
                         }
                         for h in hits
+                    ],
+                },
+            )
+
+        def _do_sorted(self, u) -> None:
+            """Sort-by-field route (ES sort:[{field}] + search_after
+            analog): GET /sorted?q=...&by=path&order=asc&size=K
+            [&after_value=V&after_id=N] — the match set ordered by a doc
+            field with keyset paging (engine.search_sorted). A batch/
+            export shape: needs the Spark formulation (the serving tier's
+            point-lookup metadata cache cannot hydrate a full match set)."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            if getattr(engine, "spark", None) is None:
+                self._send(
+                    400,
+                    {"error": "/sorted needs a Spark-backed engine "
+                              "(field sort hydrates the full match set)"},
+                )
+                return
+            try:
+                by = (qs.get("by") or ["path"])[0]
+                order = (qs.get("order") or ["asc"])[0].lower()
+                size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
+                av = (qs.get("after_value") or [None])[0]
+                aid = (qs.get("after_id") or [None])[0]
+                after = (av, int(aid)) if av is not None and aid else None
+                from gazetteer_search_spark.analyzer.tokenizer import (
+                    tokenize_text,
+                )
+                from gazetteer_search_spark.search.engine import TermGroup
+
+                terms = tokenize_text(q, joined_identifiers=False)
+                groups = [
+                    TermGroup(group_id=i, terms=(t,), required=True)
+                    for i, t in enumerate(dict.fromkeys(terms))
+                ]
+                with lock:
+                    rows = engine.search_sorted(
+                        groups, len(groups),
+                        replace(default_opts, k=size),
+                        by=by, ascending=order != "desc", after=after,
+                    ).collect()
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(
+                200,
+                {
+                    "query": q, "by": by, "order": order,
+                    "hits": [
+                        {
+                            "doc_id": int(r.doc_id), "repo": r.repo,
+                            "path": r.path, "lang": r.lang,
+                        }
+                        for r in rows
                     ],
                 },
             )

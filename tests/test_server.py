@@ -932,3 +932,43 @@ def test_http_request_cache(eng):
             assert r3.headers.get("X-Cache") == "MISS"
     finally:
         srv.shutdown()
+
+
+def test_http_sorted_route(eng):
+    """GET /sorted: field-ordered match set with keyset paging over HTTP,
+    equal to the engine-level search_sorted pages."""
+    from gazetteer_search_spark.search.engine import TermGroup
+
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/sorted?q=alpha&by=path&size=10"
+        ) as r:
+            env = json.loads(r.read())
+        assert env["by"] == "path" and len(env["hits"]) == 10
+        paths = [h["path"] for h in env["hits"]]
+        assert paths == sorted(paths)
+        g = [TermGroup(group_id=0, terms=("alpha",), required=True)]
+        want = eng.search_sorted(
+            g, 1, SearchOptions(k=10, prefix=False), by="path"
+        ).collect()
+        assert [h["doc_id"] for h in env["hits"]] == [
+            r.doc_id for r in want
+        ]
+        # keyset page 2 continues without gaps or dups
+        last = env["hits"][-1]
+        q2 = (
+            f"http://127.0.0.1:{port}/sorted?q=alpha&by=path&size=10"
+            f"&after_value={urllib.parse.quote(last['path'])}"
+            f"&after_id={last['doc_id']}"
+        )
+        with urllib.request.urlopen(q2) as r:
+            env2 = json.loads(r.read())
+        ids1 = {h["doc_id"] for h in env["hits"]}
+        ids2 = {h["doc_id"] for h in env2["hits"]}
+        assert not (ids1 & ids2) and len(env2["hits"]) == 10
+    finally:
+        srv.shutdown()
