@@ -2208,6 +2208,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (50.0, 95.0, 99.5),
         )
 
+    def rollup_daily_q(spark, sf):
+        # ES rollup-job analog (operators/rollup.py): hourly rollup of
+        # events (dims=event_type, metric=value) re-aggregated to DAILY
+        # grain from the rollup partials alone — the oracle computes the
+        # same answer straight from the raw table, verifying the
+        # decomposable-aggregate algebra (sum of sums, min of mins)
+        from gazetteer_search_spark.operators import rollup
+
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        r = rollup.build_rollup(
+            e, "ts", ["event_type"], ["value"], interval="hour"
+        )
+        return rollup.rollup_query(
+            r, "day", ["event_type"], ["value"], rollup_interval="hour"
+        )
+
+    def curriculum_order_q(spark, sf):
+        # curriculum ordering + round-robin shard deal: rank by n_chars
+        # (ties by doc_id), shard = rank % 4 — every shard sees the same
+        # difficulty profile, within-shard order follows the curriculum
+        from gazetteer_search_spark.operators import packing
+
+        return packing.curriculum_order(_docs(spark, sf), "n_chars", 4)
+
     def auto_date_histogram_q(spark, sf):
         # ES auto_date_histogram: finest calendar interval from the
         # year>month>week>day>hour ladder yielding <= 10 non-empty buckets
@@ -2356,6 +2380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         top_metrics=top_metrics_q,
         matrix_stats=matrix_stats_q,
         auto_date_histogram=auto_date_histogram_q,
+        rollup_daily=rollup_daily_q,
+        curriculum_order=curriculum_order_q,
         lm_surprisal=lm_surprisal_q,
         pipeline_aggs=pipeline_aggs_q,
         near_unordered=near_unordered,
@@ -3796,6 +3822,33 @@ SELECT count(*)::BIGINT AS n, min(v) AS mn, max(v) AS mx,
        round(var_pop(v), 6) AS variance,
        round(stddev_pop(v), 6) AS std_dev
 FROM (SELECT n_chars::DOUBLE AS v FROM documents WHERE n_chars IS NOT NULL)
+"""
+
+    # rollup re-aggregation: the oracle computes the DAILY answer straight
+    # from the raw events — equality proves the hourly-partials algebra
+    o["rollup_daily"] = """
+WITH e AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+         value::DOUBLE AS v
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT bucket, event_type, count(*)::BIGINT AS doc_count,
+       round(sum(v), 6) AS value_sum, min(v) AS value_min,
+       max(v) AS value_max,
+       round(sum(v) / count(*), 6) AS value_avg
+FROM e GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+"""
+
+    o["curriculum_order"] = """
+WITH r AS (
+  SELECT doc_id, n_chars AS score,
+         row_number() OVER (ORDER BY n_chars ASC, doc_id ASC) - 1 AS rank
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT doc_id, score, rank,
+       (rank % 4)::BIGINT AS shard, (rank // 4)::BIGINT AS shard_pos
+FROM r
 """
 
     # auto_date_histogram: distinct-truncation counts are monotone in

@@ -161,3 +161,46 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum ordering + shard assignment for training data: rank every
+    row by a difficulty/quality score (ties broken by id — fully
+    deterministic), then deal rows round-robin into ``n_shards`` so each
+    shard sees the same difficulty profile while the WITHIN-shard order
+    follows the curriculum.
+
+    Output: (id, score, rank, shard, shard_pos) — rank is the global
+    curriculum position (0-based), shard = rank % n_shards, shard_pos =
+    rank // n_shards (the row's position within its shard's stream).
+
+    Scale note: the global row_number is a single total order — fine up to
+    ~10^9 rows (one sort); beyond that, swap the exact rank for a bucketed
+    approximation (ntile over a sampled CDF) with the same downstream
+    columns. The exact form is the auditable twin."""
+    from pyspark.sql.window import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    s = F.col(score_col)
+    order = [s.asc() if ascending else s.desc(), F.col(id_col).asc()]
+    w = Window.orderBy(*order)
+    return (
+        df.filter(s.isNotNull())
+        .select(
+            F.col(id_col),
+            s.alias("score"),
+            (F.row_number().over(w) - 1).alias("rank"),
+        )
+        .select(
+            "*",
+            (F.col("rank") % n_shards).alias("shard"),
+            (F.col("rank") / n_shards).cast("long").alias("shard_pos"),
+        )
+    )

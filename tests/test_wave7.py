@@ -256,3 +256,57 @@ def test_matrix_stats(spark):
     r = aggs.matrix_stats(df, "a", "b").collect()[0]
     assert r.n == 3 and r.correlation == pytest.approx(1.0)
     assert r.covariance == pytest.approx(2.0 / 3.0 * 2)  # cov_pop = 4/3
+
+
+# ---------------------------------------------------------------------------
+# rollup / curriculum
+# ---------------------------------------------------------------------------
+
+def test_rollup_persisted_roundtrip(spark, tmp_path):
+    import datetime as dt
+
+    from gazetteer_search_spark.operators import rollup
+
+    rows = [
+        (dt.datetime(2024, 1, 1, h, m), "a" if h < 12 else "b", float(h * 10 + m))
+        for h in (0, 5, 13) for m in (0, 30)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = str(tmp_path / "rollup")
+    r = rollup.build_rollup(df, "ts", ["event_type"], ["value"],
+                            interval="hour", out_dir=out)
+    # persisted rollup re-aggregates to daily == direct daily from raw
+    got = rollup.rollup_query(r, "day", ["event_type"], ["value"]).collect()
+    by_key = {(x.bucket, x.event_type): x for x in got}
+    a = by_key[(dt.datetime(2024, 1, 1), "a")]
+    assert a.doc_count == 4 and a.value_min == 0.0 and a.value_max == 80.0
+    assert a.value_sum == 0.0 + 30.0 + 50.0 + 80.0
+    b = by_key[(dt.datetime(2024, 1, 1), "b")]
+    assert b.doc_count == 2 and b.value_sum == 130.0 + 160.0
+    # a finer query than the rollup's grain must refuse
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="finer"):
+        rollup.rollup_query(r, "hour", [], ["value"], rollup_interval="day")
+
+
+def test_curriculum_order_round_robin(spark):
+    from gazetteer_search_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(10)], "doc_id long, s double"
+    )
+    out = packing.curriculum_order(df, "s", 3).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    # ascending score: doc 9 (s=91) first
+    assert by_rank[0].doc_id == 9 and by_rank[0].shard == 0
+    assert by_rank[1].shard == 1 and by_rank[2].shard == 2
+    assert by_rank[3].shard == 0 and by_rank[3].shard_pos == 1
+    # every shard sees a full difficulty sweep
+    shards = {}
+    for r in by_rank:
+        shards.setdefault(r.shard, []).append(r.score)
+    for sc in shards.values():
+        assert sc == sorted(sc)
+    with pytest.raises(ValueError):
+        packing.curriculum_order(df, "s", 0)
