@@ -1407,6 +1407,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def most_fields(spark, sf):
+        # ES multi_match type=most_fields: per-FIELD match clauses SUMMED
+        # (cross_fields is term-centric dis_max; best_fields is dis_max +
+        # tie_breaker — both already covered): group 0 = content 'merge',
+        # group 1 = name-field 'merge', msm=1 — a doc matching in both
+        # fields scores their sum, single-field matches still qualify
+        g = [
+            TermGroup(group_id=0, terms=("merge",), required=True),
+            TermGroup(group_id=1, terms=("name:merge",), required=True),
+        ]
+        return _topk_out(
+            _engine(spark, sf).search_rung(g, 1, SearchOptions())
+        )
+
     def composite_query(spark, sf):  # city-street-hn.json analog — the
         # reference's most composite shape in ONE query: cross-field boosted
         # group (name^5) + dis_max variant group + optional weighted should +
@@ -1566,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         segment_upsert=segment_upsert,
         segment_compact=segment_compact,
         cross_fields_boost=cross_fields_boost,
+        most_fields=most_fields,
         composite_query=composite_query,
         wand_and=wand_and,
         wand_lang_filter=wand_lang_filter,
@@ -2971,6 +2986,14 @@ ORDER BY doc_count DESC, value ASC LIMIT 10
             ]
         ),
         2,
+        scored_src="scored_all",
+        extra_ctes=_NAME_CTES,
+    )
+    o["most_fields"] = _search_sql(
+        _values_groups(
+            [("merge", 0, True, 1.0), ("name:merge", 1, True, 1.0)]
+        ),
+        1,
         scored_src="scored_all",
         extra_ctes=_NAME_CTES,
     )

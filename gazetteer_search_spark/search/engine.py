@@ -2375,6 +2375,24 @@ class SearchEngine:
         rows, _meta = self._search_ladder(q, options)
         return rows
 
+    def _counter_snapshot(self) -> dict[str, int]:
+        """Cumulative serving-tier block counters summed across shards /
+        generations (zeros on a Spark-only engine) — the profile API's
+        before/after basis."""
+        execs = []
+        if self._local is not None:
+            execs = list(getattr(self._local, "subs", [])) or [self._local]
+        out = {"decoded": 0, "skipped": 0, "attr_gated": 0, "range_gated": 0}
+        for e in execs:
+            c = getattr(e, "counters", None)
+            if c is None:
+                continue
+            out["decoded"] += c.decoded.value
+            out["skipped"] += c.skipped.value
+            out["attr_gated"] += c.attr_gated.value
+            out["range_gated"] += c.range_gated.value
+        return out
+
     def search_response(
         self,
         q: str | Query,
@@ -2389,6 +2407,7 @@ class SearchEngine:
         rescore_q: str | None = None,
         rescore_window: int = 100,
         rescore_weight: float = 1.0,
+        profile: bool = False,
     ) -> dict:
         """Full response envelope — the ResultsWrapper parity surface
         (api/ResultsWrapper.java:10-151 exposes parsed query, total hits,
@@ -2426,6 +2445,13 @@ class SearchEngine:
         import time as _time
 
         options = options or SearchOptions()
+        # profile=true (ES profile-API analog): snapshot the serving tier's
+        # block counters around the whole ladder and report the deltas —
+        # how many posting blocks the answer decoded vs skipped, and
+        # whether attribute/range block pruning gated the filters
+        prof0: dict[str, int] = {}
+        if profile:
+            prof0 = self._counter_snapshot()
         t0 = _time.perf_counter()
         rows, meta = self._search_ladder(q, options)
         rescored = False
@@ -2501,6 +2527,10 @@ class SearchEngine:
         exact_total: int | None = None
         if track_total and "msm" in meta:
             exact_total = self.count_matches(groups, meta["msm"], options)
+        prof_delta: dict[str, int] = {}
+        if profile:
+            p1 = self._counter_snapshot()
+            prof_delta = {k: p1[k] - prof0.get(k, 0) for k in p1}
         out = {
             "query": query.original,
             "parsed_query": {
@@ -2561,6 +2591,7 @@ class SearchEngine:
                 for r in rows
             ],
             **({"facets": facets} if facet_keys else {}),
+            **({"profile": prof_delta} if profile else {}),
             **(
                 {
                     "rescore": {

@@ -330,6 +330,9 @@ def _make_handler(
                         1, min(int(_one("rescore_window", "100")), 10_000)
                     ),
                     rescore_weight=float(_one("rescore_w", "1.0")),
+                    # profile=true: serving-tier block decode/skip deltas
+                    # for THIS answer (ES profile-API analog)
+                    profile=_one("profile", "false").lower() == "true",
                 )
             if page > 1:
                 resp["page"] = page

@@ -972,3 +972,31 @@ def test_http_sorted_route(eng):
         assert not (ids1 & ids2) and len(env2["hits"]) == 10
     finally:
         srv.shutdown()
+
+
+def test_search_response_profile(eng):
+    """profile=true attaches the serving tier's block decode/skip deltas
+    for THIS answer (ES profile-API analog)."""
+    env = eng.search_response(
+        "alpha beta", SearchOptions(k=5, prefix=False), profile=True
+    )
+    p = env["profile"]
+    assert set(p) == {"decoded", "skipped", "attr_gated", "range_gated"}
+    assert p["decoded"] >= 1  # the answer decoded at least one block
+    env2 = eng.search_response("alpha beta", SearchOptions(k=5, prefix=False))
+    assert "profile" not in env2
+
+
+def test_http_profile_param(eng):
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=alpha&profile=true"
+        ) as r:
+            env = json.loads(r.read())
+        assert "profile" in env and env["profile"]["decoded"] >= 1
+    finally:
+        srv.shutdown()
