@@ -1,0 +1,103 @@
+"""Streaming rollup maintenance: incremental availableNow drains must equal
+the batch rollup of the full table, including across a checkpoint restart
+(exactly-once — no double-counted partials)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.operators import rollup
+from gazetteer_search_spark.streaming.rollup_stream import stream_rollup
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, ts, i % 3, et, v, "{}")
+            for i, (ts, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+ROWS1 = [
+    (dt.datetime(2024, 1, 1, 10, 5), "a", 1.0),
+    (dt.datetime(2024, 1, 1, 10, 40), "a", 2.0),
+    (dt.datetime(2024, 1, 1, 11, 0), "b", 3.0),
+]
+ROWS2 = [
+    (dt.datetime(2024, 1, 1, 10, 50), "a", 10.0),  # touches an OLD bucket
+    (dt.datetime(2024, 1, 2, 9, 0), "b", 4.0),     # and a new day
+]
+
+
+def _normalize(df):
+    return sorted(
+        tuple(r) for r in df.select(
+            "bucket", "event_type", "doc_count",
+            "value_sum", "value_min", "value_max",
+        ).collect()
+    )
+
+
+def test_stream_rollup_matches_batch(spark, tmp_path):
+    events_dir = str(tmp_path / "ev")
+    os.makedirs(events_dir)
+    rdir = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+
+    _events(spark, ROWS1).write.mode("append").parquet(events_dir)
+    r1 = stream_rollup(
+        spark, events_dir, rdir, ck, ["event_type"], ["value"]
+    )
+    assert r1["batches"] == 1 and r1["rollup_rows"] == 2  # (10h a), (11h b)
+
+    # second drain with a restart: only new files process (exactly-once),
+    # the 10h bucket MERGES rather than duplicates
+    _events(spark, ROWS2).write.mode("append").parquet(events_dir)
+    r2 = stream_rollup(
+        spark, events_dir, rdir, ck, ["event_type"], ["value"]
+    )
+    assert r2["batches"] == 1
+
+    got = spark.read.parquet(rdir).drop("bucket_date")
+    want = rollup.build_rollup(
+        _events(spark, ROWS1 + ROWS2), "ts", ["event_type"], ["value"],
+        interval="hour",
+    )
+    assert _normalize(got) == _normalize(want)
+    # the merged 10h 'a' bucket holds all three events
+    row = {
+        (r.bucket, r.event_type): r for r in got.collect()
+    }[(dt.datetime(2024, 1, 1, 10, 0), "a")]
+    assert row.doc_count == 3 and row.value_sum == 13.0
+    assert row.value_min == 1.0 and row.value_max == 10.0
+
+    # draining again with nothing new is a no-op
+    r3 = stream_rollup(
+        spark, events_dir, rdir, ck, ["event_type"], ["value"]
+    )
+    assert r3["batches"] == 0
+    assert _normalize(spark.read.parquet(rdir).drop("bucket_date")) == _normalize(want)
+
+
+def test_stream_rollup_feeds_rollup_query(spark, tmp_path):
+    events_dir = str(tmp_path / "ev2")
+    rdir = str(tmp_path / "r2")
+    _events(spark, ROWS1 + ROWS2).write.mode("append").parquet(events_dir)
+    stream_rollup(
+        spark, events_dir, rdir, str(tmp_path / "ck2"),
+        ["event_type"], ["value"],
+    )
+    daily = rollup.rollup_query(
+        spark.read.parquet(rdir).drop("bucket_date"),
+        "day", ["event_type"], ["value"],
+    ).collect()
+    by = {(r.bucket, r.event_type): r for r in daily}
+    a = by[(dt.datetime(2024, 1, 1), "a")]
+    assert a.doc_count == 3 and a.value_sum == 13.0 and a.value_avg == pytest.approx(13.0 / 3, abs=1e-6)
