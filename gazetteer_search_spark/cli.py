@@ -419,6 +419,50 @@ def cmd_pack(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_rollup(args: argparse.Namespace) -> None:
+    """Batch rollup build (ES rollup-job analog): aggregate raw events to
+    decomposable partials at --interval grain, parquet partitioned by
+    bucket date."""
+    from gazetteer_search_spark.operators import rollup
+
+    spark = _spark("gss-rollup")
+    d = _read_source(spark, args)
+    out = rollup.build_rollup(
+        d, args.ts_col, args.dims or [], args.metrics or [],
+        interval=args.interval, out_dir=args.out,
+    )
+    print(json.dumps({
+        "out": args.out, "interval": args.interval, "rows": out.count(),
+    }))
+
+
+def cmd_rollup_query(args: argparse.Namespace) -> None:
+    """Answer a coarser aggregation FROM a persisted rollup (never the raw
+    table); prints one JSON row per bucket."""
+    from gazetteer_search_spark.operators import rollup
+
+    spark = _spark("gss-rollup-query")
+    r = spark.read.parquet(args.rollup).drop("bucket_date")
+    rows = rollup.rollup_query(
+        r, args.interval, args.dims or [], args.metrics or [],
+        rollup_interval=args.rollup_interval,
+    ).collect()
+    for row in rows:
+        print(json.dumps({k: str(v) for k, v in row.asDict().items()}))
+
+
+def cmd_stream_rollup(args: argparse.Namespace) -> None:
+    """Continuous downsampling: drain unprocessed event files into the
+    rollup (availableNow), exactly-once via the checkpoint."""
+    from gazetteer_search_spark.streaming.rollup_stream import stream_rollup
+
+    spark = _spark("gss-stream-rollup")
+    print(json.dumps(stream_rollup(
+        spark, args.events, args.rollup, args.checkpoint,
+        args.dims or [], args.metrics or [], interval=args.interval,
+    )))
+
+
 def cmd_snapshot(args: argparse.Namespace) -> None:
     """Consistent index snapshot (ES snapshot API analog): copy the index
     tree with a segment-listing consistency check + per-file inventory —
@@ -946,6 +990,34 @@ def main(argv: list[str] | None = None) -> None:
                     default=0.0)
     sm.add_argument("--salt", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    ru = sub.add_parser("rollup", help="batch rollup build (downsampling)")
+    _src_args(ru, with_text=False)
+    ru.add_argument("--ts-col", dest="ts_col", default="ts")
+    ru.add_argument("--dims", nargs="*", default=["event_type"])
+    ru.add_argument("--metrics", nargs="*", default=["value"])
+    ru.add_argument("--interval", default="hour")
+    ru.set_defaults(fn=cmd_rollup)
+
+    rq = sub.add_parser("rollup-query",
+                        help="coarser aggregation from a persisted rollup")
+    rq.add_argument("--rollup", required=True)
+    rq.add_argument("--interval", default="day")
+    rq.add_argument("--rollup-interval", dest="rollup_interval",
+                    default="hour")
+    rq.add_argument("--dims", nargs="*", default=["event_type"])
+    rq.add_argument("--metrics", nargs="*", default=["value"])
+    rq.set_defaults(fn=cmd_rollup_query)
+
+    sr = sub.add_parser("stream-rollup",
+                        help="continuous downsampling into a rollup")
+    sr.add_argument("--events", required=True)
+    sr.add_argument("--rollup", required=True)
+    sr.add_argument("--checkpoint", required=True)
+    sr.add_argument("--dims", nargs="*", default=["event_type"])
+    sr.add_argument("--metrics", nargs="*", default=["value"])
+    sr.add_argument("--interval", default="hour")
+    sr.set_defaults(fn=cmd_stream_rollup)
 
     sn = sub.add_parser("snapshot", help="consistent index snapshot")
     sn.add_argument("--index", required=True)
