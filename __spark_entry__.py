@@ -2223,6 +2223,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (50.0, 95.0, 99.5),
         )
 
+    def hard_negatives_q(spark, sf):
+        # BM25 hard-negative mining (DPR/ANCE construction): for query
+        # docs 0..4, the top-5 highest-BM25 OTHER docs (self + exact-text
+        # duplicates excluded) — one term join + one hash agg + one window
+        # per query batch, no per-query search loop
+        from gazetteer_search_spark.operators import negatives
+
+        return negatives.mine_hard_negatives(
+            _docs(spark, sf), [0, 1, 2, 3, 4], k=5
+        )
+
     def rollup_daily_q(spark, sf):
         # ES rollup-job analog (operators/rollup.py): hourly rollup of
         # events (dims=event_type, metric=value) re-aggregated to DAILY
@@ -2397,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         auto_date_histogram=auto_date_histogram_q,
         rollup_daily=rollup_daily_q,
         curriculum_order=curriculum_order_q,
+        hard_negatives=hard_negatives_q,
         lm_surprisal=lm_surprisal_q,
         pipeline_aggs=pipeline_aggs_q,
         near_unordered=near_unordered,
@@ -3845,6 +3857,38 @@ SELECT count(*)::BIGINT AS n, min(v) AS mn, max(v) AS mx,
        round(var_pop(v), 6) AS variance,
        round(stddev_pop(v), 6) AS std_dev
 FROM (SELECT n_chars::DOUBLE AS v FROM documents WHERE n_chars IS NOT NULL)
+"""
+
+    # hard-negative mining: per query doc, sum of BM25 over its DISTINCT
+    # terms, self + sha-duplicate pairs excluded, top-5 per query
+    o["hard_negatives"] = f"""
+WITH {_BM25_CTES},
+qt AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(list_distinct({_TOKS})) AS term
+  FROM documents WHERE doc_id < 5
+),
+sc AS (
+  SELECT qt.query_id, s.doc_id, sum(s.score) AS score
+  FROM qt JOIN scored s USING (term)
+  WHERE s.doc_id <> qt.query_id
+  GROUP BY qt.query_id, s.doc_id
+),
+dup AS (
+  SELECT a.doc_id AS query_id, b.doc_id
+  FROM documents a JOIN documents b
+    ON sha256(a.text) = sha256(b.text) AND a.doc_id <> b.doc_id
+  WHERE a.doc_id < 5
+),
+r AS (
+  SELECT sc.query_id, sc.doc_id, round(sc.score, 4) AS score,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY round(sc.score, 9) DESC, sc.doc_id ASC
+         ) AS rank
+  FROM sc ANTI JOIN dup USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank
 """
 
     # rollup re-aggregation: the oracle computes the DAILY answer straight

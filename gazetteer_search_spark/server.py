@@ -374,6 +374,12 @@ def _make_handler(
             if u.path == "/sorted":
                 self._do_sorted(u)
                 return
+            if u.path == "/mapping":
+                self._do_mapping(u)
+                return
+            if u.path == "/segments":
+                self._do_segments(u)
+                return
             if u.path == "/mlt":
                 self._do_mlt(u)
                 return
@@ -404,7 +410,8 @@ def _make_handler(
                     {
                         "error": "not found",
                         "routes": [
-                            "/search", "/suggest", "/near", "/sorted", "/mlt",
+                            "/search", "/suggest", "/near", "/sorted",
+                            "/mapping", "/segments", "/mlt",
                             "/count", "/composite", "/tophits", "/facetcard",
                             "/termvectors", "/spell", "/analyze", "/stats",
                             "/classes", "/ui"
@@ -984,6 +991,57 @@ def _make_handler(
                         size=int(_one("size", 10)),
                     )
                 self._send(200, {"key": key, "buckets": rows})
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
+        def _do_mapping(self, u) -> None:
+            """Index-configuration route (ES GET index/_mapping +
+            _settings analog): the persisted index metadata — format,
+            codec, analyzer hash, attribute dimension + dictionary,
+            clustering, positions/stored-content flags, doc count."""
+            try:
+                meta = dict(getattr(engine.index, "meta", {}) or {})
+                out = {
+                    k: meta.get(k)
+                    for k in (
+                        "format", "postings_codec", "analyzer_hash",
+                        "attr_dim", "attr_values", "attr_overflow",
+                        "cluster_by", "positions", "store_content",
+                        "name_key", "fields",
+                    )
+                    if k in meta
+                }
+                out["n_docs"] = int(getattr(engine.index, "n_docs", 0))
+                self._send(200, out)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
+        def _do_segments(self, u) -> None:
+            """Generation listing (ES _cat/segments analog): one row per
+            live generation with docs/tombstones, plus the total."""
+            try:
+                rows = []
+                if index_path is not None:
+                    from gazetteer_search_spark.index import (
+                        segments as _segs,
+                    )
+
+                    for s in _segs.list_segments(index_path):
+                        rows.append(
+                            {
+                                "seg_id": int(s["seg_id"]),
+                                "n_docs": int(s["n_docs"]),
+                                "n_tombstones": int(s["n_tombstones"]),
+                            }
+                        )
+                self._send(
+                    200,
+                    {
+                        "generations": len(rows) + 1,
+                        "base_docs": int(getattr(engine.index, "n_docs", 0)),
+                        "segments": rows,
+                    },
+                )
             except Exception as e:
                 self._send(400, {"error": str(e)})
 

@@ -1000,3 +1000,27 @@ def test_http_profile_param(eng):
         assert "profile" in env and env["profile"]["decoded"] >= 1
     finally:
         srv.shutdown()
+
+
+def test_http_mapping_and_segments_routes(eng):
+    """GET /mapping (index configuration) and /segments (generation
+    listing) — the _mapping/_cat observability analogs."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/mapping"
+        ) as r:
+            m = json.loads(r.read())
+        assert m["n_docs"] == 80
+        assert "format" in m or "postings_codec" in m
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/segments"
+        ) as r:
+            s = json.loads(r.read())
+        assert s["generations"] == 1 and s["base_docs"] == 80
+        assert s["segments"] == []
+    finally:
+        srv.shutdown()
