@@ -204,3 +204,69 @@ def test_facet_cardinality_single_agg_no_cartesian(spark, index):
     g = [TermGroup(group_id=0, terms=("merge",), required=True)]
     df = eng.facet_cardinality(g, 1, SearchOptions(), "lang", "repo")
     assert_no_cartesian(df)
+
+
+def test_rollup_read_prunes_touched_partitions(spark, tmp_path):
+    """Streaming rollup maintenance's old-partials read must PRUNE on the
+    bucket_date partition column — the merge pays for touched dates only."""
+    import datetime as dt
+
+    from gazetteer_search_spark.operators import rollup
+
+    rows = [
+        (dt.datetime(2024, 1, d, h), "a", 1.0)
+        for d in (1, 2, 3) for h in (0, 12)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = str(tmp_path / "roll")
+    rollup.build_rollup(df, "ts", ["event_type"], ["value"],
+                        interval="hour", out_dir=out)
+    pruned = spark.read.parquet(out).filter(
+        F.col("bucket_date").isin([dt.date(2024, 1, 2)])
+    )
+    assert_partition_pruned(pruned, "bucket_date")
+
+
+def test_hard_negatives_broadcasts_queries_no_cartesian(spark):
+    from gazetteer_search_spark.operators import negatives
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = negatives.mine_hard_negatives(docs, [0, 1], k=3)
+    assert uses_broadcast_join(out)
+    assert_no_cartesian(out)
+    assert len(out.collect()) > 0
+
+
+def test_span_dup_no_self_join(spark):
+    """span_dup_stats joins exploded spans to the df table on the span
+    HASH — never a doc-x-doc self-join, never cartesian."""
+    from gazetteer_search_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven eight nine") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = dedup.span_dup_stats(docs, n=4)
+    assert_no_cartesian(out)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly one data-keyed equi-join family in the span path (hash h),
+    # one doc-keyed re-entry join for zero-span docs
+    assert "CartesianProduct" not in plan
+
+
+def test_search_sorted_is_take_ordered(spark, index):
+    """search_sorted's orderBy+limit must compile to TakeOrderedAndProject
+    (per-partition heap + k-row driver merge), never a global sort."""
+    from gazetteer_search_spark.search.engine import (
+        SearchEngine, SearchOptions, TermGroup,
+    )
+
+    eng = SearchEngine(spark, index)
+    df = eng.search_sorted(
+        [TermGroup(0, ("merge",), True)], 1, SearchOptions(k=10), by="path"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
