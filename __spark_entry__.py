@@ -2234,6 +2234,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf), [0, 1, 2, 3, 4], k=5
         )
 
+    def ir_metrics_q(spark, sf):
+        # retrieval-eval metrics (trec_eval shape) over the mined
+        # hard-negative run: qrels = same-lang relevance (deterministic,
+        # data-derived on both sides); per-query RR / recall@5 / NDCG@5 —
+        # one run-qrels hash join + one per-query agg, no window
+        from gazetteer_search_spark.operators import evaluation_ir, negatives
+
+        docs = _docs(spark, sf)
+        run = negatives.mine_hard_negatives(docs, [0, 1, 2, 3, 4], k=5)
+        q5 = docs.select(
+            F.col("doc_id").alias("query_id"), F.col("lang").alias("qlang")
+        ).filter(F.col("query_id") < 5)
+        qrels = (
+            q5.join(docs.select("doc_id", "lang"),
+                    F.col("lang") == F.col("qlang"))
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .select("query_id", "doc_id")
+        )
+        return evaluation_ir.retrieval_metrics(run, qrels, k=5)
+
     def rollup_daily_q(spark, sf):
         # ES rollup-job analog (operators/rollup.py): hourly rollup of
         # events (dims=event_type, metric=value) re-aggregated to DAILY
@@ -2409,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rollup_daily=rollup_daily_q,
         curriculum_order=curriculum_order_q,
         hard_negatives=hard_negatives_q,
+        ir_metrics=ir_metrics_q,
         lm_surprisal=lm_surprisal_q,
         pipeline_aggs=pipeline_aggs_q,
         near_unordered=near_unordered,
@@ -3889,6 +3910,59 @@ r AS (
 )
 SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
 ORDER BY query_id, rank
+"""
+
+    # IR metrics over the mined run: the hard_negatives CTE chain feeds a
+    # run/qrels join + per-query agg; idcg via a list fold
+    o["ir_metrics"] = f"""
+WITH {_BM25_CTES},
+qt AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(list_distinct({_TOKS})) AS term
+  FROM documents WHERE doc_id < 5
+),
+sc AS (
+  SELECT qt.query_id, s.doc_id, sum(s.score) AS score
+  FROM qt JOIN scored s USING (term)
+  WHERE s.doc_id <> qt.query_id
+  GROUP BY qt.query_id, s.doc_id
+),
+dup AS (
+  SELECT a.doc_id AS query_id, b.doc_id
+  FROM documents a JOIN documents b
+    ON sha256(a.text) = sha256(b.text) AND a.doc_id <> b.doc_id
+  WHERE a.doc_id < 5
+),
+r AS (
+  SELECT sc.query_id, sc.doc_id,
+         row_number() OVER (
+           PARTITION BY sc.query_id
+           ORDER BY round(sc.score, 9) DESC, sc.doc_id ASC
+         ) AS rank
+  FROM sc ANTI JOIN dup USING (query_id, doc_id)
+),
+run AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 5),
+qr AS (
+  SELECT a.doc_id AS query_id, b.doc_id
+  FROM documents a JOIN documents b
+    ON b.lang = a.lang AND b.doc_id <> a.doc_id
+  WHERE a.doc_id < 5
+),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qr GROUP BY query_id),
+h AS (SELECT run.query_id, run.rank FROM run JOIN qr USING (query_id, doc_id)),
+pq AS (
+  SELECT query_id, min(rank) AS f, count(*) AS nh,
+         sum(1.0 / log2(rank + 1.0)) AS dcg
+  FROM h GROUP BY query_id
+)
+SELECT n.query_id, n.n_rel,
+       round(coalesce(1.0 / pq.f, 0.0), 6) AS rr,
+       round(coalesce(pq.nh, 0) / n.n_rel, 6) AS recall,
+       round(coalesce(pq.dcg, 0.0)
+             / list_sum(list_transform(
+                 generate_series(1, least(n.n_rel, 5)::INT),
+                 i -> 1.0 / log2(i + 1.0))), 6) AS ndcg
+FROM nrel n LEFT JOIN pq USING (query_id)
+ORDER BY query_id
 """
 
     # rollup re-aggregation: the oracle computes the DAILY answer straight

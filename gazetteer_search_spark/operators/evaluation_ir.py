@@ -1,0 +1,79 @@
+"""Retrieval-evaluation metrics (the IR-eval op a retrieval-training
+pipeline runs after mining/serving: MRR, recall@k, NDCG@k over a run).
+
+Input contract = the TREC run shape: ``run`` (query_id, doc_id, rank) —
+rank 1-based within query (ties already broken upstream) — and ``qrels``
+(query_id, doc_id) holding the relevant pairs (binary relevance; graded
+relevance extends the gain column).
+
+All metrics in ONE pass over the run: join run-to-qrels on (query_id,
+doc_id) (hash join on the composite key), then one per-query hash agg —
+no window, no sort (ranks are input data). Queries with zero relevant
+docs are excluded from the macro averages (the trec_eval convention).
+
+- ``rr``        1/rank of the first relevant hit (0 when none in the run)
+- ``recall``    |relevant ∩ top-k| / |relevant|
+- ``ndcg``      DCG@k / ideal-DCG@k with the binary-gain
+                1/log2(rank+1) discount
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retrieval_metrics(
+    run: DataFrame, qrels: DataFrame, k: int = 10
+) -> DataFrame:
+    """Per-query metrics: (query_id, n_rel, rr, recall, ndcg), query-id
+    ascending. Use ``macro_metrics`` for the averages row."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = run.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", "rank"
+    )
+    q = qrels.select("query_id", "doc_id").distinct()
+    n_rel = q.groupBy("query_id").agg(F.count("*").alias("n_rel"))
+    hits = r.join(q, ["query_id", "doc_id"]).select(
+        "query_id", "rank"
+    )
+    per_q = hits.groupBy("query_id").agg(
+        F.min("rank").alias("_first"),
+        F.count("*").alias("_nhit"),
+        F.sum(
+            F.lit(1.0) / F.log2(F.col("rank").cast("double") + F.lit(1.0))
+        ).alias("_dcg"),
+    )
+    # ideal DCG@k for n relevant docs: sum_{i=1..min(n,k)} 1/log2(i+1)
+    idcg = F.expr(
+        f"aggregate(sequence(1, int(least(n_rel, {k}))), 0.0D, "
+        "(acc, i) -> acc + 1.0D / log2(double(i) + 1.0D))"
+    )
+    return (
+        n_rel.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("_first"), F.lit(0.0)), 6
+            ).alias("rr"),
+            F.round(
+                F.coalesce(F.col("_nhit"), F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / idcg, 6
+            ).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def macro_metrics(per_query: DataFrame) -> DataFrame:
+    """Macro averages over the per-query metric rows — one tiny agg."""
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("recall"), 6).alias("macro_recall"),
+        F.round(F.avg("ndcg"), 6).alias("macro_ndcg"),
+    )

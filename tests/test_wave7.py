@@ -310,3 +310,43 @@ def test_curriculum_order_round_robin(spark):
         assert sc == sorted(sc)
     with pytest.raises(ValueError):
         packing.curriculum_order(df, "s", 0)
+
+
+# ---------------------------------------------------------------------------
+# retrieval metrics
+# ---------------------------------------------------------------------------
+
+def test_retrieval_metrics_hand_case(spark):
+    import math as _m
+
+    from gazetteer_search_spark.operators import evaluation_ir
+
+    run = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3),
+         (2, 20, 1), (2, 21, 2),
+         (3, 30, 1)],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 11), (1, 12), (1, 99),   # q1: hits at rank 2 and 3, one missed
+         (2, 20),                      # q2: perfect at rank 1
+         (3, 99),                      # q3: nothing found
+         (4, 40)],                     # q4: not in the run at all
+        "query_id long, doc_id long",
+    )
+    out = {r.query_id: r for r in
+           evaluation_ir.retrieval_metrics(run, qrels, k=3).collect()}
+    assert out[1].rr == 0.5 and out[1].recall == pytest.approx(2 / 3, abs=1e-6)
+    dcg = 1 / _m.log2(3) + 1 / _m.log2(4)
+    idcg = 1 / _m.log2(2) + 1 / _m.log2(3) + 1 / _m.log2(4)
+    assert out[1].ndcg == pytest.approx(dcg / idcg, abs=1e-6)
+    assert out[2].rr == 1.0 and out[2].recall == 1.0 and out[2].ndcg == 1.0
+    assert out[3].rr == 0.0 and out[3].recall == 0.0 and out[3].ndcg == 0.0
+    assert out[4].rr == 0.0  # query absent from the run entirely
+    m = evaluation_ir.macro_metrics(
+        evaluation_ir.retrieval_metrics(run, qrels, k=3)
+    ).collect()[0]
+    assert m.n_queries == 4
+    assert m.mrr == pytest.approx((0.5 + 1.0 + 0.0 + 0.0) / 4, abs=1e-6)
+    with pytest.raises(ValueError):
+        evaluation_ir.retrieval_metrics(run, qrels, k=0)
