@@ -393,6 +393,40 @@ def local_unordered_near_ids(
     flat = tbl["positions"].combine_chunks()
     offs = flat.offsets.to_numpy(zero_copy_only=False)
     vals = flat.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(uniq) == 2:
+        # fully vectorized 2-term fast path: the minimal |pa - pb| over
+        # two position sets is always attained by an ADJACENT pair in
+        # their merged sort — flatten both terms' (doc, pos, side) rows,
+        # lexsort by (doc, pos), and scan adjacent pairs with different
+        # sides in one vector comparison. No per-doc python.
+        docs_parts, pos_parts, side_parts = [], [], []
+        for side, t in enumerate(uniq):
+            rows = rows_by_term[t]
+            keep = np.isin(ids_a[rows], common)
+            rows = rows[keep]
+            counts = offs[rows + 1] - offs[rows]
+            docs_parts.append(np.repeat(ids_a[rows], counts))
+            pos_parts.append(
+                np.concatenate(
+                    [vals[offs[r] : offs[r + 1]] for r in rows]
+                )
+                if rows.size
+                else np.empty(0, dtype=np.int64)
+            )
+            side_parts.append(
+                np.full(int(counts.sum()), side, dtype=np.int8)
+            )
+        d = np.concatenate(docs_parts)
+        p = np.concatenate(pos_parts)
+        s = np.concatenate(side_parts)
+        order = np.lexsort((p, d))
+        d, p, s = d[order], p[order], s[order]
+        adj = (
+            (d[1:] == d[:-1])
+            & (s[1:] != s[:-1])
+            & (p[1:] - p[:-1] <= window)
+        )
+        return np.unique(d[:-1][adj])
     # per term: positions grouped by doc ordinal within `common`
     per_term: list[dict[int, np.ndarray]] = []
     for t in uniq:
