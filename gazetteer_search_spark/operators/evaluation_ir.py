@@ -77,3 +77,50 @@ def macro_metrics(per_query: DataFrame) -> DataFrame:
         F.round(F.avg("recall"), 6).alias("macro_recall"),
         F.round(F.avg("ndcg"), 6).alias("macro_ndcg"),
     )
+
+
+def metrics_rows(
+    run_rows: list[tuple],
+    qrels_rows: list[tuple],
+    k: int = 10,
+) -> list[dict]:
+    """Pure-python twin of retrieval_metrics for k-bounded serving use
+    (the POST /rank_eval route): same inputs as lists of (query_id,
+    doc_id, rank) and (query_id, doc_id), same per-query outputs —
+    equality with the Spark form is pinned by test. Driver-side because a
+    rank_eval request carries a handful of queries with k-bounded runs;
+    batch-scale evaluation belongs to retrieval_metrics."""
+    import math as _m
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rel: dict = {}
+    for qid, did in qrels_rows:
+        rel.setdefault(qid, set()).add(did)
+    byq: dict = {}
+    for qid, did, rank in run_rows:
+        if rank <= k:
+            byq.setdefault(qid, []).append((rank, did))
+    out = []
+    for qid in sorted(rel, key=lambda x: (str(type(x)), x)):
+        rset = rel[qid]
+        hits = sorted(
+            (r, d) for r, d in byq.get(qid, []) if d in rset
+        )
+        rr = 1.0 / hits[0][0] if hits else 0.0
+        recall = len(hits) / len(rset)
+        dcg = sum(1.0 / _m.log2(r + 1.0) for r, _ in hits)
+        idcg = sum(
+            1.0 / _m.log2(i + 1.0)
+            for i in range(1, min(len(rset), k) + 1)
+        )
+        out.append(
+            {
+                "query_id": qid,
+                "n_rel": len(rset),
+                "rr": round(rr, 6),
+                "recall": round(recall, 6),
+                "ndcg": round(dcg / idcg, 6) if idcg else 0.0,
+            }
+        )
+    return out

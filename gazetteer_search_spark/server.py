@@ -994,6 +994,58 @@ def _make_handler(
             except Exception as e:
                 self._send(400, {"error": str(e)})
 
+        def _do_rank_eval(self) -> None:
+            """ES _rank_eval API analog: POST a body of rated queries —
+            ``{"k": 5, "queries": [{"id": "q1", "q": "merge sort",
+            "relevant": [3, 17]}, ...]}`` — each query runs through the
+            ordinary serving ladder, and per-query RR / recall@k / NDCG@k
+            plus macro averages come back. Metrics are the pure-python
+            twin of operators/evaluation_ir.retrieval_metrics (equality
+            pinned by test); k-bounded driver work throughout."""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                k = max(1, min(int(body.get("k", 10)), 100))
+                queries = body.get("queries") or []
+                if not queries:
+                    self._send(400, {"error": "queries[] required"})
+                    return
+                from gazetteer_search_spark.operators.evaluation_ir import (
+                    metrics_rows,
+                )
+
+                run: list[tuple] = []
+                qrels: list[tuple] = []
+                with lock:
+                    for spec in queries:
+                        qid = str(spec["id"])
+                        hits = engine.search_hits(
+                            str(spec["q"]), replace(default_opts, k=k)
+                        )
+                        run += [
+                            (qid, int(h.doc_id), i + 1)
+                            for i, h in enumerate(hits)
+                        ]
+                        qrels += [
+                            (qid, int(d)) for d in spec.get("relevant", [])
+                        ]
+                per_q = metrics_rows(run, qrels, k=k)
+                macro = {
+                    "n_queries": len(per_q),
+                    "mrr": round(
+                        sum(m["rr"] for m in per_q) / len(per_q), 6
+                    ) if per_q else 0.0,
+                    "macro_recall": round(
+                        sum(m["recall"] for m in per_q) / len(per_q), 6
+                    ) if per_q else 0.0,
+                    "macro_ndcg": round(
+                        sum(m["ndcg"] for m in per_q) / len(per_q), 6
+                    ) if per_q else 0.0,
+                }
+                self._send(200, {"k": k, "queries": per_q, **macro})
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
         def _do_mapping(self, u) -> None:
             """Index-configuration route (ES GET index/_mapping +
             _settings analog): the persisted index metadata — format,
@@ -1055,10 +1107,19 @@ def _make_handler(
                 if self._authorized():
                     self._do_bulk()
                 return
+            if p == "/rank_eval":
+                if self._authorized():
+                    self._do_rank_eval()
+                return
             if p != "/sendq":
                 self._send(
                     404,
-                    {"error": "not found", "routes": ["/sendq", "/msearch", "/bulk"]},
+                    {
+                        "error": "not found",
+                        "routes": [
+                            "/sendq", "/msearch", "/bulk", "/rank_eval",
+                        ],
+                    },
                 )
                 return
             if not self._authorized():

@@ -1024,3 +1024,36 @@ def test_http_mapping_and_segments_routes(eng):
         assert s["segments"] == []
     finally:
         srv.shutdown()
+
+
+def test_http_rank_eval_route(eng):
+    """POST /rank_eval: rated queries -> per-query RR/recall/NDCG + macro
+    averages (ES _rank_eval analog). 'alpha beta' ranks the beta-bearing
+    docs (ids < 10) first, so rating doc 0 relevant gives rr=1 when it
+    tops and recall=1 with a single relevant doc."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        top = eng.search_hits("alpha beta", SearchOptions(k=1, prefix=False))[0]
+        body = json.dumps({
+            "k": 5,
+            "queries": [
+                {"id": "q1", "q": "alpha beta",
+                 "relevant": [int(top.doc_id)]},
+                {"id": "q2", "q": "alpha beta", "relevant": [9999]},
+            ],
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/rank_eval", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            env = json.loads(r.read())
+        byid = {m["query_id"]: m for m in env["queries"]}
+        assert byid["q1"]["rr"] == 1.0 and byid["q1"]["recall"] == 1.0
+        assert byid["q2"]["rr"] == 0.0 and byid["q2"]["ndcg"] == 0.0
+        assert env["n_queries"] == 2 and env["mrr"] == 0.5
+    finally:
+        srv.shutdown()

@@ -350,3 +350,20 @@ def test_retrieval_metrics_hand_case(spark):
     assert m.mrr == pytest.approx((0.5 + 1.0 + 0.0 + 0.0) / 4, abs=1e-6)
     with pytest.raises(ValueError):
         evaluation_ir.retrieval_metrics(run, qrels, k=0)
+
+
+def test_metrics_rows_matches_spark_form(spark):
+    from gazetteer_search_spark.operators import evaluation_ir
+
+    run = [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2), (3, 30, 1)]
+    qrels = [(1, 11), (1, 12), (1, 99), (2, 20), (3, 99), (4, 40)]
+    a = evaluation_ir.metrics_rows(run, qrels, k=3)
+    b = [
+        r.asDict()
+        for r in evaluation_ir.retrieval_metrics(
+            spark.createDataFrame(run, "query_id long, doc_id long, rank int"),
+            spark.createDataFrame(qrels, "query_id long, doc_id long"),
+            k=3,
+        ).collect()
+    ]
+    assert a == b
