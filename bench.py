@@ -549,6 +549,21 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     ).count()
     timings["pack_sequences"] = time.perf_counter() - t
 
+    # time-series rollup build (round 5): raw events -> hourly partials,
+    # one hash agg; and BM25 hard-negative mining for a 5-query batch
+    # (one term join + one agg + one window, no per-query loop)
+    from gazetteer_search_spark.operators import negatives, rollup as _rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = time.perf_counter()
+    _rollup.build_rollup(ev, "ts", ["event_type"], ["value"], "hour").count()
+    timings["rollup_hourly"] = time.perf_counter() - t
+    t = time.perf_counter()
+    negatives.mine_hard_negatives(
+        docs.select("doc_id", "text"), [0, 1, 2, 3, 4], k=5
+    ).count()
+    timings["hard_negatives5"] = time.perf_counter() - t
+
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(qout, ignore_errors=True)
     spark.stop()
