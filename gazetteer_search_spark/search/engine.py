@@ -1986,6 +1986,98 @@ class SearchEngine:
         order = [col.asc() if ascending else col.desc(), F.col("doc_id").asc()]
         return m.orderBy(*order).limit(options.k)
 
+    def mine_hard_negatives(
+        self,
+        query_ids: list[int],
+        k: int = 5,
+        max_term_df: int | None = None,
+    ) -> DataFrame:
+        """Index-backed hard-negative mining (the operators/negatives.py
+        pipeline op, answered from the PERSISTED index instead of
+        re-scoring the corpus): query docs' terms come from the stored
+        content (point reads), their scored postings from the index's own
+        bucket-pruned (term, doc_id, score) decode — repeated mining runs
+        never re-tokenize or re-aggregate the corpus. Rank-identical to
+        the standalone operator on the same corpus (same kernel, same
+        BM25 stats — pinned by test). Output: (query_id, doc_id, score,
+        rank)."""
+        from pyspark.sql.window import Window
+
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        if self.spark is None:
+            raise RuntimeError(
+                "mine_hard_negatives is a batch job — it needs a "
+                "SparkSession"
+            )
+        content = self._doc_content([int(i) for i in query_ids])
+        missing = [i for i in query_ids if int(i) not in content]
+        if missing:
+            raise KeyError(
+                f"mine_hard_negatives: docs without stored content "
+                f"{missing} — build the index with store_content=True"
+            )
+        qterm_rows = []
+        qsha = {}
+        for qid in query_ids:
+            text = content[int(qid)]
+            import hashlib as _hl
+
+            qsha[int(qid)] = _hl.sha256(text.encode()).hexdigest()
+            for t in dict.fromkeys(tokenize_text(text)):
+                qterm_rows.append((int(qid), t))
+        qterms = self.spark.createDataFrame(
+            qterm_rows, "query_id long, term string"
+        )
+        if max_term_df is not None:
+            dfs = self._df_for_terms(
+                sorted({t for _, t in qterm_rows})
+            )
+            hot = [t for t, d in dfs.items() if d > max_term_df]
+            if hot:
+                qterms = qterms.filter(~F.col("term").isin(hot))
+        terms = sorted(
+            {r[1] for r in qterm_rows}
+        )
+        scored = self._scored_for_terms(terms, SearchOptions())
+        pairs = (
+            F.broadcast(qterms)
+            .join(scored, "term")
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("score").alias("score"))
+        )
+        # exact-duplicate exclusion via the persisted content_sha256
+        sha_lit = [
+            (qid, s) for qid, s in qsha.items()
+        ]
+        qsha_df = self.spark.createDataFrame(
+            sha_lit, "query_id long, qsha string"
+        )
+        dup = (
+            self.index.docs.select("doc_id", "content_sha256")
+            .join(
+                F.broadcast(qsha_df),
+                F.col("content_sha256") == F.col("qsha"),
+            )
+            .filter(F.col("doc_id") != F.col("query_id"))
+            .select("query_id", "doc_id")
+        )
+        pairs = pairs.join(dup, ["query_id", "doc_id"], "left_anti")
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()
+        )
+        return (
+            pairs.select(
+                "query_id",
+                "doc_id",
+                F.round("score", 4).alias("score"),
+                F.row_number().over(w).alias("rank"),
+            )
+            .filter(F.col("rank") <= k)
+            .orderBy("query_id", "rank")
+        )
+
     def search_near_unordered(
         self,
         q: str | list[str],

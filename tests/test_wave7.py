@@ -367,3 +367,40 @@ def test_metrics_rows_matches_spark_form(spark):
         ).collect()
     ]
     assert a == b
+
+
+def test_index_backed_hard_negatives_match_operator(spark, tmp_path_factory):
+    """engine.mine_hard_negatives (persisted-index path) must equal the
+    standalone corpus operator — same kernel, same BM25 stats."""
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.index import builder
+    from gazetteer_search_spark.operators import negatives
+    from gazetteer_search_spark.search.engine import SearchEngine
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 7} gamma delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "doc_id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_hn"))
+    idx = builder.build_index(
+        spark, corpus, out, n_buckets=4, store_content=True
+    )
+    eng = SearchEngine(spark, idx, serving=True)
+    a = [
+        tuple(r)
+        for r in eng.mine_hard_negatives([0, 1, 2], k=4).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in negatives.mine_hard_negatives(docs, [0, 1, 2], k=4).collect()
+    ]
+    assert a == b and len(a) > 0
