@@ -1514,6 +1514,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             eng.search(f'"{w0} {w1[:4]}*"', SearchOptions(k=20))
         )
 
+    def span_first(spark, sf):
+        # ES span_first analog: w0 must occur within the FIRST 3 token
+        # positions (leading-identifier matching), BM25-ranked; the oracle
+        # verifies via the full-kernel position stream
+        eng = _engine(spark, sf)
+        w0, _ = _phrase_words(spark, sf)
+        return _topk_out(
+            eng.search_span_first(w0, 3, SearchOptions(k=20))
+        )
+
     def suggest_prefix(spark, sf):
         """Term-dictionary autocomplete (engine.suggest; /suggest route):
         top-15 content-namespace completions of a data-derived 3-char
@@ -1574,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phrase_near=phrase_near,
         phrase_quoted=phrase_quoted,
         phrase_prefix=phrase_prefix,
+        span_first=span_first,
         suggest_prefix=suggest_prefix,
         repo_filter=repo_filter,
         repo_path_filter=repo_path_filter,
@@ -2507,6 +2518,27 @@ def oracle_sql() -> dict[str, str]:
     o["phrase_near"] = _phrase_sql(slop=2)
     o["phrase_quoted"] = _phrase_quoted_sql(slop=1)
     o["phrase_prefix"] = _phrase_prefix_sql()
+    o["span_first"] = f"""
+WITH {_BM25_CTES},
+w AS (
+  SELECT q[1] AS w0
+  FROM (SELECT {_STOKS} AS q FROM documents WHERE doc_id = 0)
+),
+ptok AS (
+  SELECT doc_id, unnest(l) AS term, generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, {_TOKS} AS l FROM documents)
+),
+ph AS (
+  SELECT DISTINCT a.doc_id
+  FROM ptok a CROSS JOIN w WHERE a.term = w.w0 AND a.pos < 3
+),
+final AS (
+  SELECT s.doc_id, s.score
+  FROM scored s JOIN w ON s.term = w.w0 JOIN ph USING (doc_id)
+)
+SELECT doc_id, round(score, 4) AS score FROM final
+ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 20
+"""
     o["suggest_prefix"] = _suggest_sql(k=15)
     o["multi_term_and"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 2

@@ -1986,6 +1986,52 @@ class SearchEngine:
         order = [col.asc() if ascending else col.desc(), F.col("doc_id").asc()]
         return m.orderBy(*order).limit(options.k)
 
+    def search_span_first(
+        self,
+        term: str,
+        end: int,
+        options: SearchOptions | None = None,
+    ) -> DataFrame:
+        """ES span_first analog: ``term`` must occur within the first
+        ``end`` token positions (leading-identifier / title matching),
+        BM25-ranked. Positional verify BEFORE ranking, both tiers."""
+        import numpy as np
+
+        from gazetteer_search_spark.search import phrase as _ph
+
+        options = options or SearchOptions()
+        groups = [TermGroup(group_id=0, terms=(term,), required=True)]
+        if self._local is not None:
+            idxs = [
+                s.index for s in getattr(self._local, "subs", [])
+            ] or [self.index]
+            allowed = np.unique(
+                np.concatenate(
+                    [
+                        _ph.local_span_first_ids(ix, term, end)
+                        for ix in idxs
+                    ]
+                )
+            )
+            rows = self._local.search_allowed(groups, 1, options, allowed)
+            if self.spark is None:
+                return rows
+            return self.spark.createDataFrame(rows, RESULT_SCHEMA)
+        cand = _ph.span_first_candidates(self.spark, self.index, term, end)
+        scored = self._scored_for_terms([term], options).join(
+            cand, "doc_id", "semi"
+        )
+        return topk_from_scored(
+            scored,
+            _groups_df(self.spark, groups),
+            1,
+            1,
+            options.k,
+            self.index.docs,
+            options,
+            groups=groups,
+        )
+
     def mine_hard_negatives(
         self,
         query_ids: list[int],

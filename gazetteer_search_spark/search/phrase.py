@@ -514,3 +514,60 @@ def unordered_candidates(
         )
 
     return wide.filter(_covers(F.array(*cols))).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# span_first (ES span_first / Lucene SpanFirstQuery)
+# ---------------------------------------------------------------------------
+
+def span_first_candidates(
+    spark: SparkSession, index: Index, term: str, end: int
+) -> DataFrame:
+    """Docs whose token stream contains ``term`` at a position < ``end``
+    (ES span_first: the match must lie within the first ``end`` positions
+    — titles/headers/leading-identifier matching). One pruned positions
+    read + a native array predicate -> (doc_id,)."""
+    if end < 1:
+        raise ValueError(f"span_first: end must be >= 1, got {end}")
+    if not index.meta.get("positions"):
+        raise ValueError(
+            "this index was built without the positions sidecar — rebuild "
+            "with build_index(positions=True) to run span queries"
+        )
+    pos = positions_for_terms(spark, index, [term])
+    hit = F.exists("positions", lambda p: p < F.lit(end))
+    return pos.filter(hit).select("doc_id")
+
+
+def local_span_first_ids(index: Index, term: str, end: int) -> np.ndarray:
+    """Serving twin: sorted int64 doc ids with ``term`` before position
+    ``end`` — positions arrays are per-doc ascending, so element 0 decides."""
+    if end < 1:
+        raise ValueError(f"local_span_first_ids: end must be >= 1, got {end}")
+    if not index.meta.get("positions"):
+        raise ValueError(
+            "this index was built without the positions sidecar — rebuild "
+            "with build_index(positions=True) to run span queries"
+        )
+    import pyarrow.dataset as ds_mod
+
+    dset = ds_mod.dataset(index.paths.positions, partitioning="hive")
+    b = term_bucket_py(term, index.n_buckets)
+    tbl = dset.to_table(
+        columns=["doc_id", "positions"],
+        filter=(ds_mod.field("term_bucket") == b)
+        & (ds_mod.field("term") == term),
+    )
+    if tbl.num_rows == 0:
+        return np.empty(0, dtype=np.int64)
+    flat = tbl["positions"].combine_chunks()
+    offs = flat.offsets.to_numpy(zero_copy_only=False)
+    vals = flat.values.to_numpy(zero_copy_only=False)
+    if vals.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+    nonempty = offs[1:] > offs[:-1]
+    first = np.where(
+        nonempty, vals[np.minimum(offs[:-1], vals.size - 1)], end
+    )
+    return np.unique(ids[nonempty & (first < end)])

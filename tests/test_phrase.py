@@ -538,3 +538,39 @@ def test_engine_search_near_unordered(spark, index, doc_tokens):
     assert [(r.doc_id, round(r.score, 6)) for r in rows] == [
         (r.doc_id, round(r.score, 6)) for r in rows2
     ]
+
+
+# ---------------------------------------------------------------------------
+# span_first
+# ---------------------------------------------------------------------------
+
+def brute_span_first_ids(doc_tokens: dict, term: str, end: int) -> list[int]:
+    return sorted(
+        d for d, toks in doc_tokens.items()
+        if any(x == term for x in toks[:end])
+    )
+
+
+@pytest.mark.parametrize("term,end", [("merge", 3), ("postings", 1), ("merge", 50)])
+def test_span_first_both_tiers(spark, index, doc_tokens, term, end):
+    got_spark = sorted(
+        r.doc_id
+        for r in ph.span_first_candidates(spark, index, term, end).collect()
+    )
+    got_local = ph.local_span_first_ids(index, term, end).tolist()
+    want = brute_span_first_ids(doc_tokens, term, end)
+    assert got_spark == want and got_local == want
+
+
+def test_span_first_engine_rank_identity(spark, index):
+    a = SearchEngine(spark, index, serving=True).search_span_first(
+        "merge", 5, SearchOptions(k=30)
+    ).collect()
+    b = SearchEngine(spark, index, serving=False).search_span_first(
+        "merge", 5, SearchOptions(k=30)
+    ).collect()
+    assert [(r.doc_id, round(r.score, 6)) for r in a] == [
+        (r.doc_id, round(r.score, 6)) for r in b
+    ]
+    with pytest.raises(ValueError):
+        ph.local_span_first_ids(index, "merge", 0)
