@@ -482,6 +482,13 @@ def _tombstones_local(seg_path: str) -> np.ndarray:
     return np.sort(t["doc_id"].to_numpy().astype(np.int64))
 
 
+class _InvStr(str):
+    """Inverted string ordering for descending field-sort merges."""
+
+    def __lt__(self, other):  # noqa: D105
+        return str.__gt__(self, other)
+
+
 class MultiExecutor:
     """Serving executor over a multi-generation index: one (lazy)
     LocalExecutor per generation, each masking the union of all NEWER
@@ -567,6 +574,29 @@ class MultiExecutor:
             ],
             options,
         )
+
+    def search_sorted_rows(
+        self, groups, msm: int, options, by: str = "path",
+        ascending: bool = True, after: tuple | None = None,
+    ) -> list[tuple]:
+        """Field sort across generations: every generation returns its own
+        keyset-filtered top-k page (live docs only — tombstones are masked
+        at decode), and the disjoint pages merge by (value, doc_id) with
+        one final k-cut."""
+        col_idx = {"doc_id": 0, "repo": 1, "path": 2, "lang": 3}[by]
+        merged: list[tuple] = []
+        for s in self.subs:
+            merged += s.search_sorted_rows(
+                groups, msm, options, by=by, ascending=ascending,
+                after=after,
+            )
+        merged.sort(
+            key=lambda r: (r[col_idx], r[0])
+            if ascending
+            else (_InvStr(r[col_idx]) if isinstance(r[col_idx], str)
+                  else -r[col_idx], r[0])
+        )
+        return merged[: int(getattr(options, "k", 10))]
 
     def expand_prefix(self, prefix: str) -> list[str]:
         from gazetteer_search_spark.search.fastpath import MAX_PREFIX_EXPANSIONS

@@ -1970,6 +1970,18 @@ class SearchEngine:
                 f"search_sorted: by must be one of {self._SORT_FIELDS}, "
                 f"got {by!r}"
             )
+        if self._local is not None:
+            # serving path: doc-values sort over the cached docs arrays —
+            # zero Spark jobs; identical rows to the match_set formulation
+            rows = self._local.search_sorted_rows(
+                groups, msm, options, by=by, ascending=ascending,
+                after=after,
+            )
+            if self.spark is None:
+                return rows
+            return self.spark.createDataFrame(
+                rows, "doc_id long, repo string, path string, lang string"
+            )
         m = self.match_set(groups, msm, options)
         col = F.col(by)
         if after is not None:

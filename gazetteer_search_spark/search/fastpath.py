@@ -953,6 +953,48 @@ class LocalExecutor:
         sort, no hydration."""
         return int(self._match_positions(groups, msm, options).size)
 
+    SORT_FIELDS = ("repo", "path", "lang", "doc_id")
+
+    def search_sorted_rows(
+        self, groups, msm: int, options, by: str = "path",
+        ascending: bool = True, after: tuple | None = None,
+    ) -> list[tuple]:
+        """Serving-tier field sort + keyset paging (the Lucene doc-values
+        sort): the match set's sort-field values come straight from the
+        cached docs arrays (_load_docs — loaded once, the doc-values
+        analog), the keyset predicate is one vector comparison, and only
+        k rows hydrate. Rows: (doc_id, repo, path, lang) — identical to
+        the Spark match_set formulation (pinned by test)."""
+        if by not in self.SORT_FIELDS:
+            raise ValueError(
+                f"search_sorted_rows: by must be one of "
+                f"{self.SORT_FIELDS}, got {by!r}"
+            )
+        docs = self._load_docs()
+        pos = self._match_positions(groups, msm, options)
+        ids = docs["ids"][pos]
+        vals = ids if by == "doc_id" else docs[by][pos]
+        if after is not None:
+            av, aid = after
+            if ascending:
+                keep = (vals > av) | ((vals == av) & (ids > int(aid)))
+            else:
+                keep = (vals < av) | ((vals == av) & (ids > int(aid)))
+            ids, vals = ids[keep], vals[keep]
+        frame = pd.DataFrame({"v": vals, "i": ids}).sort_values(
+            ["v", "i"], ascending=[ascending, True], kind="mergesort"
+        ).head(int(getattr(options, "k", 10)))
+        sel = np.searchsorted(docs["ids"], frame["i"].to_numpy())
+        return [
+            (
+                int(i),
+                docs["repo"][s],
+                docs["path"][s],
+                docs["lang"][s],
+            )
+            for i, s in zip(frame["i"].to_numpy(), sel)
+        ]
+
     def facet_rows(
         self, groups, msm: int, options, keys=("lang",), size: int = 10,
         min_doc_count: int = 1,

@@ -783,20 +783,13 @@ def _make_handler(
             """Sort-by-field route (ES sort:[{field}] + search_after
             analog): GET /sorted?q=...&by=path&order=asc&size=K
             [&after_value=V&after_id=N] — the match set ordered by a doc
-            field with keyset paging (engine.search_sorted). A batch/
-            export shape: needs the Spark formulation (the serving tier's
-            point-lookup metadata cache cannot hydrate a full match set)."""
+            field with keyset paging. Serving engines answer from the
+            cached doc-values arrays (zero Spark jobs); the Spark
+            formulation is the TakeOrdered over match_set."""
             qs = parse_qs(u.query)
             q = (qs.get("q") or [""])[0]
             if not q:
                 self._send(400, {"error": "missing q"})
-                return
-            if getattr(engine, "spark", None) is None:
-                self._send(
-                    400,
-                    {"error": "/sorted needs a Spark-backed engine "
-                              "(field sort hydrates the full match set)"},
-                )
                 return
             try:
                 by = (qs.get("by") or ["path"])[0]
@@ -816,11 +809,13 @@ def _make_handler(
                     for i, t in enumerate(dict.fromkeys(terms))
                 ]
                 with lock:
-                    rows = engine.search_sorted(
+                    res = engine.search_sorted(
                         groups, len(groups),
                         replace(default_opts, k=size),
                         by=by, ascending=order != "desc", after=after,
-                    ).collect()
+                    )
+                    # serving engines without Spark return plain rows
+                    rows = res if isinstance(res, list) else res.collect()
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return
@@ -830,8 +825,8 @@ def _make_handler(
                     "query": q, "by": by, "order": order,
                     "hits": [
                         {
-                            "doc_id": int(r.doc_id), "repo": r.repo,
-                            "path": r.path, "lang": r.lang,
+                            "doc_id": int(r[0]), "repo": r[1],
+                            "path": r[2], "lang": r[3],
                         }
                         for r in rows
                     ],

@@ -404,3 +404,43 @@ def test_index_backed_hard_negatives_match_operator(spark, tmp_path_factory):
         for r in negatives.mine_hard_negatives(docs, [0, 1, 2], k=4).collect()
     ]
     assert a == b and len(a) > 0
+
+
+def test_search_sorted_serving_identical_to_spark(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.index import builder
+    from gazetteer_search_spark.search.engine import (
+        SearchEngine, SearchOptions, TermGroup,
+    )
+
+    corpus = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("org/r").alias("repo"),
+        F.format_string("src/p%d/f.py", F.col("id") % 4).alias("path"),
+        F.lit("c").alias("commit"),
+        F.when(F.col("id") % 2 == 0, "python").otherwise("java").alias("lang"),
+        F.lit("alpha beta").alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_dvsort"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4)
+    g = [TermGroup(group_id=0, terms=("alpha",), required=True)]
+    for by, asc in (("path", True), ("path", False), ("lang", True),
+                    ("doc_id", False)):
+        a = SearchEngine(spark, idx, serving=True).search_sorted(
+            g, 1, SearchOptions(k=15), by=by, ascending=asc
+        ).collect()
+        b = SearchEngine(spark, idx, serving=False).search_sorted(
+            g, 1, SearchOptions(k=15), by=by, ascending=asc
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], (by, asc)
+    # keyset continuity on the serving path
+    e = SearchEngine(spark, idx, serving=True)
+    p1 = e.search_sorted(g, 1, SearchOptions(k=20), by="path").collect()
+    last = p1[-1]
+    p2 = e.search_sorted(
+        g, 1, SearchOptions(k=20), by="path",
+        after=(last.path, last.doc_id),
+    ).collect()
+    ids = [r.doc_id for r in p1 + p2]
+    assert len(ids) == len(set(ids)) == 40
