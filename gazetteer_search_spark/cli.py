@@ -439,10 +439,20 @@ def cmd_rollup(args: argparse.Namespace) -> None:
 def cmd_rollup_query(args: argparse.Namespace) -> None:
     """Answer a coarser aggregation FROM a persisted rollup (never the raw
     table); prints one JSON row per bucket."""
+    import os as _os
+
     from gazetteer_search_spark.operators import rollup
 
     spark = _spark("gss-rollup-query")
-    r = spark.read.parquet(args.rollup).drop("bucket_date")
+    if _os.path.isdir(_os.path.join(args.rollup, "batches")):
+        # streamed rollup: consolidate the per-batch partials first
+        from gazetteer_search_spark.streaming.rollup_stream import read_rollup
+
+        r = read_rollup(
+            spark, args.rollup, args.dims or [], args.metrics or []
+        )
+    else:
+        r = spark.read.parquet(args.rollup).drop("bucket_date")
     rows = rollup.rollup_query(
         r, args.interval, args.dims or [], args.metrics or [],
         rollup_interval=args.rollup_interval,

@@ -1,25 +1,26 @@
 """Streaming rollup maintenance — continuous downsampling of an event
-stream into the persisted rollup of operators/rollup.py.
+stream into persisted rollup partials (operators/rollup.py's algebra).
 
 The 100-TB shape: raw events land continuously; every micro-batch folds
-into the hourly partials so coarse dashboards never scan raw data. The
-partials are DECOMPOSABLE (count/sum/min/max), so maintenance is pure
-merge arithmetic per touched bucket:
+into hourly partials so coarse dashboards never scan raw data. Crash
+safety drives the layout — the same LSM discipline the index's segment
+generations use:
 
-1. ``foreachBatch``: aggregate THIS micro-batch to (bucket, dims)
-   partials — a batch hash agg over only the new rows.
-2. Read the existing rollup rows for the touched ``bucket_date``
-   partitions ONLY (partition pruning on the hive layout), combine with
-   the batch partials (sum counts/sums, min mins, max maxes), and
-   dynamic-partition-overwrite just those partitions — untouched history
-   is never rewritten.
-3. The checkpoint makes file pickup exactly-once: a restart re-processes
-   no committed batch, so partials never double-count (asserted by the
-   restart test).
-
-``Trigger.AvailableNow`` drains everything currently unprocessed then
-stops — the incremental-batch operational mode; a continuous trigger is
-the same code with a different trigger argument.
+- Each micro-batch writes ITS OWN partials under
+  ``batches/batch_id=N/`` with mode=overwrite. A replayed batch (crash
+  before the checkpoint commit) simply overwrites its own directory —
+  byte-idempotent, no read-modify-write of shared state, so a crash at
+  ANY point double-counts nothing. (The earlier design merged into
+  shared bucket partitions per batch; a crash between the partition
+  overwrite and the checkpoint commit would re-merge an already-merged
+  batch — the classic non-idempotent-merge hazard. Append-only batch
+  partials eliminate it.)
+- Partials are DECOMPOSABLE (count/sum/min/max), so the consolidated
+  view is one re-aggregation over the batch partials (``read_rollup``)
+  — exact by algebra; ``compact_rollup`` rewrites many batch dirs into
+  one when the batch count grows (the LSM compaction step).
+- ``Trigger.AvailableNow`` drains everything unprocessed then stops;
+  the checkpoint makes file pickup exactly-once across restarts.
 """
 
 from __future__ import annotations
@@ -31,20 +32,14 @@ from pyspark.sql import functions as F
 
 from gazetteer_search_spark.streaming.events import read_events_stream
 
+_BATCHES = "batches"
 
-def _batch_partials(
-    batch: DataFrame, ts_col: str, dims: list[str], metric_cols: list[str],
-    interval: str,
+
+def _agg_partials(
+    df: DataFrame, dims: list[str], metric_cols: list[str]
 ) -> DataFrame:
-    from gazetteer_search_spark.operators.rollup import build_rollup
-
-    return build_rollup(batch, ts_col, dims, metric_cols, interval)
-
-
-def _merge_partials(
-    old: DataFrame, new: DataFrame, dims: list[str], metric_cols: list[str]
-) -> DataFrame:
-    keys = ["bucket", *dims]
+    """Re-aggregate partial rows sharing (bucket, dims) — the decomposable
+    combine: sum of counts/sums, min of mins, max of maxes."""
     aggs = [F.sum("doc_count").alias("doc_count")]
     for m in metric_cols:
         aggs += [
@@ -52,7 +47,45 @@ def _merge_partials(
             F.min(f"{m}_min").alias(f"{m}_min"),
             F.max(f"{m}_max").alias(f"{m}_max"),
         ]
-    return old.unionByName(new).groupBy(*keys).agg(*aggs)
+    return df.groupBy("bucket", *[F.col(d) for d in dims]).agg(*aggs)
+
+
+def read_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    dims: list[str],
+    metric_cols: list[str],
+) -> DataFrame:
+    """Consolidated rollup view over every batch's partials — feed this to
+    operators.rollup.rollup_query for coarser re-aggregation."""
+    path = os.path.join(rollup_dir, _BATCHES)
+    raw = spark.read.parquet(path).drop("batch_id")
+    return _agg_partials(raw, dims, metric_cols)
+
+
+def compact_rollup(
+    spark: SparkSession,
+    rollup_dir: str,
+    dims: list[str],
+    metric_cols: list[str],
+) -> int:
+    """Rewrite all batch partials into one consolidated batch dir (the
+    LSM compaction): write to a fresh temp batch id, then drop the old
+    dirs. Returns the consolidated row count."""
+    import shutil
+
+    path = os.path.join(rollup_dir, _BATCHES)
+    old = [
+        d for d in os.listdir(path) if d.startswith("batch_id=")
+    ]
+    merged = read_rollup(spark, rollup_dir, dims, metric_cols)
+    tmp = os.path.join(rollup_dir, "_compact_tmp")
+    merged.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    for d in old:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    os.rename(tmp, os.path.join(path, "batch_id=compacted"))
+    return n
 
 
 def stream_rollup(
@@ -65,46 +98,26 @@ def stream_rollup(
     interval: str = "hour",
     ts_col: str = "ts",
 ) -> dict:
-    """Drain every unprocessed event file into the rollup
-    (Trigger.AvailableNow), merging partials per touched bucket-date
-    partition. Returns {"batches": N, "rollup_rows": M}."""
+    """Drain every unprocessed event file into per-batch rollup partials
+    (Trigger.AvailableNow). Returns {"batches": N, "rollup_rows": M} with
+    M the CONSOLIDATED bucket count."""
+    from gazetteer_search_spark.operators.rollup import build_rollup
+
     state = {"batches": 0}
 
     def _fold(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
-        newp = _batch_partials(
+        partials = build_rollup(
             batch, ts_col, dims, metric_cols, interval
-        ).withColumn("bucket_date", F.to_date("bucket"))
-        newp = newp.persist()
-        touched = [
-            r.bucket_date for r in
-            newp.select("bucket_date").distinct().collect()
-        ]
-        sp = batch.sparkSession
-        if os.path.exists(os.path.join(rollup_dir, "_started")):
-            old = (
-                sp.read.parquet(rollup_dir)
-                .filter(F.col("bucket_date").isin(touched))
-                .drop("bucket_date")
+        )
+        (
+            partials.write.mode("overwrite").parquet(
+                os.path.join(
+                    rollup_dir, _BATCHES, f"batch_id={int(batch_id)}"
+                )
             )
-            merged = _merge_partials(
-                old, newp.drop("bucket_date"), dims, metric_cols
-            ).withColumn("bucket_date", F.to_date("bucket"))
-        else:
-            merged = newp
-        prev = sp.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                merged.write.mode("overwrite")
-                .partitionBy("bucket_date")
-                .parquet(rollup_dir)
-            )
-        finally:
-            sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        open(os.path.join(rollup_dir, "_started"), "w").close()
-        newp.unpersist()
+        )
         state["batches"] += 1
 
     q = (
@@ -115,9 +128,10 @@ def stream_rollup(
         .start()
     )
     q.awaitTermination()
+    bdir = os.path.join(rollup_dir, _BATCHES)
     n = (
-        spark.read.parquet(rollup_dir).count()
-        if os.path.exists(os.path.join(rollup_dir, "_started"))
+        read_rollup(spark, rollup_dir, dims, metric_cols).count()
+        if os.path.exists(bdir)
         else 0
     )
     return {"batches": state["batches"], "rollup_rows": n}

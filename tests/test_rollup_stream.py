@@ -1,6 +1,7 @@
 """Streaming rollup maintenance: incremental availableNow drains must equal
-the batch rollup of the full table, including across a checkpoint restart
-(exactly-once — no double-counted partials)."""
+the batch rollup of the full table across checkpoint restarts (exactly-once
+— byte-idempotent per-batch partials, no shared-state merge), and
+compaction preserves the consolidated view."""
 
 from __future__ import annotations
 
@@ -11,13 +12,17 @@ import pytest
 from pyspark.sql import functions as F
 
 from gazetteer_search_spark.operators import rollup
-from gazetteer_search_spark.streaming.rollup_stream import stream_rollup
+from gazetteer_search_spark.streaming.rollup_stream import (
+    compact_rollup,
+    read_rollup,
+    stream_rollup,
+)
 
 
-def _events(spark, rows):
+def _events(spark, rows, id0=0):
     return spark.createDataFrame(
         [
-            (i, ts, i % 3, et, v, "{}")
+            (id0 + i, ts, i % 3, et, v, "{}")
             for i, (ts, et, v) in enumerate(rows)
         ],
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -45,9 +50,15 @@ def _normalize(df):
     )
 
 
+def _want(spark):
+    return rollup.build_rollup(
+        _events(spark, ROWS1 + ROWS2), "ts", ["event_type"], ["value"],
+        interval="hour",
+    )
+
+
 def test_stream_rollup_matches_batch(spark, tmp_path):
     events_dir = str(tmp_path / "ev")
-    os.makedirs(events_dir)
     rdir = str(tmp_path / "rollup")
     ck = str(tmp_path / "ck")
 
@@ -57,21 +68,16 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     )
     assert r1["batches"] == 1 and r1["rollup_rows"] == 2  # (10h a), (11h b)
 
-    # second drain with a restart: only new files process (exactly-once),
-    # the 10h bucket MERGES rather than duplicates
-    _events(spark, ROWS2).write.mode("append").parquet(events_dir)
+    # second drain with a restart: only new files process (exactly-once);
+    # the 10h bucket's partials CONSOLIDATE across batch dirs
+    _events(spark, ROWS2, id0=100).write.mode("append").parquet(events_dir)
     r2 = stream_rollup(
         spark, events_dir, rdir, ck, ["event_type"], ["value"]
     )
     assert r2["batches"] == 1
 
-    got = spark.read.parquet(rdir).drop("bucket_date")
-    want = rollup.build_rollup(
-        _events(spark, ROWS1 + ROWS2), "ts", ["event_type"], ["value"],
-        interval="hour",
-    )
-    assert _normalize(got) == _normalize(want)
-    # the merged 10h 'a' bucket holds all three events
+    got = read_rollup(spark, rdir, ["event_type"], ["value"])
+    assert _normalize(got) == _normalize(_want(spark))
     row = {
         (r.bucket, r.event_type): r for r in got.collect()
     }[(dt.datetime(2024, 1, 1, 10, 0), "a")]
@@ -83,7 +89,18 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
         spark, events_dir, rdir, ck, ["event_type"], ["value"]
     )
     assert r3["batches"] == 0
-    assert _normalize(spark.read.parquet(rdir).drop("bucket_date")) == _normalize(want)
+    assert _normalize(
+        read_rollup(spark, rdir, ["event_type"], ["value"])
+    ) == _normalize(_want(spark))
+
+    # compaction rewrites many batch dirs into one, same consolidated view
+    n = compact_rollup(spark, rdir, ["event_type"], ["value"])
+    assert n == 3
+    bdirs = os.listdir(os.path.join(rdir, "batches"))
+    assert bdirs == ["batch_id=compacted"]
+    assert _normalize(
+        read_rollup(spark, rdir, ["event_type"], ["value"])
+    ) == _normalize(_want(spark))
 
 
 def test_stream_rollup_feeds_rollup_query(spark, tmp_path):
@@ -95,7 +112,7 @@ def test_stream_rollup_feeds_rollup_query(spark, tmp_path):
         ["event_type"], ["value"],
     )
     daily = rollup.rollup_query(
-        spark.read.parquet(rdir).drop("bucket_date"),
+        read_rollup(spark, rdir, ["event_type"], ["value"]),
         "day", ["event_type"], ["value"],
     ).collect()
     by = {(r.bucket, r.event_type): r for r in daily}
