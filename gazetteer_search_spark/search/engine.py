@@ -2075,12 +2075,12 @@ class SearchEngine:
                 f"mine_hard_negatives: docs without stored content "
                 f"{missing} — build the index with store_content=True"
             )
+        import hashlib as _hl
+
         qterm_rows = []
         qsha = {}
         for qid in query_ids:
             text = content[int(qid)]
-            import hashlib as _hl
-
             qsha[int(qid)] = _hl.sha256(text.encode()).hexdigest()
             for t in dict.fromkeys(tokenize_text(text)):
                 qterm_rows.append((int(qid), t))

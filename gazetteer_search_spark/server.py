@@ -797,6 +797,8 @@ def _make_handler(
                 size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
                 av = (qs.get("after_value") or [None])[0]
                 aid = (qs.get("after_id") or [None])[0]
+                if av is not None and by == "doc_id":
+                    av = int(av)  # numeric keyset cursor for the id sort
                 after = (av, int(aid)) if av is not None and aid else None
                 from gazetteer_search_spark.analyzer.tokenizer import (
                     tokenize_text,
