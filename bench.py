@@ -191,6 +191,23 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
             _ph_words, 4, SearchOptions(k=20)
         ),
     )
+    # span_first (term within the first N positions) + doc-values field
+    # sort (match set ordered by path from the cached docs arrays)
+    from gazetteer_search_spark.search import phrase as _phmod
+
+    bench_rows(
+        "q_span_first_serve",
+        lambda: eng._local.search_allowed(
+            [g(0, [_ph_words[0]])], 1, SearchOptions(k=20),
+            _phmod.local_span_first_ids(eng.index, _ph_words[0], 5),
+        ),
+    )
+    bench_rows(
+        "q_sorted_serve",
+        lambda: eng._local.search_sorted_rows(
+            [g(0, [_ph_words[0]])], 1, SearchOptions(k=20), by="path"
+        ),
+    )
     # ---- round-5 query-surface ops (serving latencies, warm best-of-3) ------
     # the ES-analog surface widened this round: suggest / must_not / regexp /
     # facets / exact count / explain / more-like-this / snippets — each line
