@@ -2265,6 +2265,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return evaluation_ir.retrieval_metrics(run, qrels, k=5)
 
+    def cross_source_dedup_q(spark, sf):
+        # cross-source exact dedup with provenance priority (Pile/Dolma
+        # rule): same text in several sources -> keep the copy from the
+        # preferred source (src0 > src1 > everything else); md5_60 text
+        # keys so the oracle recomputes identical hashes
+        from gazetteer_search_spark.operators import dedup
+
+        return dedup.cross_source_dedup(
+            _docs(spark, sf), priority={"src0": 0, "src1": 1},
+            hash_fn="md5_60",
+        )
+
     def rollup_daily_q(spark, sf):
         # ES rollup-job analog (operators/rollup.py): hourly rollup of
         # events (dims=event_type, metric=value) re-aggregated to DAILY
@@ -2441,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         curriculum_order=curriculum_order_q,
         hard_negatives=hard_negatives_q,
         ir_metrics=ir_metrics_q,
+        cross_source_dedup=cross_source_dedup_q,
         lm_surprisal=lm_surprisal_q,
         pipeline_aggs=pipeline_aggs_q,
         near_unordered=near_unordered,
@@ -3942,6 +3955,25 @@ r AS (
 )
 SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
 ORDER BY query_id, rank
+"""
+
+    o["cross_source_dedup"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, h,
+         CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+              ELSE 1000002 END AS prio
+  FROM d
+)
+SELECT doc_id, source,
+       (row_number() OVER (
+          PARTITION BY h ORDER BY prio ASC, source ASC, doc_id ASC
+        ) = 1) AS is_kept
+FROM r
 """
 
     # IR metrics over the mined run: the hard_negatives CTE chain feeds a

@@ -471,3 +471,55 @@ def span_dup_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+def cross_source_dedup(
+    df: DataFrame,
+    source_col: str = "source",
+    priority: dict[str, int] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-source exact dedup with provenance priority (the Pile/Dolma
+    curation rule: when the same text appears in several sources, keep the
+    copy from the PREFERRED source, drop the rest — plain exact_dedup
+    would keep an arbitrary copy and skew the source mixture).
+
+    ``priority``: source -> rank (lower wins); unlisted sources rank
+    after every listed one, alphabetically. Output: the input's
+    (doc_id, source) plus ``is_kept`` — one kept row per distinct text,
+    chosen by (priority, source, doc_id); callers filter ``is_kept`` or
+    aggregate per-source retention.
+
+    Scale shape: text hashes to int64 BEFORE the shuffle (hash_fn —
+    md5_60 for the oracle family), ONE window over (hash) ordered by the
+    priority tuple; no self-join."""
+    from pyspark.sql.window import Window
+
+    pr = priority or {}
+    rank_col = F.coalesce(
+        *(
+            [
+                F.when(F.col(source_col) == F.lit(s), F.lit(int(r)))
+                for s, r in sorted(pr.items())
+            ]
+            + [F.lit(len(pr) + 1_000_000)]
+        )
+    ) if pr else F.lit(0)
+    h = hash64_col(hash_fn, F.col(text_col))
+    w = Window.partitionBy("_h").orderBy(
+        F.col("_rank").asc(), F.col(source_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            h.alias("_h"),
+            rank_col.alias("_rank"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id", "source", (F.col("_rn") == 1).alias("is_kept")
+        )
+    )

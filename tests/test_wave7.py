@@ -444,3 +444,25 @@ def test_search_sorted_serving_identical_to_spark(spark, tmp_path_factory):
     ).collect()
     ids = [r.doc_id for r in p1 + p2]
     assert len(ids) == len(set(ids)) == 40
+
+
+def test_cross_source_dedup_priority(spark):
+    from gazetteer_search_spark.operators import dedup
+
+    rows = [
+        (1, "web", "same text"),
+        (2, "books", "same text"),     # books outranks web below
+        (3, "forums", "same text"),    # unlisted -> loses to both
+        (4, "web", "unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r.is_kept for r in
+           dedup.cross_source_dedup(
+               df, priority={"books": 0, "web": 1}
+           ).collect()}
+    assert out[2] and not out[1] and not out[3]
+    assert out[4]
+    # no priority map: alphabetical source then doc_id decides
+    out2 = {r.doc_id: r.is_kept for r in
+            dedup.cross_source_dedup(df).collect()}
+    assert out2[2] and not out2[1] and not out2[3]  # 'books' < 'forums' < 'web'
