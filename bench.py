@@ -628,6 +628,13 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.scaling:
+        # the ladder's measurement scale: a 100k-doc build post-FOR-codec
+        # is dominated by the ~6 s serial floor (Amdahl — see
+        # BENCH/BASELINE.md round-5 notes) and under-reads efficiency by
+        # ~0.2; default the ladder to the r4 measurement scale unless the
+        # caller explicitly chose a size
+        if args.build_docs == BUILD_DOCS and "SPARK_GRAFT_BUILD_DOCS" not in os.environ:
+            args.build_docs = 1_600_000
         results = {}
         cores = [int(c) for c in args.scaling_cores.split(",")]
         for c in cores:
