@@ -97,10 +97,16 @@ def stream_rollup(
     metric_cols: list[str],
     interval: str = "hour",
     ts_col: str = "ts",
+    compact_threshold: int | None = 16,
 ) -> dict:
     """Drain every unprocessed event file into per-batch rollup partials
-    (Trigger.AvailableNow). Returns {"batches": N, "rollup_rows": M} with
-    M the CONSOLIDATED bucket count."""
+    (Trigger.AvailableNow). Returns {"batches": N, "rollup_rows": M,
+    "compacted": bool} with M the CONSOLIDATED bucket count.
+
+    ``compact_threshold``: when the drain leaves more than this many
+    batch dirs, run ``compact_rollup`` afterwards (the LSM compaction
+    policy — read amplification stays bounded no matter how many
+    micro-batches have landed). None disables."""
     from gazetteer_search_spark.operators.rollup import build_rollup
 
     state = {"batches": 0}
@@ -129,9 +135,22 @@ def stream_rollup(
     )
     q.awaitTermination()
     bdir = os.path.join(rollup_dir, _BATCHES)
+    compacted = False
+    if (
+        compact_threshold is not None
+        and os.path.exists(bdir)
+        and sum(1 for d in os.listdir(bdir) if d.startswith("batch_id="))
+        > compact_threshold
+    ):
+        compact_rollup(spark, rollup_dir, dims, metric_cols)
+        compacted = True
     n = (
         read_rollup(spark, rollup_dir, dims, metric_cols).count()
         if os.path.exists(bdir)
         else 0
     )
-    return {"batches": state["batches"], "rollup_rows": n}
+    return {
+        "batches": state["batches"],
+        "rollup_rows": n,
+        "compacted": compacted,
+    }

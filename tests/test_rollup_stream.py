@@ -118,3 +118,32 @@ def test_stream_rollup_feeds_rollup_query(spark, tmp_path):
     by = {(r.bucket, r.event_type): r for r in daily}
     a = by[(dt.datetime(2024, 1, 1), "a")]
     assert a.doc_count == 3 and a.value_sum == 13.0 and a.value_avg == pytest.approx(13.0 / 3, abs=1e-6)
+
+
+def test_stream_rollup_auto_compaction(spark, tmp_path):
+    """Crossing the batch-dir threshold triggers the LSM compaction after
+    the drain; the consolidated view is unchanged."""
+    events_dir = str(tmp_path / "ev3")
+    rdir = str(tmp_path / "r3")
+    ck = str(tmp_path / "ck3")
+    for i, (ts, et, v) in enumerate(ROWS1):
+        _events(spark, [(ts, et, v)], id0=i * 10).write.mode(
+            "append"
+        ).parquet(events_dir)
+        r = stream_rollup(
+            spark, events_dir, rdir, ck, ["event_type"], ["value"],
+            compact_threshold=1,
+        )
+    assert r["compacted"] is True
+    bdirs = [
+        d for d in os.listdir(os.path.join(rdir, "batches"))
+        if d.startswith("batch_id=")
+    ]
+    assert bdirs == ["batch_id=compacted"]
+    want = rollup.build_rollup(
+        _events(spark, ROWS1), "ts", ["event_type"], ["value"],
+        interval="hour",
+    )
+    assert _normalize(
+        read_rollup(spark, rdir, ["event_type"], ["value"])
+    ) == _normalize(want)

@@ -1057,3 +1057,18 @@ def test_http_rank_eval_route(eng):
         assert env["n_queries"] == 2 and env["mrr"] == 0.5
     finally:
         srv.shutdown()
+
+
+def test_phrase_suggest_edges(eng):
+    """Edge semantics: empty query -> no suggestions; all-in-vocab query
+    -> identity excluded (no rewrites); collate prunes zero-df rewrites."""
+    assert eng.phrase_suggest("") == []
+    # every token in vocabulary -> the only candidate phrase is the
+    # identity, which is excluded
+    assert eng.phrase_suggest("alpha beta") == []
+    # an OOV with corrections yields rewrites; collate keeps only
+    # fully-in-vocab phrases
+    got = eng.phrase_suggest("alpa beta", k=5)
+    assert got and all("alpa" not in p for p, _ in got)
+    collated = eng.phrase_suggest("alpa beta", k=5, collate=True)
+    assert set(p for p, _ in collated) <= set(p for p, _ in got)
