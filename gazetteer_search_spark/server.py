@@ -991,6 +991,49 @@ def _make_handler(
             except Exception as e:
                 self._send(400, {"error": str(e)})
 
+        def _do_dsl(self) -> None:
+            """ES query-DSL route: POST the reference's own ES query JSON
+            — ``{"dsl": {...}, "field_map": {...}, "strict": false}`` or
+            the bare DSL body itself — translated onto the engine's group
+            algebra (search/dsl.py) and executed. The response carries
+            the hits plus the translation's ``notes`` (anything the
+            mapping dropped) so callers see exactly what ran."""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if "dsl" in body:
+                    dsl_body = body["dsl"]
+                    field_map = body.get("field_map") or {}
+                    strict = bool(body.get("strict", False))
+                else:
+                    dsl_body, field_map, strict = body, {}, False
+                from gazetteer_search_spark.search import dsl as _dsl
+
+                with lock:
+                    res, plan = _dsl.run_dsl(
+                        engine, dsl_body, field_map=field_map,
+                        strict=strict, options=default_opts,
+                    )
+                    rows = res if isinstance(res, list) else res.collect()
+                self._send(
+                    200,
+                    {
+                        "total": len(rows),
+                        "msm": plan.msm,
+                        "groups": len(plan.groups),
+                        "notes": plan.notes,
+                        "hits": [
+                            {
+                                "doc_id": int(r.doc_id),
+                                "score": round(float(r.score), 4),
+                            }
+                            for r in rows
+                        ],
+                    },
+                )
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
         def _do_rank_eval(self) -> None:
             """ES _rank_eval API analog: POST a body of rated queries —
             ``{"k": 5, "queries": [{"id": "q1", "q": "merge sort",
@@ -1108,6 +1151,10 @@ def _make_handler(
                 if self._authorized():
                     self._do_rank_eval()
                 return
+            if p == "/dsl":
+                if self._authorized():
+                    self._do_dsl()
+                return
             if p != "/sendq":
                 self._send(
                     404,
@@ -1115,6 +1162,7 @@ def _make_handler(
                         "error": "not found",
                         "routes": [
                             "/sendq", "/msearch", "/bulk", "/rank_eval",
+                            "/dsl",
                         ],
                     },
                 )

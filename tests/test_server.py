@@ -1072,3 +1072,36 @@ def test_phrase_suggest_edges(eng):
     assert got and all("alpa" not in p for p, _ in got)
     collated = eng.phrase_suggest("alpa beta", k=5, collate=True)
     assert set(p for p, _ in collated) <= set(p for p, _ in got)
+
+
+def test_http_dsl_route(eng):
+    """POST /dsl executes ES query-DSL JSON (the reference's own query
+    shape) and reports the translation notes."""
+    srv = make_server(eng, SearchOptions(k=5, prefix=False), port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        body = json.dumps({
+            "dsl": {
+                "query": {
+                    "bool": {
+                        "must": [{"match": {"full_text": "alpha"}}],
+                        "must_not": [{"match": {"full_text": "plain"}}],
+                    }
+                },
+                "size": 20,
+            },
+            "field_map": {"full_text": "content"},
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/dsl", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            env = json.loads(r.read())
+        assert env["groups"] == 1 and env["msm"] == 1
+        ids = [h["doc_id"] for h in env["hits"]]
+        assert ids and all(i < 10 for i in ids)  # 'plain' docs excluded
+    finally:
+        srv.shutdown()
