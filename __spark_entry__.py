@@ -1514,6 +1514,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             eng.search(f'"{w0} {w1[:4]}*"', SearchOptions(k=20))
         )
 
+    def dsl_bool(spark, sf):
+        # ES query-DSL passthrough (search/dsl.py — the reference's own
+        # query JSON shape): bool{must: match(operator=and), filter:
+        # term(lang)} translated onto the group algebra and executed; the
+        # oracle recomputes the exact resulting rung (two required
+        # groups, msm 2, lang filter)
+        from gazetteer_search_spark.search import dsl as _dsl
+
+        body = {
+            "query": {
+                "bool": {
+                    "must": [
+                        {
+                            "match": {
+                                "full_text": {
+                                    "query": "merge sort",
+                                    "operator": "and",
+                                }
+                            }
+                        }
+                    ],
+                    "filter": [{"term": {"lang": "en"}}],
+                }
+            },
+            "size": 20,
+        }
+        res, _plan = _dsl.run_dsl(
+            _engine(spark, sf), body,
+            field_map={"full_text": "content"},
+        )
+        return _topk_out(res)
+
     def span_first(spark, sf):
         # ES span_first analog: w0 must occur within the FIRST 3 token
         # positions (leading-identifier matching), BM25-ranked; the oracle
@@ -1585,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         phrase_quoted=phrase_quoted,
         phrase_prefix=phrase_prefix,
         span_first=span_first,
+        dsl_bool=dsl_bool,
         suggest_prefix=suggest_prefix,
         repo_filter=repo_filter,
         repo_path_filter=repo_path_filter,
@@ -3028,6 +3061,13 @@ ORDER BY doc_count DESC, value ASC LIMIT 10
     )
     o["lang_filter"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0)]), 1, lang="en"
+    )
+    # the DSL passthrough's translation is deterministic: operator=and ->
+    # one required group per token, filter term -> the lang option
+    o["dsl_bool"] = _search_sql(
+        _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]),
+        2,
+        lang="en",
     )
     # term-level must_not: drop docs containing the excluded term (no score
     # contribution — the surviving docs' scores equal the unexcluded run's)
