@@ -419,6 +419,34 @@ def cmd_pack(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_dsl(args: argparse.Namespace) -> None:
+    """Execute an ES query-DSL JSON file against an index (search/dsl.py
+    — the reference's own query shape); prints translation notes to
+    stderr and one JSON hit per line to stdout."""
+    import sys as _sys
+
+    from gazetteer_search_spark.index import builder as _b
+    from gazetteer_search_spark.search import dsl as _dsl
+    from gazetteer_search_spark.search.engine import SearchEngine
+
+    spark = _spark("gss-dsl")
+    with open(args.file) as f:
+        body = json.load(f)
+    fmap = dict(kv.split("=", 1) for kv in (args.field_map or []))
+    eng = SearchEngine(spark, _b.load_index(spark, args.index), serving=True)
+    res, plan = _dsl.run_dsl(
+        eng, body, field_map=fmap, strict=args.strict
+    )
+    rows = res if isinstance(res, list) else res.collect()
+    for n in plan.notes:
+        print(f"note: {n}", file=_sys.stderr)
+    for i, r in enumerate(rows, 1):
+        print(json.dumps({
+            "rank": i, "doc_id": int(r.doc_id),
+            "score": round(float(r.score), 4),
+        }))
+
+
 def cmd_rollup(args: argparse.Namespace) -> None:
     """Batch rollup build (ES rollup-job analog): aggregate raw events to
     decomposable partials at --interval grain, parquet partitioned by
@@ -1000,6 +1028,15 @@ def main(argv: list[str] | None = None) -> None:
                     default=0.0)
     sm.add_argument("--salt", type=int, default=0)
     sm.set_defaults(fn=cmd_sample)
+
+    dq = sub.add_parser("dsl", help="execute an ES query-DSL JSON file")
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--file", required=True, help="DSL JSON path")
+    dq.add_argument("--field-map", dest="field_map", nargs="*",
+                    help="reference_field=our_field pairs")
+    dq.add_argument("--strict", action="store_true",
+                    help="fail on any unmappable clause")
+    dq.set_defaults(fn=cmd_dsl)
 
     ru = sub.add_parser("rollup", help="batch rollup build (downsampling)")
     _src_args(ru, with_text=False)
