@@ -369,6 +369,29 @@ def cmd_dedup(args: argparse.Namespace) -> None:
         print(json.dumps({"out": args.out, "rows": out_df.count(),
                           "method": "exact"}))
         return
+    if args.method == "spanstats":
+        # cross-corpus duplicated-span mass per doc (MassiveText signal)
+        out_df = dedup.span_dup_stats(
+            d, text_col=args.text_col, id_col=args.id_col, n=args.ngram
+        )
+        out_df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": out_df.count(),
+                          "method": "spanstats", "n": args.ngram}))
+        return
+    if args.method == "crosssource":
+        # provenance-priority exact dedup: --priority src=rank pairs
+        pr = dict(
+            (kv.split("=", 1)[0], int(kv.split("=", 1)[1]))
+            for kv in (args.priority or [])
+        )
+        out_df = dedup.cross_source_dedup(
+            d, priority=pr, text_col=args.text_col, id_col=args.id_col
+        )
+        out_df.write.mode("overwrite").parquet(args.out)
+        kept = out_df.filter("is_kept").count()
+        print(json.dumps({"out": args.out, "kept": kept,
+                          "method": "crosssource"}))
+        return
     if args.method == "minhash":
         pairs = dedup.minhash_lsh_pairs(
             d, n=args.ngram, num_hashes=args.num_hashes, bands=args.bands,
@@ -994,7 +1017,10 @@ def main(argv: list[str] | None = None) -> None:
     dd = sub.add_parser("dedup", help="near-dup mining / corpus dedup")
     _src_args(dd)
     dd.add_argument("--method", default="minhash",
-                    choices=["exact", "minhash", "simhash", "jaccard"])
+                    choices=["exact", "minhash", "simhash", "jaccard",
+                             "spanstats", "crosssource"])
+    dd.add_argument("--priority", nargs="*",
+                    help="crosssource: source=rank pairs (lower wins)")
     dd.add_argument("--threshold", type=float, default=0.8)
     dd.add_argument("--ngram", type=int, default=3)
     dd.add_argument("--num-hashes", dest="num_hashes", type=int, default=32)
