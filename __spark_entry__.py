@@ -2080,6 +2080,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def repetition_stats_q(spark, sf):
         return textstats.repetition_stats(_docs(spark, sf))
 
+    def quality_classifier_q(spark, sf):
+        # CCNet/fastText-style TRAINED quality filter: hashed-BoW logistic
+        # regression, full-batch GD as Spark aggregations (weights broadcast
+        # per step, gradient one groupBy, <=D-row collect). md5_60 so the
+        # DuckDB oracle recomputes featurisation + ALL GD iterations +
+        # scoring as unrolled CTEs (the ann_ivf_trained trick); xxhash64
+        # stays the scale default. Weak labels = seed-term membership
+        # (CCNet's target-domain rule, no external data).
+        from gazetteer_search_spark.operators import classifier
+
+        d = _docs(spark, sf)
+        feats = classifier.featurize(d, n_features=1024, hash_fn="md5_60")
+        labels = d.select(
+            "doc_id", classifier.seed_label(F.col("text"), ["spark", "query"]).alias("y")
+        )
+        w = classifier.train_logreg(feats, labels, lr=2.0, iters=4, l2=1e-4)
+        return classifier.score(feats, w, threshold=0.5).orderBy("doc_id")
+
     def stratified_sample_q(spark, sf):
         # md5_60 hash family so the DuckDB oracle recomputes the exact
         # sample membership; the scale default stays xxhash64
@@ -2496,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decontaminate=decontaminate_q,
         pii_redact=pii_redact,
         repetition_stats=repetition_stats_q,
+        quality_classifier=quality_classifier_q,
         stratified_sample=stratified_sample_q,
         mixture_sample=mixture_sample_q,
         dup_clusters=dup_clusters_q,
@@ -3904,6 +3923,57 @@ bstat AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf FROM bgc GROUP BY 1)
 SELECT b.doc_id, b.n_words, b.dup_word_frac,
        round(coalesce(s.tbf, 0.0), 6) AS top_bigram_frac
 FROM base b LEFT JOIN bstat s USING (doc_id)
+"""
+
+    # trained quality classifier: the oracle recomputes the WHOLE training
+    # loop — hashed-BoW featurisation (md5_60 % 1024 feature hashing, tf/len
+    # values + bias), 4 unrolled full-batch GD iterations on L2-regularised
+    # logistic loss (zero init, lr=2.0, l2=1e-4, seed-term weak labels), and
+    # the final sigmoid scoring — entirely from the documents table (the
+    # unrolled-CTE trick that oracled ann_ivf_trained's Lloyd loop)
+    _clf_lr, _clf_l2, _clf_iters = 2.0, 1e-4, 4
+    _gd_ctes = []
+    for _i in range(1, _clf_iters + 1):
+        _pw = f"w{_i - 1}"
+        _gd_ctes.append(
+            f"""s{_i} AS (
+  SELECT f.doc_id, 1.0/(1.0 + exp(-(sum(f.val * w.wv)))) AS p
+  FROM feats f JOIN {_pw} w USING (feat) GROUP BY f.doc_id),
+g{_i} AS (
+  SELECT f.feat, sum((s.p - l.y) * f.val) / (SELECT n FROM nd) AS gv
+  FROM feats f JOIN s{_i} s USING (doc_id) JOIN labels l USING (doc_id)
+  GROUP BY f.feat),
+w{_i} AS (
+  SELECT w.feat, w.wv - {_clf_lr} * (coalesce(g.gv, 0.0) + {_clf_l2} * w.wv) AS wv
+  FROM {_pw} w LEFT JOIN g{_i} g USING (feat))"""
+        )
+    o["quality_classifier"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_w}) AS t FROM documents),
+dlen AS (SELECT doc_id, count(*)::DOUBLE AS n FROM tok GROUP BY doc_id),
+hf AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 1024 AS feat,
+         count(*)::DOUBLE AS tf
+  FROM tok GROUP BY doc_id, feat),
+feats AS (
+  SELECT hf.doc_id, hf.feat, hf.tf / dlen.n AS val
+  FROM hf JOIN dlen USING (doc_id)
+  UNION ALL
+  SELECT doc_id, -1 AS feat, 1.0 AS val FROM documents),
+labels AS (
+  SELECT doc_id,
+         CASE WHEN list_contains({_w}, 'spark')
+                OR list_contains({_w}, 'query')
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents),
+nd AS (SELECT count(*)::DOUBLE AS n FROM labels),
+w0 AS (SELECT DISTINCT feat, 0.0 AS wv FROM feats),
+{",".join(_gd_ctes)},
+sF AS (
+  SELECT f.doc_id, 1.0/(1.0 + exp(-(sum(f.val * w.wv)))) AS p
+  FROM feats f JOIN w{_clf_iters} w USING (feat) GROUP BY f.doc_id)
+SELECT doc_id, round(round(p, 9), 4) AS prob,
+       CASE WHEN round(round(p, 9), 4) >= 0.5 THEN 1 ELSE 0 END AS keep
+FROM sF ORDER BY doc_id
 """
 
     # deterministic stratified sampling under the md5_60 family: the oracle

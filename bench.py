@@ -581,6 +581,21 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     ).count()
     timings["hard_negatives5"] = time.perf_counter() - t
 
+    # trained quality classifier (round 5): hashed-BoW logistic regression,
+    # 4 full-batch GD steps as Spark aggs + the scoring pass — the CCNet/
+    # fastText quality-filter shape at the xxhash64 scale default
+    from gazetteer_search_spark.operators import classifier
+
+    t = time.perf_counter()
+    _cl_feats = classifier.featurize(docs, n_features=1024)
+    _cl_labels = docs.select(
+        "doc_id",
+        classifier.seed_label(F.col("text"), ["spark", "query"]).alias("y"),
+    )
+    _cl_w = classifier.train_logreg(_cl_feats, _cl_labels, lr=2.0, iters=4)
+    classifier.score(_cl_feats, _cl_w, threshold=0.5).count()
+    timings["quality_classifier"] = time.perf_counter() - t
+
     shutil.rmtree(out, ignore_errors=True)
     shutil.rmtree(qout, ignore_errors=True)
     spark.stop()

@@ -1,0 +1,198 @@
+"""Trained quality classifier: hashed bag-of-words logistic regression.
+
+The CCNet / fastText-style *trained* quality filter — the learned
+counterpart of the heuristic rules in :mod:`textstats` (CCNet trains a
+linear model against a target domain and keeps documents the model scores
+high; fastText's supervised mode is the same hashed-linear shape). The
+reference repo has no ML filtering (it delegates relevance entirely to
+ES/Lucene BM25 — ``/root/reference/src/main/java/me/osm/gazetteer/search/
+imp/addr/AddressesIndexer.java`` builds the index, ranking is query-time),
+so this operator family is part of the LLM-data-pipeline surface the brief
+asks for beyond reference parity.
+
+Design (Spark-first, 100-TB shape):
+
+- **Features**: the feature-hashing trick (Weinberger et al., ICML 2009)
+  over ``[a-z0-9]+`` tokens — ``feat = hash64(token) % n_features``, value
+  = tf / doc_len (L1-normalised bag of words) plus one reserved bias
+  feature. No vocabulary is ever built or shipped: the feature space is
+  O(n_features) regardless of corpus size.
+- **Training**: full-batch gradient descent on L2-regularised logistic
+  loss, run AS SPARK AGGREGATIONS — per iteration one broadcast join of
+  the (tiny, <= n_features+1 rows) weight table onto the feature rows to
+  get per-doc margins, one groupBy(feat) for the gradient, one k-bounded
+  collect of <= n_features+1 gradient rows. The corpus is never collected;
+  driver state is O(n_features). Fixed iteration count + deterministic
+  init (zeros) make the trained weights a pure function of the input.
+- **Oracle**: with ``hash_fn='md5_60'`` (:func:`dedup.hash64_col`) every
+  step — featurisation, every GD iteration, scoring — is recomputable by
+  the DuckDB harness as unrolled CTEs, the same trick that oracled the
+  Lloyd-trained IVF quantizer (``__spark_entry__.oracle_sql()``'s
+  ``ann_ivf_trained``). The scale default stays ``xxhash64``.
+- **Weak labels**: callers pass any deterministic label column. The
+  shipped helper labels docs containing seed terms (CCNet's "target
+  domain" reduced to a seed-term membership rule — no external data).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from gazetteer_search_spark.operators.dedup import hash64_col
+from gazetteer_search_spark.operators.textstats import words_col
+
+BIAS = -1  # reserved feature index for the intercept (never a hash value)
+
+
+def seed_label(text: Column, seed_terms: list[str]) -> Column:
+    """Weak label: 1.0 when the tokenised text contains any seed term."""
+    ws = words_col(text)
+    hit = None
+    for t in seed_terms:
+        c = F.array_contains(ws, t)
+        hit = c if hit is None else (hit | c)
+    return F.when(hit, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def featurize(
+    df: DataFrame,
+    n_features: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, feat, val) hashed-BoW rows: tf/doc_len per hashed token
+    plus a bias row (feat=BIAS, val=1.0) for every doc — so every doc has
+    at least one feature row and the margin join never drops a doc."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(F.col(text_col))).alias("t"),
+    )
+    # md5_60 / xxhash64 are both >= 0 here only for md5_60; xxhash64 is
+    # signed, so use pmod on Spark; the oracle (md5_60 family, low 60 bits
+    # of md5, always >= 0) writes plain % — identical results by sign.
+    tf = (
+        toks.withColumn("feat", F.pmod(hash64_col(hash_fn, F.col("t")), F.lit(n_features)))
+        .groupBy("doc_id", "feat")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dlen = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("n"))
+    feats = tf.join(dlen, "doc_id").select(
+        "doc_id", "feat", (F.col("tf") / F.col("n")).alias("val")
+    )
+    bias = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(BIAS).cast("long").alias("feat"),
+        F.lit(1.0).alias("val"),
+    )
+    return feats.unionByName(bias)
+
+
+def train_logreg(
+    feats: DataFrame,
+    labels: DataFrame,
+    lr: float = 2.0,
+    iters: int = 4,
+    l2: float = 1e-4,
+) -> dict[int, float]:
+    """Full-batch GD on L2-regularised logistic loss, each step one Spark
+    pass (margin broadcast-join + gradient groupBy + <=D-row collect).
+
+    ``labels`` is (doc_id, y) with y in {0.0, 1.0}. Returns {feat: weight}
+    for every feature present in the corpus (absent features stay 0 under
+    zero init and never move — their gradient is 0 and l2 keeps them 0),
+    so tracking only present features is exact, not an approximation.
+    """
+    spark = feats.sparkSession
+    feats = feats.persist()
+    n_docs = labels.count()
+    present = [r.feat for r in feats.select("feat").distinct().collect()]
+    w = {int(f): 0.0 for f in present}
+    fl = feats.join(labels.select("doc_id", "y"), "doc_id").persist()
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(int(f), float(v)) for f, v in w.items()], "feat long, wv double"
+        )
+        margins = (
+            feats.join(F.broadcast(wdf), "feat")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("val") * F.col("wv")).alias("m"))
+            .select("doc_id", (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("p"))
+        )
+        grad_rows = (
+            fl.join(margins, "doc_id")
+            .groupBy("feat")
+            .agg((F.sum((F.col("p") - F.col("y")) * F.col("val")) / F.lit(float(n_docs))).alias("g"))
+            .collect()  # k-bounded: <= n_features + 1 rows
+        )
+        g = {int(r.feat): float(r.g) for r in grad_rows}
+        w = {f: wv - lr * (g.get(f, 0.0) + l2 * wv) for f, wv in w.items()}
+    fl.unpersist()
+    feats.unpersist()
+    return w
+
+
+def score(
+    feats: DataFrame,
+    weights: dict[int, float],
+    threshold: float | None = None,
+) -> DataFrame:
+    """(doc_id, prob[, keep]) — sigmoid of the broadcast weight dot-product.
+    ``prob`` is double-rounded (9 then 4 places) so the value hash is stable
+    across summation orders; ``keep`` derives from the ROUNDED prob so the
+    cut never flips on last-ulp noise."""
+    spark = feats.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(f), float(v)) for f, v in weights.items()], "feat long, wv double"
+    )
+    probs = (
+        feats.join(F.broadcast(wdf), "feat")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("wv")).alias("m"))
+        .select(
+            "doc_id",
+            F.round(F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))), 9), 4).alias("prob"),
+        )
+    )
+    if threshold is None:
+        return probs
+    return probs.withColumn(
+        "keep", (F.col("prob") >= F.lit(threshold)).cast("int")
+    )
+
+
+def train_logreg_numpy(
+    feat_rows: list[tuple[int, int, float]],
+    label_rows: list[tuple[int, float]],
+    lr: float = 2.0,
+    iters: int = 4,
+    l2: float = 1e-4,
+) -> dict[int, float]:
+    """Independent single-node recompute of :func:`train_logreg` (same role
+    as the numpy Lloyd twin in test_operators): dense numpy GD over the
+    same (doc_id, feat, val) rows. Used by tests to pin the distributed
+    trainer's math; never in the pipeline."""
+    docs = sorted({d for d, _, _ in feat_rows})
+    feats = sorted({f for _, f, _ in feat_rows})
+    di = {d: i for i, d in enumerate(docs)}
+    fi = {f: i for i, f in enumerate(feats)}
+    X = np.zeros((len(docs), len(feats)))
+    for d, f, v in feat_rows:
+        X[di[d], fi[f]] = v
+    y = np.zeros(len(docs))
+    for d, yy in label_rows:
+        y[di[d]] = yy
+    w = np.zeros(len(feats))
+    n = float(len(label_rows))
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        g = X.T @ (p - y) / n
+        w = w - lr * (g + l2 * w)
+    return {f: float(w[fi[f]]) for f in feats}
+
+
+def sigmoid(x: float) -> float:
+    return 1.0 / (1.0 + math.exp(-x))

@@ -786,3 +786,68 @@ def test_aggs_multi_terms_and_adjacency(spark):
     assert plan.count("HashAggregate") == 2
     with __import__("pytest").raises(ValueError):
         aggs.adjacency_matrix(d, {})
+
+
+def test_quality_classifier_learns_and_matches_numpy_twin(spark):
+    """Distributed hashed-BoW logistic regression: (a) the Spark trainer's
+    weights match an independent dense-numpy GD over the SAME feature rows
+    to float tolerance, (b) the model learns the seed-term signal (positive
+    seed-feature weight, high train accuracy), (c) scoring keep-cut is
+    consistent with the rounded probability."""
+    from gazetteer_search_spark.operators import classifier
+
+    # balanced classes: with zero init + few full-batch steps the bias
+    # stays near 0 and the 0.5 cut separates as soon as the seed feature
+    # weight moves (margins are small early — +-0.11 after step 1)
+    rows = [
+        (i, ("spark query join " if i % 2 == 0 else "table scan merge ") * 3)
+        for i in range(60)
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    feats = classifier.featurize(d, n_features=256, hash_fn="md5_60")
+    labels = d.select(
+        "doc_id", classifier.seed_label(F.col("text"), ["spark"]).alias("y")
+    )
+    w = classifier.train_logreg(feats, labels, lr=2.0, iters=4, l2=1e-4)
+
+    # (a) independent numpy recompute from the same rows
+    frows = [(r.doc_id, r.feat, r.val) for r in feats.collect()]
+    lrows = [(r.doc_id, r.y) for r in labels.collect()]
+    w_np = classifier.train_logreg_numpy(frows, lrows, lr=2.0, iters=4, l2=1e-4)
+    assert set(w) == set(w_np)
+    for f in w:
+        assert abs(w[f] - w_np[f]) < 1e-9, f
+
+    # (b) the hashed 'spark' feature carries the largest positive weight
+    import pyspark.sql.functions as SF
+    h = d.sparkSession.createDataFrame([("spark",)], ["t"]).select(
+        SF.pmod(dedup.hash64_col("md5_60", SF.col("t")), SF.lit(256)).alias("f")
+    ).collect()[0].f
+    assert w[h] == max(v for f, v in w.items() if f != classifier.BIAS)
+    scored = classifier.score(feats, w, threshold=0.5)
+    got = {r.doc_id: (r.prob, r.keep) for r in scored.collect()}
+    acc = sum(
+        1 for i in range(60) if (got[i][0] >= 0.5) == (i % 2 == 0)
+    ) / 60.0
+    assert acc >= 0.95
+    # (c) keep derives from the rounded prob
+    assert all((p >= 0.5) == bool(k) for p, k in got.values())
+
+
+def test_quality_classifier_empty_doc_gets_bias_only_score(spark):
+    from gazetteer_search_spark.operators import classifier
+
+    d = spark.createDataFrame(
+        [(0, "spark spark"), (1, ""), (2, "scan merge")], ["doc_id", "text"]
+    )
+    feats = classifier.featurize(d, n_features=64, hash_fn="md5_60")
+    # every doc (incl. the empty one) has the bias row -> never dropped
+    assert feats.filter(F.col("doc_id") == 1).count() == 1
+    labels = d.select(
+        "doc_id", classifier.seed_label(F.col("text"), ["spark"]).alias("y")
+    )
+    w = classifier.train_logreg(feats, labels, lr=1.0, iters=2, l2=0.0)
+    out = classifier.score(feats, w).collect()
+    assert {r.doc_id for r in out} == {0, 1, 2}
+    p1 = [r.prob for r in out if r.doc_id == 1][0]
+    assert p1 == round(round(classifier.sigmoid(w[classifier.BIAS]), 9), 4)
