@@ -186,6 +186,30 @@ def _cluster_index(spark: SparkSession, sf_dir: str):
     return _CLUSTER_IDX[sf_dir]
 
 
+_REIX_ENGINES: dict[str, SearchEngine] = {}
+
+
+def _reix_engine(spark: SparkSession, sf_dir: str) -> SearchEngine:
+    """Engine over a REINDEXED copy of the base entry index (ES _reindex,
+    index/reindex.py): rebuilt from the base index's own stored docs with
+    every setting inherited. The reindex_parity entry searches THIS index
+    against the same corpus-recomputing BM25 SQL oracle the direct search
+    entries use — equality proves a reindexed index is indistinguishable
+    from a fresh build (doc identity preserved, stats re-derived)."""
+    if sf_dir not in _REIX_ENGINES:
+        from gazetteer_search_spark.index.reindex import reindex
+
+        base = _engine(spark, sf_dir)  # materializes the source on disk
+        src_root = base.index.paths.root
+        out = src_root.rstrip("/") + "_reix"
+        if not os.path.exists(os.path.join(out, "manifest", "_SUCCESS")):
+            idx = reindex(spark, src_root, out)  # builder resume: idempotent
+        else:
+            idx = builder.load_index(spark, out)
+        _REIX_ENGINES[sf_dir] = SearchEngine(spark, idx, cache=True, serving=True)
+    return _REIX_ENGINES[sf_dir]
+
+
 _SEG_MARK = "upsertedseg"
 _SEG_ENGINES: dict[str, tuple] = {}
 
@@ -970,6 +994,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
 
+    def reindex_parity(spark, sf):
+        # ES _reindex: the index rebuilt from its own stored docs answers
+        # EXACTLY like the source — the oracle recomputes BM25 from the raw
+        # corpus, so a pass pins the whole reindex path (stored-content
+        # round-trip, identity preservation, stat re-derivation)
+        g = [_grp(0, ["data"]), _grp(1, ["window"])]
+        return _topk_out(_reix_engine(spark, sf).search_rung(g, 2, SearchOptions()))
+
     def snippet(spark, sf):
         # snippet/highlight over the top-k winners (search/snippets.py):
         # hits x corpus join, per-line full-kernel tokens in the executors,
@@ -1634,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         must_not=must_not,
         boosting_demote=boosting_demote,
         multi_term_and=multi_term_and,
+        reindex_parity=reindex_parity,
         snippet=snippet,
         min_should_match_2=min_should_match_2,
         dis_max=dis_max,
@@ -2618,6 +2651,9 @@ ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 20
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]),
         2,
         lang="en",
+    )
+    o["reindex_parity"] = _search_sql(
+        _values_groups([("data", 0, True, 1.0), ("window", 1, True, 1.0)]), 2
     )
     o["min_should_match_2"] = _search_sql(
         _values_groups(

@@ -69,6 +69,37 @@ def cmd_build_index(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_reindex(args: argparse.Namespace) -> None:
+    """ES _reindex analog: rebuild from the source index's stored docs into
+    a fresh index, settings inherited unless overridden (see index/reindex)."""
+    from gazetteer_search_spark.index.reindex import _INHERIT, reindex
+
+    spark = _spark("gss-reindex")
+    t0 = time.time()
+    idx = reindex(
+        spark, args.index, args.out,
+        where=args.where,
+        tokenizer=args.tokenizer,
+        n_buckets=args.n_buckets if args.n_buckets is not None else _INHERIT,
+        analyzer_rules=args.rules if args.rules is not None else _INHERIT,
+        postings_codec=args.codec if args.codec is not None else _INHERIT,
+        attr_dim=(args.attr_dim or None) if args.attr_dim is not None else _INHERIT,
+        cluster_by=(
+            (tuple(args.cluster_by.split(",")) if args.cluster_by else None)
+            if args.cluster_by is not None
+            else _INHERIT
+        ),
+        positions=args.positions if args.positions is not None else _INHERIT,
+        store_content=not args.no_store_content,
+    )
+    print(json.dumps({
+        "out": args.out, "n_docs": idx.n_docs,
+        "avg_doc_len": idx.avg_doc_len,
+        "seconds": round(time.time() - t0, 2),
+        "docs_per_sec": round(idx.n_docs / (time.time() - t0), 2),
+    }))
+
+
 def cmd_add_segment(args: argparse.Namespace) -> None:
     """Incremental upsert (ImportMode.update analog): the batch becomes a new
     index generation; older docs sharing (repo, path) are tombstoned."""
@@ -884,6 +915,51 @@ def main(argv: list[str] | None = None) -> None:
         "/search?snippet=true); segments and compactions inherit it",
     )
     b.set_defaults(fn=cmd_build_index)
+
+    ri = sub.add_parser(
+        "reindex",
+        help="rebuild an index from its own stored documents (ES _reindex "
+        "analog; requires a source built with --store-content)",
+    )
+    ri.add_argument("--index", required=True, help="source index directory")
+    ri.add_argument("--out", required=True, help="target index directory")
+    ri.add_argument(
+        "--where", default=None,
+        help="SQL predicate over the stored doc columns (the _reindex "
+        "body-query analog), e.g. \"lang = 'python'\"",
+    )
+    ri.add_argument("--tokenizer", default="pandas", choices=["pandas", "native"])
+    ri.add_argument(
+        "--n-buckets", type=int, default=None,
+        help="override the inherited term-bucket count",
+    )
+    ri.add_argument(
+        "--rules", metavar="RULES_JSON", default=None,
+        help="NEW analyzer rule config (the reason to reindex: retokenize "
+        "under changed settings); default inherits the source's rules",
+    )
+    ri.add_argument(
+        "--codec", default=None, choices=["for", "vbyte"],
+        help="override the inherited posting codec",
+    )
+    ri.add_argument(
+        "--attr-dim", default=None, metavar="COL",
+        help="override the inherited attr dimension ('' disables)",
+    )
+    ri.add_argument(
+        "--cluster-by", default=None, metavar="COLS",
+        help="override the inherited docID clustering ('' disables)",
+    )
+    ri.add_argument(
+        "--positions", action=argparse.BooleanOptionalAction, default=None,
+        help="force the positional sidecar on/off (default: inherit)",
+    )
+    ri.add_argument(
+        "--no-store-content", action="store_true",
+        help="drop stored content in the target (it then cannot reindex "
+        "again, like an ES index without _source)",
+    )
+    ri.set_defaults(fn=cmd_reindex)
 
     q = sub.add_parser("query")
     q.add_argument("--index", required=True)

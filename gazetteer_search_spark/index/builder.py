@@ -763,6 +763,9 @@ def build_index(
             **({"clustered_by": list(cluster_by)} if cluster_by else {}),
             **({"positions": True} if positions else {}),
             **({"stored_content": True} if store_content else {}),
+            # field name -> source column, so query nodes (DSL multi_match
+            # namespacing) and reindex self-configure without field_stats
+            **({"fields": dict(sorted(extra_fields.items()))} if extra_fields else {}),
             **(extra_meta or {}),
         },
     )
