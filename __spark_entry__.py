@@ -2113,6 +2113,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def repetition_stats_q(spark, sf):
         return textstats.repetition_stats(_docs(spark, sf))
 
+    def curate_q(spark, sf):
+        # Dolma-style tagger+mixer: every attribute scan-local, the rule
+        # config pure column arithmetic — tag+mix collapse into ONE
+        # WholeStageCodegen scan (plan pinned in test_operators); the
+        # default Gopher-ish rules split this corpus non-trivially
+        from gazetteer_search_spark.operators import curate as _cur
+
+        return _cur.curate(_docs(spark, sf)).orderBy("doc_id")
+
     def quality_classifier_q(spark, sf):
         # CCNet/fastText-style TRAINED quality filter: hashed-BoW logistic
         # regression, full-batch GD as Spark aggregations (weights broadcast
@@ -2547,6 +2556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         decontaminate=decontaminate_q,
         pii_redact=pii_redact,
         repetition_stats=repetition_stats_q,
+        curate=curate_q,
         quality_classifier=quality_classifier_q,
         stratified_sample=stratified_sample_q,
         mixture_sample=mixture_sample_q,
@@ -3959,6 +3969,47 @@ bstat AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS tbf FROM bgc GROUP BY 1)
 SELECT b.doc_id, b.n_words, b.dup_word_frac,
        round(coalesce(s.tbf, 0.0), 6) AS top_bigram_frac
 FROM base b LEFT JOIN bstat s USING (doc_id)
+"""
+
+    # Dolma tagger+mixer curation: attributes + rule evaluation recomputed
+    # (quality/lang/pii fragments shared with the text_stats/pii oracles)
+    _dwf = (
+        f"round(CASE WHEN len({_w}) > 0 "
+        f"THEN 1.0 - len(list_distinct({_w}))::DOUBLE / len({_w}) "
+        "ELSE 0.0 END, 6)"
+    )
+    _qual = f"""round(0.4 * (CASE WHEN len({_w}) >= 20 AND len({_w}) <= 10000 THEN 1.0
+                         WHEN len({_w}) > 0 THEN 0.5 ELSE 0.0 END)
+           + 0.4 * (CASE WHEN length(text) > 0
+                         THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                              / length(text) ELSE 0.0 END)
+           + 0.2 * (CASE WHEN len({_w}) > 0
+                         THEN {hits(STOPWORDS_EN)} / len({_w}) ELSE 0.0 END), 6)"""
+    from gazetteer_search_spark.operators.curate import DEFAULT_RULES
+
+    _fired = ", ".join(
+        f"CASE WHEN {r.predicate} THEN '{r.name}' END" for r in DEFAULT_RULES
+    )
+    o["curate"] = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         len({_w})::INT AS n_tokens,
+         length(text)::INT AS n_chars,
+         {_dwf} AS dup_word_frac,
+         {expr} AS lang_guess,
+         {_qual} AS quality,
+         len(regexp_extract_all(text, '{_pii["email"]}'))::INT AS n_email,
+         len(regexp_extract_all(text, '{_pii["ipv4"]}'))::INT AS n_ipv4,
+         len(regexp_extract_all(text, '{_pii["phone"]}'))::INT AS n_phone
+  FROM documents),
+mixed AS (
+  SELECT *, list_filter([{_fired}], x -> x IS NOT NULL) AS fired
+  FROM tagged)
+SELECT doc_id, n_tokens, n_chars, dup_word_frac, lang_guess, quality,
+       n_email, n_ipv4, n_phone,
+       (CASE WHEN len(fired) = 0 THEN 1 ELSE 0 END)::INT AS keep,
+       coalesce(array_to_string(list_sort(fired), ','), '') AS reasons
+FROM mixed ORDER BY doc_id
 """
 
     # trained quality classifier: the oracle recomputes the WHOLE training

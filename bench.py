@@ -581,6 +581,14 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     ).count()
     timings["hard_negatives5"] = time.perf_counter() - t
 
+    # Dolma-style tagger+mixer curation pass (round 5): one codegen scan,
+    # attributes + rule evaluation + keep/reasons in a single projection
+    from gazetteer_search_spark.operators import curate as _cur
+
+    t = time.perf_counter()
+    _cur.curate(docs).count()
+    timings["curate"] = time.perf_counter() - t
+
     # trained quality classifier (round 5): hashed-BoW logistic regression,
     # 4 full-batch GD steps as Spark aggs + the scoring pass — the CCNet/
     # fastText quality-filter shape at the xxhash64 scale default

@@ -383,6 +383,42 @@ def _read_source(spark: SparkSession, args: argparse.Namespace):
     )
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """Curation batch job (LLM-pipeline family): scan-local taggers + a
+    declarative drop-rule mixer, one codegen stage (operators/curate.py)."""
+    from gazetteer_search_spark.operators import curate as _cur
+
+    spark = _spark("gss-curate")
+    d = _read_source(spark, args)
+    rules = _cur.DEFAULT_RULES
+    if args.rules:
+        with open(args.rules) as f:
+            rules = tuple(
+                _cur.DropRule(r["name"], r["predicate"]) for r in json.load(f)
+            )
+    if args.tag_only:
+        out_df = _cur.tag(d, text_col=args.text_col, id_col=args.id_col)
+    else:
+        out_df = _cur.curate(d, rules, text_col=args.text_col, id_col=args.id_col)
+    out_df.write.mode("overwrite").parquet(args.out)
+    stats = (
+        None
+        if args.tag_only
+        else out_df.groupBy("keep").count().orderBy("keep").collect()
+    )
+    print(json.dumps({
+        "out": args.out,
+        "rows": spark.read.parquet(args.out).count(),
+        **(
+            {"kept": next((r["count"] for r in stats if r.keep == 1), 0),
+             "dropped": next((r["count"] for r in stats if r.keep == 0), 0)}
+            if stats is not None
+            else {"tag_only": True}
+        ),
+        "rules": [r.name for r in rules],
+    }))
+
+
 def cmd_dedup(args: argparse.Namespace) -> None:
     """Deduplication batch job (LLM-pipeline family): mine near-dup pairs
     (minhash | simhash | jaccard), or exact-dedup, over a documents-shaped
@@ -1089,6 +1125,26 @@ def main(argv: list[str] | None = None) -> None:
         p.add_argument("--id-col", dest="id_col", default="doc_id")
         if with_text:
             p.add_argument("--text-col", dest="text_col", default="text")
+
+    cu = sub.add_parser(
+        "curate",
+        help="Dolma-style tagger+mixer curation pass (attributes + "
+        "declarative drop rules with per-doc reason audit)",
+    )
+    _src_args(cu)
+    cu.add_argument(
+        "--rules", metavar="RULES_JSON", default=None,
+        help='JSON list of {"name": ..., "predicate": ...} drop rules over '
+        "the attribute columns (n_tokens, n_chars, dup_word_frac, "
+        "lang_guess, quality, n_email, n_ipv4, n_phone); default = the "
+        "built-in Gopher-ish set",
+    )
+    cu.add_argument(
+        "--tag-only", action="store_true",
+        help="write only the attribute table (re-mix later with new "
+        "thresholds without re-reading text)",
+    )
+    cu.set_defaults(fn=cmd_curate)
 
     dd = sub.add_parser("dedup", help="near-dup mining / corpus dedup")
     _src_args(dd)

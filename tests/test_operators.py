@@ -851,3 +851,58 @@ def test_quality_classifier_empty_doc_gets_bias_only_score(spark):
     assert {r.doc_id for r in out} == {0, 1, 2}
     p1 = [r.prob for r in out if r.doc_id == 1][0]
     assert p1 == round(round(classifier.sigmoid(w[classifier.BIAS]), 9), 4)
+
+
+def test_curate_tagger_mixer(spark):
+    from gazetteer_search_spark.operators import curate as cur
+
+    rows = [
+        (0, "alpha beta " * 30),                      # clean-ish, long, varied? no: repeated
+        (1, "one two three four five six seven eight nine ten eleven twelve "
+            "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty one2"),
+        (2, "short doc"),                             # too_short
+        (3, ("the and for with from this that " * 5) + "mail a@b.co"),  # pii + repetitive
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in cur.curate(df).collect()}
+    # doc 0: 60 tokens of 2 distinct -> dup frac ~0.967 -> too_repetitive
+    assert out[0].keep == 0 and out[0].reasons == "too_repetitive"
+    # doc 1: 21 distinct tokens, no repeats, stopword-free but long enough
+    assert out[1].dup_word_frac == 0.0
+    assert out[1].keep in (0, 1)  # depends only on quality band
+    # doc 2: under 20 tokens
+    assert out[2].keep == 0 and "too_short" in out[2].reasons
+    # doc 3: fired rules are SORTED and comma-joined; pii counted
+    assert out[3].n_email == 1
+    assert out[3].keep == 0
+    assert out[3].reasons == ",".join(sorted(out[3].reasons.split(",")))
+    assert "has_pii" in out[3].reasons and "too_repetitive" in out[3].reasons
+    # audit trail: every dropped doc carries at least one reason
+    assert all((r.keep == 1) == (r.reasons == "") for r in out.values())
+
+    # re-mix over persisted tags with new thresholds: no text needed
+    tags = cur.tag(df)
+    loose = (cur.DropRule("too_short", "n_tokens < 1"),)
+    out2 = {r.doc_id: r.keep for r in cur.mix(tags, loose).collect()}
+    assert all(v == 1 for v in out2.values())
+
+    with pytest.raises(ValueError, match="empty"):
+        cur.mix(tags, ())
+    with pytest.raises(ValueError, match="duplicate"):
+        cur.mix(tags, (cur.DropRule("a", "1=1"), cur.DropRule("a", "1=0")))
+
+
+def test_curate_is_one_scan_no_shuffle(spark):
+    from gazetteer_search_spark.operators import curate as cur
+
+    df = spark.range(0, 200).select(
+        "id", F.concat(F.lit("word sample text number "), F.col("id").cast("string")).alias("text")
+    ).withColumnRenamed("id", "doc_id")
+    plan = (
+        cur.curate(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # tag + mix collapse into one codegen stage over one scan: no Exchange,
+    # no aggregate — the cheapest possible 100-TB plan for a curation pass
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
