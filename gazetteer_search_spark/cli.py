@@ -383,6 +383,21 @@ def _read_source(spark: SparkSession, args: argparse.Namespace):
     )
 
 
+def cmd_alias(args: argparse.Namespace) -> None:
+    """ES _aliases analog (index/alias.py): no Spark session needed."""
+    from gazetteer_search_spark.index import alias as _al
+
+    if args.target:
+        rec = _al.set_alias(args.path, args.target)
+        print(json.dumps({"alias": args.path, **rec}))
+    else:
+        print(json.dumps({
+            "alias": args.path,
+            "alias_target": _al.read_alias(args.path),
+            "resolved": _al.resolve_index(args.path),
+        }))
+
+
 def cmd_curate(args: argparse.Namespace) -> None:
     """Curation batch job (LLM-pipeline family): scan-local taggers + a
     declarative drop-rule mixer, one codegen stage (operators/curate.py)."""
@@ -1357,7 +1372,28 @@ def main(argv: list[str] | None = None) -> None:
     )
     bq.set_defaults(fn=cmd_batch_query)
 
+    al = sub.add_parser(
+        "alias",
+        help="stable name over a swappable index directory (ES _aliases): "
+        "--set repoints atomically (tmp+rename); every --index argument of "
+        "every command accepts an alias file",
+    )
+    al.add_argument("--path", required=True, help="alias file path")
+    al.add_argument(
+        "--set", dest="target", default=None,
+        help="index directory (or another alias) to point the alias at; "
+        "omit to print the current record",
+    )
+    al.set_defaults(fn=cmd_alias)
+
     args = ap.parse_args(argv)
+    # ONE choke point: every command's --index accepts an alias file (ES
+    # clients address aliases exactly like indexes). --out/--source stay
+    # literal: you write to a directory, you point an alias at it after.
+    if getattr(args, "index", None):
+        from gazetteer_search_spark.index.alias import resolve_index
+
+        args.index = resolve_index(args.index)
     args.fn(args)
 
 

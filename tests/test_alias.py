@@ -1,0 +1,106 @@
+"""Index aliases (ES _aliases analog): stable names, atomic repoint."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.index import alias as al
+from gazetteer_search_spark.index import builder
+from gazetteer_search_spark.sources import synthetic_corpus
+
+
+def _fake_index(tmp_path, name) -> str:
+    d = tmp_path / name
+    d.mkdir()
+    (d / "index_meta.json").write_text("{}")
+    return str(d)
+
+
+def test_alias_roundtrip_and_guards(tmp_path):
+    idx = _fake_index(tmp_path, "v1")
+    a = str(tmp_path / "current.json")
+    rec = al.set_alias(a, idx)
+    assert rec["alias_target"] == os.path.abspath(idx)
+    assert al.is_alias(a) and not al.is_alias(idx)
+    assert al.resolve_index(a) == os.path.abspath(idx)
+    # plain directory path resolves to itself
+    assert al.resolve_index(idx) == idx
+    # alias -> alias chain
+    b = str(tmp_path / "outer.json")
+    al.set_alias(b, a)
+    assert al.resolve_index(b) == os.path.abspath(idx)
+    # guards: non-index target / cycle / dangling
+    with pytest.raises(ValueError, match="not an index"):
+        al.set_alias(str(tmp_path / "x.json"), str(tmp_path / "nope"))
+    (tmp_path / "cyc.json").write_text(
+        json.dumps({"alias_target": str(tmp_path / "cyc.json")})
+    )
+    with pytest.raises(ValueError, match="cycle|deeper"):
+        al.resolve_index(str(tmp_path / "cyc.json"))
+    import shutil
+
+    shutil.rmtree(idx)
+    with pytest.raises(ValueError, match="missing target"):
+        al.resolve_index(a)
+
+
+def test_alias_swap_is_atomic_repoint(tmp_path):
+    v1 = _fake_index(tmp_path, "i1")
+    v2 = _fake_index(tmp_path, "i2")
+    a = str(tmp_path / "live.json")
+    al.set_alias(a, v1)
+    assert al.resolve_index(a) == os.path.abspath(v1)
+    al.set_alias(a, v2)  # tmp+os.replace: readers see old or new, never half
+    assert al.resolve_index(a) == os.path.abspath(v2)
+    assert not os.path.exists(a + ".tmp")
+
+
+def test_cli_alias_command_and_index_choke_point(tmp_path, capsys):
+    from gazetteer_search_spark.cli import main
+
+    idx = _fake_index(tmp_path, "v1")
+    a = str(tmp_path / "cur.json")
+    main(["alias", "--path", a, "--set", idx])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["alias_target"] == os.path.abspath(idx)
+    main(["alias", "--path", a])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["resolved"] == os.path.abspath(idx)
+
+
+def test_alias_swap_through_search_engine(spark, tmp_path):
+    """The zero-downtime flow: clients address the alias; a reindex +
+    alias swap changes what they get on next open, addresses unchanged."""
+    from gazetteer_search_spark.index.reindex import reindex
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+
+    v1 = str(tmp_path / "v1")
+    corpus = synthetic_corpus(spark, 80).drop("doc_id").withColumn(
+        "doc_id", F.xxhash64("repo", "path", "commit").bitwiseAND(F.lit((1 << 62) - 1))
+    )
+    builder.build_index(
+        spark, corpus, v1, n_buckets=2, postings_per_group=1 << 16,
+        store_content=True,
+    )
+    v2 = str(tmp_path / "v2")
+    rules = None
+    from gazetteer_search_spark.analyzer.config import AnalyzerRules
+
+    rules = AnalyzerRules.from_dict({"synonym_chains": [["zzaliaszz", "merge"]]})
+    reindex(spark, v1, v2, analyzer_rules=rules)
+
+    a = str(tmp_path / "live.json")
+    al.set_alias(a, v1)
+    opts = SearchOptions(k=5, fuzzy=False, prefix=False)
+
+    def hits():
+        idx = builder.load_index(spark, al.resolve_index(a))
+        return SearchEngine(spark, idx).search_hits("zzaliaszz ", opts)
+
+    assert not hits()  # v1: default rules, unknown token
+    al.set_alias(a, v2)
+    assert hits()  # v2: the reindexed target self-configures the synonym
