@@ -815,35 +815,43 @@ def cmd_serve(args: argparse.Namespace) -> None:
 
     from gazetteer_search_spark.index.segments import list_segments, open_multi_search
 
-    has_segments = bool(list_segments(args.index))
-    if args.local_only:
-        # Spark-free serving node: pyarrow index handle, no JVM — ~10 s
-        # faster to ready, and the process footprint is the lazy caches
-        eng = (
-            open_multi_search(args.index)
-            if has_segments
-            else SearchEngine(
-                None, load_index_local(args.index), serving=True,
-                lazy_payloads=True,
+    spark = None if args.local_only else _spark("gss-serve")
+
+    def _open(target: str):
+        """Open a serving engine over ``target`` — also the reopen hook the
+        HTTP server calls when a watched alias gets repointed."""
+        has_segments = bool(list_segments(target))
+        if args.local_only:
+            # Spark-free serving node: pyarrow index handle, no JVM — ~10 s
+            # faster to ready, and the process footprint is the lazy caches
+            return (
+                open_multi_search(target)
+                if has_segments
+                else SearchEngine(
+                    None, load_index_local(target), serving=True,
+                    lazy_payloads=True,
+                )
             )
-        )
-    else:
-        spark = _spark("gss-serve")
-        eng = (
-            open_multi_search(args.index, spark)
+        return (
+            open_multi_search(target, spark)
             if has_segments
             else SearchEngine(
-                spark, load_index(spark, args.index), serving=True,
+                spark, load_index(spark, target), serving=True,
                 lazy_payloads=args.lazy,
             )
         )
+
+    eng = _open(args.index)
     opts = SearchOptions(k=args.k, prefix=not args.no_prefix)
     eng.search_hits("warmup", opts)  # load term dict / docs caches
 
     if args.http is not None:
         from gazetteer_search_spark.server import make_server
 
-        srv = make_server(eng, opts, port=args.http, index_path=args.index)
+        srv = make_server(
+            eng, opts, port=args.http, index_path=args.index,
+            alias_path=getattr(args, "index_alias", None), reopen=_open,
+        )
         print(json.dumps({
             "ready": True, "serving_local": eng._local is not None,
             "http": f"http://127.0.0.1:{srv.server_address[1]}/search",
@@ -1391,8 +1399,10 @@ def main(argv: list[str] | None = None) -> None:
     # clients address aliases exactly like indexes). --out/--source stay
     # literal: you write to a directory, you point an alias at it after.
     if getattr(args, "index", None):
-        from gazetteer_search_spark.index.alias import resolve_index
+        from gazetteer_search_spark.index.alias import is_alias, resolve_index
 
+        # keep the raw alias path around: serve watches it for hot-swap
+        args.index_alias = args.index if is_alias(args.index) else None
         args.index = resolve_index(args.index)
     args.fn(args)
 

@@ -145,10 +145,26 @@ def _not_param_terms(words) -> tuple[str, ...]:
 
 
 def _make_handler(
-    engine, default_opts, auth=None, cors_origin=None, index_path=None
+    engine, default_opts, auth=None, cors_origin=None, index_path=None,
+    alias_path=None, reopen=None,
 ):
     lock = threading.Lock()
     mtime = _index_mtime(engine)
+    # alias hot-swap (ES zero-downtime flow): when the server was started
+    # on an ALIAS file, each request stats it (one os.stat — cheap) and a
+    # repointed alias reopens the engine over the new target under the
+    # lock; in-flight requests finish on the handle they grabbed, exactly
+    # the ES behavior. /bulk follows the swap too (index_path tracks it).
+    alias_mtime = None
+    current_target = None
+    if alias_path is not None:
+        try:
+            alias_mtime = os.stat(alias_path).st_mtime
+            from gazetteer_search_spark.index.alias import resolve_index
+
+            current_target = resolve_index(alias_path)
+        except OSError:
+            alias_mtime = None
     last_modified = formatdate(mtime, usegmt=True) if mtime else None
     # ES request-cache analog: full /search responses keyed by the raw
     # query string, validated against the index's Last-Modified stamp —
@@ -349,7 +365,42 @@ def _make_handler(
             self.end_headers()
             self.wfile.write(body)
 
+        def _maybe_swap(self) -> None:
+            """Follow an alias repoint: reopen over the new target once,
+            invalidate the request cache, advance the Last-Modified stamp."""
+            nonlocal engine, mtime, last_modified, alias_mtime
+            nonlocal current_target, index_path
+            if alias_path is None or reopen is None:
+                return
+            try:
+                m = os.stat(alias_path).st_mtime
+            except OSError:
+                return
+            if m == alias_mtime:
+                return
+            with lock:
+                try:
+                    m = os.stat(alias_path).st_mtime
+                except OSError:
+                    return
+                if m == alias_mtime:
+                    return  # another thread already swapped
+                from gazetteer_search_spark.index.alias import resolve_index
+
+                tgt = resolve_index(alias_path)
+                if tgt != current_target:
+                    engine = reopen(tgt)
+                    current_target = tgt
+                    index_path = tgt
+                    import time as _time
+
+                    mtime = _time.time()
+                    last_modified = formatdate(mtime, usegmt=True)
+                    req_cache.clear()
+                alias_mtime = m
+
         def do_GET(self) -> None:  # noqa: N802 — http.server API
+            self._maybe_swap()
             u = urlparse(self.path)
             if u.path == "/healthz":
                 self._send(200, {"ok": True})
@@ -1138,6 +1189,7 @@ def _make_handler(
                 self._send(400, {"error": str(e)})
 
         def do_POST(self) -> None:  # noqa: N802 — http.server API
+            self._maybe_swap()
             p = urlparse(self.path).path
             if p == "/msearch":
                 if self._authorized():
@@ -1346,14 +1398,21 @@ def make_server(
     auth: str | None = None,
     cors_origin: str | None = None,
     index_path: str | None = None,
+    alias_path: str | None = None,
+    reopen=None,
 ):
     """Build (not start) the HTTP server; port 0 binds an ephemeral port
     (``server_address[1]`` reports it). Caller runs ``serve_forever()``.
     ``auth``: "user:pass" enables HTTP Basic auth on every route except
     /healthz; ``cors_origin``: value for Access-Control-Allow-Origin;
     ``index_path``: enables POST /bulk live segment ingest (Spark-backed
-    engines only)."""
+    engines only); ``alias_path`` + ``reopen(target)->engine``: the server
+    was addressed via an index ALIAS — a repointed alias hot-swaps the
+    serving engine on the next request (zero-downtime reindex flow)."""
     return ThreadingHTTPServer(
         (host, port),
-        _make_handler(engine, options, auth, cors_origin, index_path),
+        _make_handler(
+            engine, options, auth, cors_origin, index_path,
+            alias_path=alias_path, reopen=reopen,
+        ),
     )

@@ -104,3 +104,56 @@ def test_alias_swap_through_search_engine(spark, tmp_path):
     assert not hits()  # v1: default rules, unknown token
     al.set_alias(a, v2)
     assert hits()  # v2: the reindexed target self-configures the synonym
+
+
+def test_http_server_hot_swaps_on_alias_repoint(spark, tmp_path):
+    """serve --index <alias> --http: repointing the alias reopens the
+    serving engine on the next request — the zero-downtime reindex flow
+    at the HTTP surface (no restart, no client address change)."""
+    import threading
+    import urllib.request
+
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    def _mk(name, marker):
+        corpus = spark.range(0, 40).select(
+            F.col("id").alias("doc_id"),
+            F.lit("org/r").alias("repo"),
+            F.format_string("src/%d.py", "id").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.lit(f"alpha shared {marker} words").alias("content"),
+        )
+        out = str(tmp_path / name)
+        builder.build_index(spark, corpus, out, n_buckets=2)
+        return out
+
+    v1 = _mk("v1", "generationone")
+    v2 = _mk("v2", "generationtwo")
+    a = str(tmp_path / "live.json")
+    al.set_alias(a, v1)
+
+    def _open(target):
+        return SearchEngine(spark, builder.load_index(spark, target), serving=True)
+
+    srv = make_server(
+        _open(al.resolve_index(a)), SearchOptions(k=3, prefix=False, fuzzy=False),
+        port=0, alias_path=a, reopen=_open,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def total(q):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?q={q}&size=3"
+            ) as r:
+                return json.loads(r.read())["total_hits"]
+
+        assert total("generationone") == 3 and total("generationtwo") == 0
+        al.set_alias(a, v2)  # atomic repoint — server not restarted
+        assert total("generationtwo") == 3 and total("generationone") == 0
+        # swap invalidated the request cache: the repeated v1-era query
+        # above answered from the NEW engine, not a stale cached page
+    finally:
+        srv.shutdown()
