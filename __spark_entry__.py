@@ -2064,6 +2064,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cluster_col="ivf_cluster",
         ).select("vec_id", F.round("cosine", 4).alias("cosine"))
 
+    def tfidf_knn(spark, sf):
+        # in-engine vectorization: hashed TF-IDF doc vectors (no external
+        # embedding model, no vocabulary) -> exact cosine top-k against doc
+        # 0's vector. md5_60 so the oracle recomputes the WHOLE pipeline
+        # (hashing, tf, df, idf, dense array, L2 norm, cosine) from the
+        # documents table; xxhash64 stays the scale default.
+        vec = similarity.vectorize_docs(_docs(spark, sf), dim=64, hash_fn="md5_60")
+        emb = vec.select(
+            F.col("doc_id").alias("vec_id"), F.col("vector").alias("embedding")
+        )
+        qv = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        return similarity.cosine_topk_query(emb, qv, k=10).select(
+            "vec_id", F.round("cosine", 4).alias("cosine")
+        )
+
     def text_stats_q(spark, sf):
         return textstats.text_stats(_docs(spark, sf))
 
@@ -2576,6 +2591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         simhash_pairs=simhash_pairs,
         stream_neardup=stream_neardup,
         cosine_topk=cosine_topk,
+        tfidf_knn=tfidf_knn,
         cosine_pairs=cosine_pairs,
         ann_lsh=ann_lsh,
         ann_filtered=ann_filtered,
@@ -3579,6 +3595,34 @@ WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id, round(round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 9), 4) AS cosine
 FROM embeddings CROSS JOIN q
 ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], q.qv), 9) DESC, vec_id
+LIMIT 10
+"""
+    o["tfidf_knn"] = f"""
+WITH tok AS (SELECT doc_id, unnest({_w}) AS t FROM documents),
+feats AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS feat,
+         count(*)::DOUBLE AS tf
+  FROM tok GROUP BY doc_id, feat),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfq AS (SELECT feat, count(*)::DOUBLE AS dfc FROM feats GROUP BY feat),
+w AS (
+  SELECT doc_id, feat,
+         tf * (ln(((SELECT n FROM nd) + 1) / (dfc + 1)) + 1) AS w
+  FROM feats JOIN dfq USING (feat)),
+dense AS (
+  SELECT d.doc_id, list(coalesce(w.w, 0.0) ORDER BY r.i) AS v
+  FROM documents d CROSS JOIN range(0, 64) r(i)
+  LEFT JOIN w ON w.doc_id = d.doc_id AND w.feat = r.i
+  GROUP BY d.doc_id),
+normed AS (
+  SELECT doc_id,
+         list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v
+  FROM dense),
+qv AS (SELECT v FROM normed WHERE doc_id = 0)
+SELECT n.doc_id AS vec_id,
+       round(round(list_cosine_similarity(n.v, qv.v), 9), 4) AS cosine
+FROM normed n, qv
+ORDER BY round(list_cosine_similarity(n.v, qv.v), 9) DESC, n.doc_id
 LIMIT 10
 """
     o["cosine_pairs"] = """

@@ -473,3 +473,77 @@ def lsh_ann_topk(
         cond = c if cond is None else (cond | c)
     cands = df.filter(cond)
     return cosine_topk_query(cands, query_vec, k, vec_col, id_col)
+
+
+def vectorize_docs(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, vector): L2-normalised hashed TF-IDF document vectors —
+    in-engine vectorization closing the similarity loop (corpus -> vectors
+    -> LSH/IVF ANN) without any external embedding model.
+
+    Spark shape, 100-TB lens: the feature-hashing trick again (no
+    vocabulary — O(dim) row width at any corpus size), tf via one hash agg
+    over exploded tokens, df via one agg over the (doc, feat) rows, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed), the df table (<= dim rows) broadcast
+    back, and the dense array built natively (map_from_entries +
+    transform(sequence) + aggregate norm — zero UDF). Docs with no tokens
+    get the zero vector (norm guard, no NaNs). ``hash_fn='md5_60'`` makes
+    the whole pipeline DuckDB-recomputable (dedup.hash64_col)."""
+    from gazetteer_search_spark.operators.dedup import hash64_col
+    from gazetteer_search_spark.operators.textstats import words_col
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(F.col(text_col))).alias("t"),
+    )
+    feats = (
+        toks.withColumn(
+            "feat", F.pmod(hash64_col(hash_fn, F.col("t")), F.lit(dim))
+        )
+        .groupBy("doc_id", "feat")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    n_docs = float(df.count())
+    dfreq = feats.groupBy("feat").agg(F.count("*").cast("double").alias("dfc"))
+    w = feats.join(F.broadcast(dfreq), "feat").select(
+        "doc_id",
+        "feat",
+        (F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("dfc") + 1.0)) + 1.0)).alias("w"),
+    )
+    dense = (
+        w.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("feat", "w"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")),
+                lambda i: F.coalesce(F.element_at("m", i), F.lit(0.0)),
+            ).alias("v"),
+        )
+    )
+    norm = F.sqrt(
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # ANSI-safe: a zero-norm (tokenless) doc divides by 1 and keeps its
+    # zero vector — never a conditional around the division (ANSI mode may
+    # evaluate both CASE branches inside a transform)
+    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    normed = dense.select(
+        "doc_id",
+        F.transform("v", lambda x: x / safe).alias("vector"),
+    )
+    # docs with zero tokens never reach `feats`: re-attach with zero vectors
+    zeros = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(dim - 1).cast("long")),
+        lambda _i: F.lit(0.0),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(normed, "doc_id", "left")
+        .select("doc_id", F.coalesce("vector", zeros).alias("vector"))
+    )

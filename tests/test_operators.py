@@ -906,3 +906,40 @@ def test_curate_is_one_scan_no_shuffle(spark):
     # no aggregate — the cheapest possible 100-TB plan for a curation pass
     assert "Exchange" not in plan
     assert "HashAggregate" not in plan
+
+
+def test_vectorize_docs_tfidf(spark):
+    import math
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta gamma"),      # identical text -> identical vector
+        (2, "delta delta epsilon"),
+        (3, ""),                      # tokenless -> zero vector, no NaN
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.vector for r in similarity.vectorize_docs(df, dim=32).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert all(len(v) == 32 for v in out.values())
+    assert out[0] == out[1]
+    # unit L2 norm for non-empty docs; exact zero vector for the empty one
+    for d in (0, 2):
+        assert math.sqrt(sum(x * x for x in out[d])) == pytest.approx(1.0)
+    assert out[3] == [0.0] * 32
+    assert not any(math.isnan(x) for v in out.values() for x in v)
+    # composition with the ANN family: identical docs are each other's
+    # nearest neighbours at cosine 1
+    # tokenless docs carry the zero vector: drop them before cosine (ANSI
+    # division guard — same contract as any embedding table with null rows)
+    emb = (
+        similarity.vectorize_docs(df, dim=32)
+        .filter(F.aggregate("vector", F.lit(0.0), lambda a, x: a + x * x) > 0)
+        .select(F.col("doc_id").alias("vec_id"), F.col("vector").alias("embedding"))
+    )
+    qv = [float(x) for x in out[0]]
+    top = similarity.cosine_topk_query(emb, qv, k=2).collect()
+    assert {r.vec_id for r in top} == {0, 1}
+    assert all(r.cosine == pytest.approx(1.0) for r in top)
+    # tf weighting: doc 2's repeated 'delta' dominates its vector
+    i_delta = max(range(32), key=lambda i: abs(out[2][i]))
+    assert abs(out[2][i_delta]) > 0.7
