@@ -2079,6 +2079,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "vec_id", F.round("cosine", 4).alias("cosine")
         )
 
+    def knn_serving(spark, sf):
+        # SERVING-side exact KNN over the persisted vector sidecar (ES knn
+        # search analog): numpy matmul + deterministic tie-break, query
+        # embedded from TEXT with the same md5_60 hashing + the index's own
+        # df stats. Query = doc 0's full text, so the oracle (the tfidf_knn
+        # SQL — vectors recomputed from documents alone) pins the sidecar
+        # build, the stats persistence, the query embedding and the ranking.
+        from gazetteer_search_spark.index import vectors as _vec
+
+        eng = _engine(spark, sf)
+        root = eng.index.paths.root
+        if not _vec.has_vectors(root):
+            _vec.build_vectors(spark, root, dim=64)
+        h = _vec.KnnIndex(root)
+        qtext = _docs(spark, sf).filter(F.col("doc_id") == 0).collect()[0].text
+        return spark.createDataFrame(
+            [(d, round(round(c, 9), 4)) for d, c in h.knn(qtext, k=10)],
+            "vec_id long, cosine double",
+        )
+
     def text_stats_q(spark, sf):
         return textstats.text_stats(_docs(spark, sf))
 
@@ -2592,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream_neardup=stream_neardup,
         cosine_topk=cosine_topk,
         tfidf_knn=tfidf_knn,
+        knn_serving=knn_serving,
         cosine_pairs=cosine_pairs,
         ann_lsh=ann_lsh,
         ann_filtered=ann_filtered,
@@ -3632,6 +3653,8 @@ SELECT t1.vec_id AS id_a, t2.vec_id AS id_b,
 FROM a t1 JOIN a t2 ON t1.vec_id < t2.vec_id
 WHERE round(list_cosine_similarity(t1.v, t2.v), 9) >= 0.4
 """
+    o["knn_serving"] = o["tfidf_knn"]  # identical math: sidecar + query
+    # embedding recomputed from documents alone (query = doc 0's text)
     _mk = lambda words: "list_value(" + ", ".join(f"'{w}'" for w in words) + ")"
     hits = lambda words: (
         f"len(list_intersect(list_distinct({_w}), {_mk(words)}))"

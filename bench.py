@@ -581,6 +581,29 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
     ).count()
     timings["hard_negatives5"] = time.perf_counter() - t
 
+    # vector sidecar build + serving-side exact KNN + hybrid fuse (round 5):
+    # hashed TF-IDF vectors, numpy matmul top-k, python RRF
+    from gazetteer_search_spark.index import vectors as _vec
+
+    t = time.perf_counter()
+    _vec.build_vectors(spark, out, dim=64, source=docs.select(
+        "doc_id", F.col("text").alias("content")))
+    timings["vector_build"] = time.perf_counter() - t
+    _knn = _vec.KnnIndex(out)
+    _kq = docs.filter(F.col("doc_id") == 0).collect()[0].text
+    _knn.knn(_kq, k=10)  # warm
+    t = time.perf_counter()
+    for _ in range(20):
+        _knn.knn(_kq, k=10)
+    timings["q_knn_serve"] = (time.perf_counter() - t) / 20
+    t = time.perf_counter()
+    for _ in range(20):
+        _vec.rrf_fuse_rows(
+            [_knn.knn(_kq, k=10), _knn.knn(_kq[: len(_kq) // 2], k=10)],
+            topk=10,
+        )
+    timings["q_hybrid_fuse_serve"] = (time.perf_counter() - t) / 20
+
     # Dolma-style tagger+mixer curation pass (round 5): one codegen scan,
     # attributes + rule evaluation + keep/reasons in a single projection
     from gazetteer_search_spark.operators import curate as _cur

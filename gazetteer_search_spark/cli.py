@@ -383,6 +383,38 @@ def _read_source(spark: SparkSession, args: argparse.Namespace):
     )
 
 
+def cmd_vectorize(args: argparse.Namespace) -> None:
+    """Build the vector sidecar: hashed TF-IDF doc vectors + df stats (the
+    dense_vector analog; index/vectors.py). Default source = the index's
+    own stored content."""
+    from gazetteer_search_spark.index.vectors import build_vectors
+
+    spark = _spark("gss-vectorize")
+    src = spark.read.parquet(args.source) if args.source else None
+    t0 = time.time()
+    st = build_vectors(spark, args.index, dim=args.dim, source=src)
+    print(json.dumps({
+        "index": args.index, "dim": st["dim"], "n_docs": st["n_docs"],
+        "features_used": len(st["df"]),
+        "seconds": round(time.time() - t0, 2),
+    }))
+
+
+def cmd_knn(args: argparse.Namespace) -> None:
+    """Exact-KNN query over the vector sidecar — Spark-free (no JVM)."""
+    from gazetteer_search_spark.index.vectors import KnnIndex
+
+    h = KnnIndex(args.index)
+    t0 = time.time()
+    rows = h.knn(args.q, k=args.k)
+    ms = round((time.time() - t0) * 1000, 3)
+    for rank, (d, c) in enumerate(rows, 1):
+        print(json.dumps({
+            "rank": rank, "doc_id": d,
+            "cosine": round(round(c, 9), 4), "ms": ms,
+        }))
+
+
 def cmd_alias(args: argparse.Namespace) -> None:
     """ES _aliases analog (index/alias.py): no Spark session needed."""
     from gazetteer_search_spark.index import alias as _al
@@ -1379,6 +1411,25 @@ def main(argv: list[str] | None = None) -> None:
         "found_at_1/found_in_page/not_found summary instead of writing results",
     )
     bq.set_defaults(fn=cmd_batch_query)
+
+    vz = sub.add_parser(
+        "vectorize",
+        help="build the vector sidecar (hashed TF-IDF doc vectors — the "
+        "dense_vector analog) from the index's stored content or --source",
+    )
+    vz.add_argument("--index", required=True)
+    vz.add_argument("--dim", type=int, default=64)
+    vz.add_argument("--source", default=None,
+                    help="corpus parquet override (doc_id + content/text)")
+    vz.set_defaults(fn=cmd_vectorize)
+
+    kn = sub.add_parser(
+        "knn", help="exact cosine top-k over the vector sidecar (Spark-free)"
+    )
+    kn.add_argument("--index", required=True)
+    kn.add_argument("--q", required=True)
+    kn.add_argument("--k", type=int, default=10)
+    kn.set_defaults(fn=cmd_knn)
 
     al = sub.add_parser(
         "alias",

@@ -475,6 +475,31 @@ def lsh_ann_topk(
     return cosine_topk_query(cands, query_vec, k, vec_col, id_col)
 
 
+def hashed_feats(
+    df: DataFrame,
+    dim: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(doc_id, feat, tf): hashed term frequencies — the shared first stage
+    of TF-IDF vectorization (one explode + one hash agg)."""
+    from gazetteer_search_spark.operators.dedup import hash64_col
+    from gazetteer_search_spark.operators.textstats import words_col
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(F.col(text_col))).alias("t"),
+    )
+    return (
+        toks.withColumn(
+            "feat", F.pmod(hash64_col(hash_fn, F.col("t")), F.lit(dim))
+        )
+        .groupBy("doc_id", "feat")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+
+
 def vectorize_docs(
     df: DataFrame,
     dim: int = 64,
@@ -494,20 +519,7 @@ def vectorize_docs(
     transform(sequence) + aggregate norm — zero UDF). Docs with no tokens
     get the zero vector (norm guard, no NaNs). ``hash_fn='md5_60'`` makes
     the whole pipeline DuckDB-recomputable (dedup.hash64_col)."""
-    from gazetteer_search_spark.operators.dedup import hash64_col
-    from gazetteer_search_spark.operators.textstats import words_col
-
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(words_col(F.col(text_col))).alias("t"),
-    )
-    feats = (
-        toks.withColumn(
-            "feat", F.pmod(hash64_col(hash_fn, F.col("t")), F.lit(dim))
-        )
-        .groupBy("doc_id", "feat")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
+    feats = hashed_feats(df, dim, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
     n_docs = float(df.count())
     dfreq = feats.groupBy("feat").agg(F.count("*").cast("double").alias("dfc"))
     w = feats.join(F.broadcast(dfreq), "feat").select(

@@ -96,6 +96,7 @@ import json
 import os
 import threading
 from dataclasses import replace
+from time import perf_counter as _now
 from email.utils import formatdate, parsedate_to_datetime
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -157,6 +158,7 @@ def _make_handler(
     # the ES behavior. /bulk follows the swap too (index_path tracks it).
     alias_mtime = None
     current_target = None
+    knn_handle = None  # lazy KnnIndex over the vector sidecar (if built)
     if alias_path is not None:
         try:
             alias_mtime = os.stat(alias_path).st_mtime
@@ -369,7 +371,7 @@ def _make_handler(
             """Follow an alias repoint: reopen over the new target once,
             invalidate the request cache, advance the Last-Modified stamp."""
             nonlocal engine, mtime, last_modified, alias_mtime
-            nonlocal current_target, index_path
+            nonlocal current_target, index_path, knn_handle
             if alias_path is None or reopen is None:
                 return
             try:
@@ -392,6 +394,7 @@ def _make_handler(
                     engine = reopen(tgt)
                     current_target = tgt
                     index_path = tgt
+                    knn_handle = None
                     import time as _time
 
                     mtime = _time.time()
@@ -455,6 +458,12 @@ def _make_handler(
             if u.path == "/analyze":
                 self._do_analyze(u)
                 return
+            if u.path == "/knn":
+                self._do_knn(u)
+                return
+            if u.path == "/hybrid":
+                self._do_hybrid(u)
+                return
             if u.path != "/search":
                 self._send(
                     404,
@@ -465,7 +474,7 @@ def _make_handler(
                             "/mapping", "/segments", "/mlt",
                             "/count", "/composite", "/tophits", "/facetcard",
                             "/termvectors", "/spell", "/analyze", "/stats",
-                            "/classes", "/ui"
+                            "/classes", "/ui", "/knn", "/hybrid"
                         ],
                     },
                 )
@@ -1016,6 +1025,97 @@ def _make_handler(
                 + "</body></html>"
             )
             self._send_html(200, page)
+
+        def _get_knn(self):
+            """Lazy KnnIndex over the vector sidecar; None when the index
+            has no vectors (run the vectorize CLI first)."""
+            nonlocal knn_handle
+            if knn_handle is None:
+                from gazetteer_search_spark.index.vectors import (
+                    KnnIndex, has_vectors,
+                )
+
+                root = index_path
+                if root is None:
+                    try:
+                        root = engine.index.paths.root
+                    except AttributeError:
+                        root = None
+                if root is None or not has_vectors(root):
+                    return None
+                with lock:
+                    if knn_handle is None:
+                        knn_handle = KnnIndex(root)
+            return knn_handle
+
+        def _do_knn(self, u) -> None:
+            """Exact-KNN route (ES knn search analog): hashed-TF-IDF query
+            embedding + cosine top-k over the persisted vector sidecar —
+            Spark-free, one matmul."""
+            h = self._get_knn()
+            if h is None:
+                self._send(
+                    409,
+                    {"error": "index has no vector sidecar; run the "
+                     "vectorize CLI (or build_vectors) first"},
+                )
+                return
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            size = int((qs.get("size") or ["10"])[0])
+            t0 = _now()
+            rows = h.knn(q, k=size)
+            self._send(200, {
+                "query": q,
+                "answer_time_ms": round((_now() - t0) * 1000, 3),
+                "hits": [
+                    {"doc_id": d, "cosine": round(round(c, 9), 4)}
+                    for d, c in rows
+                ],
+            })
+
+        def _do_hybrid(self, u) -> None:
+            """Hybrid retrieval (ES 8 retriever analog): BM25 serving page +
+            KNN page fused by reciprocal rank (rrf_fuse_rows — the pinned
+            twin of the Spark-side similarity.rrf_fuse)."""
+            h = self._get_knn()
+            if h is None:
+                self._send(
+                    409,
+                    {"error": "index has no vector sidecar; run the "
+                     "vectorize CLI (or build_vectors) first"},
+                )
+                return
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            size = int((qs.get("size") or ["10"])[0])
+            k0 = int((qs.get("k0") or ["60"])[0])
+            from dataclasses import replace as _replace
+
+            from gazetteer_search_spark.index.vectors import rrf_fuse_rows
+
+            t0 = _now()
+            bm25 = engine.search_hits(q, _replace(default_opts, k=size))
+            bm25_page = [(int(r.doc_id), float(r.score)) for r in bm25]
+            knn_page = h.knn(q, k=size)
+            fused = rrf_fuse_rows([bm25_page, knn_page], k0=k0, topk=size)
+            self._send(200, {
+                "query": q,
+                "answer_time_ms": round((_now() - t0) * 1000, 3),
+                "k0": k0,
+                "lexical_hits": len(bm25_page),
+                "knn_hits": len(knn_page),
+                "hits": [
+                    {"doc_id": d, "score": round(round(sc, 9), 6)}
+                    for d, sc in fused
+                ],
+            })
 
         def _do_stats(self, u) -> None:
             """Generic tag-statistics route: histogram over an arbitrary docs

@@ -1,0 +1,135 @@
+"""Persisted vector sidecar + serving-side exact KNN + hybrid RRF routes."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gazetteer_search_spark.index import builder, vectors
+from gazetteer_search_spark.operators import similarity
+from gazetteer_search_spark.sources import synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def vidx(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("knn_idx"))
+    corpus = synthetic_corpus(spark, 300).drop("doc_id").withColumn(
+        "doc_id",
+        F.xxhash64("repo", "path", "commit").bitwiseAND(F.lit((1 << 62) - 1)),
+    )
+    builder.build_index(
+        spark, corpus, root, n_buckets=2, postings_per_group=1 << 16,
+        store_content=True,
+    )
+    stats = vectors.build_vectors(spark, root, dim=32)
+    assert stats["dim"] == 32 and stats["n_docs"] == 300
+    return root, corpus
+
+
+def test_knn_handle_matches_spark_pipeline(spark, vidx):
+    root, corpus = vidx
+    h = vectors.KnnIndex(root)
+    assert h.matrix.shape == (300, 32)
+    row0 = corpus.orderBy("doc_id").limit(1).collect()[0]
+    # query == a document's text -> the query embeds onto that doc's vector
+    qv = h.embed(row0.content)
+    stored = h.matrix[np.where(h.doc_ids == row0.doc_id)[0][0]]
+    assert np.allclose(qv, stored, atol=1e-9)
+    top = h.knn(row0.content, k=5)
+    assert top[0][0] == row0.doc_id and top[0][1] == pytest.approx(1.0)
+    # rank identity vs the Spark-side pipeline (vectorize + cosine_topk)
+    vec = similarity.vectorize_docs(
+        corpus.select("doc_id", F.col("content").alias("text")),
+        dim=32, hash_fn="md5_60",
+    ).select(F.col("doc_id").alias("vec_id"), F.col("vector").alias("embedding"))
+    sp = similarity.cosine_topk_query(vec, [float(x) for x in qv], k=5).collect()
+    assert [r.vec_id for r in sp] == [d for d, _ in top]
+    for r, (_, c) in zip(sp, top):
+        assert r.cosine == pytest.approx(c, abs=1e-6)
+    # brute-force numpy twin: exact same ranking
+    sims = h.matrix @ qv
+    brute = sorted(
+        zip((int(d) for d in h.doc_ids), (float(s) for s in sims)),
+        key=lambda r: (-round(r[1], 9), r[0]),
+    )[:5]
+    assert brute == top
+
+
+def test_rrf_fuse_rows_matches_spark_rrf(spark):
+    a = [(1, 9.0), (2, 8.0), (3, 7.0)]
+    b = [(3, 0.9), (4, 0.8), (1, 0.7)]
+    py = vectors.rrf_fuse_rows([a, b], k0=60, topk=4)
+    da = spark.createDataFrame(a, "doc_id long, score double")
+    db = spark.createDataFrame(b, "doc_id long, score double")
+    sp = similarity.rrf_fuse([da, db], k0=60, topk=4).collect()
+    assert [(r.doc_id, round(r.score, 9)) for r in sp] == [
+        (d, round(s, 9)) for d, s in py
+    ]
+
+
+def test_build_vectors_requires_content_or_source(spark, tmp_path):
+    root = str(tmp_path / "plain")
+    corpus = synthetic_corpus(spark, 50).drop("doc_id").withColumn(
+        "doc_id",
+        F.xxhash64("repo", "path", "commit").bitwiseAND(F.lit((1 << 62) - 1)),
+    )
+    builder.build_index(spark, corpus, root, n_buckets=2, postings_per_group=1 << 16)
+    with pytest.raises(ValueError, match="stored content"):
+        vectors.build_vectors(spark, root, dim=16)
+    # explicit source works without stored content
+    st = vectors.build_vectors(spark, root, dim=16, source=corpus)
+    assert st["n_docs"] == 50
+    assert vectors.has_vectors(root)
+
+
+def test_http_knn_and_hybrid_routes(spark, vidx):
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    root, corpus = vidx
+    eng = SearchEngine(spark, builder.load_index(spark, root), serving=True)
+    srv = make_server(
+        eng, SearchOptions(k=5, prefix=False, fuzzy=False), port=0,
+        index_path=root,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        row0 = corpus.orderBy("doc_id").limit(1).collect()[0]
+        q = urllib.request.quote(" ".join(row0.content.split()[:6]))
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/knn?q={q}&size=5"
+        ) as r:
+            env = json.loads(r.read())
+        assert len(env["hits"]) == 5
+        assert all(
+            set(h) == {"doc_id", "cosine"} for h in env["hits"]
+        )
+        # route == handle-level call
+        h = vectors.KnnIndex(root)
+        expect = h.knn(" ".join(row0.content.split()[:6]), k=5)
+        assert [x["doc_id"] for x in env["hits"]] == [d for d, _ in expect]
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/hybrid?q={q}&size=5"
+        ) as r:
+            env = json.loads(r.read())
+        assert env["lexical_hits"] > 0 and env["knn_hits"] == 5
+        assert len(env["hits"]) == 5
+        # fused page == the pinned python RRF over the two pages
+        bm = eng.search_hits(
+            " ".join(row0.content.split()[:6]),
+            SearchOptions(k=5, prefix=False, fuzzy=False),
+        )
+        fused = vectors.rrf_fuse_rows(
+            [[(int(x.doc_id), float(x.score)) for x in bm], expect],
+            k0=60, topk=5,
+        )
+        assert [x["doc_id"] for x in env["hits"]] == [d for d, _ in fused]
+    finally:
+        srv.shutdown()
