@@ -270,3 +270,46 @@ def test_search_sorted_is_take_ordered(spark, index):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_vectorize_docs_broadcasts_df_stats(spark):
+    """vectorize_docs joins the <=dim-row df table back to the feature rows
+    via broadcast — never a shuffled join keyed on feat (dim is tiny, the
+    feature rows are corpus-shaped), and never cartesian."""
+    from gazetteer_search_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = similarity.vectorize_docs(docs, dim=16)
+    assert uses_broadcast_join(out)
+    assert_no_cartesian(out)
+
+
+def test_classifier_training_step_broadcasts_weights(spark):
+    """One GD step: the weight table (<= n_features+1 rows) broadcasts onto
+    the feature rows for the margin aggregation — the corpus-shaped side is
+    never shuffled against driver state; no cartesian anywhere."""
+    from gazetteer_search_spark.operators import classifier
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma" if i % 2 else "delta eps zeta") for i in range(30)],
+        "doc_id long, text string",
+    )
+    feats = classifier.featurize(docs, n_features=64)
+    wdf = spark.createDataFrame(
+        [(f, 0.0) for f in range(-1, 64)], "feat long, wv double"
+    )
+    margins = (
+        feats.join(F.broadcast(wdf), "feat")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("val") * F.col("wv")).alias("m"))
+    )
+    assert uses_broadcast_join(margins)
+    assert_no_cartesian(margins)
+    # scoring path (the shipped helper) has the same shape
+    w = {f: 0.01 for f in range(-1, 64)}
+    scored = classifier.score(feats, w)
+    assert uses_broadcast_join(scored)
+    assert_no_cartesian(scored)
