@@ -448,18 +448,28 @@ def cmd_curate(args: argparse.Namespace) -> None:
     else:
         out_df = _cur.curate(d, rules, text_col=args.text_col, id_col=args.id_col)
     out_df.write.mode("overwrite").parquet(args.out)
-    stats = (
-        None
-        if args.tag_only
-        else out_df.groupBy("keep").count().orderBy("keep").collect()
-    )
+    # stats come from the JUST-WRITTEN parquet (tiny, text-free columns) —
+    # re-aggregating out_df would re-scan and re-tag the raw corpus
+    written = spark.read.parquet(args.out)
+    if args.tag_only:
+        agg = written.groupBy().count().collect()[0]
+        rows, kept, dropped = int(agg["count"]), None, None
+    else:
+        from pyspark.sql import functions as F
+
+        agg = written.agg(
+            F.count("*").alias("rows"),
+            F.sum(F.col("keep")).alias("kept"),
+        ).collect()[0]
+        rows = int(agg["rows"])
+        kept = int(agg["kept"] or 0)
+        dropped = rows - kept
     print(json.dumps({
         "out": args.out,
-        "rows": spark.read.parquet(args.out).count(),
+        "rows": rows,
         **(
-            {"kept": next((r["count"] for r in stats if r.keep == 1), 0),
-             "dropped": next((r["count"] for r in stats if r.keep == 0), 0)}
-            if stats is not None
+            {"kept": kept, "dropped": dropped}
+            if not args.tag_only
             else {"tag_only": True}
         ),
         "rules": [r.name for r in rules],

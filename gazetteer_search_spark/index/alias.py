@@ -57,9 +57,13 @@ def resolve_index(path: str) -> str:
     whose target is missing — a dangling alias is a config error, not an
     empty index."""
     seen = []
-    for _ in range(MAX_CHAIN):
+    # MAX_CHAIN link FOLLOWS are allowed, so a chain of exactly MAX_CHAIN
+    # aliases resolves (the final non-alias check needs one extra pass)
+    for _ in range(MAX_CHAIN + 1):
         if not is_alias(path):
             return path
+        if len(seen) == MAX_CHAIN:
+            break
         seen.append(os.path.abspath(path))
         path = read_alias(path)
         if os.path.abspath(path) in seen:

@@ -72,20 +72,26 @@ def build_vectors(
     text_col = "content" if "content" in source.columns else "text"
     docs = source.select("doc_id", F.col(text_col).alias("text"))
 
-    vec = _sim.vectorize_docs(docs, dim=dim, hash_fn="md5_60")
+    # the tokenize+hash pass is the expensive stage — run it ONCE, persist,
+    # and share it between the vector build and the df-stats sidecar (the
+    # naive form re-scanned the corpus twice more: ADVICE r5)
+    feats = _sim.hashed_feats(docs, dim, hash_fn="md5_60").persist()
+    n_docs = int(docs.count())
+    dfreq_df = feats.groupBy("feat").agg(
+        F.count("*").cast("double").alias("dfc")
+    )
+    dfreq = dfreq_df.collect()  # <= dim rows — the whole "model"
+    vec = _sim.vectorize_docs(
+        docs, dim=dim, hash_fn="md5_60",
+        feats=feats, n_docs=float(n_docs), dfreq=dfreq_df,
+    )
     out = os.path.join(index_dir, VECTORS_DIR)
     vec.write.mode("overwrite").parquet(out)
-    # per-feature document frequency: <= dim rows — the whole "model"
-    dfreq = (
-        _sim.hashed_feats(docs, dim, hash_fn="md5_60")
-        .groupBy("feat")
-        .agg(F.count("*").alias("dfc"))
-        .collect()
-    )
+    feats.unpersist()
     stats = {
         "dim": int(dim),
         "hash_fn": "md5_60",
-        "n_docs": int(docs.count()),
+        "n_docs": n_docs,
         "df": {str(int(r.feat)): int(r.dfc) for r in dfreq},
     }
     tmp = os.path.join(index_dir, STATS_FILE + ".tmp")
@@ -111,7 +117,12 @@ class KnnIndex:
             self.stats = json.load(f)
         self.dim = int(self.stats["dim"])
         self.n_docs = int(self.stats["n_docs"])
-        self._idf = np.ones(self.dim)
+        # unseen features carry df=0 under the build's smoothed formula:
+        # ln((N+1)/(0+1)) + 1 — NOT 1.0, or out-of-corpus query tokens
+        # would deflate the query norm and inflate every reported cosine
+        self._idf = np.full(
+            self.dim, math.log(self.n_docs + 1.0) + 1.0, dtype=np.float64
+        )
         for feat, dfc in self.stats["df"].items():
             self._idf[int(feat)] = math.log(
                 (self.n_docs + 1.0) / (int(dfc) + 1.0)

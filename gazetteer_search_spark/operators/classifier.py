@@ -41,7 +41,6 @@ import math
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
-from gazetteer_search_spark.operators.dedup import hash64_col
 from gazetteer_search_spark.operators.textstats import words_col
 
 BIAS = -1  # reserved feature index for the intercept (never a hash value)
@@ -67,19 +66,16 @@ def featurize(
     """(doc_id, feat, val) hashed-BoW rows: tf/doc_len per hashed token
     plus a bias row (feat=BIAS, val=1.0) for every doc — so every doc has
     at least one feature row and the margin join never drops a doc."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(words_col(F.col(text_col))).alias("t"),
+    # the explode+pmod(hash)+groupBy tf stage is similarity.hashed_feats —
+    # ONE definition of the feature-hashing scheme engine-wide (a tokenizer
+    # or pmod change applies everywhere at once); doc length is the sum of
+    # tf over a doc's feature rows, so no second tokenize pass is needed
+    from gazetteer_search_spark.operators.similarity import hashed_feats
+
+    tf = hashed_feats(
+        df, n_features, text_col=text_col, id_col=id_col, hash_fn=hash_fn
     )
-    # md5_60 / xxhash64 are both >= 0 here only for md5_60; xxhash64 is
-    # signed, so use pmod on Spark; the oracle (md5_60 family, low 60 bits
-    # of md5, always >= 0) writes plain % — identical results by sign.
-    tf = (
-        toks.withColumn("feat", F.pmod(hash64_col(hash_fn, F.col("t")), F.lit(n_features)))
-        .groupBy("doc_id", "feat")
-        .agg(F.count("*").cast("double").alias("tf"))
-    )
-    dlen = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("n"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
     feats = tf.join(dlen, "doc_id").select(
         "doc_id", "feat", (F.col("tf") / F.col("n")).alias("val")
     )

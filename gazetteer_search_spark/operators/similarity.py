@@ -506,6 +506,9 @@ def vectorize_docs(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    feats: DataFrame | None = None,
+    n_docs: float | None = None,
+    dfreq: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, vector): L2-normalised hashed TF-IDF document vectors —
     in-engine vectorization closing the similarity loop (corpus -> vectors
@@ -518,10 +521,18 @@ def vectorize_docs(
     back, and the dense array built natively (map_from_entries +
     transform(sequence) + aggregate norm — zero UDF). Docs with no tokens
     get the zero vector (norm guard, no NaNs). ``hash_fn='md5_60'`` makes
-    the whole pipeline DuckDB-recomputable (dedup.hash64_col)."""
-    feats = hashed_feats(df, dim, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
-    n_docs = float(df.count())
-    dfreq = feats.groupBy("feat").agg(F.count("*").cast("double").alias("dfc"))
+    the whole pipeline DuckDB-recomputable (dedup.hash64_col).
+
+    ``feats`` / ``n_docs`` / ``dfreq`` let a caller that already computed
+    the shared stages (e.g. index.vectors.build_vectors, which also
+    persists the df stats) pass them in instead of re-scanning the corpus
+    — pass a persisted ``feats`` to pay the tokenize+hash pass once."""
+    if feats is None:
+        feats = hashed_feats(df, dim, text_col=text_col, id_col=id_col, hash_fn=hash_fn)
+    if n_docs is None:
+        n_docs = float(df.count())
+    if dfreq is None:
+        dfreq = feats.groupBy("feat").agg(F.count("*").cast("double").alias("dfc"))
     w = feats.join(F.broadcast(dfreq), "feat").select(
         "doc_id",
         "feat",

@@ -156,17 +156,25 @@ def _make_handler(
     # repointed alias reopens the engine over the new target under the
     # lock; in-flight requests finish on the handle they grabbed, exactly
     # the ES behavior. /bulk follows the swap too (index_path tracks it).
-    alias_mtime = None
+    # swap detection keys on (st_ino, st_mtime_ns): set_alias writes via
+    # tmp+rename so every repoint is a NEW inode — two repoints inside one
+    # coarse-mtime tick (1s NFS) still differ by inode, where bare st_mtime
+    # would permanently miss the second swap.
+    def _alias_sig():
+        st = os.stat(alias_path)
+        return (st.st_ino, st.st_mtime_ns)
+
+    alias_sig = None
     current_target = None
     knn_handle = None  # lazy KnnIndex over the vector sidecar (if built)
     if alias_path is not None:
         try:
-            alias_mtime = os.stat(alias_path).st_mtime
+            alias_sig = _alias_sig()
             from gazetteer_search_spark.index.alias import resolve_index
 
             current_target = resolve_index(alias_path)
         except OSError:
-            alias_mtime = None
+            alias_sig = None
     last_modified = formatdate(mtime, usegmt=True) if mtime else None
     # ES request-cache analog: full /search responses keyed by the raw
     # query string, validated against the index's Last-Modified stamp —
@@ -369,27 +377,37 @@ def _make_handler(
 
         def _maybe_swap(self) -> None:
             """Follow an alias repoint: reopen over the new target once,
-            invalidate the request cache, advance the Last-Modified stamp."""
-            nonlocal engine, mtime, last_modified, alias_mtime
+            invalidate the request cache, advance the Last-Modified stamp.
+            A broken alias (dangling target, cycle) must NOT take the node
+            down — serve the handle we already hold and retry next request."""
+            nonlocal engine, mtime, last_modified, alias_sig
             nonlocal current_target, index_path, knn_handle
             if alias_path is None or reopen is None:
                 return
             try:
-                m = os.stat(alias_path).st_mtime
+                m = _alias_sig()
             except OSError:
                 return
-            if m == alias_mtime:
+            if m == alias_sig:
                 return
             with lock:
                 try:
-                    m = os.stat(alias_path).st_mtime
+                    m = _alias_sig()
                 except OSError:
                     return
-                if m == alias_mtime:
+                if m == alias_sig:
                     return  # another thread already swapped
                 from gazetteer_search_spark.index.alias import resolve_index
 
-                tgt = resolve_index(alias_path)
+                try:
+                    tgt = resolve_index(alias_path)
+                except (ValueError, OSError) as exc:
+                    # dangling/cyclic alias: keep serving the open engine
+                    # (the ES behavior — in-flight + new requests stay on
+                    # the old index until the alias is fixed); alias_sig is
+                    # NOT advanced, so every request retries the resolve.
+                    self.log_message("alias swap deferred: %s", exc)
+                    return
                 if tgt != current_target:
                     engine = reopen(tgt)
                     current_target = tgt
@@ -400,7 +418,7 @@ def _make_handler(
                     mtime = _time.time()
                     last_modified = formatdate(mtime, usegmt=True)
                     req_cache.clear()
-                alias_mtime = m
+                alias_sig = m
 
         def do_GET(self) -> None:  # noqa: N802 — http.server API
             self._maybe_swap()
@@ -1035,16 +1053,19 @@ def _make_handler(
                     KnnIndex, has_vectors,
                 )
 
-                root = index_path
-                if root is None:
-                    try:
-                        root = engine.index.paths.root
-                    except AttributeError:
-                        root = None
-                if root is None or not has_vectors(root):
-                    return None
+                # read index_path INSIDE the lock: an alias swap between the
+                # read and the cache-fill would otherwise pin a KnnIndex over
+                # the pre-swap target while /search serves the new one
                 with lock:
                     if knn_handle is None:
+                        root = index_path
+                        if root is None:
+                            try:
+                                root = engine.index.paths.root
+                            except AttributeError:
+                                root = None
+                        if root is None or not has_vectors(root):
+                            return None
                         knn_handle = KnnIndex(root)
             return knn_handle
 
@@ -1065,7 +1086,11 @@ def _make_handler(
             if not q:
                 self._send(400, {"error": "missing q"})
                 return
-            size = int((qs.get("size") or ["10"])[0])
+            try:
+                size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
+            except ValueError:
+                self._send(400, {"error": "size must be an integer"})
+                return
             t0 = _now()
             rows = h.knn(q, k=size)
             self._send(200, {
@@ -1094,14 +1119,21 @@ def _make_handler(
             if not q:
                 self._send(400, {"error": "missing q"})
                 return
-            size = int((qs.get("size") or ["10"])[0])
-            k0 = int((qs.get("k0") or ["60"])[0])
+            try:
+                size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
+                k0 = max(1, min(int((qs.get("k0") or ["60"])[0]), 10_000))
+            except ValueError:
+                self._send(400, {"error": "size/k0 must be integers"})
+                return
             from dataclasses import replace as _replace
 
             from gazetteer_search_spark.index.vectors import rrf_fuse_rows
 
             t0 = _now()
-            bm25 = engine.search_hits(q, _replace(default_opts, k=size))
+            # engine calls are serialized like every other route — the
+            # serving engine's lazy caches are not thread-safe
+            with lock:
+                bm25 = engine.search_hits(q, _replace(default_opts, k=size))
             bm25_page = [(int(r.doc_id), float(r.score)) for r in bm25]
             knn_page = h.knn(q, k=size)
             fused = rrf_fuse_rows([bm25_page, knn_page], k0=k0, topk=size)

@@ -157,3 +157,144 @@ def test_http_server_hot_swaps_on_alias_repoint(spark, tmp_path):
         # above answered from the NEW engine, not a stale cached page
     finally:
         srv.shutdown()
+
+
+def test_alias_chain_of_exactly_max_chain_resolves(tmp_path):
+    """MAX_CHAIN link follows are allowed: a chain of exactly MAX_CHAIN
+    alias files resolves; one more raises (regression: off-by-one rejected
+    the boundary chain as 'deeper than MAX_CHAIN')."""
+    idx = _fake_index(tmp_path, "leaf")
+    prev = idx
+    chain = []
+    for i in range(al.MAX_CHAIN):
+        a = str(tmp_path / f"a{i}.json")
+        al.set_alias(a, prev)
+        chain.append(a)
+        prev = a
+    assert al.resolve_index(chain[-1]) == os.path.abspath(idx)
+    over = str(tmp_path / "over.json")
+    al.set_alias(over, chain[-1])  # MAX_CHAIN + 1 links
+    with pytest.raises(ValueError, match="deeper"):
+        al.resolve_index(over)
+
+
+def test_server_survives_broken_alias_and_recovers(spark, tmp_path):
+    """A dangling alias must not take the serving node down: requests keep
+    answering from the engine already open (the ES behavior), /healthz
+    stays green, and a later valid repoint is picked up (regression:
+    resolve_index's ValueError escaped _maybe_swap and aborted every
+    request, including health probes)."""
+    import threading
+    import urllib.request
+
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    def _mk(name, marker):
+        corpus = spark.range(0, 30).select(
+            F.col("id").alias("doc_id"),
+            F.lit("org/r").alias("repo"),
+            F.format_string("src/%d.py", "id").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.lit(f"alpha shared {marker} words").alias("content"),
+        )
+        out = str(tmp_path / name)
+        builder.build_index(spark, corpus, out, n_buckets=2)
+        return out
+
+    v1 = _mk("v1", "generationone")
+    v2 = _mk("v2", "generationtwo")
+    a = str(tmp_path / "live.json")
+    al.set_alias(a, v1)
+
+    def _open(target):
+        return SearchEngine(spark, builder.load_index(spark, target), serving=True)
+
+    srv = make_server(
+        _open(al.resolve_index(a)), SearchOptions(k=3, prefix=False, fuzzy=False),
+        port=0, alias_path=a, reopen=_open,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{path}"
+            ) as r:
+                return json.loads(r.read())
+
+        assert get("/search?q=generationone&size=3")["total_hits"] == 3
+        # break the alias: point it at a missing directory (bypass
+        # set_alias validation — this is the operator-error scenario)
+        tmp = a + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"alias_target": str(tmp_path / "gone")}, f)
+        os.replace(tmp, a)
+        # node stays up, serves the old engine, health stays green
+        assert get("/healthz")["ok"] is True
+        assert get("/search?q=generationone&size=3")["total_hits"] == 3
+        # fix the alias -> the swap lands on the next request
+        al.set_alias(a, v2)
+        assert get("/search?q=generationtwo&size=3")["total_hits"] == 3
+    finally:
+        srv.shutdown()
+
+
+def test_server_detects_double_repoint_within_one_mtime_tick(spark, tmp_path):
+    """Two repoints inside one coarse-mtime tick: swap detection keys on
+    (st_ino, st_mtime_ns), and set_alias's tmp+rename makes every repoint
+    a fresh inode — so the second swap is seen even when st_mtime is
+    pinned equal (regression: bare st_mtime equality missed it forever)."""
+    import threading
+    import urllib.request
+
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    def _mk(name, marker):
+        corpus = spark.range(0, 30).select(
+            F.col("id").alias("doc_id"),
+            F.lit("org/r").alias("repo"),
+            F.format_string("src/%d.py", "id").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.lit(f"alpha shared {marker} words").alias("content"),
+        )
+        out = str(tmp_path / name)
+        builder.build_index(spark, corpus, out, n_buckets=2)
+        return out
+
+    v1 = _mk("v1", "generationone")
+    v2 = _mk("v2", "generationtwo")
+    v3 = _mk("v3", "generationthree")
+    a = str(tmp_path / "live.json")
+    al.set_alias(a, v1)
+    pinned = os.stat(a).st_mtime  # freeze mtime across every repoint
+
+    def _open(target):
+        return SearchEngine(spark, builder.load_index(spark, target), serving=True)
+
+    srv = make_server(
+        _open(al.resolve_index(a)), SearchOptions(k=3, prefix=False, fuzzy=False),
+        port=0, alias_path=a, reopen=_open,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def total(q):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?q={q}&size=3"
+            ) as r:
+                return json.loads(r.read())["total_hits"]
+
+        os.utime(a, (pinned, pinned))
+        assert total("generationone") == 3
+        al.set_alias(a, v2)
+        os.utime(a, (pinned, pinned))
+        assert total("generationtwo") == 3  # first same-tick swap
+        al.set_alias(a, v3)
+        os.utime(a, (pinned, pinned))
+        assert total("generationthree") == 3  # second same-tick swap
+    finally:
+        srv.shutdown()

@@ -133,3 +133,62 @@ def test_http_knn_and_hybrid_routes(spark, vidx):
         assert [x["doc_id"] for x in env["hits"]] == [d for d, _ in fused]
     finally:
         srv.shutdown()
+
+
+def test_knn_idf_default_for_unseen_features(spark, vidx):
+    """Query tokens whose hashed feature never occurred in the corpus get
+    the build formula's df=0 idf — ln((N+1)/1)+1 — not 1.0, so reported
+    cosines equal the true TF-IDF cosine the Spark pipeline would compute
+    for the same query (regression: unit default deflated the query norm
+    and inflated every cosine for out-of-corpus tokens)."""
+    import math
+
+    root, _corpus = vidx
+    h = vectors.KnnIndex(root)
+    expected_unseen = math.log(h.n_docs + 1.0) + 1.0
+    seen = {int(f) for f in h.stats["df"]}
+    for feat in range(h.dim):
+        if feat not in seen:
+            assert h._idf[feat] == pytest.approx(expected_unseen)
+    # a seen feature keeps its smoothed idf
+    f0 = next(iter(seen))
+    dfc = int(h.stats["df"][str(f0)])
+    assert h._idf[f0] == pytest.approx(
+        math.log((h.n_docs + 1.0) / (dfc + 1.0)) + 1.0
+    )
+
+
+def test_http_knn_hybrid_param_validation(spark, vidx):
+    """Bad numeric params return HTTP 400 (not a reset connection), and
+    k0 is clamped positive (regression: size=abc raised ValueError with no
+    response; k0=-1 hit ZeroDivisionError inside rrf_fuse_rows)."""
+    import urllib.error
+
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    root, corpus = vidx
+    eng = SearchEngine(spark, builder.load_index(spark, root), serving=True)
+    srv = make_server(
+        eng, SearchOptions(k=5, prefix=False, fuzzy=False), port=0,
+        index_path=root,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def code(path):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}"
+                ) as r:
+                    return r.status
+            except urllib.error.HTTPError as e:
+                return e.code
+
+        assert code("/knn?q=alpha&size=abc") == 400
+        assert code("/hybrid?q=alpha&k0=notanint") == 400
+        # k0 <= 0 clamps to 1 instead of dividing by zero at rank 1
+        assert code("/hybrid?q=alpha&size=3&k0=-1") == 200
+        assert code("/knn?q=alpha&size=3") == 200
+    finally:
+        srv.shutdown()
