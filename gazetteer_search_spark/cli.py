@@ -847,6 +847,22 @@ def cmd_stats(args: argparse.Namespace) -> None:
     }))
 
 
+def cmd_verify_index(args: argparse.Namespace) -> None:
+    """Structural index verification (Lucene CheckIndex analog): decode
+    every posting block, cross-check the term dictionary, docs table,
+    cluster ranges, tombstone lineage and sidecars (index/verify.py).
+    Exit code 1 when any invariant fails."""
+    import sys
+
+    from gazetteer_search_spark.index.verify import verify_index
+
+    spark = _spark("gss-verify")
+    report = verify_index(spark, args.index)
+    print(json.dumps(report))
+    if not report["ok"]:
+        sys.exit(1)
+
+
 def cmd_serve(args: argparse.Namespace) -> None:
     """Interactive serving loop — the reference's `serve` HTTP subcommand
     analog (GazetteerSearch.java:27-66 starts an ES-backed REST server; here
@@ -1181,6 +1197,13 @@ def main(argv: list[str] | None = None) -> None:
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    vi = sub.add_parser(
+        "verify-index",
+        help="structural integrity check (Lucene CheckIndex analog)",
+    )
+    vi.add_argument("--index", required=True)
+    vi.set_defaults(fn=cmd_verify_index)
 
     def _src_args(p, with_text=True):
         g = p.add_mutually_exclusive_group(required=True)
