@@ -125,6 +125,24 @@ class SearchOptions:
     # cursor (the cursor is a (score, doc_id) key; the reference's
     # distance-sorted pages use offset paging too).
     near_path: str | None = None
+    # ES ``terminate_after``: stop collecting after this many matching docs,
+    # counted in docID (collection) order AFTER query-level must_not but
+    # BEFORE doc-side metadata filters — the per-shard collection-order
+    # semantics of ES's parameter (which documents the same rank
+    # distortion). Deterministic; serving tier; forces the decode-all path
+    # (early termination is inherently rank-unsafe, so the block-max pruned
+    # kernel gates off exactly like must_not). The executor raises
+    # ``last_terminated_early`` when the cut fired.
+    terminate_after: int | None = None
+    # ES ``timeout``: best-effort wall-clock budget (milliseconds) for the
+    # serving tier. On expiry the executor stops decoding further
+    # terms/intervals and ranks whatever accumulated — partial results with
+    # ``timed_out`` raised, exactly ES's per-shard best-effort contract
+    # (checked at block/interval granularity, so a single block decode may
+    # overshoot the budget slightly). The budget applies to each coalesce-
+    # ladder rung (each rung is its own search phase, like an ES shard
+    # phase); the flag reported is the ANSWERING rung's.
+    timeout_ms: float | None = None
 
 
 @dataclass
@@ -2543,6 +2561,25 @@ class SearchEngine:
             out["range_gated"] += c.range_gated.value
         return out
 
+    def last_search_flags(self) -> dict:
+        """ES-style budget flags for the LAST serving-tier search:
+        ``timed_out`` (timeout_ms expired — partial results) and
+        ``terminated_early`` (terminate_after cut the collection). Summed
+        across shards/generations like _counter_snapshot; always False on a
+        Spark-only engine (the budgets are serving-tier semantics)."""
+        execs = []
+        if self._local is not None:
+            execs = list(getattr(self._local, "subs", [])) or [self._local]
+        return {
+            "timed_out": any(
+                bool(getattr(getattr(e, "counters", None), "timed_out", False))
+                for e in execs
+            ),
+            "terminated_early": any(
+                bool(getattr(e, "last_terminated_early", False)) for e in execs
+            ),
+        }
+
     def search_response(
         self,
         q: str | Query,
@@ -2756,6 +2793,13 @@ class SearchEngine:
         }
         if mark is not None:
             out["mark"] = mark
+        if options is not None and (
+            getattr(options, "timeout_ms", None)
+            or getattr(options, "terminate_after", None)
+        ):
+            # ES response flags — only present when the budget params were
+            # requested, so the default envelope stays byte-stable
+            out.update(self.last_search_flags())
         return out
 
     def tag_stats(

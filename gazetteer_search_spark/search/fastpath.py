@@ -226,12 +226,17 @@ class LocalCounters:
         # queries whose repo/path_prefix filter was handled as a docID
         # range over block min/max metadata (clustered layout)
         self.range_gated = _Counter()
+        # per-query flag: the last search hit its timeout_ms budget and
+        # returned partial results (set by the decode loop / WAND kernel,
+        # reset at each search_rung entry)
+        self.timed_out = False
 
     def reset(self) -> None:
         self.decoded.value = 0
         self.skipped.value = 0
         self.attr_gated.value = 0
         self.range_gated.value = 0
+        self.timed_out = False
 
 
 class LocalExecutor:
@@ -287,6 +292,10 @@ class LocalExecutor:
         # block decode/skip evidence for the serving-path pruning (judge
         # criterion: skipped > 0 on a hot-term query)
         self.counters = LocalCounters()
+        # ES timeout / terminate_after state: a perf_counter deadline set
+        # per search (None = no budget) and the per-query early-cut flag
+        self._deadline: float | None = None
+        self.last_terminated_early = False
         # term -> block rows (metadata + payload), LRU-bounded by payload
         # bytes: a serving node's hot terms stay RESIDENT, so their payload
         # IO is paid once, not per query (the page-cache/term-cache role in
@@ -697,8 +706,18 @@ class LocalExecutor:
                     if p not in self.decoded_cache
                 ]
             )
+        import time as _time
+
         out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for term, sub in tbl.groupby("term"):
+            # ES-timeout best-effort budget: TERM granularity — a term's
+            # postings contribute whole or not at all, so partial results
+            # stay per-term-consistent (completed terms score exactly;
+            # expired terms contribute nothing, like an ES shard that
+            # stopped collecting)
+            if self._deadline is not None and _time.perf_counter() > self._deadline:
+                self.counters.timed_out = True
+                break
             self.counters.decoded.add(len(sub))
             bids = sub["block_id"].to_numpy()
             cnts = sub["doc_count"].to_numpy()
@@ -845,6 +864,14 @@ class LocalExecutor:
         does inside its serving process (VERDICT r2 "missing" #5). Otherwise
         the decode-all path runs (its results feed downstream filters, where
         truncation/theta would be rank-unsafe)."""
+        import time as _time
+
+        tmo = getattr(options, "timeout_ms", None)
+        self._deadline = (
+            _time.perf_counter() + float(tmo) / 1000.0 if tmo else None
+        )
+        self.counters.timed_out = False
+        self.last_terminated_early = False
         terms = sorted({t for g in groups for t in g.terms})
         if not terms:
             return self._match_all(options)
@@ -872,6 +899,11 @@ class LocalExecutor:
                 # field collapsing: a collapsed page of k needs k DISTINCT
                 # keys — deeper than the kernel's k+ties truncation
                 or getattr(options, "collapse", None)
+                # terminate_after cuts the match set in COLLECTION order —
+                # meaningless over the kernel's theta-pruned candidates, so
+                # it takes the decode-all path (ES documents the same rank
+                # distortion for the parameter)
+                or getattr(options, "terminate_after", None)
             )
             and (
                 not (options.repo or options.path_prefix) or rng is not None
@@ -1250,6 +1282,7 @@ class LocalExecutor:
             attr_keep_id=attr_keep_id,
             allowed_range=allowed_range,
             ids_codec=self.index.ids_codec,
+            deadline=self._deadline,
         )
         out = kernel((0,), pdf)
         self.decoded_cache.trim()
@@ -1317,6 +1350,7 @@ class LocalExecutor:
             attr_keep_id=attr_keep_id,
             allowed_range=allowed_range,
             ids_codec=self.index.ids_codec,
+            deadline=self._deadline,
         )
         out = kernel((rng_id,), pdf)
         self.decoded_cache.trim()
@@ -1424,6 +1458,19 @@ class LocalExecutor:
                     score * float(getattr(options, "demote_factor", 0.5)),
                     score,
                 )
+        ta = getattr(options, "terminate_after", None)
+        if ta and uids.size > int(ta):
+            # ES terminate_after: keep the FIRST N matching docs in docID
+            # (collection) order — uids arrive ascending from combine_parts'
+            # np.unique and boolean masks preserve that. Counted after
+            # query-level must_not (above), before doc-side metadata
+            # filters, so the final page may hold < N after those filters —
+            # the per-shard collection semantics of the ES parameter.
+            ta = int(ta)
+            uids, score, matched, maskv = (
+                uids[:ta], score[:ta], matched[:ta], maskv[:ta]
+            )
+            self.last_terminated_early = True
         near = getattr(options, "near_path", None)
         if near is not None and options.after is not None:
             raise ValueError("near_path sort and the keyset cursor are exclusive")

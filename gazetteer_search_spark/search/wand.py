@@ -149,6 +149,7 @@ def make_range_kernel(
     attr_keep_id: int | None = None,
     allowed_range: tuple[int, int] | None = None,
     ids_codec: str = codec.VBYTE,
+    deadline: float | None = None,
 ):
     """Build the applyInPandas kernel (closure over broadcast-size query
     metadata only). ``truncate=False`` when doc-level filters/boosts must be
@@ -346,6 +347,17 @@ def make_range_kernel(
         acc: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         cand = None
         for g in order:
+            if deadline is not None:
+                # ES-timeout budget on the AND path: a PARTIAL intersection
+                # is not a valid AND result, so expiry returns empty (with
+                # the flag) rather than wrong hits — still best-effort,
+                # never wrong
+                import time as _time
+
+                if _time.perf_counter() > deadline:
+                    if counters is not None:
+                        counters.timed_out = True
+                    return _empty()
             id_lo = int(cand.min()) if cand is not None and cand.size else None
             id_hi = int(cand.max()) if cand is not None and cand.size else None
             if cand is not None and cand.size == 0:
@@ -571,6 +583,16 @@ def make_range_kernel(
                 and total_ub[order[pos]] < theta - THETA_MARGIN
             ):
                 break
+            if deadline is not None:
+                # ES-timeout best-effort budget (serving path only — the
+                # distributed path never passes a deadline): stop scoring
+                # further interval rounds and rank what accumulated
+                import time as _time
+
+                if _time.perf_counter() > deadline:
+                    if counters is not None:
+                        counters.timed_out = True
+                    break
             chunk = order[pos : pos + CHUNK_INTERVALS]
             pos += CHUNK_INTERVALS
             chosen = np.zeros(n_i, dtype=bool)

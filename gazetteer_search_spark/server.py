@@ -313,6 +313,17 @@ def _make_handler(
                 # lat/lon distance-sort analog (SearchAPIAdapter
                 # LAT_PARAM/LON_PARAM): closer-in-the-tree wins ties
                 near_path=_one("near"),
+                # ES budget params: timeout (ms, best-effort partials +
+                # timed_out flag) and terminate_after (deterministic
+                # collection cut + terminated_early flag)
+                timeout_ms=(
+                    float(_one("timeout_ms")) if _one("timeout_ms") else None
+                ),
+                terminate_after=(
+                    max(1, int(_one("terminate_after")))
+                    if _one("terminate_after")
+                    else None
+                ),
             )
             q = _one("q", "")
             # classify=true: two-phase class-dimension search — query
@@ -512,7 +523,10 @@ def _make_handler(
                         self._send(200, payload, cache="HIT")
                         return
                 resp = self._search_response(parse_qs(u.query))
-                if last_modified is not None:
+                # never cache a timed-out partial page (the ES request
+                # cache's own rule): the next identical request should get
+                # a fresh shot at completing within its budget
+                if last_modified is not None and not resp.get("timed_out"):
                     with lock:
                         req_cache[u.query] = (last_modified, resp)
                         while len(req_cache) > REQ_CACHE_MAX:
