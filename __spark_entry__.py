@@ -994,6 +994,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
         return _topk_out(_engine(spark, sf).search_rung(g, 2, SearchOptions()))
 
+    def terminate_after(spark, sf):
+        # ES terminate_after: collection cut at the first 15 matching docs
+        # in docID order, THEN rank — the cut bites (the query matches >
+        # 15 docs at this sf) so a pass pins both the cut point and its
+        # documented rank distortion against the SQL recompute
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return _topk_out(
+            _engine(spark, sf).search_rung(
+                g, 2, SearchOptions(terminate_after=15)
+            )
+        )
+
     def reindex_parity(spark, sf):
         # ES _reindex: the index rebuilt from its own stored docs answers
         # EXACTLY like the source — the oracle recomputes BM25 from the raw
@@ -1666,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         must_not=must_not,
         boosting_demote=boosting_demote,
         multi_term_and=multi_term_and,
+        terminate_after=terminate_after,
         reindex_parity=reindex_parity,
         snippet=snippet,
         min_should_match_2=min_should_match_2,
@@ -2694,6 +2707,16 @@ ORDER BY round(score, 9) DESC, doc_id ASC LIMIT 20
         ["merge", "sort"],
     )
     o["wand_and"] = o["multi_term_and"]
+    # terminate_after: same query, match set cut to the 15 smallest doc_ids
+    # BEFORE ranking (collection-order semantics, ES parameter parity)
+    o["terminate_after"] = _search_sql(
+        _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]),
+        2,
+        extra_where=(
+            "AND p.doc_id IN (SELECT doc_id FROM per_doc "
+            "WHERE matched_required >= 2 ORDER BY doc_id LIMIT 15)"
+        ),
+    )
     o["wand_lang_filter"] = _search_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]),
         2,

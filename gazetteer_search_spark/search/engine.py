@@ -418,6 +418,15 @@ def finalize_ranked(
     if options.near_path is not None and options.after is not None:
         raise ValueError("near_path sort and the keyset cursor are exclusive")
     gated = per_doc.filter(F.col("matched_required") >= F.lit(msm))
+    ta = getattr(options, "terminate_after", None) if options else None
+    if ta:
+        # ES terminate_after: keep the FIRST N matching docs in docID
+        # (collection) order — after the msm gate and query-level must_not
+        # (applied upstream), before doc-side metadata filters; identical
+        # semantics to the serving tier's cut. Spark shape: TakeOrdered of
+        # N ids + broadcast semi-join — never a full sort of the match set.
+        cut = gated.select("doc_id").orderBy("doc_id").limit(int(ta))
+        gated = gated.join(F.broadcast(cut), "doc_id", "left_semi")
 
     def _rank(df: DataFrame) -> DataFrame:
         df = df.withColumn("_s", F.round(F.col("score"), 9))
