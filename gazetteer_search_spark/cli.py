@@ -269,10 +269,16 @@ def cmd_query(args: argparse.Namespace) -> None:
     # serving=True: indexes that fit a serving node answer driver-side in
     # milliseconds (zero Spark jobs per query); larger ones use the Spark path
     eng = _open_engine(spark, args.index)
+    # filtered alias (ES multi-tenancy): the alias chain's scope is the
+    # default; an explicit flag on the command line still wins
+    aflt = getattr(args, "alias_filter", None) or {}
     opts = SearchOptions(
         k=args.k, prefix=not args.no_prefix, fuzzy=not args.no_fuzzy,
-        coalesce=not args.no_coalesce, lang=args.lang, repo=args.repo,
-        path_prefix=args.path_prefix, distinct=args.distinct,
+        coalesce=not args.no_coalesce,
+        lang=args.lang or aflt.get("lang"),
+        repo=args.repo or aflt.get("repo"),
+        path_prefix=args.path_prefix or aflt.get("path_prefix"),
+        distinct=args.distinct,
         collapse=getattr(args, "collapse", None),
         near_path=args.near,
         exclude_langs=tuple(args.no_class.split(",")) if args.no_class else (),
@@ -420,13 +426,19 @@ def cmd_alias(args: argparse.Namespace) -> None:
     from gazetteer_search_spark.index import alias as _al
 
     if args.target:
-        rec = _al.set_alias(args.path, args.target)
+        flt = dict(kv.split("=", 1) for kv in (args.filter or ()))
+        rec = _al.set_alias(args.path, args.target, filter=flt or None)
         print(json.dumps({"alias": args.path, **rec}))
     else:
         print(json.dumps({
             "alias": args.path,
             "alias_target": _al.read_alias(args.path),
             "resolved": _al.resolve_index(args.path),
+            **(
+                {"filter": _al.resolve_filter(args.path)}
+                if _al.resolve_filter(args.path)
+                else {}
+            ),
         }))
 
 
@@ -900,7 +912,10 @@ def cmd_serve(args: argparse.Namespace) -> None:
         )
 
     eng = _open(args.index)
-    opts = SearchOptions(k=args.k, prefix=not args.no_prefix)
+    # filtered alias scope as the serving default (the HTTP server also
+    # re-reads it per hot-swap; this covers the stdin loop + warmup)
+    aflt = getattr(args, "alias_filter", None) or {}
+    opts = SearchOptions(k=args.k, prefix=not args.no_prefix, **aflt)
     eng.search_hits("warmup", opts)  # load term dict / docs caches
 
     if args.http is not None:
@@ -1476,6 +1491,12 @@ def main(argv: list[str] | None = None) -> None:
         help="index directory (or another alias) to point the alias at; "
         "omit to print the current record",
     )
+    al.add_argument(
+        "--filter", action="append", metavar="KEY=VALUE",
+        help="FILTERED alias (ES multi-tenancy pattern): lang/repo/"
+        "path_prefix scope applied to every query served through the "
+        "alias (repeatable)",
+    )
     al.set_defaults(fn=cmd_alias)
 
     args = ap.parse_args(argv)
@@ -1483,10 +1504,17 @@ def main(argv: list[str] | None = None) -> None:
     # clients address aliases exactly like indexes). --out/--source stay
     # literal: you write to a directory, you point an alias at it after.
     if getattr(args, "index", None):
-        from gazetteer_search_spark.index.alias import is_alias, resolve_index
+        from gazetteer_search_spark.index.alias import (
+            is_alias, resolve_filter, resolve_index,
+        )
 
         # keep the raw alias path around: serve watches it for hot-swap
         args.index_alias = args.index if is_alias(args.index) else None
+        # filtered alias (ES multi-tenancy pattern): the chain's merged
+        # filter becomes the query/serve default scope
+        args.alias_filter = (
+            resolve_filter(args.index) if args.index_alias else {}
+        )
         args.index = resolve_index(args.index)
     args.fn(args)
 

@@ -75,9 +75,23 @@ def resolve_index(path: str) -> str:
     raise ValueError(f"alias chain deeper than {MAX_CHAIN}: {seen}")
 
 
-def set_alias(alias_path: str, target: str) -> dict:
+#: filter keys a FILTERED alias may carry (the ES filtered-alias analog —
+#: the multi-tenancy pattern: one shared index, per-tenant aliases whose
+#: embedded filter scopes every query). These are exactly the doc-side
+#: SearchOptions filter fields, so the serving layer merges them verbatim;
+#: repo/path_prefix filters through a (repo, path)-clustered index prune at
+#: block min/max docID metadata, so a tenant-scoped alias costs what the
+#: TENANT's data costs, not the corpus.
+FILTER_KEYS = ("lang", "repo", "path_prefix")
+
+
+def set_alias(
+    alias_path: str, target: str, filter: dict | None = None
+) -> dict:
     """Create or atomically repoint an alias. The target must be an
-    existing index (or another alias). Returns the written record."""
+    existing index (or another alias). ``filter`` (optional) makes it a
+    FILTERED alias: {lang|repo|path_prefix: value} applied to every query
+    served through the alias. Returns the written record."""
     target_abs = os.path.abspath(target)
     if not (
         os.path.isfile(os.path.join(target_abs, "index_meta.json"))
@@ -90,8 +104,37 @@ def set_alias(alias_path: str, target: str) -> dict:
             timespec="seconds"
         ),
     }
+    if filter:
+        bad = sorted(set(filter) - set(FILTER_KEYS))
+        if bad:
+            raise ValueError(
+                f"unknown alias filter keys {bad}; allowed: {FILTER_KEYS}"
+            )
+        rec["filter"] = {k: str(v) for k, v in filter.items()}
     tmp = alias_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(rec, f)
     os.replace(tmp, alias_path)  # the atomic swap
     return rec
+
+
+def resolve_filter(path: str) -> dict:
+    """Merged filter of every FILTERED alias along the chain (identity ->
+    {} for a plain directory). Conflicting values for one key raise — two
+    tenants' scopes composed into one alias is a config error, not a
+    silent precedence pick."""
+    out: dict = {}
+    for _ in range(MAX_CHAIN + 1):
+        if not is_alias(path):
+            return out
+        with open(path) as f:
+            rec = json.load(f)
+        for k, v in (rec.get("filter") or {}).items():
+            if k in out and out[k] != v:
+                raise ValueError(
+                    f"alias chain defines conflicting {k!r} filters: "
+                    f"{out[k]!r} vs {v!r}"
+                )
+            out[k] = v
+        path = rec["alias_target"]
+    return out

@@ -167,13 +167,28 @@ def _make_handler(
     alias_sig = None
     current_target = None
     knn_handle = None  # lazy KnnIndex over the vector sidecar (if built)
+    # filtered alias (ES multi-tenancy pattern): the alias chain's merged
+    # lang/repo/path_prefix scope becomes the serving default; base_opts is
+    # the pre-alias baseline a repoint resets against (a repoint may change
+    # or DROP the filter without changing the target)
+    from dataclasses import replace as _dc_replace
+
+    base_opts = default_opts
+
+    def _with_filter(opts):
+        from gazetteer_search_spark.index.alias import resolve_filter
+
+        flt = resolve_filter(alias_path)
+        return _dc_replace(opts, **flt) if flt else opts
+
     if alias_path is not None:
         try:
             alias_sig = _alias_sig()
             from gazetteer_search_spark.index.alias import resolve_index
 
             current_target = resolve_index(alias_path)
-        except OSError:
+            default_opts = _with_filter(base_opts)
+        except (OSError, ValueError):
             alias_sig = None
     last_modified = formatdate(mtime, usegmt=True) if mtime else None
     # ES request-cache analog: full /search responses keyed by the raw
@@ -270,7 +285,10 @@ def _make_handler(
             #                           (the two-phase fold's own rule)
             #   no_class=X (repeatable) no_poi analog — class exclusion
             classes = qs.get("class") or []
-            lang = _one("lang")
+            # absent request params FALL BACK to the serving defaults (a
+            # filtered alias installs its tenant scope there) instead of
+            # clobbering them with None
+            lang = _one("lang", default_opts.lang)
             lang_boosts = dict(default_opts.lang_boosts)
             if len(classes) == 1:
                 lang = classes[0]
@@ -302,8 +320,8 @@ def _make_handler(
                 fuzziness=_parse_fuzziness(
                     _one("fuzziness", str(default_opts.fuzziness))
                 ),
-                repo=_one("repo"),
-                path_prefix=_one("path_prefix"),
+                repo=_one("repo", default_opts.repo),
+                path_prefix=_one("path_prefix", default_opts.path_prefix),
                 distinct=_one("distinct", "false").lower() == "true",
                 # collapse=KEY: ES field-collapsing — keep each key value's
                 # best-scoring hit (repo / path / lang)
@@ -392,7 +410,7 @@ def _make_handler(
             A broken alias (dangling target, cycle) must NOT take the node
             down — serve the handle we already hold and retry next request."""
             nonlocal engine, mtime, last_modified, alias_sig
-            nonlocal current_target, index_path, knn_handle
+            nonlocal current_target, index_path, knn_handle, default_opts
             if alias_path is None or reopen is None:
                 return
             try:
@@ -412,6 +430,7 @@ def _make_handler(
 
                 try:
                     tgt = resolve_index(alias_path)
+                    new_opts = _with_filter(base_opts)
                 except (ValueError, OSError) as exc:
                     # dangling/cyclic alias: keep serving the open engine
                     # (the ES behavior — in-flight + new requests stay on
@@ -428,6 +447,12 @@ def _make_handler(
 
                     mtime = _time.time()
                     last_modified = formatdate(mtime, usegmt=True)
+                    req_cache.clear()
+                if new_opts != default_opts:
+                    # filter-only repoint (same target, new/dropped tenant
+                    # scope): cached pages were computed under the OLD
+                    # scope — invalidate
+                    default_opts = new_opts
                     req_cache.clear()
                 alias_sig = m
 

@@ -298,3 +298,108 @@ def test_server_detects_double_repoint_within_one_mtime_tick(spark, tmp_path):
         assert total("generationthree") == 3  # second same-tick swap
     finally:
         srv.shutdown()
+
+
+def test_filtered_alias_record_and_chain_merge(tmp_path):
+    """Filtered alias (ES multi-tenancy pattern): the record carries the
+    scope; chains merge scopes; conflicting or unknown keys raise."""
+    idx = _fake_index(tmp_path, "t")
+    a = str(tmp_path / "tenant_a.json")
+    al.set_alias(a, idx, filter={"repo": "org/r1"})
+    assert al.resolve_filter(a) == {"repo": "org/r1"}
+    assert al.resolve_filter(idx) == {}  # identity for a plain dir
+    # chain: outer adds lang, inner keeps repo -> merged
+    b = str(tmp_path / "tenant_a_py.json")
+    al.set_alias(b, a, filter={"lang": "python"})
+    assert al.resolve_filter(b) == {"repo": "org/r1", "lang": "python"}
+    # conflicting values for one key: config error, not silent precedence
+    c = str(tmp_path / "conflict.json")
+    al.set_alias(c, a, filter={"repo": "org/r2"})
+    with pytest.raises(ValueError, match="conflicting"):
+        al.resolve_filter(c)
+    with pytest.raises(ValueError, match="unknown alias filter"):
+        al.set_alias(str(tmp_path / "x.json"), idx, filter={"size": "3"})
+
+
+def _two_repo_index(spark, tmp_path, name="fidx"):
+    corpus = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "org/r1").otherwise("org/r2").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.lit("alpha shared words").alias("content"),
+    )
+    out = str(tmp_path / name)
+    builder.build_index(spark, corpus, out, n_buckets=2)
+    return out
+
+
+def test_filtered_alias_scopes_cli_query(spark, tmp_path, capsys):
+    """`query --index <filtered alias>` applies the tenant scope by
+    default; an explicit flag on the command line still wins."""
+    from gazetteer_search_spark.cli import main
+
+    idx = _two_repo_index(spark, tmp_path)
+    a = str(tmp_path / "tenant.json")
+    al.set_alias(a, idx, filter={"repo": "org/r1"})
+    main([
+        "query", "--index", a, "--q", "alpha", "--k", "40",
+        "--no-prefix", "--no-fuzzy",
+    ])
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["repo"] == "org/r1" for r in rows)
+    # explicit flag beats the alias default
+    main([
+        "query", "--index", a, "--q", "alpha", "--k", "40",
+        "--no-prefix", "--no-fuzzy", "--repo", "org/r2",
+    ])
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rows and all(r["repo"] == "org/r2" for r in rows)
+
+
+def test_filtered_alias_scopes_http_and_swaps(spark, tmp_path):
+    """Serving through a filtered alias scopes every /search; a
+    filter-only repoint (same target, new scope) takes effect on the next
+    request and invalidates the request cache."""
+    import threading
+    import urllib.request
+
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    idx = _two_repo_index(spark, tmp_path)
+    a = str(tmp_path / "live.json")
+    al.set_alias(a, idx, filter={"repo": "org/r1"})
+
+    def _open(target):
+        return SearchEngine(spark, builder.load_index(spark, target), serving=True)
+
+    from gazetteer_search_spark.index.alias import resolve_filter
+    from dataclasses import replace as _rep
+
+    base = SearchOptions(k=40, prefix=False, fuzzy=False)
+    srv = make_server(
+        _open(al.resolve_index(a)), base,
+        port=0, alias_path=a, reopen=_open,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def repos(extra=""):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?q=alpha&size=40{extra}"
+            ) as r:
+                return {h["repo"] for h in json.loads(r.read())["hits"]}
+
+        assert repos() == {"org/r1"}
+        # per-request param still narrows within the tenant scope
+        assert repos("&lang=python") == {"org/r1"}
+        # filter-only repoint: same target, scope moves to the other tenant
+        al.set_alias(a, idx, filter={"repo": "org/r2"})
+        assert repos() == {"org/r2"}
+        # dropping the filter restores the unscoped baseline
+        al.set_alias(a, idx)
+        assert repos() == {"org/r1", "org/r2"}
+    finally:
+        srv.shutdown()
