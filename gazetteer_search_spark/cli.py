@@ -771,28 +771,15 @@ def cmd_percolate(args: argparse.Namespace) -> None:
     against a JSON registry of stored queries; one broadcast join. Registry
     file: [{"id": "q1", "msm": 2, "groups": [{"group_id": 0, "terms":
     ["merge"], "required": true}, ...]}, ...]."""
-    from gazetteer_search_spark.operators.percolate import percolate
-    from gazetteer_search_spark.search.engine import TermGroup
+    from gazetteer_search_spark.operators.percolate import (
+        parse_registry, percolate,
+    )
 
     spark = _spark("gss-percolate")
     d = _read_source(spark, args)
     with open(args.queries) as f:
         raw = json.load(f)
-    regs = [
-        (
-            q["id"],
-            [
-                TermGroup(
-                    group_id=int(g["group_id"]),
-                    terms=tuple(g["terms"]),
-                    required=bool(g.get("required", True)),
-                )
-                for g in q["groups"]
-            ],
-            int(q.get("msm", sum(1 for g in q["groups"] if g.get("required", True)))),
-        )
-        for q in raw
-    ]
+    regs = parse_registry(raw)
     out_df = percolate(
         spark, d, regs, text_col=args.text_col, id_col=args.id_col
     )

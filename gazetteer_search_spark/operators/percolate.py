@@ -113,3 +113,55 @@ def percolate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def parse_registry(raw: list) -> list[tuple]:
+    """JSON registry rows -> (query_id, [TermGroup...], msm) triples — the
+    one parser shared by the CLI batch job, the streaming router and the
+    serving route, so the registry format is defined exactly once."""
+    from gazetteer_search_spark.search.engine import TermGroup
+
+    return [
+        (
+            q["id"],
+            [
+                TermGroup(
+                    group_id=int(g["group_id"]),
+                    terms=tuple(g["terms"]),
+                    required=bool(g.get("required", True)),
+                )
+                for g in q["groups"]
+            ],
+            int(
+                q.get(
+                    "msm",
+                    sum(1 for g in q["groups"] if g.get("required", True)),
+                )
+            ),
+        )
+        for q in raw
+    ]
+
+
+def percolate_doc(text: str, queries: list[tuple]) -> list[str]:
+    """Spark-free single-document percolation — the serving twin of
+    :func:`percolate` (equality pinned by tests): tokenize with the python
+    kernel (same token stream as the Catalyst expression), then gate each
+    stored query on >= msm DISTINCT required groups having at least one
+    term present (dis_max membership). Returns matching query ids,
+    sorted."""
+    from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+    toks = set(tokenize_text(text))
+    out = []
+    for qid, groups, msm in queries:
+        matched_required = len(
+            {
+                g.group_id
+                for g in groups
+                if g.required and any(t in toks for t in g.terms)
+            }
+        )
+        if matched_required >= int(msm):
+            out.append(qid)
+    return sorted(out)

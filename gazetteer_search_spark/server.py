@@ -1213,6 +1213,39 @@ def _make_handler(
             except Exception as e:
                 self._send(400, {"error": str(e)})
 
+        def _do_percolate(self) -> None:
+            """Percolate route (ES percolate-query analog): POST a document
+            plus a stored-query registry, get back which queries it
+            triggers — the alerting/routing primitive at the serving tier,
+            Spark-free (python tokenizer kernel; twin-equality with the
+            batch operator pinned by tests). Body: {"content": "...",
+            "queries": [{"id", "msm", "groups": [{"group_id", "terms",
+            "required"}]}]}."""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                content = body.get("content")
+                raw = body.get("queries")
+                if not isinstance(content, str) or not content:
+                    self._send(400, {"error": "missing content"})
+                    return
+                if not isinstance(raw, list) or not raw:
+                    self._send(400, {"error": "missing queries registry"})
+                    return
+                from gazetteer_search_spark.operators.percolate import (
+                    parse_registry, percolate_doc,
+                )
+
+                t0 = _now()
+                matches = percolate_doc(content, parse_registry(raw))
+                self._send(200, {
+                    "matches": matches,
+                    "queries": len(raw),
+                    "answer_time_ms": round((_now() - t0) * 1000, 3),
+                })
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
         def _do_dsl(self) -> None:
             """ES query-DSL route: POST the reference's own ES query JSON
             — ``{"dsl": {...}, "field_map": {...}, "strict": false}`` or
@@ -1378,6 +1411,10 @@ def _make_handler(
                 if self._authorized():
                     self._do_dsl()
                 return
+            if p == "/percolate":
+                if self._authorized():
+                    self._do_percolate()
+                return
             if p != "/sendq":
                 self._send(
                     404,
@@ -1385,7 +1422,7 @@ def _make_handler(
                         "error": "not found",
                         "routes": [
                             "/sendq", "/msearch", "/bulk", "/rank_eval",
-                            "/dsl",
+                            "/dsl", "/percolate",
                         ],
                     },
                 )

@@ -943,3 +943,96 @@ def test_vectorize_docs_tfidf(spark):
     # tf weighting: doc 2's repeated 'delta' dominates its vector
     i_delta = max(range(32), key=lambda i: abs(out[2][i]))
     assert abs(out[2][i_delta]) > 0.7
+
+
+def test_percolate_doc_twin_matches_spark_operator(spark):
+    """Serving twin equality: percolate_doc (python kernel, Spark-free)
+    gives exactly the Spark operator's matches for every doc — same
+    tokenizer stream, same msm/required/dis_max gate."""
+    from gazetteer_search_spark.operators.percolate import (
+        parse_registry, percolate, percolate_doc,
+    )
+
+    raw = [
+        {"id": "both", "msm": 2, "groups": [
+            {"group_id": 0, "terms": ["alpha"]},
+            {"group_id": 1, "terms": ["beta"]},
+        ]},
+        {"id": "either", "groups": [
+            {"group_id": 0, "terms": ["alpha", "delta"]},
+        ]},
+        {"id": "camel", "groups": [
+            # code-aware split: camelCase sub-tokens must match
+            {"group_id": 0, "terms": ["postings"]},
+        ]},
+        {"id": "opt", "msm": 1, "groups": [
+            {"group_id": 0, "terms": ["alpha"]},
+            {"group_id": 1, "terms": ["zzz"], "required": False},
+        ]},
+    ]
+    regs = parse_registry(raw)
+    texts = [
+        "alpha beta gamma",
+        "alpha only here",
+        "beta delta",
+        "nothing relevant",
+        "mergePostings blockMax kernel",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    sp = {}
+    for r in percolate(spark, docs, regs).collect():
+        sp.setdefault(int(r.doc_id), []).append(r.query_id)
+    for i, t in enumerate(texts):
+        assert percolate_doc(t, regs) == sorted(sp.get(i, [])), (i, t)
+
+
+def test_http_percolate_route(spark, tmp_path):
+    """POST /percolate: the alerting primitive at the serving surface."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.index import builder
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    corpus = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"), F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"), F.lit("python").alias("lang"),
+        F.lit("alpha shared words").alias("content"),
+    )
+    root = str(tmp_path / "idx")
+    builder.build_index(spark, corpus, root, n_buckets=2)
+    eng = SearchEngine(spark, builder.load_index(spark, root), serving=True)
+    srv = make_server(eng, SearchOptions(k=5, prefix=False, fuzzy=False), port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def post(body):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/percolate",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return r.status, _json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, _json.loads(e.read())
+
+        regs = [
+            {"id": "hit", "groups": [{"group_id": 0, "terms": ["mergepostings"]}]},
+            {"id": "miss", "groups": [{"group_id": 0, "terms": ["zzz"]}]},
+        ]
+        code, env = post({"content": "mergePostings blockMax", "queries": regs})
+        assert code == 200 and env["matches"] == ["hit"] and env["queries"] == 2
+        assert post({"queries": regs})[0] == 400       # missing content
+        assert post({"content": "x"})[0] == 400        # missing registry
+    finally:
+        srv.shutdown()
