@@ -245,3 +245,20 @@ def test_cli_verify_index_exit_codes(spark, clean_idx, tmp_path, capsys):
     assert ei.value.code == 1
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["ok"] is False
+
+
+def test_clean_vbyte_minimal_layout_verifies_ok(spark, tmp_path):
+    """Layout matrix: the verifier holds on the OTHER config corner too —
+    vbyte codec, no attribute dimension, no clustering, no positions, no
+    stored content (sha check skipped and reported as such)."""
+    root = str(tmp_path / "vb")
+    builder.build_index(
+        spark, _corpus(spark, 250), root, n_buckets=2,
+        postings_codec="vbyte", attr_dim=None,
+    )
+    rep = verify_index(spark, root)
+    assert rep["ok"], rep
+    g = rep["generations"][0]
+    assert g["sha_checked"] is False
+    assert "cluster_range_mismatches" not in g
+    assert g["n_blocks"] > 0 and g["bad_blocks"] == 0
