@@ -908,9 +908,21 @@ def cmd_serve(args: argparse.Namespace) -> None:
     if args.http is not None:
         from gazetteer_search_spark.server import make_server
 
+        # --also NAME=PATH (repeatable): federated serving — GET /fsearch
+        # runs the query on the primary AND every named index (each with
+        # its own BM25 stats) and merges the labeled pages
+        federated = {}
+        for spec in getattr(args, "also", None) or ():
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--also needs NAME=PATH, got {spec!r}")
+            from gazetteer_search_spark.index.alias import resolve_index
+
+            federated[name] = _open(resolve_index(path))
         srv = make_server(
             eng, opts, port=args.http, index_path=args.index,
             alias_path=getattr(args, "index_alias", None), reopen=_open,
+            federated=federated or None,
         )
         print(json.dumps({
             "ready": True, "serving_local": eng._local is not None,
@@ -1360,6 +1372,12 @@ def main(argv: list[str] | None = None) -> None:
         help="Spark-free serving: no JVM/SparkSession at all — the index "
         "loads via pyarrow (load_index_local) and every query runs on the "
         "local executor; implies lazy payload + doc hydration",
+    )
+    sv.add_argument(
+        "--also", action="append", metavar="NAME=PATH",
+        help="federated serving (repeatable): GET /fsearch runs the query "
+        "on the primary AND each named index/alias, merging labeled pages "
+        "(the ES multi-index GET /idx1,idx2/_search shape)",
     )
     sv.add_argument(
         "--lazy", action="store_true",

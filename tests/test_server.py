@@ -1105,3 +1105,97 @@ def test_http_dsl_route(eng):
         assert ids and all(i < 10 for i in ids)  # 'plain' docs excluded
     finally:
         srv.shutdown()
+
+
+def test_fsearch_federated_multi_index(spark, tmp_path):
+    """GET /fsearch (ES multi-index GET /idx1,idx2/_search shape): the
+    query runs on the primary and every federated index, each against its
+    own BM25 stats, and the labeled pages merge by (score desc, index
+    asc, doc_id asc)."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.index import builder
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    def _mk(name, marker, n=20, boost=""):
+        corpus = spark.range(0, n).select(
+            F.col("id").alias("doc_id"), F.lit("org/r").alias("repo"),
+            F.format_string("src/%d.py", "id").alias("path"),
+            F.lit("c").alias("commit"), F.lit("python").alias("lang"),
+            F.lit(f"alpha {boost} shared {marker} words").alias("content"),
+        )
+        out = str(tmp_path / name)
+        builder.build_index(spark, corpus, out, n_buckets=2)
+        return out
+
+    p1 = _mk("main_idx", "uniqueone")
+    # tf=2 for 'alpha' in the federated index: its per-index BM25 score is
+    # strictly higher, so both labels must appear in a merged page
+    p2 = _mk("other_idx", "uniquetwo", n=5, boost="alpha")
+
+    def _open(t):
+        return SearchEngine(spark, builder.load_index(spark, t), serving=True)
+
+    srv = make_server(
+        _open(p1), SearchOptions(k=5, prefix=False, fuzzy=False), port=0,
+        index_path=p1, federated={"other": _open(p2)},
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}"
+                ) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        code, env = get("/fsearch?q=alpha&size=10")
+        assert code == 200
+        assert set(env["indices"]) == {"main_idx", "other"}
+        labels = {h["index"] for h in env["hits"]}
+        assert labels == {"main_idx", "other"}
+        # deterministic merge: equal scores (same corpus shape) break by
+        # index name then doc_id
+        keys = [
+            (-round(h["score"], 4), h["index"], h["doc_id"])
+            for h in env["hits"]
+        ]
+        assert keys == sorted(keys)
+
+        # a marker present only in the federated index
+        code, env = get("/fsearch?q=uniquetwo&size=5")
+        assert code == 200
+        assert env["hits"] and all(h["index"] == "other" for h in env["hits"])
+
+        # subset selection + unknown name
+        code, env = get("/fsearch?q=alpha&size=5&index=other")
+        assert code == 200 and {h["index"] for h in env["hits"]} == {"other"}
+        assert get("/fsearch?q=alpha&index=nope")[0] == 400
+        assert get("/fsearch?size=3")[0] == 400  # missing q
+    finally:
+        srv.shutdown()
+
+    # without federated config the route answers 409, not a crash
+    srv2 = make_server(
+        _open(p1), SearchOptions(k=5, prefix=False, fuzzy=False), port=0,
+        index_path=p1,
+    )
+    port2 = srv2.server_address[1]
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        import urllib.error as _ue
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port2}/fsearch?q=x")
+            raise AssertionError("expected 409")
+        except _ue.HTTPError as e:
+            assert e.code == 409
+    finally:
+        srv2.shutdown()
