@@ -430,15 +430,12 @@ def cmd_alias(args: argparse.Namespace) -> None:
         rec = _al.set_alias(args.path, args.target, filter=flt or None)
         print(json.dumps({"alias": args.path, **rec}))
     else:
+        flt = _al.resolve_filter(args.path)
         print(json.dumps({
             "alias": args.path,
             "alias_target": _al.read_alias(args.path),
             "resolved": _al.resolve_index(args.path),
-            **(
-                {"filter": _al.resolve_filter(args.path)}
-                if _al.resolve_filter(args.path)
-                else {}
-            ),
+            **({"filter": flt} if flt else {}),
         }))
 
 
@@ -899,10 +896,17 @@ def cmd_serve(args: argparse.Namespace) -> None:
         )
 
     eng = _open(args.index)
-    # filtered alias scope as the serving default (the HTTP server also
-    # re-reads it per hot-swap; this covers the stdin loop + warmup)
+    # base_opts stays UNFILTERED: the HTTP server merges the alias filter
+    # itself (and re-reads it per hot-swap — baking the filter in here
+    # would make a filter-dropping repoint keep the stale tenant scope);
+    # the merged form covers the stdin loop + warmup only
+    base_opts = SearchOptions(k=args.k, prefix=not args.no_prefix)
     aflt = getattr(args, "alias_filter", None) or {}
-    opts = SearchOptions(k=args.k, prefix=not args.no_prefix, **aflt)
+    opts = (
+        SearchOptions(k=args.k, prefix=not args.no_prefix, **aflt)
+        if aflt
+        else base_opts
+    )
     eng.search_hits("warmup", opts)  # load term dict / docs caches
 
     if args.http is not None:
@@ -911,16 +915,24 @@ def cmd_serve(args: argparse.Namespace) -> None:
         # --also NAME=PATH (repeatable): federated serving — GET /fsearch
         # runs the query on the primary AND every named index (each with
         # its own BM25 stats) and merges the labeled pages
+        import os as _os
+
         federated = {}
+        primary_name = _os.path.basename(args.index.rstrip("/"))
         for spec in getattr(args, "also", None) or ():
             name, _, path = spec.partition("=")
             if not path:
                 raise SystemExit(f"--also needs NAME=PATH, got {spec!r}")
+            if name == primary_name:
+                raise SystemExit(
+                    f"--also name {name!r} collides with the primary "
+                    "index's name (it would shadow the live engine)"
+                )
             from gazetteer_search_spark.index.alias import resolve_index
 
             federated[name] = _open(resolve_index(path))
         srv = make_server(
-            eng, opts, port=args.http, index_path=args.index,
+            eng, base_opts, port=args.http, index_path=args.index,
             alias_path=getattr(args, "index_alias", None), reopen=_open,
             federated=federated or None,
         )

@@ -155,6 +155,11 @@ def percolate_doc(text: str, queries: list[tuple]) -> list[str]:
     toks = set(tokenize_text(text))
     out = []
     for qid, groups, msm in queries:
+        # join-semantics parity with the batch operator: a (doc, query)
+        # pair exists only when the doc shares >= 1 term with the query
+        # (the broadcast term join), so an msm=0 all-optional query still
+        # needs SOME term present — it never matches every document
+        has_any = any(t in toks for g in groups for t in g.terms)
         matched_required = len(
             {
                 g.group_id
@@ -162,6 +167,6 @@ def percolate_doc(text: str, queries: list[tuple]) -> list[str]:
                 if g.required and any(t in toks for t in g.terms)
             }
         )
-        if matched_required >= int(msm):
+        if has_any and matched_required >= int(msm):
             out.append(qid)
     return sorted(out)

@@ -2802,12 +2802,20 @@ class SearchEngine:
         }
         if mark is not None:
             out["mark"] = mark
-        if options is not None and (
-            getattr(options, "timeout_ms", None)
-            or getattr(options, "terminate_after", None)
+        if (
+            self._local is not None
+            and options is not None
+            and (
+                getattr(options, "timeout_ms", None)
+                or getattr(options, "terminate_after", None)
+            )
         ):
             # ES response flags — only present when the budget params were
-            # requested, so the default envelope stays byte-stable
+            # requested AND a serving executor ran (the flags are serving-
+            # tier state; the Spark tier applies the terminate_after cut in
+            # finalize_ranked but its lazy plan can't report whether the
+            # cut fired without an extra count job, so emitting a
+            # hardcoded False there would be wrong exactly when it fired)
             out.update(self.last_search_flags())
         return out
 

@@ -769,8 +769,18 @@ class LocalExecutor:
         _excluded_ids twin): a decode-all read of those terms' postings,
         memoized per block by the decoded-block cache like any positive
         term. Tombstones are already masked inside _decode_terms, so a
-        doc whose newer version dropped the term is not excluded."""
-        decoded = self._decode_terms(sorted(set(exclude_terms)))
+        doc whose newer version dropped the term is not excluded.
+
+        The timeout deadline is SUSPENDED here: a partially-decoded
+        exclusion set would return hits that positively match a must_not
+        clause — wrong results, not partial results. Partial POSITIVES
+        under timeout are a subset of true matches (safe); partial
+        NEGATIVES are not."""
+        saved, self._deadline = self._deadline, None
+        try:
+            decoded = self._decode_terms(sorted(set(exclude_terms)))
+        finally:
+            self._deadline = saved
         if not decoded:
             return np.empty(0, dtype=np.int64)
         return np.unique(np.concatenate([ids for ids, _ in decoded.values()]))
@@ -872,6 +882,15 @@ class LocalExecutor:
         )
         self.counters.timed_out = False
         self.last_terminated_early = False
+        try:
+            return self._search_rung_inner(groups, msm, options)
+        finally:
+            # the deadline is THIS search's budget only — leaving it armed
+            # would silently poison every later non-search decode
+            # (match_count, facets, explain) once the wall clock passes it
+            self._deadline = None
+
+    def _search_rung_inner(self, groups, msm: int, options) -> list[Hit]:
         terms = sorted({t for g in groups for t in g.terms})
         if not terms:
             return self._match_all(options)

@@ -337,9 +337,11 @@ def _make_handler(
                 timeout_ms=(
                     float(_one("timeout_ms")) if _one("timeout_ms") else None
                 ),
+                # ES semantics: terminate_after=0 (or absent) = disabled
                 terminate_after=(
-                    max(1, int(_one("terminate_after")))
+                    int(_one("terminate_after"))
                     if _one("terminate_after")
+                    and int(_one("terminate_after")) > 0
                     else None
                 ),
             )
@@ -1223,8 +1225,19 @@ def _make_handler(
                 if index_path
                 else "primary"
             )
+            if primary_name in federated:
+                # a federated entry must not SHADOW the live (hot-swappable)
+                # primary — results from the primary would silently vanish
+                self._send(
+                    500,
+                    {"error": f"federated index name {primary_name!r} "
+                     "collides with the primary index's name"},
+                )
+                return
             engines = {primary_name: None, **federated}  # None = live primary
-            wanted = qs.get("index") or list(engines)
+            # dedupe repeated index= params (order-preserving) — the same
+            # index queried twice would duplicate every hit in the merge
+            wanted = list(dict.fromkeys(qs.get("index") or list(engines)))
             bad = sorted(set(wanted) - set(engines))
             if bad:
                 self._send(

@@ -497,3 +497,41 @@ def test_concurrent_search_during_repeated_hot_swaps(spark, tmp_path):
             t.join(timeout=15)
         srv.shutdown()
     assert errors == []
+
+
+def test_cli_serve_filter_drop_repoint_restores_baseline(spark, tmp_path):
+    """cmd_serve wiring (regression): the server must receive the
+    PRE-ALIAS baseline options — baking the filtered-alias scope into
+    them made a filter-DROPPING repoint keep the stale tenant scope
+    forever. Drives the real `serve --index <alias> --http` subprocess."""
+    import subprocess
+    import sys
+    import urllib.request
+
+    idx = _two_repo_index(spark, tmp_path, "fsidx")
+    a = str(tmp_path / "live.json")
+    al.set_alias(a, idx, filter={"repo": "org/r1"})
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-m", "gazetteer_search_spark.cli", "serve",
+            "--index", a, "--no-prefix", "--local-only", "--http", "0",
+        ],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        ready = json.loads(proc.stdout.readline())
+        port = int(ready["http"].rsplit(":", 1)[1].split("/")[0])
+
+        def repos():
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/search?q=alpha&size=40",
+                timeout=30,
+            ) as r:
+                return {h["repo"] for h in json.loads(r.read())["hits"]}
+
+        assert repos() == {"org/r1"}  # tenant scope active
+        al.set_alias(a, idx)  # repoint WITHOUT a filter — scope dropped
+        assert repos() == {"org/r1", "org/r2"}  # baseline restored
+    finally:
+        proc.terminate()
+        proc.wait(timeout=20)

@@ -118,3 +118,88 @@ def test_http_budget_params(eng):
         assert cache1 == "MISS" and cache2 == "MISS"
     finally:
         srv.shutdown()
+
+
+def test_deadline_cleared_after_search(eng):
+    """A timed-out search must not poison later non-search decodes: the
+    deadline is this search's budget only (regression: it stayed armed,
+    so match_count/facets/explain silently returned empty forever after)."""
+    ex = eng._local
+    assert ex is not None
+    gone = eng.search_hits("alpha", replace(OPTS, timeout_ms=1e-9))
+    assert gone == [] and eng.last_search_flags()["timed_out"] is True
+    # the very next non-search decode is exact, not deadline-gated
+    from gazetteer_search_spark.analyzer.query_ir import analyze_query
+    from gazetteer_search_spark.search.engine import TermGroup
+
+    groups = [TermGroup(group_id=0, terms=("alpha",), required=True)]
+    assert ex._deadline is None
+    assert ex.match_count(groups, 1, OPTS) == 60
+    # and a later un-budgeted search is full-fidelity
+    assert len(eng.search_hits("alpha", OPTS)) == 10
+
+
+def test_must_not_never_violated_under_timeout(eng):
+    """Timeout partials must be best-effort, never WRONG: the must_not
+    exclusion set always decodes completely (deadline suspended), so no
+    returned hit can positively match an excluded term."""
+    ex = eng._local
+    # control: beta docs excluded without a budget
+    base = eng.search_hits("alpha", replace(OPTS, exclude_terms=("beta",)))
+    assert base, "control query must match"
+    beta_ids = {int(i) for i in ex._excluded_id_set(("beta",))}
+    assert beta_ids and not ({h.doc_id for h in base} & beta_ids)
+    # expired budget + exclusions: empty page (never a wrongly-included doc)
+    gone = eng.search_hits(
+        "alpha", replace(OPTS, exclude_terms=("beta",), timeout_ms=1e-9)
+    )
+    assert gone == []
+    # the exclusion decode itself ignores an armed, already-expired deadline
+    ex._deadline = 0.0
+    try:
+        assert {int(i) for i in ex._excluded_id_set(("beta",))} == beta_ids
+    finally:
+        ex._deadline = None
+
+
+def test_http_terminate_after_zero_means_disabled(eng):
+    """ES semantics: terminate_after=0 = no early termination (regression:
+    '0' was clamped to 1, collapsing the page to a single doc)."""
+    import threading
+    import urllib.request
+
+    from gazetteer_search_spark.server import make_server
+
+    srv = make_server(eng, OPTS, port=0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=alpha&size=10&terminate_after=0"
+        ) as r:
+            env = json.loads(r.read())
+        assert len(env["hits"]) == 10
+        assert "terminated_early" not in env  # disabled = no budget keys
+    finally:
+        srv.shutdown()
+
+
+def test_spark_tier_cut_applies_but_flags_omitted(spark, eng, tmp_path):
+    """The Spark tier applies the terminate_after cut (finalize_ranked)
+    but its lazy plan cannot report whether it fired — the envelope omits
+    the flag there instead of hardcoding a misleading False."""
+    from gazetteer_search_spark.index import builder
+    from gazetteer_search_spark.search.engine import SearchEngine
+
+    # Spark-only engine over the same index (serving executor disabled)
+    root = eng.index.paths.root
+    spark_eng = SearchEngine(spark, builder.load_index(spark, root))
+    assert spark_eng._local is None
+    full = spark_eng.search_hits("alpha", replace(OPTS, k=1000))
+    n = 7
+    by_id = sorted(full, key=lambda r: r.doc_id)
+    surviving = {r.doc_id for r in by_id[:n]}
+    cut = spark_eng.search_hits("alpha", replace(OPTS, terminate_after=n))
+    assert {r.doc_id for r in cut} <= surviving  # the cut fired on Spark
+    env = spark_eng.search_response("alpha", replace(OPTS, terminate_after=n))
+    assert "terminated_early" not in env and "timed_out" not in env

@@ -1036,3 +1036,27 @@ def test_http_percolate_route(spark, tmp_path):
         assert post({"content": "x"})[0] == 400        # missing registry
     finally:
         srv.shutdown()
+
+
+def test_percolate_msm0_join_semantics_parity(spark):
+    """msm=0 all-optional queries: the batch operator's term JOIN means a
+    doc must share >= 1 term to produce a (doc, query) pair — the serving
+    twin must agree, not match every document (regression)."""
+    from gazetteer_search_spark.operators.percolate import (
+        parse_registry, percolate, percolate_doc,
+    )
+
+    raw = [{"id": "opt0", "msm": 0, "groups": [
+        {"group_id": 0, "terms": ["alpha"], "required": False},
+    ]}]
+    regs = parse_registry(raw)
+    texts = ["alpha here", "nothing relevant"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, content string"
+    )
+    sp = {}
+    for r in percolate(spark, docs, regs).collect():
+        sp.setdefault(int(r.doc_id), []).append(r.query_id)
+    for i, t in enumerate(texts):
+        assert percolate_doc(t, regs) == sorted(sp.get(i, [])), (i, t)
+    assert percolate_doc("nothing relevant", regs) == []

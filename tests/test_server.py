@@ -1199,3 +1199,69 @@ def test_fsearch_federated_multi_index(spark, tmp_path):
             assert e.code == 409
     finally:
         srv2.shutdown()
+
+
+def test_fsearch_primary_shadowing_and_duplicate_index_params(spark, tmp_path):
+    """A federated name colliding with the primary's basename answers 500
+    (it would silently shadow the live hot-swappable engine); repeated
+    index= params dedupe instead of duplicating every hit."""
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from pyspark.sql import functions as F
+
+    from gazetteer_search_spark.index import builder
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    corpus = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"), F.lit("python").alias("lang"),
+        F.lit("alpha words").alias("content"),
+    )
+    p1 = str(tmp_path / "same_name")
+    builder.build_index(spark, corpus, p1, n_buckets=2)
+
+    def _open(t):
+        return SearchEngine(spark, builder.load_index(spark, t), serving=True)
+
+    srv = make_server(
+        _open(p1), SearchOptions(k=5, prefix=False, fuzzy=False), port=0,
+        index_path=p1, federated={"same_name": _open(p1), "twin": _open(p1)},
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        def get(path):
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}{path}"
+                ) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        assert get("/fsearch?q=alpha")[0] == 500  # shadowing rejected
+        srv.shutdown()
+    finally:
+        pass
+
+    srv = make_server(
+        _open(p1), SearchOptions(k=5, prefix=False, fuzzy=False), port=0,
+        index_path=p1, federated={"twin": _open(p1)},
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/fsearch?q=alpha&size=20"
+            "&index=twin&index=twin"
+        ) as r:
+            env = json.loads(r.read())
+        keys = [(h["index"], h["doc_id"]) for h in env["hits"]]
+        assert len(keys) == len(set(keys))  # no duplicated hits
+        assert env["indices"] == ["twin"]
+    finally:
+        srv.shutdown()
