@@ -100,6 +100,15 @@ def rollup_query(
             f"rollup at {rollup_interval!r} cannot answer a finer "
             f"{interval!r} query — use the raw table"
         )
+    if rollup_interval == "week" and interval != "week":
+        # weeks do NOT nest into months/years (a week straddling Feb 1
+        # would be assigned whole to January) — the re-bucketing algebra
+        # is exact only for hierarchical pairs
+        raise ValueError(
+            "a week-grained rollup cannot re-bucket to "
+            f"{interval!r}: ISO weeks straddle month/year boundaries — "
+            "build the rollup at day grain or coarser-aligned"
+        )
     aggs = [F.sum("doc_count").alias("doc_count")]
     for m in metric_cols:
         aggs += [

@@ -56,6 +56,7 @@ class DslPlan:
     lang: str | None = None
     repo: str | None = None
     path_prefix: str | None = None
+    exclude_langs: tuple = ()
     lang_boosts: dict = field(default_factory=dict)
     phrases: list = field(default_factory=list)  # (tokens, slop)
     notes: list = field(default_factory=list)
@@ -211,10 +212,25 @@ class _Translator:
         (fieldname, spec), = body.items()
         text = spec.get("query", spec) if isinstance(spec, dict) else spec
         slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+        mapped = _field(fieldname, self.field_map)
+        if mapped not in ("content", "full_text", "text"):
+            # the positions sidecar is content-only by design (builder
+            # docs); a per-field phrase would silently verify against
+            # content positions — surface it instead
+            self.note(
+                f"match_phrase on field {fieldname!r}: positions are "
+                "content-only — the phrase verifies against content"
+            )
         toks = _tokens(text)
+        # the phrase clause carries its own terms: the engine's phrase
+        # rung creates the required per-term groups itself (adding them
+        # here too would double them when run_dsl reconstructs the query)
         self.plan.phrases.append((toks, slop))
-        for t in toks:
-            self.add_group([t], required)
+        if not required:
+            self.note(
+                "match_phrase in should context treated as required — "
+                "quoting is an exactness request in this engine"
+            )
 
     def _c_term(self, body: dict, required: bool) -> None:
         (fieldname, spec), = body.items()
@@ -360,19 +376,34 @@ class _Translator:
             if kind in ("match", "term", "terms"):
                 nbody = node[kind]
                 (f_, spec), = nbody.items()
+                mapped = _field(f_, self.field_map)
                 text = (
                     spec.get("query", spec.get("value", ""))
                     if isinstance(spec, dict)
                     else spec
                 )
-                toks = (
+                vals = (
                     [str(v).lower() for v in text]
                     if isinstance(text, list)
                     else _tokens(text)
                 )
-                self.plan.exclude_terms = tuple(
-                    dict.fromkeys(list(self.plan.exclude_terms) + toks)
-                )
+                if mapped == "lang":
+                    # metadata exclusion: must_not on the class dimension
+                    # is the options-level exclude_langs (the no_poi
+                    # analog), NOT a content-token exclusion
+                    self.plan.exclude_langs = tuple(
+                        dict.fromkeys(list(self.plan.exclude_langs) + vals)
+                    )
+                elif mapped in _META_FIELDS:
+                    self.note(
+                        f"must_not on metadata field {f_!r} ({mapped}) has "
+                        "no options-level exclusion — dropped"
+                    )
+                else:
+                    toks = _namespace(vals, mapped, self.engine)
+                    self.plan.exclude_terms = tuple(
+                        dict.fromkeys(list(self.plan.exclude_terms) + toks)
+                    )
             else:
                 self.note(f"must_not clause {kind!r} dropped")
         if "minimum_should_match" in body:
@@ -384,6 +415,24 @@ class _Translator:
         if q:
             self.clause(q, required=True)
         self.plan.k = int(dsl.get("size", 10))
+        n_req = sum(1 for g in self.plan.groups if g.required)
+        if self.plan.msm > 0 and n_req == 0 and self.plan.groups:
+            # should-only bool with minimum_should_match: ES requires
+            # >= msm of the OPTIONAL clauses to match. The engine's gate
+            # counts REQUIRED groups (and clamps msm to their count), so
+            # an optional-only plan would make the msm a silent no-op —
+            # flip every group to required: gating becomes
+            # matched_required >= msm, exactly the ES semantics
+            # (required only gates; scoring is unchanged).
+            self.plan.groups = [
+                replace(g, required=True) for g in self.plan.groups
+            ]
+        elif self.plan.msm > 0 and n_req and n_req != len(self.plan.groups):
+            self.note(
+                "minimum_should_match with BOTH must and should clauses: "
+                "the engine gates on required groups only, ES would gate "
+                "the should clauses separately"
+            )
         if self.plan.msm == 0:
             self.plan.msm = sum(
                 1 for g in self.plan.groups if g.required
@@ -419,14 +468,37 @@ def run_dsl(
         lang=plan.lang or base.lang,
         repo=plan.repo or base.repo,
         path_prefix=plan.path_prefix or base.path_prefix,
+        exclude_langs=plan.exclude_langs or base.exclude_langs,
         exclude_terms=plan.exclude_terms or base.exclude_terms,
         lang_boosts={**base.lang_boosts, **plan.lang_boosts},
     )
     if plan.phrases:
-        q = " ".join(
+        # the engine's phrase rung runs quoted clauses + residual plain
+        # tokens in ONE strict rung. Sibling groups join as residual text
+        # when they are expressible there (single content term, unit
+        # weight); anything richer is surfaced in notes (strict raises)
+        # instead of being silently dropped.
+        parts = [
             '"%s"%s' % (" ".join(toks), f"~{slop}" if slop else "")
             for toks, slop in plan.phrases
-        )
-        df = engine.search(q, opts)
+        ]
+        for g in plan.groups:
+            if (
+                len(g.terms) == 1
+                and ":" not in g.terms[0]
+                and g.required
+                and float(g.weight) == 1.0
+            ):
+                parts.append(g.terms[0])
+            else:
+                msg = (
+                    f"clause group {g.name or g.terms} cannot join a "
+                    "phrase query (phrase rungs take plain required "
+                    "content terms only) — dropped"
+                )
+                if strict:
+                    raise ValueError(f"DSL strict mode: {msg}")
+                plan.notes.append(msg)
+        df = engine.search(" ".join(parts), opts)
         return df, plan
     return engine.search_rung(plan.groups, plan.msm, opts), plan

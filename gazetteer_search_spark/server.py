@@ -542,7 +542,15 @@ def _make_handler(
             if self._not_modified_short_circuit():
                 return
             try:
-                if last_modified is not None:
+                # capture the stamp BEFORE computing: a concurrent /bulk
+                # ingest or alias swap mid-compute advances last_modified,
+                # and storing the pre-swap response under the NEW stamp
+                # would poison the cache with stale hits — a response is
+                # stored under the stamp of the index state it was
+                # computed against, and reads validate against the CURRENT
+                # stamp, so the stale entry simply never hits
+                stamp = last_modified
+                if stamp is not None:
                     with lock:
                         ent = req_cache.get(u.query)
                         if ent is not None and ent[0] == last_modified:
@@ -557,9 +565,9 @@ def _make_handler(
                 # never cache a timed-out partial page (the ES request
                 # cache's own rule): the next identical request should get
                 # a fresh shot at completing within its budget
-                if last_modified is not None and not resp.get("timed_out"):
+                if stamp is not None and not resp.get("timed_out"):
                     with lock:
-                        req_cache[u.query] = (last_modified, resp)
+                        req_cache[u.query] = (stamp, resp)
                         while len(req_cache) > REQ_CACHE_MAX:
                             req_cache.popitem(last=False)
                 self._send(200, resp, cache="MISS")
@@ -597,22 +605,21 @@ def _make_handler(
                 collate = (
                     qs.get("collate") or ["false"]
                 )[0].lower() == "true"
+                # compute under the lock, SEND after releasing it (every
+                # route's rule — a stalled client consuming the response
+                # must not hold the engine lock)
                 with lock:
                     if phrase:
                         # ES phrase-suggester: whole-query rewrites ranked
                         # by the smoothed unigram LM (engine.phrase_suggest)
                         sug = engine.phrase_suggest(q, k=k, collate=collate)
-                        self._send(
-                            200,
-                            {
-                                "query": q,
-                                "suggestions": [
-                                    {"text": p, "score": s} for p, s in sug
-                                ],
-                            },
-                        )
-                        return
-                    resp = engine.spell_suggest(q, k=k)
+                        resp = {
+                            "suggestions": [
+                                {"text": p, "score": s} for p, s in sug
+                            ]
+                        }
+                    else:
+                        resp = engine.spell_suggest(q, k=k)
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return

@@ -50,16 +50,45 @@ def _agg_partials(
     return df.groupBy("bucket", *[F.col(d) for d in dims]).agg(*aggs)
 
 
+_COMPACT_MANIFEST = "compact_manifest.json"
+
+
+def _live_batch_dirs(rollup_dir: str) -> list[str]:
+    """Batch dir paths a reader may count, honoring the compaction
+    manifest: superseded dirs (replaced by a committed compaction whose
+    delete may have crashed) and ORPHAN compacted dirs (a compaction that
+    crashed before its manifest commit) are both excluded — so a crash at
+    any point of compact_rollup never double-counts and never loses data."""
+    path = os.path.join(rollup_dir, _BATCHES)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("batch_id="))
+    man_path = os.path.join(rollup_dir, _COMPACT_MANIFEST)
+    active, superseded = None, set()
+    if os.path.exists(man_path):
+        import json
+
+        with open(man_path) as f:
+            man = json.load(f)
+        active = man.get("active")
+        superseded = set(man.get("superseded", ()))
+    out = []
+    for d in dirs:
+        if d in superseded:
+            continue
+        if d.startswith("batch_id=compacted") and d != active:
+            continue
+        out.append(os.path.join(path, d))
+    return out
+
+
 def read_rollup(
     spark: SparkSession,
     rollup_dir: str,
     dims: list[str],
     metric_cols: list[str],
 ) -> DataFrame:
-    """Consolidated rollup view over every batch's partials — feed this to
-    operators.rollup.rollup_query for coarser re-aggregation."""
-    path = os.path.join(rollup_dir, _BATCHES)
-    raw = spark.read.parquet(path).drop("batch_id")
+    """Consolidated rollup view over every LIVE batch's partials — feed
+    this to operators.rollup.rollup_query for coarser re-aggregation."""
+    raw = spark.read.parquet(*_live_batch_dirs(rollup_dir)).drop("batch_id")
     return _agg_partials(raw, dims, metric_cols)
 
 
@@ -69,22 +98,51 @@ def compact_rollup(
     dims: list[str],
     metric_cols: list[str],
 ) -> int:
-    """Rewrite all batch partials into one consolidated batch dir (the
-    LSM compaction): write to a fresh temp batch id, then drop the old
-    dirs. Returns the consolidated row count."""
+    """Rewrite all live batch partials into one consolidated dir (the LSM
+    compaction), crash-safe at every step:
+
+    1. write the merged partials to a ``_compact_tmp`` dir (ignored by
+       readers), 2. rename it to a UNIQUE ``batch_id=compacted_<id>`` dir
+       (still ignored — not yet the manifest's active), 3. atomically
+       commit ``compact_manifest.json`` naming the new active dir and the
+       dirs it supersedes — THE commit point — then 4. delete superseded
+       and orphan dirs (retried by the next compaction if interrupted).
+       A crash before 3 leaves the old dirs live (the orphan is skipped
+       and cleaned later); a crash after 3 leaves the new dir live and
+       the superseded ones excluded by the manifest — never a double
+       count, never a loss. Returns the consolidated row count."""
+    import json
     import shutil
+    import uuid
 
     path = os.path.join(rollup_dir, _BATCHES)
-    old = [
-        d for d in os.listdir(path) if d.startswith("batch_id=")
-    ]
+    old_names = [os.path.basename(p) for p in _live_batch_dirs(rollup_dir)]
     merged = read_rollup(spark, rollup_dir, dims, metric_cols)
     tmp = os.path.join(rollup_dir, "_compact_tmp")
     merged.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    for d in old:
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    os.rename(tmp, os.path.join(path, "batch_id=compacted"))
+    new_name = f"batch_id=compacted_{uuid.uuid4().hex[:12]}"
+    os.rename(tmp, os.path.join(path, new_name))
+    # carry forward any prior superseded entries whose delete never ran
+    man_path = os.path.join(rollup_dir, _COMPACT_MANIFEST)
+    prev_superseded: set = set()
+    if os.path.exists(man_path):
+        with open(man_path) as f:
+            prev_superseded = set(json.load(f).get("superseded", ()))
+    superseded = sorted(
+        set(old_names)
+        | {d for d in prev_superseded if os.path.isdir(os.path.join(path, d))}
+    )
+    mtmp = man_path + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"active": new_name, "superseded": superseded}, f)
+    os.replace(mtmp, man_path)  # the commit point
+    live_after = {
+        os.path.basename(p) for p in _live_batch_dirs(rollup_dir)
+    }
+    for d in os.listdir(path):
+        if d.startswith("batch_id=") and d not in live_after:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return n
 
 

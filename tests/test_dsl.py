@@ -186,3 +186,78 @@ def test_match_phrase_routes_positionally(spark, tmp_path_factory):
     ids = [r.doc_id for r in rows]
     assert ids and all(i < 10 for i in ids)  # in-order pair only
     assert plan.phrases == [(["alpha", "beta"], 0)]
+
+
+def test_phrase_with_sibling_clauses_keeps_both(spark, tmp_path_factory):
+    """A bool mixing match_phrase with other clauses enforces BOTH — the
+    sibling groups join the phrase rung as residual terms (regression:
+    every non-phrase group was silently discarded)."""
+    corpus = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.when(F.col("id") < 5, F.lit("alpha beta keepme tail"))
+        .when(F.col("id") < 10, F.lit("alpha beta othertail"))
+        .otherwise(F.lit("keepme beta alpha reversed"))
+        .alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_dslmix"))
+    idx = builder.build_index(spark, corpus, out, n_buckets=4, positions=True)
+    eng2 = SearchEngine(spark, idx, serving=True)
+    body = {
+        "query": {"bool": {"must": [
+            {"match_phrase": {"full_text": "alpha beta"}},
+            {"match": {"full_text": "keepme"}},
+        ]}},
+        "size": 30,
+    }
+    res, plan = dsl.run_dsl(eng2, body, field_map=FIELD_MAP)
+    rows = res if isinstance(res, list) else res.collect()
+    ids = sorted(r.doc_id for r in rows)
+    # phrase in order AND the sibling term: docs 0..4 only (5..9 lack
+    # keepme; 10+ have the words out of order)
+    assert ids == [0, 1, 2, 3, 4]
+    assert plan.phrases == [(["alpha", "beta"], 0)]
+
+
+def test_should_only_minimum_should_match_gates(eng):
+    """should-only bool with minimum_should_match=2: only docs matching
+    >= 2 of the 3 optional clauses (regression: the msm was a silent
+    no-op because the engine gate counts required groups)."""
+    body = {
+        "query": {"bool": {
+            "should": [
+                {"match": {"full_text": "beta"}},
+                {"match": {"full_text": "gamma"}},
+                {"match": {"full_text": "delta"}},
+            ],
+            "minimum_should_match": 2,
+        }},
+        "size": 120,
+    }
+    res, plan = dsl.run_dsl(eng, body, field_map=FIELD_MAP)
+    rows = res if isinstance(res, list) else res.collect()
+    ids = {r.doc_id for r in rows}
+    # docs < 30 have beta+gamma (2 hits); docs >= 30 have delta only (1)
+    assert ids and all(i < 30 for i in ids)
+    assert plan.msm == 2
+
+
+def test_must_not_on_mapped_metadata_field(eng):
+    """must_not term on a field mapping to the class dimension excludes by
+    METADATA value, not by content token (regression: 'adrpnt' was
+    treated as a content token and excluded nothing)."""
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"full_text": "alpha"}}],
+            "must_not": [{"term": {"type": "adrpnt"}}],
+        }},
+        "size": 120,
+    }
+    res, plan = dsl.run_dsl(eng, body, field_map=FIELD_MAP)
+    rows = res if isinstance(res, list) else res.collect()
+    assert rows and all(r.lang != "adrpnt" for r in rows)
+    assert plan.exclude_langs == ("adrpnt",)
+    assert plan.exclude_terms == ()

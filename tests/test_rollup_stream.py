@@ -97,7 +97,7 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     n = compact_rollup(spark, rdir, ["event_type"], ["value"])
     assert n == 3
     bdirs = os.listdir(os.path.join(rdir, "batches"))
-    assert bdirs == ["batch_id=compacted"]
+    assert len(bdirs) == 1 and bdirs[0].startswith("batch_id=compacted")
     assert _normalize(
         read_rollup(spark, rdir, ["event_type"], ["value"])
     ) == _normalize(_want(spark))
@@ -139,7 +139,7 @@ def test_stream_rollup_auto_compaction(spark, tmp_path):
         d for d in os.listdir(os.path.join(rdir, "batches"))
         if d.startswith("batch_id=")
     ]
-    assert bdirs == ["batch_id=compacted"]
+    assert len(bdirs) == 1 and bdirs[0].startswith("batch_id=compacted")
     want = rollup.build_rollup(
         _events(spark, ROWS1), "ts", ["event_type"], ["value"],
         interval="hour",
@@ -147,3 +147,78 @@ def test_stream_rollup_auto_compaction(spark, tmp_path):
     assert _normalize(
         read_rollup(spark, rdir, ["event_type"], ["value"])
     ) == _normalize(want)
+
+
+def test_compaction_crash_windows_never_lose_or_double_count(spark, tmp_path):
+    """compact_rollup's two crash windows (regression: old code deleted
+    the batch dirs BEFORE publishing the consolidated one — a crash
+    between lost the whole rollup):
+
+    1. crash after the compacted dir rename but BEFORE the manifest
+       commit: the orphan compacted dir is ignored by readers (old dirs
+       stay live — no double count);
+    2. crash after the manifest commit but BEFORE the superseded deletes:
+       the manifest excludes the superseded dirs (no double count, the
+       new dir carries the data)."""
+    import shutil
+
+    edir, rdir, ck = (
+        str(tmp_path / "ev"), str(tmp_path / "roll"), str(tmp_path / "ck")
+    )
+    _events(spark, ROWS1).write.mode("append").parquet(edir)
+    stream_rollup(spark, edir, rdir, ck, ["event_type"], ["value"])
+    _events(spark, ROWS2, id0=100).write.mode("append").parquet(edir)
+    stream_rollup(spark, edir, rdir, ck, ["event_type"], ["value"])
+    want = _normalize(_want(spark))
+    assert _normalize(read_rollup(spark, rdir, ["event_type"], ["value"])) == want
+
+    bpath = os.path.join(rdir, "batches")
+    some_batch = sorted(os.listdir(bpath))[0]
+
+    # window 1: orphan compacted dir, no manifest -> ignored
+    shutil.copytree(
+        os.path.join(bpath, some_batch),
+        os.path.join(bpath, "batch_id=compacted_deadbeefcafe"),
+    )
+    assert _normalize(read_rollup(spark, rdir, ["event_type"], ["value"])) == want
+    shutil.rmtree(os.path.join(bpath, "batch_id=compacted_deadbeefcafe"))
+
+    # window 2: committed compaction whose superseded deletes crashed —
+    # resurrect a superseded dir next to the active compacted one
+    backup = str(tmp_path / "backup_batch")
+    shutil.copytree(os.path.join(bpath, some_batch), backup)
+    n = compact_rollup(spark, rdir, ["event_type"], ["value"])
+    assert n == len(want)
+    shutil.copytree(backup, os.path.join(bpath, some_batch))  # failed delete
+    assert _normalize(read_rollup(spark, rdir, ["event_type"], ["value"])) == want
+    # the NEXT compaction retries the delete and stays exact
+    compact_rollup(spark, rdir, ["event_type"], ["value"])
+    assert not os.path.isdir(os.path.join(bpath, some_batch))
+    assert _normalize(read_rollup(spark, rdir, ["event_type"], ["value"])) == want
+
+
+def test_week_rollup_cannot_rebucket_to_month(spark):
+    """Weeks do not nest into months/years (a week straddling Feb 1 would
+    land whole in January) — the re-bucketing algebra is exact only for
+    hierarchical pairs, so week->month/year raises (regression: it was
+    allowed and mis-assigned straddling weeks)."""
+    r = rollup.build_rollup(
+        _events(spark, ROWS1), "ts", ["event_type"], ["value"],
+        interval="week",
+    )
+    with pytest.raises(ValueError, match="straddle"):
+        rollup.rollup_query(
+            r, "month", ["event_type"], ["value"], rollup_interval="week"
+        )
+    # week -> week passes through; day -> week stays legal (weeks are
+    # whole days)
+    rollup.rollup_query(
+        r, "week", ["event_type"], ["value"], rollup_interval="week"
+    ).collect()
+    rd = rollup.build_rollup(
+        _events(spark, ROWS1), "ts", ["event_type"], ["value"],
+        interval="day",
+    )
+    rollup.rollup_query(
+        rd, "week", ["event_type"], ["value"], rollup_interval="day"
+    ).collect()
