@@ -571,7 +571,8 @@ def cmd_pack(args: argparse.Namespace) -> None:
     ).collect()[0]
     print(json.dumps({
         "out": args.out, "budget": args.budget,
-        "sequences": int(n_seq), "tokens": int(n_tok),
+        # sum() over zero rows is NULL — an all-empty source reports 0
+        "sequences": int(n_seq), "tokens": int(n_tok or 0),
     }))
 
 

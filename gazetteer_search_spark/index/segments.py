@@ -756,6 +756,18 @@ class MultiExecutor:
                 out.setdefault(t, None)
         return list(out)[:MAX_FUZZY_EXPANSIONS]
 
+    def expand_regexp(self, anchored: str, lit_prefix: str = "") -> list[str]:
+        """Wildcard/regexp dictionary expansion across generations — the
+        engine delegates every pattern query here on a multi-generation
+        serving engine (same dedup-and-cap shape as expand_prefix)."""
+        from gazetteer_search_spark.search.fastpath import MAX_REGEX_EXPANSIONS
+
+        out: dict[str, None] = {}
+        for s in self.subs:
+            for t in s.expand_regexp(anchored, lit_prefix):
+                out.setdefault(t, None)
+        return list(out)[:MAX_REGEX_EXPANSIONS]
+
 
 def open_multi_search(index_dir: str, spark: SparkSession | None = None):
     """SearchEngine over base + segments (serving path). Spark-free when

@@ -1965,7 +1965,20 @@ class SearchEngine:
             TermGroup(group_id=i, terms=(t,), required=True)
             for i, t in enumerate(uniq)
         ]
-        allowed = _ph.local_phrase_ids(self.index, terms, slop)
+        # multi-generation engines verify EVERY generation's positions
+        # sidecar (doc ids are globally unique) — base-only verification
+        # would silently drop segment-resident phrase hits; same shape as
+        # _phrase_rung's verify loop
+        import numpy as np
+
+        idxs = [s.index for s in getattr(self._local, "subs", [])] or [
+            self.index
+        ]
+        allowed = np.unique(
+            np.concatenate(
+                [_ph.local_phrase_ids(ix, terms, slop) for ix in idxs]
+            )
+        )
         return self._local.search_allowed(groups, len(groups), options, allowed)
 
     _SORT_FIELDS = ("repo", "path", "lang", "doc_id")
@@ -2340,6 +2353,10 @@ class SearchEngine:
         meta = {
             "query": query,
             "groups": groups,
+            # msm must ride the meta: downstream consumers (facet_rows in
+            # search_response) gate the match set with it — without it a
+            # phrase query's facets would count the any-of-terms universe
+            "msm": msm,
             "rung": 1,
             "trimmed": False,
             "phrases": [

@@ -85,6 +85,29 @@ def literal_prefix(regex_body: str) -> str:
     the run is followed by ``*``/``?``/``{`` (that char is optional /
     repeated, e.g. ``ab*`` must not prune to 'ab'). Lowercased to match the
     case-folded dictionary."""
+    # a TOP-LEVEL alternation means the pattern's branches share no
+    # guaranteed prefix — pruning by the first branch's literal would
+    # silently drop every other branch's terms ('foo|bar' must scan the
+    # whole dictionary, not just 'foo*'). Group-local alternations
+    # ('merge(a|b)') are fine: the scan below stops at '(' first.
+    depth, in_class, j = 0, False, 0
+    while j < len(regex_body):
+        c = regex_body[j]
+        if c == "\\":
+            j += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth = max(0, depth - 1)
+        elif c == "|" and depth == 0:
+            return ""
+        j += 1
     lit: list[str] = []
     i = 0
     while i < len(regex_body):
@@ -126,6 +149,16 @@ def extract_patterns(q: str) -> tuple[str, list[PatternClause]]:
             clauses.append(PatternClause("regexp", tok, body))
             continue
         if "*" in tok or "?" in tok:
+            # natural-language punctuation guard: a token whose ONLY
+            # pattern character is trailing '?' is a question mark, not a
+            # wildcard ('work?' must match like 'work', not require a
+            # 5-char dictionary term) — strip it and keep the plain token;
+            # '*' anywhere or a NON-trailing '?' stays a real wildcard
+            stripped = tok.rstrip("?")
+            if "*" not in stripped and "?" not in stripped:
+                if stripped:
+                    residue.append(stripped)
+                continue
             clauses.append(PatternClause("wildcard", tok, wildcard_to_regex(tok)))
             continue
         residue.append(tok)

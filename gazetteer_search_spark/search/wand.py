@@ -700,6 +700,18 @@ def wand_topk(
     re-checks coverage per range either way — the gate is a shuffle-volume
     optimization, never a correctness dependency."""
     options = options or SearchOptions()
+    # the options the kernel/truncation pipeline does NOT implement must
+    # fail loudly, not silently return wrong pages: must_not/demote need an
+    # anti-join/rescale the wand path lacks; tie_breaker invalidates the
+    # kernel's per-group MAX upper bounds; collapse needs k DISTINCT keys,
+    # deeper than the k+ties truncation. SearchEngine.search_rung is the
+    # surface that implements all four.
+    for unsupported in ("exclude_terms", "demote_terms", "tie_breaker", "collapse"):
+        if getattr(options, unsupported, None):
+            raise ValueError(
+                f"wand_topk does not implement SearchOptions.{unsupported} "
+                "— route the query through SearchEngine.search_rung"
+            )
     terms = sorted({t for g in groups for t in g.terms})
     if not terms:
         raise ValueError("wand_topk requires at least one term")

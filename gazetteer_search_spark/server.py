@@ -824,26 +824,31 @@ def _make_handler(
                     1, min(int((qs.get("max_terms") or ["25"])[0]), 63)
                 )
                 seed = None
-                if not text:
-                    seed = int(doc_id)
-                    content = engine._doc_content([seed])
-                    if seed not in content:
-                        self._send(
-                            404, {"error": f"doc {seed} has no stored content"}
-                        )
-                        return
-                    text = content[seed]
-                groups = engine.mlt_groups(text, max_terms)
-                opts = replace(
-                    default_opts, k=size + (1 if seed is not None else 0)
-                )
-                rows = (
-                    engine.search_rung_rows(
-                        groups, max(1, int(0.3 * len(groups))), opts
+                # engine access serialized like every other route (the lazy
+                # caches are not thread-safe; /bulk swaps the engine under
+                # this same lock)
+                with lock:
+                    if not text:
+                        seed = int(doc_id)
+                        content = engine._doc_content([seed])
+                        if seed not in content:
+                            self._send(
+                                404,
+                                {"error": f"doc {seed} has no stored content"},
+                            )
+                            return
+                        text = content[seed]
+                    groups = engine.mlt_groups(text, max_terms)
+                    opts = replace(
+                        default_opts, k=size + (1 if seed is not None else 0)
                     )
-                    if groups
-                    else []
-                )
+                    rows = (
+                        engine.search_rung_rows(
+                            groups, max(1, int(0.3 * len(groups))), opts
+                        )
+                        if groups
+                        else []
+                    )
                 page_rows = [r for r in rows if r.doc_id != seed][:size]
             except Exception as e:
                 self._send(400, {"error": str(e)})
@@ -977,7 +982,8 @@ def _make_handler(
                 return
             try:
                 size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
-                out = engine.suggest(prefix, size)
+                with lock:  # expansion caches mutate; engine may hot-swap
+                    out = engine.suggest(prefix, size)
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return

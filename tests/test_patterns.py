@@ -185,3 +185,37 @@ def test_serving_pattern_rank_identical(engine, serving):
     assert [(r.doc_id, round(r.score, 9)) for r in a] == [
         (r.doc_id, round(r.score, 9)) for r in b
     ]
+
+
+def test_literal_prefix_top_level_alternation_returns_empty():
+    """A top-level '|' means the branches share no guaranteed prefix —
+    pruning by the first branch's literal would drop the others
+    (regression: 'foo|bar' pruned the dictionary scan to 'foo*')."""
+    from gazetteer_search_spark.search.patterns import literal_prefix
+
+    assert literal_prefix("foo|bar") == ""
+    assert literal_prefix("merge.*|x") == ""
+    assert literal_prefix(r"a\|b") == "a"  # escaped pipe is literal
+    assert literal_prefix("merge(a|b)") == "merge"  # group-local is fine
+    assert literal_prefix("[a|b]x") == ""  # class stops the scan at '['
+    assert literal_prefix("merge.*") == "merge"
+
+
+def test_regexp_alternation_expands_both_branches(spark, serving):
+    """/foo|bar/ must expand BOTH alternatives on every tier."""
+    terms = set(serving.expand_regexp("block|cache"))
+    assert {"block", "cache"} <= terms
+
+
+def test_trailing_question_mark_is_punctuation(spark):
+    """'work?' in a natural query is a question mark, not a 1-char
+    wildcard (regression: it became a required 5-char wildcard clause and
+    emptied the whole query); a NON-trailing '?' stays a wildcard."""
+    from gazetteer_search_spark.search.patterns import extract_patterns
+
+    residual, clauses = extract_patterns("how does alpha work?")
+    assert residual == "how does alpha work" and clauses == []
+    _, clauses = extract_patterns("wo?k")
+    assert len(clauses) == 1 and clauses[0].kind == "wildcard"
+    residual, clauses = extract_patterns("al*a work?")
+    assert residual == "work" and len(clauses) == 1

@@ -698,3 +698,64 @@ def test_update_by_query_stored_content(spark, tmp_path_factory):
         segments.update_by_query(
             spark, root2, "lang = 'java'", {"content": "content"}
         )
+
+
+def test_multigen_pattern_queries_work(spark, base, tmp_path_factory):
+    """Wildcard/regexp queries on a multi-generation engine (regression:
+    MultiExecutor had no expand_regexp — every pattern query crashed with
+    AttributeError after the first add_segment); expansions union across
+    generations (a segment-only token expands too)."""
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_rx"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    batch = _v(corpus0, 0, 40, "v2", extra="zzzregexonly")
+    segments.add_segment(spark, batch, root, n_buckets=4)
+
+    eng = segments.open_multi_search(root)
+    opts = SearchOptions(k=100, prefix=False, fuzzy=False)
+    # wildcard over a base-resident token family
+    hits = eng.search_hits("merge*", opts)
+    assert hits
+    # regexp matching a SEGMENT-only token: the union expansion finds it
+    hits = eng.search_hits("/zzzregex.*/", opts)
+    assert len(hits) == 40
+    assert set(eng.expand_regexp("zzzregex.*")) == {"zzzregexonly"}
+
+
+def test_multigen_search_phrase_rows_sees_segment_hits(spark, tmp_path_factory):
+    """search_phrase_rows on a multi-generation engine verifies EVERY
+    generation's positions sidecar (regression: base-only verification
+    silently dropped segment-resident phrase matches)."""
+    root = str(tmp_path_factory.mktemp("seg_ph"))
+    corpus = synthetic_corpus(spark, 60)
+    builder.build_index(
+        spark, _hid(corpus.drop("doc_id")), root, n_buckets=4,
+        positions=True,
+    )
+    batch = (
+        corpus.filter(F.col("doc_id") < 10)
+        .withColumn(
+            "commit",
+            F.sha1(F.concat(F.col("doc_id").cast("string"), F.lit("v2"))),
+        )
+        .withColumn(
+            "content",
+            F.concat(F.lit("uniqueph pairword "), F.col("content")),
+        )
+        .drop("doc_id")
+    )
+    segments.add_segment(spark, batch, root, n_buckets=4)
+    eng = segments.open_multi_search(root)
+    rows = eng.search_phrase_rows(
+        ["uniqueph", "pairword"],
+        SearchOptions(k=50, prefix=False, fuzzy=False),
+    )
+    assert len(rows) == 10  # all segment-resident, in order
+    # reversed order: no phrase match anywhere
+    assert eng.search_phrase_rows(
+        ["pairword", "uniqueph"],
+        SearchOptions(k=50, prefix=False, fuzzy=False),
+    ) == []
