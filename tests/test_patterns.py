@@ -219,3 +219,54 @@ def test_trailing_question_mark_is_punctuation(spark):
     assert len(clauses) == 1 and clauses[0].kind == "wildcard"
     residual, clauses = extract_patterns("al*a work?")
     assert residual == "work" and len(clauses) == 1
+
+
+# ---- property: prefix-pruned expansion == unpruned brute force ---------------
+
+def _brute_expand(executor, body: str) -> list[str]:
+    """Ground truth: anchored case-insensitive match over the WHOLE
+    content-token dictionary (no literal-prefix pruning), df-ranked and
+    capped exactly like the production path."""
+    from gazetteer_search_spark.search.patterns import anchored_ci
+
+    rx = re.compile(anchored_ci(body))
+    ts = executor._load_term_stats()
+    m = ts[~ts["term"].str.contains(":")]
+    keep = [rx.match(t) is not None for t in m["term"].tolist()]
+    m = m[keep] if len(m) else m
+    m = m.sort_values(["df", "term"], ascending=[False, True])
+    return m["term"].head(MAX_REGEX_EXPANSIONS).tolist()
+
+
+def test_regexp_expansion_prefix_pruning_is_lossless(serving):
+    """literal_prefix is a pure optimization: for every regex in a grammar
+    covering the shapes users write (literal runs, '.', '.*', optional
+    chars, classes, group-local and top-level alternation), the pruned
+    serving expansion equals the unpruned brute-force scan. Pins the whole
+    bug class the 'foo|bar' prefix-pruning regression belonged to."""
+    from hypothesis import given, settings, strategies as st
+
+    lit = st.text(alphabet="abcdemnoprst", min_size=1, max_size=3)
+    atom = st.one_of(
+        lit,
+        st.just("."),
+        st.just(".*"),
+        lit.map(lambda s: s + "?"),
+        st.just("[mp]"),
+        st.tuples(lit, lit).map(lambda ab: f"({ab[0]}|{ab[1]})"),
+    )
+    branch = st.lists(atom, min_size=1, max_size=4).map("".join)
+    body = st.one_of(
+        branch,
+        st.tuples(branch, branch).map(lambda bb: f"{bb[0]}|{bb[1]}"),
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(body=body)
+    def check(body):
+        ex = serving._local
+        ex._expand_cache.clear()  # property must not read a cached answer
+        got = serving.expand_regexp(body)
+        assert got == _brute_expand(ex, body), body
+
+    check()
