@@ -10,6 +10,7 @@ import pytest
 
 from gazetteer_search_spark.index import builder
 from gazetteer_search_spark.search.engine import (
+    MAX_FUZZY_EXPANSIONS,
     MAX_REGEX_EXPANSIONS,
     SearchEngine,
     SearchOptions,
@@ -268,5 +269,109 @@ def test_regexp_expansion_prefix_pruning_is_lossless(serving):
         ex._expand_cache.clear()  # property must not read a cached answer
         got = serving.expand_regexp(body)
         assert got == _brute_expand(ex, body), body
+
+    check()
+
+
+# ---- property: fuzzy expansion == independent-DP brute force -----------------
+
+def _osa(a: str, b: str) -> int:
+    """Independent optimal-string-alignment DP (NOT the engine's
+    decomposition) — ground truth for fuzziness=1 semantics."""
+    la, lb = len(a), len(b)
+    d = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        d[i][0] = i
+    for j in range(lb + 1):
+        d[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1, d[i - 1][j - 1] + cost)
+            if i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + 1)
+    return d[la][lb]
+
+
+def _dl(a: str, b: str) -> int:
+    """Independent unrestricted Damerau-Levenshtein DP — ground truth for
+    fuzziness=2 semantics (differs from OSA on e.g. 'ca' -> 'abc')."""
+    la, lb = len(a), len(b)
+    INF = la + lb
+    da: dict[str, int] = {}
+    d = [[INF] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = INF
+    for i in range(la + 1):
+        d[i + 1][1] = i
+        d[i + 1][0] = INF
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+        d[0][j + 1] = INF
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            l = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def test_fuzzy_expansion_matches_independent_dp(serving):
+    """The serving dictionary's fuzzy expansion (length-band pruning +
+    Lev-or-transposition decomposition at 1, banded DL at 2) returns
+    exactly the df-ranked terms an independent OSA / Damerau-Levenshtein
+    DP selects over the WHOLE dictionary — pins the band and the
+    decomposition, not just the distance function."""
+    from hypothesis import given, settings, strategies as st
+
+    ex = serving._local
+    ts = ex._load_term_stats()
+    vocab = [t for t in ts["term"].tolist() if ":" not in t]
+    alphabet = "abcdemnoprst"
+
+    def mutate(t: str, seed: int) -> str:
+        if not t:
+            return "a"
+        i = seed % len(t)
+        op = seed % 4
+        c = alphabet[seed % len(alphabet)]
+        if op == 0:  # substitute
+            return t[:i] + c + t[i + 1 :]
+        if op == 1:  # insert
+            return t[:i] + c + t[i:]
+        if op == 2 and len(t) > 1:  # delete
+            return t[:i] + t[i + 1 :]
+        if len(t) > i + 1:  # transpose
+            return t[:i] + t[i + 1] + t[i] + t[i + 2 :]
+        return t
+
+    probe = st.one_of(
+        st.sampled_from(vocab).flatmap(
+            lambda t: st.integers(0, 10_000).map(lambda s: mutate(t, s))
+        ),
+        st.text(alphabet=alphabet, min_size=2, max_size=7),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(term=probe, edits=st.sampled_from([1, 2]))
+    def check(term, edits):
+        ex._expand_cache.clear()
+        got = serving.expand_fuzzy(term, edits)
+        dist = _osa if edits == 1 else _dl
+        m = ts[[(":" not in t) and dist(t, term) <= edits for t in ts["term"]]]
+        m = m.sort_values(["df", "term"], ascending=[False, True])
+        want = m["term"].head(MAX_FUZZY_EXPANSIONS).tolist()
+        assert got == want, (term, edits)
 
     check()
