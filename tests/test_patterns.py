@@ -224,7 +224,7 @@ def test_trailing_question_mark_is_punctuation(spark):
 
 # ---- property: prefix-pruned expansion == unpruned brute force ---------------
 
-def _brute_expand(executor, body: str) -> list[str]:
+def _brute_expand_dict(executor, body: str) -> list[str]:
     """Ground truth: anchored case-insensitive match over the WHOLE
     content-token dictionary (no literal-prefix pruning), df-ranked and
     capped exactly like the production path."""
@@ -268,7 +268,7 @@ def test_regexp_expansion_prefix_pruning_is_lossless(serving):
         ex = serving._local
         ex._expand_cache.clear()  # property must not read a cached answer
         got = serving.expand_regexp(body)
-        assert got == _brute_expand(ex, body), body
+        assert got == _brute_expand_dict(ex, body), body
 
     check()
 
