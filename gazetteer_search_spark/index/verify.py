@@ -267,9 +267,12 @@ def _verify_generation(
         )
     if int(agg["n_distinct"]) != int(agg["n"]):
         gen["errors"].append("duplicate doc_id in docs table")
-    if agg["max_id"] is not None and int(agg["max_id"]) > int(cs["max_doc_id"]):
+    # exact equality both ways: the builder writes max_doc_id = max(docs)
+    # (builder.py:809), so an INFLATED stats value is just as much drift as
+    # an under-reporting one (it skews the salt partitioning formula)
+    if agg["max_id"] is not None and int(agg["max_id"]) != int(cs["max_doc_id"]):
         gen["errors"].append(
-            f"max doc_id {agg['max_id']} > corpus_stats.max_doc_id "
+            f"max doc_id {agg['max_id']} != corpus_stats.max_doc_id "
             f"{cs['max_doc_id']}"
         )
     if int(agg["neg_len"] or 0):

@@ -105,10 +105,23 @@ class _Translator:
         if not terms:
             self.note("clause analyzed to zero terms — dropped")
             return
+        # dedupe terms and weights TOGETHER (keep the max boost per term,
+        # TermGroup.per_term_weights' rule) — deduping terms alone would
+        # leave term_weights full-length and zip weights onto the wrong
+        # terms whenever two mapped fields produce the same term
+        if term_weights is not None:
+            best: dict[str, float] = {}
+            for t, w in zip(terms, term_weights):
+                if t not in best or float(w) > best[t]:
+                    best[t] = float(w)
+            uniq = tuple(best)
+            term_weights = tuple(best[t] for t in uniq)
+        else:
+            uniq = tuple(dict.fromkeys(terms))
         self.plan.groups.append(
             self.TermGroup(
                 group_id=self._gid,
-                terms=tuple(dict.fromkeys(terms)),
+                terms=uniq,
                 required=required,
                 weight=float(weight),
                 name=name,
@@ -234,16 +247,23 @@ class _Translator:
 
     def _c_term(self, body: dict, required: bool) -> None:
         (fieldname, spec), = body.items()
+        boost = (
+            float(spec.get("boost", 1.0)) if isinstance(spec, dict) else 1.0
+        )
         value = spec.get("value", spec) if isinstance(spec, dict) else spec
         mapped = _field(fieldname, self.field_map)
         if mapped in _META_FIELDS:
             self._meta_filter(mapped, [value])
             return
         self.add_group(
-            _namespace([str(value).lower()], mapped, self.engine), required
+            _namespace([str(value).lower()], mapped, self.engine), required,
+            weight=boost,
         )
 
     def _c_terms(self, body: dict, required: bool) -> None:
+        # query-context boost multiplies the clause score (ES rule) — it
+        # must reach the group weight, not silently vanish
+        boost = float(body.get("boost", 1.0))
         (fieldname, values), = (
             (k, v) for k, v in body.items() if k != "boost"
         )
@@ -253,20 +273,27 @@ class _Translator:
             return
         self.add_group(
             _namespace([str(v).lower() for v in values], mapped, self.engine),
-            required,
+            required, weight=boost,
         )
 
     def _c_prefix(self, body: dict, required: bool) -> None:
         (fieldname, spec), = body.items()
         value = spec.get("value", spec) if isinstance(spec, dict) else spec
         mapped = _field(fieldname, self.field_map)
-        exp = [
-            t for t in self.engine.expand_prefix(str(value).lower())
-            if ":" not in t
-        ]
+        # expand in the MAPPED field's own term namespace — expanding the
+        # bare value against the content dictionary and prefixing 'field:'
+        # afterwards would miss terms that exist only in the field
+        # namespace and fabricate nonexistent ones
+        fields = (self.engine.index.meta or {}).get("fields") or {}
+        if mapped not in ("content", "full_text", "text") and (
+            mapped in fields or mapped == "name"
+        ):
+            exp = self.engine.expand_prefix(f"{mapped}:{str(value).lower()}")
+        else:
+            exp = self.engine.expand_prefix(str(value).lower())
         if not exp:
             self.note(f"prefix {value!r} expanded to zero dictionary terms")
-        self.add_group(_namespace(exp, mapped, self.engine), required)
+        self.add_group(exp, required)
 
     def _c_dis_max(self, body: dict, required: bool) -> None:
         terms: list[str] = []
@@ -305,7 +332,18 @@ class _Translator:
                 spec if isinstance(spec, list)
                 else [spec.get("value", spec) if isinstance(spec, dict) else spec]
             )
+            if required and mapped in ("lang", "repo", "path_prefix"):
+                # must/filter context: ES constant_score FILTERS (only
+                # matching docs survive) — a boost alone would silently
+                # return cross-scope results
+                self._meta_filter(mapped, values)
+                if mapped == "lang" and boost != 1.0:
+                    for v in values:
+                        self.plan.lang_boosts[str(v)] = boost
+                return
             if mapped == "lang":
+                # should context: the clause is optional — a boost is the
+                # faithful mapping
                 for v in values:
                     self.plan.lang_boosts[str(v)] = boost
                 return
@@ -499,6 +537,13 @@ def run_dsl(
                 if strict:
                     raise ValueError(f"DSL strict mode: {msg}")
                 plan.notes.append(msg)
-        df = engine.search(" ".join(parts), opts)
+        q = " ".join(parts)
+        # Spark-free serving engine (serve --local-only): return plain rows
+        # — the DataFrame surfaces raise without a SparkSession
+        if engine.spark is None:
+            return engine.search_hits(q, opts), plan
+        df = engine.search(q, opts)
         return df, plan
+    if engine.spark is None:
+        return engine.search_rung_rows(plan.groups, plan.msm, opts), plan
     return engine.search_rung(plan.groups, plan.msm, opts), plan

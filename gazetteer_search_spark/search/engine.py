@@ -633,12 +633,21 @@ class SearchEngine:
     # ---- expansions ---------------------------------------------------------
     def expand_prefix(self, prefix: str) -> list[str]:
         """Term-dictionary range scan (P3): sorted dict makes startswith a
-        range predicate; cap expansions by df like Lucene's rewrite cap."""
+        range predicate; cap expansions by df like Lucene's rewrite cap.
+        A bare prefix expands in the content namespace only (never into
+        ``field:term`` dictionary entries — serving-tier parity); a prefix
+        containing ``:`` explicitly targets that field's namespace."""
         if self._local is not None:
             return self._local.expand_prefix(prefix)
+        # bare prefix: the pre-filtered content-namespace dictionary;
+        # 'field:' prefix: the full dictionary (field terms are excluded
+        # from _term_stats at load)
+        base = (
+            self._term_stats if ":" not in prefix else self.index.term_stats
+        )
+        d = base.filter(F.col("term").startswith(prefix))
         rows = (
-            self._term_stats.filter(F.col("term").startswith(prefix))
-            .orderBy(F.col("df").desc(), F.col("term"))
+            d.orderBy(F.col("df").desc(), F.col("term"))
             .limit(MAX_PREFIX_EXPANSIONS)
             .select("term")
             .collect()

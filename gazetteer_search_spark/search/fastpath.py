@@ -423,7 +423,11 @@ class LocalExecutor:
         key = ("p", prefix)
         if key not in self._expand_cache:
             ts = self._load_term_stats()
-            m = ts[ts["term"].str.startswith(prefix) & ~ts["term"].str.contains(":")]
+            m = ts[ts["term"].str.startswith(prefix)]
+            if ":" not in prefix:
+                # bare prefix = content namespace only; a 'field:' prefix
+                # explicitly targets that field's term namespace
+                m = m[~m["term"].str.contains(":")]
             m = m.sort_values(["df", "term"], ascending=[False, True])
             self._cache_put(key, m["term"].head(MAX_PREFIX_EXPANSIONS).tolist())
         else:

@@ -102,6 +102,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 
+# ES index.max_result_window default: the deepest size*page any one
+# /search request may demand (keyset paging is the unbounded-depth form)
+MAX_RESULT_WINDOW = 10_000
+
+
 def _index_mtime(engine) -> float | None:
     """Index build time for the Last-Modified header, from index metadata
     file mtimes (works for both Spark-backed and Spark-free engines)."""
@@ -277,8 +282,17 @@ def _make_handler(
                 v = qs.get(name)
                 return v[0] if v else default
 
-            size = int(_one("size", default_opts.k))
-            page = max(1, int(_one("page", 1)))
+            # ES's index.max_result_window rule: size and size*page are
+            # bounded so one request can't demand an arbitrarily large
+            # top-k (unbounded driver-side heap + serialization)
+            size = max(1, min(int(_one("size", default_opts.k)), 1000))
+            page = max(1, min(int(_one("page", 1)), MAX_RESULT_WINDOW))
+            if size * page > MAX_RESULT_WINDOW:
+                raise ValueError(
+                    f"size*page ({size * page}) exceeds the result window "
+                    f"({MAX_RESULT_WINDOW}) — use search_after keyset "
+                    "paging for unbounded depth"
+                )
             # class-filter params (SearchAPIAdapter.java:48-55,81-85):
             #   class=X (repeatable)    poiclass[] analog — one value is a
             #                           hard filter, several become boosts
@@ -668,21 +682,25 @@ def _make_handler(
             try:
                 opts = replace(
                     default_opts,
-                    lang=(qs.get("lang") or [None])[0],
-                    repo=(qs.get("repo") or [None])[0],
-                    path_prefix=(qs.get("path_prefix") or [None])[0],
+                    lang=(qs.get("lang") or [default_opts.lang])[0],
+                    repo=(qs.get("repo") or [default_opts.repo])[0],
+                    path_prefix=(qs.get("path_prefix") or [default_opts.path_prefix])[0],
                     exclude_terms=_not_param_terms(qs.get("not")),
                 )
-                with lock:
+                n = None
+                with lock:  # sends happen AFTER release (send-after-release rule)
                     _rows, meta = engine._search_ladder(q, opts)
-                    if "msm" not in meta:
-                        self._send(
-                            400,
-                            {"error": "exact count unsupported for this "
-                                      "query shape (phrase rung)"},
+                    if "msm" in meta:
+                        n = engine.count_matches(
+                            meta["groups"], meta["msm"], opts
                         )
-                        return
-                    n = engine.count_matches(meta["groups"], meta["msm"], opts)
+                if n is None:
+                    self._send(
+                        400,
+                        {"error": "exact count unsupported for this "
+                                  "query shape (phrase rung)"},
+                    )
+                    return
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return
@@ -707,17 +725,20 @@ def _make_handler(
             try:
                 opts = replace(
                     default_opts,
-                    lang=(qs.get("lang") or [None])[0],
-                    repo=(qs.get("repo") or [None])[0],
+                    lang=(qs.get("lang") or [default_opts.lang])[0],
+                    repo=(qs.get("repo") or [default_opts.repo])[0],
                 )
-                with lock:
+                rows = None
+                with lock:  # sends happen AFTER release
                     _rows, meta = engine._search_ladder(q, opts)
-                    if "msm" not in meta:
-                        self._send(400, {"error": "unsupported query shape"})
-                        return
-                    rows = engine.composite_rows(
-                        meta["groups"], meta["msm"], opts, keys, size, after
-                    )
+                    if "msm" in meta:
+                        rows = engine.composite_rows(
+                            meta["groups"], meta["msm"], opts, keys, size,
+                            after,
+                        )
+                if rows is None:
+                    self._send(400, {"error": "unsupported query shape"})
+                    return
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return
@@ -747,17 +768,19 @@ def _make_handler(
             try:
                 opts = replace(
                     default_opts,
-                    lang=(qs.get("lang") or [None])[0],
-                    repo=(qs.get("repo") or [None])[0],
+                    lang=(qs.get("lang") or [default_opts.lang])[0],
+                    repo=(qs.get("repo") or [default_opts.repo])[0],
                 )
-                with lock:
+                rows = None
+                with lock:  # sends happen AFTER release
                     _rows, meta = engine._search_ladder(q, opts)
-                    if "msm" not in meta:
-                        self._send(400, {"error": "unsupported query shape"})
-                        return
-                    rows = engine.top_hits_rows(
-                        meta["groups"], meta["msm"], opts, key, n
-                    )
+                    if "msm" in meta:
+                        rows = engine.top_hits_rows(
+                            meta["groups"], meta["msm"], opts, key, n
+                        )
+                if rows is None:
+                    self._send(400, {"error": "unsupported query shape"})
+                    return
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return
@@ -784,17 +807,19 @@ def _make_handler(
             try:
                 opts = replace(
                     default_opts,
-                    lang=(qs.get("lang") or [None])[0],
-                    repo=(qs.get("repo") or [None])[0],
+                    lang=(qs.get("lang") or [default_opts.lang])[0],
+                    repo=(qs.get("repo") or [default_opts.repo])[0],
                 )
-                with lock:
+                rows = None
+                with lock:  # sends happen AFTER release
                     _rows, meta = engine._search_ladder(q, opts)
-                    if "msm" not in meta:
-                        self._send(400, {"error": "unsupported query shape"})
-                        return
-                    rows = engine.facet_cardinality_rows(
-                        meta["groups"], meta["msm"], opts, key, metric
-                    )
+                    if "msm" in meta:
+                        rows = engine.facet_cardinality_rows(
+                            meta["groups"], meta["msm"], opts, key, metric
+                        )
+                if rows is None:
+                    self._send(400, {"error": "unsupported query shape"})
+                    return
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return
@@ -827,18 +852,18 @@ def _make_handler(
                 # engine access serialized like every other route (the lazy
                 # caches are not thread-safe; /bulk swaps the engine under
                 # this same lock)
-                with lock:
+                missing = False
+                with lock:  # sends happen AFTER release
                     if not text:
                         seed = int(doc_id)
                         content = engine._doc_content([seed])
-                        if seed not in content:
-                            self._send(
-                                404,
-                                {"error": f"doc {seed} has no stored content"},
-                            )
-                            return
-                        text = content[seed]
-                    groups = engine.mlt_groups(text, max_terms)
+                        missing = seed not in content
+                        text = content.get(seed, "")
+                    groups = (
+                        engine.mlt_groups(text, max_terms)
+                        if not missing
+                        else []
+                    )
                     opts = replace(
                         default_opts, k=size + (1 if seed is not None else 0)
                     )
@@ -849,6 +874,11 @@ def _make_handler(
                         if groups
                         else []
                     )
+                if missing:
+                    self._send(
+                        404, {"error": f"doc {seed} has no stored content"}
+                    )
+                    return
                 page_rows = [r for r in rows if r.doc_id != seed][:size]
             except Exception as e:
                 self._send(400, {"error": str(e)})
@@ -1451,10 +1481,13 @@ def _make_handler(
                 out = {
                     k: meta.get(k)
                     for k in (
+                        # the builder's persisted key names
+                        # (builder.py: clustered_by / stored_content /
+                        # name_key_sql)
                         "format", "postings_codec", "analyzer_hash",
                         "attr_dim", "attr_values", "attr_overflow",
-                        "cluster_by", "positions", "store_content",
-                        "name_key", "fields",
+                        "clustered_by", "positions", "stored_content",
+                        "name_key_sql", "fields",
                     )
                     if k in meta
                 }
@@ -1552,10 +1585,14 @@ def _make_handler(
                 opts = replace(
                     default_opts,
                     k=int(body.get("k", default_opts.k)),
-                    lang=body.get("lang"),
+                    # absent keys fall back to the serving defaults (a
+                    # filtered alias installs its tenant scope there)
+                    lang=body.get("lang", default_opts.lang),
                     exclude_langs=tuple(body.get("no_class", ())),
-                    repo=body.get("repo"),
-                    path_prefix=body.get("path_prefix"),
+                    repo=body.get("repo", default_opts.repo),
+                    path_prefix=body.get(
+                        "path_prefix", default_opts.path_prefix
+                    ),
                     distinct=bool(body.get("distinct", False)),
                     near_path=body.get("near"),
                 )

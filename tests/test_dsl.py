@@ -261,3 +261,109 @@ def test_must_not_on_mapped_metadata_field(eng):
     assert rows and all(r.lang != "adrpnt" for r in rows)
     assert plan.exclude_langs == ("adrpnt",)
     assert plan.exclude_terms == ()
+
+
+# ---- round-5 review-fix regressions -----------------------------------------
+
+def test_cross_fields_duplicate_term_keeps_best_weight(eng):
+    """Two mapped fields colliding in one namespace: term dedup must carry
+    each term's BEST weight, not zip the full-length weight tuple onto the
+    deduped terms (regression: term_weights misaligned after a duplicate)."""
+    body = {
+        "query": {
+            "bool": {
+                "must": [
+                    {
+                        "multi_match": {
+                            "query": "alpha",
+                            "type": "cross_fields",
+                            "fields": ["street^1", "locality^2", "name^5"],
+                        }
+                    }
+                ]
+            }
+        }
+    }
+    plan = dsl.translate(body, eng, field_map=FIELD_MAP)
+    (g,) = plan.groups
+    w = g.per_term_weights()
+    # street and locality both map to content: 'alpha' keeps the max (2)
+    assert w["alpha"] == pytest.approx(2.0)
+    assert w["name:alpha"] == pytest.approx(5.0)
+
+
+def test_run_dsl_on_spark_free_engine(eng, tmp_path_factory):
+    """run_dsl must work on a --local-only serving engine (spark=None):
+    rows come back as a plain list (regression: search_rung raised
+    'DataFrame results need a SparkSession' and every /dsl request 400d)."""
+    free = SearchEngine(None, builder.load_index_local(eng.index.paths.root),
+                        serving=True, lazy_payloads=True)
+    body = {"query": {"bool": {"must": [{"match": {"full_text": "alpha"}}]}},
+            "size": 5}
+    res, plan = dsl.run_dsl(free, body, field_map=FIELD_MAP)
+    assert isinstance(res, list) and res
+    # phrase path too
+    body = {"query": {"match_phrase": {"full_text": "alpha beta"}}, "size": 5}
+    # this fixture has no positions sidecar: the phrase rung raises its own
+    # ValueError — what must NOT appear is the Spark-free RuntimeError
+    # ('DataFrame results need a SparkSession')
+    try:
+        res, _ = dsl.run_dsl(free, body, field_map=FIELD_MAP)
+        assert isinstance(res, list)
+    except ValueError as e:
+        assert "positions sidecar" in str(e)
+
+
+def test_dsl_prefix_expands_in_field_namespace(eng):
+    """prefix on a mapped per-field name must expand inside 'name:'
+    dictionary terms (regression: expanded the bare value against the
+    content dictionary and prefixed 'name:' afterwards — fabricating
+    nonexistent terms and missing field-only ones)."""
+    body = {"query": {"bool": {"must": [{"prefix": {"name": "src"}}]}}}
+    plan = dsl.translate(body, eng, field_map=FIELD_MAP)
+    (g,) = plan.groups
+    assert g.terms, "field-namespace prefix should expand"
+    assert all(t.startswith("name:src") for t in g.terms), g.terms
+
+
+def test_constant_score_filter_in_must_context_filters(eng):
+    """ES semantics: constant_score in must/filter context FILTERS — only
+    docs passing the inner filter match (regression: became a lang boost
+    only, silently returning cross-lang results)."""
+    body = {
+        "query": {
+            "bool": {
+                "must": [
+                    {"constant_score": {
+                        "filter": {"term": {"type": "adrpnt"}},
+                        "boost": 2.0,
+                    }},
+                    {"match": {"full_text": "alpha"}},
+                ]
+            }
+        },
+        "size": 100,
+    }
+    res, plan = dsl.run_dsl(eng, body, field_map=FIELD_MAP)
+    rows = res if isinstance(res, list) else res.collect()
+    assert plan.lang == "adrpnt"
+    assert rows and all(r.lang == "adrpnt" for r in rows)
+
+
+def test_terms_query_context_boost_reaches_weight(eng):
+    """A query-context terms/term boost multiplies the clause score
+    (regression: extracted only to be discarded — weight stayed 1.0)."""
+    body = {
+        "query": {"bool": {"should": [
+            {"terms": {"full_text": ["alpha", "delta"], "boost": 3.0}},
+        ]}},
+    }
+    plan = dsl.translate(body, eng, field_map=FIELD_MAP)
+    (g,) = plan.groups
+    assert g.weight == pytest.approx(3.0)
+    body = {"query": {"bool": {"should": [
+        {"term": {"full_text": {"value": "alpha", "boost": 4.0}}},
+    ]}}}
+    plan = dsl.translate(body, eng, field_map=FIELD_MAP)
+    (g,) = plan.groups
+    assert g.weight == pytest.approx(4.0)

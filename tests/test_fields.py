@@ -105,3 +105,25 @@ def test_name_boost_promotes_path_match(spark, index):
     )
     top = eng.search_rung([g], 1, SearchOptions(k=3)).collect()
     assert top and "Mod7." in top[0].path
+
+
+def test_prefix_expansion_namespace_parity(spark, index):
+    """Bare prefixes expand in the content namespace ONLY on every tier
+    (regression: the Spark-path dictionary scan leaked 'name:...' terms
+    into bare expansions on field-bearing indexes, diverging from the
+    serving tier); a 'field:' prefix explicitly targets that namespace on
+    both tiers identically."""
+    spark_eng = SearchEngine(spark, index)
+    serving = SearchEngine(spark, index, serving=True)
+    # bare prefix: no field-namespace terms, tiers identical
+    a = spark_eng.expand_prefix("mer")
+    b = serving.expand_prefix("mer")
+    assert a == b and a
+    assert all(":" not in t for t in a)
+    # namespaced prefix: expands inside name:, tiers identical
+    a = spark_eng.expand_prefix("name:mod")
+    b = serving.expand_prefix("name:mod")
+    assert a == b and a
+    assert all(t.startswith("name:mod") for t in a)
+    # suggest shares the content-namespace rule across tiers
+    assert spark_eng.suggest("mer", 5) == serving.suggest("mer", 5)

@@ -1265,3 +1265,108 @@ def test_fsearch_primary_shadowing_and_duplicate_index_params(spark, tmp_path):
         assert env["indices"] == ["twin"]
     finally:
         srv.shutdown()
+
+
+# ---- round-5 review-fix regressions -----------------------------------------
+
+def _serve(eng, opts):
+    srv = make_server(eng, opts, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, port
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return json.loads(r.read())
+
+
+def test_tenant_scope_applies_to_count_and_agg_routes(eng):
+    """A filtered alias installs its scope into the serving default opts;
+    /count, /composite, /tophits, /facetcard and POST /sendq must FALL BACK
+    to that scope when the request omits the param (regression: they
+    replaced it with None, counting every tenant's documents)."""
+    srv, port = _serve(eng, SearchOptions(k=5, prefix=False, lang="python"))
+    try:
+        # /search already scoped (the pre-existing rule)
+        env = _get(port, "/search?q=alpha&size=50")
+        assert env["hits"] and all(h["lang"] == "python" for h in env["hits"])
+        # /count: scoped count == the python half (40), not all 80
+        c = _get(port, "/count?q=alpha")
+        assert c["count"] == 40, c
+        # explicit param still overrides
+        c = _get(port, "/count?q=alpha&lang=java")
+        assert c["count"] == 40  # the java half
+        # /composite buckets only the tenant's docs
+        comp = _get(port, "/composite?q=alpha&key=lang&size=10")
+        langs = {b["value"] for b in comp["buckets"]}
+        assert langs == {"python"}, comp
+        # /tophits buckets only the tenant's docs
+        th = _get(port, "/tophits?q=alpha&key=lang&n=2")
+        assert set(th["buckets"]) == {"python"}
+        # /facetcard too
+        fc = _get(port, "/facetcard?q=alpha&key=lang&metric=repo")
+        assert {b["value"] for b in fc["buckets"]} == {"python"}
+        # POST /sendq without lang inherits the scope
+        body = json.dumps({
+            "groups": [{"group_id": 0, "terms": ["alpha"]}],
+            "k": 50, "msm": 1,
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sendq", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            hits = json.loads(r.read())["hits"]
+        assert hits and all(h["lang"] == "python" for h in hits)
+    finally:
+        srv.shutdown()
+
+
+def test_search_result_window_bounded(eng):
+    """size and size*page are bounded by the ES max_result_window rule —
+    one request must not demand an arbitrarily large top-k (regression:
+    size=10^8&page=1000 set opts.k = 10^11)."""
+    srv, port = _serve(eng, SearchOptions(k=5, prefix=False))
+    try:
+        # big size alone: clamped, still answers
+        env = _get(port, "/search?q=alpha&size=100000000")
+        assert env["hits"]
+        # size*page beyond the window: a 400, not an unbounded heap
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(port, "/search?q=alpha&size=1000&page=9999")
+        assert ei.value.code == 400
+        assert "result window" in json.loads(ei.value.read())["error"]
+        # negative size is clamped up, not accepted
+        env = _get(port, "/search?q=alpha&size=-5")
+        assert env["total_hits"] >= 1
+    finally:
+        srv.shutdown()
+
+
+def test_mapping_reports_persisted_keys(spark, tmp_path_factory):
+    """/mapping must read the keys the builder actually persists
+    (clustered_by / stored_content / name_key_sql) — the old names were
+    silently absent for every index (regression)."""
+    corpus = spark.range(0, 30).select(
+        F.col("id").alias("doc_id"),
+        F.format_string("org/r%d", F.col("id") % 3).alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.lit("alpha beta").alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_map"))
+    idx = builder.build_index(
+        spark, corpus, out, n_buckets=4, store_content=True,
+        cluster_by=("repo", "path"),
+    )
+    eng2 = SearchEngine(spark, idx, serving=True)
+    srv, port = _serve(eng2, SearchOptions(k=5, prefix=False))
+    try:
+        m = _get(port, "/mapping")
+        assert m["stored_content"] is True
+        assert m["clustered_by"] == ["repo", "path"]
+        assert "name_key_sql" in m
+    finally:
+        srv.shutdown()

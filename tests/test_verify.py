@@ -262,3 +262,24 @@ def test_clean_vbyte_minimal_layout_verifies_ok(spark, tmp_path):
     assert g["sha_checked"] is False
     assert "cluster_range_mismatches" not in g
     assert g["n_blocks"] > 0 and g["bad_blocks"] == 0
+
+
+def test_detects_inflated_corpus_stats_max_doc_id(spark, clean_idx, tmp_path):
+    """corpus_stats.max_doc_id must EQUAL max(docs.doc_id) — an inflated
+    stats value is drift too (it skews the salt-partitioning formula), not
+    just an under-reporting one (regression: only '>' was checked)."""
+    root = _copy_index(clean_idx, tmp_path, "maxdrift")
+    files = sorted(
+        glob.glob(os.path.join(root, "corpus_stats", "*.parquet"))
+    )
+    t = pq.read_table(files[0])
+    col = t.column("max_doc_id").to_pylist()
+    col[0] = int(col[0]) + 1000  # inflate past the true max
+    t = t.set_column(
+        t.schema.get_field_index("max_doc_id"), "max_doc_id",
+        pa.array(col, type=t.schema.field("max_doc_id").type),
+    )
+    _rewrite(files[0], t)
+    rep = verify_index(spark, root)
+    assert not rep["ok"]
+    assert any("max doc_id" in e for e in rep["generations"][0]["errors"])
