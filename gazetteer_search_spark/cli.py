@@ -936,6 +936,7 @@ def cmd_serve(args: argparse.Namespace) -> None:
             eng, base_opts, port=args.http, index_path=args.index,
             alias_path=getattr(args, "index_alias", None), reopen=_open,
             federated=federated or None,
+            access_log=getattr(args, "access_log", None),
         )
         print(json.dumps({
             "ready": True, "serving_local": eng._local is not None,
@@ -1391,6 +1392,12 @@ def main(argv: list[str] | None = None) -> None:
         help="federated serving (repeatable): GET /fsearch runs the query "
         "on the primary AND each named index/alias, merging labeled pages "
         "(the ES multi-index GET /idx1,idx2/_search shape)",
+    )
+    sv.add_argument(
+        "--access-log", metavar="PATH",
+        help="write one HttpLogger-style line per HTTP response (UA-"
+        "classified marker, client ip, status, method, url) to PATH; "
+        "'-' logs to stderr; absent = silent (the default)",
     )
     sv.add_argument(
         "--lazy", action="store_true",

@@ -94,6 +94,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import sys
 import threading
 from dataclasses import replace
 from time import perf_counter as _now
@@ -105,6 +106,132 @@ from urllib.parse import parse_qs, urlparse
 # ES index.max_result_window default: the deepest size*page any one
 # /search request may demand (keyset paging is the unbounded-depth form)
 MAX_RESULT_WINDOW = 10_000
+
+
+def _endpoint(url: str, name: str, method: str = "GET", **params) -> dict:
+    """One EndpointMeta row (api/meta/EndpointMeta.java:13-31): url + human
+    name + ordered {parameter: description} map (the reference keeps a
+    LinkedHashMap for declaration order; dicts preserve it here)."""
+    return {"url": url, "name": name, "method": method, "parameters": params}
+
+
+#: Self-describing API registry (EndpointMeta / QueryParameter analog —
+#: api/meta/EndpointMeta.java, api/meta/QueryParameter.java: the reference
+#: reflects @QueryParameter-annotated constants into a url/name/parameters
+#: listing). Served verbatim at GET /api.
+API_ENDPOINTS: tuple[dict, ...] = (
+    _endpoint(
+        "/search", "ranked full-text search",
+        q="query string (analyzed; quotes = phrase, '-w' = must_not, "
+          "trailing '*' = prefix)",
+        size="page size (1..1000; default = serving k)",
+        page="1-based offset page; size*page capped at the result window "
+             "— use search_after for unbounded depth",
+        lang="hard language/class filter (term exact)",
+        **{"class": "repeatable poiclass[] analog: one value filters, "
+                    "several become boosts",
+           "no_class": "repeatable class exclusion (no_poi analog)",
+           "not": "repeatable must_not word (analyzed)"},
+        demote="repeatable negative-boost word (boosting-query analog)",
+        demote_factor="score multiplier for demoted matches (default 0.5)",
+        tie_breaker="dis_max tie_breaker in [0,1] (0 = pure max)",
+        fuzziness="0|1|2|auto max edits per term on the fuzzy rung",
+        repo="refs containment filter (repo equality)",
+        path_prefix="path starts-with filter",
+        distinct="true = collapse duplicate-name hits (distinct ordinal)",
+        collapse="field collapsing: keep each key value's best hit",
+        prefix="true|false: last-token prefix expansion",
+        near="path-proximity re-sort anchor (lat/lon distance-sort analog)",
+        timeout_ms="best-effort budget; partial results + timed_out flag",
+        terminate_after="deterministic collection cut + terminated_early",
+        classify="true = two-phase class-dimension search",
+        mark="opaque client token echoed back (mark header analog)",
+        verbose="true = full doc detail per hit (verbose_address analog)",
+        snippet="true|N best matching lines per hit (highlight analog)",
+        explain="true = per-term BM25 contributions per hit",
+        facet="repeatable terms-agg key over the full match set",
+        facet_size="buckets per facet key (1..100, default 10)",
+        track_total="true = exact match count instead of gte page total",
+        rescore_q="secondary query re-ranking the top window",
+        rescore_window="rescore depth (1..10000, default 100)",
+        rescore_w="rescore weight (default 1.0)",
+        profile="true = block decode/skip deltas for this answer",
+        after="keyset cursor '<score>,<doc_id>' (search_after analog)",
+        sort="asc|desc secondary doc_id order within equal scores",
+    ),
+    _endpoint("/suggest", "term-dictionary autocomplete",
+              q="prefix to complete", size="completions (default 15)"),
+    _endpoint("/near", "unordered proximity search",
+              q="terms (all required within the window)",
+              window="max token span (default 4)", size="page size"),
+    _endpoint("/sorted", "field-ordered match set with keyset paging",
+              q="query string", by="sort field (path | repo | doc_id)",
+              size="page size", after="keyset cursor (last field value)"),
+    _endpoint("/mapping", "index settings + field mapping (GET _mapping)"),
+    _endpoint("/segments", "per-generation segment stats (GET _segments)"),
+    _endpoint("/mlt", "more-like-this", doc_id="seed document id",
+              like="verbatim seed text (alternative to doc_id)",
+              max_terms="query terms mined from the seed (default 12)",
+              size="page size"),
+    _endpoint("/count", "exact match count (GET _count)",
+              q="query string", lang="class filter", repo="repo filter"),
+    _endpoint("/composite", "paged composite aggregation",
+              q="query string", key="repeatable bucket key",
+              size="buckets per page", after="composite key cursor"),
+    _endpoint("/tophits", "per-bucket best hits", q="query string",
+              key="bucket key", n="hits per bucket"),
+    _endpoint("/facetcard", "per-bucket cardinality", q="query string",
+              key="bucket key", metric="distinct-counted field"),
+    _endpoint("/termvectors", "stored term vector for one document",
+              doc_id="document id"),
+    _endpoint("/spell", "did-you-mean suggestions", q="query string",
+              mode="term|phrase (phrase = whole-query rewrites)",
+              size="suggestions (default 5)"),
+    _endpoint("/analyze", "analyzer debug (GET _analyze)",
+              q="text to run through the index analyzer"),
+    _endpoint("/stats", "terms aggregation / corpus stats",
+              key="group-by key (lang | repo | ...)",
+              min_doc_count="minimum bucket size", size="bucket count"),
+    _endpoint("/classes", "class-dimension browse (OSMDocAPI analog); "
+                          "/classes/{id} looks one class up"),
+    _endpoint("/knn", "vector sidecar cosine KNN", q="query text",
+              size="neighbors"),
+    _endpoint("/hybrid", "BM25 + KNN reciprocal-rank fusion",
+              q="query text", size="page size"),
+    _endpoint("/fsearch", "federated multi-index search",
+              q="query string", index="restrict to one named index",
+              size="merged page size"),
+    _endpoint("/ui", "HTML results page (SearchHtml analog)",
+              q="query string"),
+    _endpoint("/healthz", "liveness probe (never auth-gated)"),
+    _endpoint("/api", "this endpoint registry"),
+    _endpoint("/sendq", "stored-query registry search (SendQAPI analog)",
+              method="POST"),
+    _endpoint("/msearch", "NDJSON multi-search (POST _msearch)",
+              method="POST"),
+    _endpoint("/bulk", "NDJSON live segment ingest (POST _bulk)",
+              method="POST"),
+    _endpoint("/rank_eval", "rated-query evaluation (POST _rank_eval)",
+              method="POST"),
+    _endpoint("/dsl", "ES query-DSL passthrough", method="POST"),
+    _endpoint("/percolate", "reverse search: doc against stored queries",
+              method="POST"),
+)
+
+
+def classify_agent(user_agent: str | None) -> str:
+    """Access-log marker from the User-Agent (HttpLogger.java:44-60: the
+    reference tags each access-log line HUMAN / BOT.GOOGLE / BOT.YANDEX /
+    BOT.BING by UA substring so bot traffic can be split out of latency
+    stats downstream)."""
+    ua = user_agent or ""
+    if "Googlebot" in ua:
+        return "BOT.GOOGLE"
+    if "YandexBot" in ua:
+        return "BOT.YANDEX"
+    if "msnbot" in ua or "BingPreview" in ua or "bingbot" in ua:
+        return "BOT.BING"
+    return "HUMAN"
 
 
 def _index_mtime(engine) -> float | None:
@@ -152,9 +279,13 @@ def _not_param_terms(words) -> tuple[str, ...]:
 
 def _make_handler(
     engine, default_opts, auth=None, cors_origin=None, index_path=None,
-    alias_path=None, reopen=None, federated=None,
+    alias_path=None, reopen=None, federated=None, access_log=None,
 ):
     lock = threading.Lock()
+    # access log writes are single lines behind their own lock so concurrent
+    # handler threads never interleave mid-line (HttpLogger is the analog;
+    # RestExpress serializes through slf4j there)
+    log_lock = threading.Lock()
     mtime = _index_mtime(engine)
     # alias hot-swap (ES zero-downtime flow): when the server was started
     # on an ALIAS file, each request stats it (one os.stat — cheap) and a
@@ -480,6 +611,11 @@ def _make_handler(
                 return
             if not self._authorized():
                 return
+            if u.path == "/api":
+                # EndpointMeta analog: the self-describing endpoint
+                # registry (url + name + ordered parameter descriptions)
+                self._send(200, {"endpoints": list(API_ENDPOINTS)})
+                return
             if u.path == "/stats":
                 self._do_stats(u)
                 return
@@ -548,7 +684,7 @@ def _make_handler(
                             "/mapping", "/segments", "/mlt",
                             "/count", "/composite", "/tophits", "/facetcard",
                             "/termvectors", "/spell", "/analyze", "/stats",
-                            "/classes", "/ui", "/knn", "/hybrid"
+                            "/classes", "/ui", "/knn", "/hybrid", "/api"
                         ],
                     },
                 )
@@ -1729,8 +1865,52 @@ def _make_handler(
             except Exception as e:
                 self._send(400, {"error": str(e)})
 
-        def log_message(self, *args) -> None:  # quiet access log
-            pass
+        def log_request(self, code="-", size="-") -> None:
+            """Access log (HttpLogger.java:38-74 analog): one line per
+            completed response — UA-classified marker, client ip (X-Real-IP
+            preferred, the reference's proxy-aware rule), status, method,
+            url, User-Agent — plus a WARN line for non-200s. Silent when no
+            --access-log sink is configured (the prior behavior)."""
+            if access_log is None:
+                return
+            try:
+                status = int(code)
+            except (TypeError, ValueError):
+                status = 0
+            ua = self.headers.get("User-Agent") if self.headers else None
+            ip = (
+                self.headers.get("X-Real-IP") if self.headers else None
+            ) or self.client_address[0]
+            lines = (
+                f"{classify_agent(ua)} {ip} - {status} {self.command} "
+                f"{self.path} User-Agent: {ua or '-'}\n"
+            )
+            if status != 200:
+                lines += (
+                    f"WARN {self.command} {self.path} responded with "
+                    f"{status}\n"
+                )
+            try:
+                with log_lock:
+                    access_log.write(lines)
+                    access_log.flush()
+            except (OSError, ValueError):
+                # a dead/closed sink must never break the response path
+                # (the reference's logger contract: onComplete is advisory)
+                pass
+
+        def log_message(self, fmt, *args) -> None:
+            """Handler-internal notices (socket errors, deferred alias
+            swaps) go to the access-log sink when one exists — the
+            HttpLogger onException channel; silent otherwise."""
+            if access_log is None:
+                return
+            try:
+                with log_lock:
+                    access_log.write("NOTICE " + (fmt % args) + "\n")
+                    access_log.flush()
+            except (OSError, ValueError):
+                pass
 
     return Handler
 
@@ -1746,6 +1926,7 @@ def make_server(
     alias_path: str | None = None,
     reopen=None,
     federated: dict | None = None,
+    access_log=None,
 ):
     """Build (not start) the HTTP server; port 0 binds an ephemeral port
     (``server_address[1]`` reports it). Caller runs ``serve_forever()``.
@@ -1756,11 +1937,20 @@ def make_server(
     was addressed via an index ALIAS — a repointed alias hot-swaps the
     serving engine on the next request (zero-downtime reindex flow);
     ``federated``: {name: engine} of EXTRA indexes — enables GET /fsearch
-    (the ES multi-index ``GET /idx1,idx2/_search`` shape)."""
+    (the ES multi-index ``GET /idx1,idx2/_search`` shape); ``access_log``:
+    a path (opened append, line-buffered), ``"-"`` for stderr, or an open
+    text sink — one HttpLogger-style line per response."""
+    if isinstance(access_log, str):
+        access_log = (
+            sys.stderr
+            if access_log == "-"
+            else open(access_log, "a", buffering=1, encoding="utf-8")
+        )
     return ThreadingHTTPServer(
         (host, port),
         _make_handler(
             engine, options, auth, cors_origin, index_path,
             alias_path=alias_path, reopen=reopen, federated=federated,
+            access_log=access_log,
         ),
     )

@@ -1370,3 +1370,82 @@ def test_mapping_reports_persisted_keys(spark, tmp_path_factory):
         assert "name_key_sql" in m
     finally:
         srv.shutdown()
+
+
+def test_http_api_endpoint_registry(eng):
+    """GET /api: EndpointMeta/QueryParameter analog (EndpointMeta.java:13-31)
+    — every served route self-describes as url + name + ordered parameter
+    descriptions, and the registry covers exactly the routes the 404
+    listing advertises (no phantom or undocumented endpoints)."""
+    srv, port = _serve(eng, SearchOptions(k=5, prefix=False))
+    try:
+        eps = _get(port, "/api")["endpoints"]
+        by_url = {e["url"]: e for e in eps}
+        # the reference annotates q/lat/lon etc. per endpoint; ours must
+        # document at least the /search core params
+        s = by_url["/search"]
+        assert s["method"] == "GET" and s["name"]
+        for p in ("q", "size", "page", "lang", "fuzziness", "timeout_ms"):
+            assert p in s["parameters"], p
+        # registry <-> dispatch parity: every advertised GET route appears
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e2:
+            advertised = json.loads(e2.read())["routes"]
+        for route in advertised:
+            assert route in by_url, f"{route} missing from /api registry"
+        # POST routes are present and marked
+        assert by_url["/dsl"]["method"] == "POST"
+        assert by_url["/bulk"]["method"] == "POST"
+        # /api itself responds 200 through auth-less default config
+        assert by_url["/api"]["url"] == "/api"
+    finally:
+        srv.shutdown()
+
+
+def test_http_access_log(eng, tmp_path):
+    """--access-log sink (HttpLogger.java:38-74 analog): one line per
+    response with the UA-classified marker (HUMAN / BOT.GOOGLE / BOT.YANDEX
+    / BOT.BING), X-Real-IP preferred over the socket peer, and an extra
+    WARN line for non-200 responses."""
+    log_path = tmp_path / "access.log"
+    srv = make_server(
+        eng, SearchOptions(k=5, prefix=False), port=0,
+        access_log=str(log_path),
+    )
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/search?q=alpha&size=1") as r:
+            json.loads(r.read())
+        req = urllib.request.Request(
+            f"{base}/search?q=alpha&size=1",
+            headers={
+                "User-Agent": "Mozilla/5.0 (compatible; Googlebot/2.1)",
+                "X-Real-IP": "203.0.113.9",
+            },
+        )
+        with urllib.request.urlopen(req) as r:
+            json.loads(r.read())
+        req2 = urllib.request.Request(
+            f"{base}/nope", headers={"User-Agent": "bingbot/2.0"}
+        )
+        try:
+            urllib.request.urlopen(req2)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        lines = log_path.read_text().splitlines()
+        # line 1: plain client -> HUMAN marker, socket ip
+        assert lines[0].startswith("HUMAN 127.0.0.1 - 200 GET /search")
+        # line 2: Googlebot UA + X-Real-IP override
+        assert lines[1].startswith("BOT.GOOGLE 203.0.113.9 - 200 GET /search")
+        assert "User-Agent: Mozilla/5.0 (compatible; Googlebot/2.1)" in lines[1]
+        # 404: access line with the bing marker plus the WARN line
+        assert lines[2].startswith("BOT.BING 127.0.0.1 - 404 GET /nope")
+        assert lines[3] == "WARN GET /nope responded with 404"
+    finally:
+        srv.shutdown()
