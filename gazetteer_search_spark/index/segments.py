@@ -769,6 +769,60 @@ class MultiExecutor:
         return list(out)[:MAX_REGEX_EXPANSIONS]
 
 
+def fetch_docs(
+    index_dir: str, ids: list[int], include_content: bool = True
+) -> dict[int, dict]:
+    """ES ``GET _doc`` / ``_mget`` analog: point-read specific doc_ids
+    across every generation — partition-pruned pyarrow reads of each
+    generation's docs table, k rows total, no Spark. A doc_id lives in
+    exactly ONE generation (dense per-generation id ranges — the
+    MultiExecutor merge argument), and it is live unless a NEWER segment's
+    tombstones cover it (an upsert tombstones the superseded id and writes
+    the new version under a new id). Returns ``{doc_id: row}`` for LIVE
+    docs only — absent keys are missing or deleted, the caller's
+    ``found: false``. ``content`` rides along only when the generation
+    stores it and ``include_content`` asks; the physical ``doc_part``
+    partition column never leaks."""
+    import pyarrow.dataset as ds_mod
+
+    want = {int(i) for i in ids}
+    if not want:
+        return {}
+    tombs = [
+        (int(s["seg_id"]), _tombstones_local(s["path"]))
+        for s in list_segments(index_dir)
+        if int(s["n_tombstones"])
+    ]
+    out: dict[int, dict] = {}
+    # newest first: stop as soon as every requested id is accounted for
+    for gid, gdir in reversed(_gen_entries(index_dir)):
+        if not want:
+            break
+        dset = ds_mod.dataset(
+            os.path.join(gdir, "docs"), partitioning="hive"
+        )
+        cols = [
+            c
+            for c in dset.schema.names
+            if c != "doc_part" and (include_content or c != "content")
+        ]
+        rows = dset.to_table(
+            filter=ds_mod.field("doc_id").isin(sorted(want)), columns=cols
+        ).to_pylist()
+        def _tombstoned(t: np.ndarray, did: int) -> bool:
+            j = int(np.searchsorted(t, did))
+            return j < t.size and int(t[j]) == did
+
+        for r in rows:
+            did = int(r["doc_id"])
+            want.discard(did)  # found its one generation — dead or alive
+            if not any(
+                sid > gid and _tombstoned(t, did) for sid, t in tombs
+            ):
+                out[did] = r
+    return out
+
+
 def open_multi_search(index_dir: str, spark: SparkSession | None = None):
     """SearchEngine over base + segments (serving path). Spark-free when
     ``spark`` is None — the full analyzer/ladder/trim lifecycle runs, every

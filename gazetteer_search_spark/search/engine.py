@@ -2902,6 +2902,18 @@ class SearchEngine:
             )
         }
 
+    def get_docs(
+        self, ids: list[int], include_content: bool = True
+    ) -> dict[int, dict]:
+        """ES ``GET _doc`` / ``_mget`` analog: stored-fields point fetch of
+        live documents across every generation (segments.fetch_docs — k
+        partition-pruned pyarrow reads, Spark never involved, so Spark-free
+        serving nodes answer identically). Absent keys are missing or
+        tombstoned — the route's ``found: false``."""
+        from gazetteer_search_spark.index.segments import fetch_docs
+
+        return fetch_docs(self.index.paths.root, ids, include_content)
+
     def snippets_for(
         self,
         ids: list[int],

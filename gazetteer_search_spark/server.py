@@ -184,6 +184,12 @@ API_ENDPOINTS: tuple[dict, ...] = (
               key="bucket key", metric="distinct-counted field"),
     _endpoint("/termvectors", "stored term vector for one document",
               doc_id="document id"),
+    _endpoint("/doc", "single-document fetch (GET _doc/{id})",
+              id="document id",
+              content="false = omit stored content (default true)"),
+    _endpoint("/mget", "multi-document fetch (GET _mget)",
+              ids="comma-separated ids (or repeated id=; cap 1000)",
+              content="false = omit stored content (default true)"),
     _endpoint("/spell", "did-you-mean suggestions", q="query string",
               mode="term|phrase (phrase = whole-query rewrites)",
               size="suggestions (default 5)"),
@@ -658,6 +664,12 @@ def _make_handler(
             if u.path == "/termvectors":
                 self._do_termvectors(u)
                 return
+            if u.path == "/doc":
+                self._do_doc(u)
+                return
+            if u.path == "/mget":
+                self._do_mget(u)
+                return
             if u.path == "/spell":
                 self._do_spell(u)
                 return
@@ -684,7 +696,8 @@ def _make_handler(
                             "/mapping", "/segments", "/mlt",
                             "/count", "/composite", "/tophits", "/facetcard",
                             "/termvectors", "/spell", "/analyze", "/stats",
-                            "/classes", "/ui", "/knn", "/hybrid", "/api"
+                            "/classes", "/ui", "/knn", "/hybrid", "/api",
+                            "/doc", "/mget"
                         ],
                     },
                 )
@@ -802,6 +815,69 @@ def _make_handler(
                     "terms": [
                         {"term": t, "tf": tf, "df": df} for t, tf, df in rows
                     ],
+                },
+            )
+
+        def _do_doc(self, u) -> None:
+            """Single-document fetch (ES ``GET _doc/{id}`` analog): GET
+            /doc?id=N[&content=false] — stored fields of one LIVE document
+            across all generations (tombstoned/missing -> 404 with
+            ``found: false``, the ES not-found body shape)."""
+            qs = parse_qs(u.query)
+            raw = (qs.get("id") or [None])[0]
+            if raw is None:
+                self._send(400, {"error": "id parameter required"})
+                return
+            try:
+                did = int(raw)
+                content = (
+                    (qs.get("content") or ["true"])[0].lower() == "true"
+                )
+                with lock:
+                    docs = engine.get_docs([did], include_content=content)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            if did not in docs:
+                self._send(404, {"doc_id": did, "found": False})
+                return
+            self._send(200, {"doc_id": did, "found": True, "doc": docs[did]})
+
+        def _do_mget(self, u) -> None:
+            """Multi-document fetch (ES ``_mget`` analog): GET
+            /mget?ids=1,2,3 (or repeated id=) — one partition-pruned point
+            read per generation for the whole batch; the response preserves
+            REQUEST order with per-doc ``found`` flags (the _mget
+            contract)."""
+            qs = parse_qs(u.query)
+            try:
+                ids = [
+                    int(x)
+                    for chunk in (qs.get("ids") or []) + (qs.get("id") or [])
+                    for x in chunk.split(",")
+                    if x.strip()
+                ]
+                if not ids:
+                    raise ValueError("ids parameter required (ids=1,2,3)")
+                if len(ids) > 1000:
+                    raise ValueError(
+                        f"{len(ids)} ids exceeds the mget cap (1000)"
+                    )
+                content = (
+                    (qs.get("content") or ["true"])[0].lower() == "true"
+                )
+                with lock:
+                    docs = engine.get_docs(ids, include_content=content)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(
+                200,
+                {
+                    "docs": [
+                        {"doc_id": i, "found": i in docs, **docs.get(i, {})}
+                        for i in ids
+                    ]
                 },
             )
 

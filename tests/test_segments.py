@@ -759,3 +759,45 @@ def test_multigen_search_phrase_rows_sees_segment_hits(spark, tmp_path_factory):
         ["pairword", "uniqueph"],
         SearchOptions(k=50, prefix=False, fuzzy=False),
     ) == []
+
+
+def test_fetch_docs_across_generations(spark, base, tmp_path_factory):
+    """ES _doc/_mget analog (segments.fetch_docs): a segment-resident
+    upsert is fetchable, its superseded base version reports missing
+    (tombstoned), an untouched base doc stays live, and a bogus id is
+    absent — all via partition-pruned point reads, no Spark."""
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_fetch"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    segments.add_segment(
+        spark, _v(corpus0, 0, 40, "v2", extra="fetchmarker"), root,
+        n_buckets=4,
+    )
+
+    eng = segments.open_multi_search(root)  # Spark-free
+    hit = eng.search_hits(
+        "fetchmarker", SearchOptions(k=1, prefix=False, fuzzy=False)
+    )[0]
+    # the new version is live with its stored fields
+    got = segments.fetch_docs(root, [hit.doc_id])
+    assert got[hit.doc_id]["path"] == hit.path
+    assert got[hit.doc_id]["repo"] == hit.repo
+    assert "doc_part" not in got[hit.doc_id]
+    # the superseded base id for the same (repo, path) is tombstoned
+    old_id = int(
+        _hid(corpus0.drop("doc_id"))
+        .filter(F.col("path") == hit.path)
+        .head()["doc_id"]
+    )
+    assert old_id != hit.doc_id
+    assert segments.fetch_docs(root, [old_id]) == {}
+    # an untouched base doc is still live; a bogus id is absent
+    untouched = int(
+        _hid(corpus0.filter(F.col("doc_id") >= 40).drop("doc_id"))
+        .head()["doc_id"]
+    )
+    got2 = segments.fetch_docs(root, [untouched, 12345])
+    assert untouched in got2 and 12345 not in got2

@@ -1449,3 +1449,61 @@ def test_http_access_log(eng, tmp_path):
         assert lines[3] == "WARN GET /nope responded with 404"
     finally:
         srv.shutdown()
+
+
+def test_http_doc_and_mget(eng, spark, tmp_path_factory):
+    """GET /doc (ES GET _doc/{id}) and GET /mget (_mget): stored fields of
+    live docs, 404 + found:false for missing ids, request-order-preserving
+    batch with per-doc found flags, content toggle on a store_content
+    index, and the physical doc_part column never leaks."""
+    srv, port = _serve(eng, SearchOptions(k=5, prefix=False))
+    try:
+        hit = _get(port, "/search?q=alpha&size=1")["hits"][0]
+        d = _get(port, f"/doc?id={hit['doc_id']}")
+        assert d["found"] is True and d["doc_id"] == hit["doc_id"]
+        assert d["doc"]["path"] == hit["path"]
+        assert d["doc"]["lang"] == hit["lang"]
+        assert "doc_part" not in d["doc"]
+        try:
+            _get(port, "/doc?id=999999999")
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert json.loads(e.read()) == {
+                "doc_id": 999999999, "found": False,
+            }
+        m = _get(port, f"/mget?ids=999999999,{hit['doc_id']}")
+        assert [x["found"] for x in m["docs"]] == [False, True]
+        assert m["docs"][1]["repo"] == hit["repo"]
+        # validation: no ids -> 400; over the cap -> 400
+        for bad in ("/mget", "/mget?ids=" + ",".join(["1"] * 1001)):
+            try:
+                _get(port, bad)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+    finally:
+        srv.shutdown()
+
+    # content toggle needs a store_content index
+    corpus = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"),
+        F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.lit("alpha beta").alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_doc"))
+    idx = builder.build_index(
+        spark, corpus, out, n_buckets=4, store_content=True
+    )
+    eng2 = SearchEngine(spark, idx, serving=True)
+    srv2, port2 = _serve(eng2, SearchOptions(k=5, prefix=False))
+    try:
+        d = _get(port2, "/doc?id=3")
+        assert d["doc"]["content"] == "alpha beta"
+        d2 = _get(port2, "/doc?id=3&content=false")
+        assert "content" not in d2["doc"]
+    finally:
+        srv2.shutdown()
