@@ -2120,6 +2120,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.sha2("text", 256).alias("content_sha256")
         )
 
+    def doc_fetch(spark, sf):
+        """ES GET _doc / _mget analog (segments.fetch_docs): point-fetch the
+        5 smallest doc ids' stored fields from the built index across all
+        generations — k partition-pruned pyarrow reads, no Spark scan; the
+        oracle recomputes every returned field (repo, synthetic path, lang,
+        content sha256) from the raw documents table alone."""
+        eng = _engine(spark, sf)
+        ids = [
+            r.doc_id
+            for r in _docs(spark, sf).orderBy("doc_id").limit(5).collect()
+        ]
+        got = eng.get_docs(ids, include_content=False)
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    got[i]["repo"],
+                    got[i]["path"],
+                    got[i]["lang"],
+                    got[i]["content_sha256"],
+                )
+                for i in sorted(got)
+            ],
+            "doc_id long, repo string, path string, lang string, "
+            "content_sha256 string",
+        )
+
     def token_totals(spark, sf):
         d = _docs(spark, sf)
         return (
@@ -2634,6 +2661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ann_ivf_trained=ann_ivf_trained,
         text_stats=text_stats_q,
         sha256_invariant=sha256_invariant,
+        doc_fetch=doc_fetch,
         token_totals=token_totals,
     )
     return q
@@ -3991,6 +4019,16 @@ LIMIT 10
 """
 
     o["sha256_invariant"] = "SELECT doc_id, sha256(text) AS content_sha256 FROM documents"
+    # ES GET _doc/_mget analog: the oracle recomputes the index's stored
+    # fields (repo, the synthetic path, lang, content sha256) for the same
+    # 5 smallest doc ids straight from the raw documents table
+    o["doc_fetch"] = f"""
+SELECT doc_id, source AS repo, {_NPATH} AS path, lang,
+       sha256(text) AS content_sha256
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 5)
+ORDER BY doc_id
+"""
     o["token_totals"] = (
         f"SELECT lang, sum(len({_w}))::BIGINT AS total_tokens "
         "FROM documents GROUP BY lang ORDER BY lang"
