@@ -428,11 +428,18 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         sharded_search_rung(shards, grp, msm, opts)
         eng._local.search_rung(grp, msm, opts)
     rounds = 20
-    t = time.perf_counter()
+    # per-query samples, not just the mean: the north metric names query
+    # p95 explicitly, and a mean hides queue-tail effects
+    lat_samples = []
     for _ in range(rounds):
         for grp, msm in qmix:
+            t = time.perf_counter()
             eng._local.search_rung(grp, msm, opts)
-    full_lat = (time.perf_counter() - t) / (rounds * len(qmix))
+            lat_samples.append(time.perf_counter() - t)
+    full_lat = sum(lat_samples) / len(lat_samples)
+    lat_sorted = sorted(lat_samples)
+    serve_p50 = lat_sorted[len(lat_sorted) // 2]
+    serve_p95 = lat_sorted[int(0.95 * (len(lat_sorted) - 1))]
     shard_crit, coord = 0.0, 0.0
     for _ in range(rounds):
         for grp, msm in qmix:
@@ -657,6 +664,8 @@ def run_suite(cpus: int, sf_dir: str, build_docs: int) -> dict:
         "serve_blocks_decoded": serve_decoded,
         "serve_blocks_skipped": serve_skipped,
         "serve_qps_full": serve_qps_full,
+        "serve_p50_ms": serve_p50 * 1000.0,
+        "serve_p95_ms": serve_p95 * 1000.0,
         "serve_qps_sharded4": serve_qps_sharded,
         "serve_qps_doc_sharded4": serve_qps_doc_sharded,
         "segment_docs_per_sec": seg_docs_per_sec,
@@ -779,6 +788,8 @@ def main() -> None:
         "serve_blocks_decoded": res["serve_blocks_decoded"],
         "serve_blocks_skipped": res["serve_blocks_skipped"],
         "serve_qps_full": round(res["serve_qps_full"], 1),
+        "serve_p50_ms": round(res["serve_p50_ms"], 2),
+        "serve_p95_ms": round(res["serve_p95_ms"], 2),
         "serve_qps_sharded4": round(res["serve_qps_sharded4"], 1),
         "serve_qps_doc_sharded4": round(res["serve_qps_doc_sharded4"], 1),
         "segment_docs_per_sec": round(res["segment_docs_per_sec"], 1),

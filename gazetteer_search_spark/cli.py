@@ -439,6 +439,26 @@ def cmd_alias(args: argparse.Namespace) -> None:
         }))
 
 
+def cmd_doc(args: argparse.Namespace) -> None:
+    """ES GET _doc / _mget analog at the CLI (segments.fetch_docs): stored
+    fields of live documents across all generations — partition-pruned
+    pyarrow point reads, no Spark session. One JSON line per requested id,
+    request order, with a ``found`` flag (tombstoned/missing ids report
+    found: false); exit code 1 when ANY id is missing (scriptable
+    existence checks)."""
+    from gazetteer_search_spark.index.segments import fetch_docs
+
+    ids = [int(x) for chunk in args.id for x in str(chunk).split(",")]
+    got = fetch_docs(args.index, ids, include_content=not args.no_content)
+    for i in ids:
+        row = got.get(i)
+        print(json.dumps(
+            {"doc_id": i, "found": row is not None, **(row or {})}
+        ))
+    if any(i not in got for i in ids):
+        raise SystemExit(1)
+
+
 def cmd_curate(args: argparse.Namespace) -> None:
     """Curation batch job (LLM-pipeline family): scan-local taggers + a
     declarative drop-rule mixer, one codegen stage (operators/curate.py)."""
@@ -1225,6 +1245,22 @@ def main(argv: list[str] | None = None) -> None:
     s = sub.add_parser("stats")
     s.add_argument("--index", required=True)
     s.set_defaults(fn=cmd_stats)
+
+    dg = sub.add_parser(
+        "doc",
+        help="stored-fields point fetch by doc id (ES GET _doc / _mget "
+        "analog; Spark-free, multi-generation aware)",
+    )
+    dg.add_argument("--index", required=True)
+    dg.add_argument(
+        "--id", required=True, action="append",
+        help="doc id (repeatable, or comma-separated)",
+    )
+    dg.add_argument(
+        "--no-content", action="store_true",
+        help="omit stored content on store_content indexes",
+    )
+    dg.set_defaults(fn=cmd_doc)
 
     vi = sub.add_parser(
         "verify-index",

@@ -801,3 +801,44 @@ def test_fetch_docs_across_generations(spark, base, tmp_path_factory):
     )
     got2 = segments.fetch_docs(root, [untouched, 12345])
     assert untouched in got2 and 12345 not in got2
+
+
+def test_cli_doc_command(spark, base, tmp_path_factory, capsys):
+    """`cli doc` (GET _doc/_mget CLI form): one JSON line per requested id
+    in request order with found flags, Spark-free, exit 1 when any id is
+    missing — driven over a multi-generation index."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from gazetteer_search_spark.cli import main
+
+    root0, corpus0, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_clidoc"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+    segments.add_segment(
+        spark, _v(corpus0, 0, 20, "v2", extra="clidocmarker"), root,
+        n_buckets=4,
+    )
+    eng = segments.open_multi_search(root)
+    hit = eng.search_hits(
+        "clidocmarker", SearchOptions(k=1, prefix=False, fuzzy=False)
+    )[0]
+    old_id = int(
+        _hid(corpus0.drop("doc_id"))
+        .filter(F.col("path") == hit.path)
+        .head()["doc_id"]
+    )
+    with _pytest.raises(SystemExit) as exc:
+        main(["doc", "--index", root, "--id", str(hit.doc_id), "--id",
+              str(old_id)])
+    assert exc.value.code == 1  # the superseded id is missing
+    lines = [
+        _json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert lines[0]["found"] is True and lines[0]["path"] == hit.path
+    assert lines[1] == {"doc_id": old_id, "found": False}
