@@ -37,6 +37,7 @@ cost grows with generation count, compaction restores it; the
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
@@ -806,9 +807,21 @@ def fetch_docs(
             for c in dset.schema.names
             if c != "doc_part" and (include_content or c != "content")
         ]
-        rows = dset.to_table(
-            filter=ds_mod.field("doc_id").isin(sorted(want)), columns=cols
-        ).to_pylist()
+        flt = ds_mod.field("doc_id").isin(sorted(want))
+        # hive partition pruning on doc_part (the _lookup_doc_meta rule):
+        # modulus from the generation's OWN persisted meta, never inferred
+        # from the directory listing (sparse segments materialize only
+        # non-empty residues — ADVICE r3)
+        try:
+            with open(os.path.join(gdir, "index_meta.json")) as fh:
+                npart = json.load(fh).get("n_doc_parts")
+        except (OSError, ValueError):
+            npart = None
+        if npart and "doc_part" in dset.schema.names:
+            flt &= ds_mod.field("doc_part").isin(
+                sorted({i % int(npart) for i in want})
+            )
+        rows = dset.to_table(filter=flt, columns=cols).to_pylist()
         def _tombstoned(t: np.ndarray, did: int) -> bool:
             j = int(np.searchsorted(t, did))
             return j < t.size and int(t[j]) == did
