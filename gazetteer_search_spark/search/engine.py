@@ -2876,6 +2876,21 @@ class SearchEngine:
         buckets.sort(key=lambda b: (-b["doc_count"], str(b["value"])))
         return buckets[:size]
 
+    def _doc_point_filter(self, ds_mod, dset, ids: list[int]):
+        """Point-read predicate for the docs table: doc_id row filter AND
+        hive partition pruning on doc_part (the _lookup_doc_meta rule —
+        modulus from the index's persisted meta, never the directory
+        listing), so k-id hydration reads a few row groups instead of
+        consulting every partition's statistics."""
+        want = [int(i) for i in ids]
+        f = ds_mod.field("doc_id").isin(want)
+        npart = getattr(self.index, "n_doc_parts", None)
+        if npart and "doc_part" in dset.schema.names:
+            f &= ds_mod.field("doc_part").isin(
+                sorted({i % int(npart) for i in want})
+            )
+        return f
+
     def _doc_content(self, ids: list[int]) -> dict[int, str]:
         """Stored content for specific winners (stored-fields / _source
         analog): partition-pruned point read of the docs table's content
@@ -2893,8 +2908,10 @@ class SearchEngine:
                 "store_content=True (build-index --store-content) to "
                 "serve snippets"
             )
-        f = ds_mod.field("doc_id").isin([int(i) for i in ids])
-        tbl = dset.to_table(filter=f, columns=["doc_id", "content"])
+        tbl = dset.to_table(
+            filter=self._doc_point_filter(ds_mod, dset, ids),
+            columns=["doc_id", "content"],
+        )
         return {
             int(d): c
             for d, c in zip(
@@ -2946,8 +2963,9 @@ class SearchEngine:
             c for c in ("doc_id", "commit", "content_sha256", "ref_count")
             if c in dset.schema.names
         ]
-        f = ds_mod.field("doc_id").isin([int(i) for i in ids])
-        tbl = dset.to_table(filter=f, columns=cols).to_pylist()
+        tbl = dset.to_table(
+            filter=self._doc_point_filter(ds_mod, dset, ids), columns=cols
+        ).to_pylist()
         return {int(r["doc_id"]): {k: v for k, v in r.items() if k != "doc_id"} for r in tbl}
 
     @staticmethod
