@@ -448,7 +448,13 @@ def cmd_doc(args: argparse.Namespace) -> None:
     existence checks)."""
     from gazetteer_search_spark.index.segments import fetch_docs
 
-    ids = [int(x) for chunk in args.id for x in str(chunk).split(",")]
+    try:
+        ids = [int(x) for chunk in args.id for x in str(chunk).split(",")]
+    except ValueError as e:
+        # exit 2 = bad usage (argparse's own convention), distinct from
+        # exit 1 = id not found (the scriptable existence-check contract)
+        print(f"doc: --id must be integer doc ids: {e}", file=sys.stderr)
+        raise SystemExit(2) from None
     got = fetch_docs(args.index, ids, include_content=not args.no_content)
     for i in ids:
         row = got.get(i)

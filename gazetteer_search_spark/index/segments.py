@@ -770,6 +770,68 @@ class MultiExecutor:
         return list(out)[:MAX_REGEX_EXPANSIONS]
 
 
+def doc_point_filter(ds_mod, dset, ids: list[int], npart: int | None):
+    """Shared docs-table point-read predicate (fetch_docs + the engine's
+    hydration reads — ONE owner for the partition formula): doc_id row
+    filter AND hive partition pruning on doc_part with the persisted
+    modulus, never inferred from the directory listing (sparse segments
+    materialize only non-empty residues — ADVICE r3)."""
+    want = [int(i) for i in ids]
+    f = ds_mod.field("doc_id").isin(want)
+    if npart and "doc_part" in dset.schema.names:
+        f &= ds_mod.field("doc_part").isin(
+            sorted({i % int(npart) for i in want})
+        )
+    return f
+
+
+#: fetch_docs per-index state cache: {index_dir: (manifest signature,
+#: [(seg_id, tombstones)], [(gid, gdir, n_doc_parts)])}. The segment
+#: manifest's _SUCCESS is touched on every append, so (ino, mtime_ns)
+#: invalidates exactly when the generation set changes — without it every
+#: /doc request would re-read EVERY segment's full tombstone array
+#: (O(total tombstones) I/O per point fetch). Bounded LRU-ish (tests open
+#: many throwaway indexes in one process).
+_FETCH_STATE: dict[str, tuple] = {}
+_FETCH_STATE_MAX = 8
+
+
+def _fetch_state(index_dir: str) -> tuple[list, list]:
+    # signature = the manifest DIRECTORY's (ino, mtime_ns, entry count):
+    # every segment append creates a new part file in it, which bumps the
+    # directory mtime. (_SUCCESS is touched via open-append-close, which
+    # writes nothing and so does NOT change its mtime — a file-based
+    # signature misses every append after the first.)
+    man = _seg_manifest(index_dir)
+    try:
+        st = os.stat(man)
+        sig: tuple | None = (
+            st.st_ino, st.st_mtime_ns, len(os.listdir(man)),
+        )
+    except OSError:
+        sig = None
+    cached = _FETCH_STATE.get(index_dir)
+    if cached is not None and cached[0] == sig:
+        return cached[1], cached[2]
+    tombs = [
+        (int(s["seg_id"]), _tombstones_local(s["path"]))
+        for s in list_segments(index_dir)
+        if int(s["n_tombstones"])
+    ]
+    gens = []
+    for gid, gdir in _gen_entries(index_dir):
+        try:
+            with open(os.path.join(gdir, "index_meta.json")) as fh:
+                npart = json.load(fh).get("n_doc_parts")
+        except (OSError, ValueError):
+            npart = None
+        gens.append((gid, gdir, npart))
+    while len(_FETCH_STATE) >= _FETCH_STATE_MAX:
+        _FETCH_STATE.pop(next(iter(_FETCH_STATE)))
+    _FETCH_STATE[index_dir] = (sig, tombs, gens)
+    return tombs, gens
+
+
 def fetch_docs(
     index_dir: str, ids: list[int], include_content: bool = True
 ) -> dict[int, dict]:
@@ -789,14 +851,10 @@ def fetch_docs(
     want = {int(i) for i in ids}
     if not want:
         return {}
-    tombs = [
-        (int(s["seg_id"]), _tombstones_local(s["path"]))
-        for s in list_segments(index_dir)
-        if int(s["n_tombstones"])
-    ]
+    tombs, gens = _fetch_state(index_dir)
     out: dict[int, dict] = {}
     # newest first: stop as soon as every requested id is accounted for
-    for gid, gdir in reversed(_gen_entries(index_dir)):
+    for gid, gdir, npart in reversed(gens):
         if not want:
             break
         dset = ds_mod.dataset(
@@ -807,21 +865,10 @@ def fetch_docs(
             for c in dset.schema.names
             if c != "doc_part" and (include_content or c != "content")
         ]
-        flt = ds_mod.field("doc_id").isin(sorted(want))
-        # hive partition pruning on doc_part (the _lookup_doc_meta rule):
-        # modulus from the generation's OWN persisted meta, never inferred
-        # from the directory listing (sparse segments materialize only
-        # non-empty residues — ADVICE r3)
-        try:
-            with open(os.path.join(gdir, "index_meta.json")) as fh:
-                npart = json.load(fh).get("n_doc_parts")
-        except (OSError, ValueError):
-            npart = None
-        if npart and "doc_part" in dset.schema.names:
-            flt &= ds_mod.field("doc_part").isin(
-                sorted({i % int(npart) for i in want})
-            )
-        rows = dset.to_table(filter=flt, columns=cols).to_pylist()
+        rows = dset.to_table(
+            filter=doc_point_filter(ds_mod, dset, sorted(want), npart),
+            columns=cols,
+        ).to_pylist()
         def _tombstoned(t: np.ndarray, did: int) -> bool:
             j = int(np.searchsorted(t, did))
             return j < t.size and int(t[j]) == did

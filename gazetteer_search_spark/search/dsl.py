@@ -283,14 +283,10 @@ class _Translator:
         # expand in the MAPPED field's own term namespace — expanding the
         # bare value against the content dictionary and prefixing 'field:'
         # afterwards would miss terms that exist only in the field
-        # namespace and fabricate nonexistent ones
-        fields = (self.engine.index.meta or {}).get("fields") or {}
-        if mapped not in ("content", "full_text", "text") and (
-            mapped in fields or mapped == "name"
-        ):
-            exp = self.engine.expand_prefix(f"{mapped}:{str(value).lower()}")
-        else:
-            exp = self.engine.expand_prefix(str(value).lower())
+        # namespace and fabricate nonexistent ones. _namespace owns the
+        # field-kind rule; a 'field:'-qualified probe scans that namespace.
+        probe = _namespace([str(value).lower()], mapped, self.engine)[0]
+        exp = self.engine.expand_prefix(probe)
         if not exp:
             self.note(f"prefix {value!r} expanded to zero dictionary terms")
         self.add_group(exp, required)
@@ -374,10 +370,17 @@ class _Translator:
                     f"terms filter with {len(values)} lang values — only "
                     "a single-value lang filter maps; dropped"
                 )
-        elif mapped == "repo":
-            self.plan.repo = str(values[0])
-        elif mapped == "path_prefix":
-            self.plan.path_prefix = str(values[0])
+        elif mapped in ("repo", "path_prefix"):
+            if len(values) == 1:
+                setattr(self.plan, mapped, str(values[0]))
+            else:
+                # ES terms is an OR over values; a single-value option is
+                # the only mappable form — silently filtering to values[0]
+                # would drop every other value's docs
+                self.note(
+                    f"terms filter with {len(values)} {mapped} values — "
+                    "only a single-value filter maps; dropped"
+                )
 
     def _as_list(self, v) -> list:
         return v if isinstance(v, list) else [v]

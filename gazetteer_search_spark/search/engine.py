@@ -2878,18 +2878,14 @@ class SearchEngine:
 
     def _doc_point_filter(self, ds_mod, dset, ids: list[int]):
         """Point-read predicate for the docs table: doc_id row filter AND
-        hive partition pruning on doc_part (the _lookup_doc_meta rule —
-        modulus from the index's persisted meta, never the directory
-        listing), so k-id hydration reads a few row groups instead of
-        consulting every partition's statistics."""
-        want = [int(i) for i in ids]
-        f = ds_mod.field("doc_id").isin(want)
-        npart = getattr(self.index, "n_doc_parts", None)
-        if npart and "doc_part" in dset.schema.names:
-            f &= ds_mod.field("doc_part").isin(
-                sorted({i % int(npart) for i in want})
-            )
-        return f
+        doc_part hive pruning, so k-id hydration reads a few row groups
+        instead of consulting every partition's statistics. The partition
+        formula has ONE owner — segments.doc_point_filter."""
+        from gazetteer_search_spark.index.segments import doc_point_filter
+
+        return doc_point_filter(
+            ds_mod, dset, ids, getattr(self.index, "n_doc_parts", None)
+        )
 
     def _doc_content(self, ids: list[int]) -> dict[int, str]:
         """Stored content for specific winners (stored-fields / _source

@@ -423,7 +423,9 @@ def _make_handler(
             # bounded so one request can't demand an arbitrarily large
             # top-k (unbounded driver-side heap + serialization)
             size = max(1, min(int(_one("size", default_opts.k)), 1000))
-            page = max(1, min(int(_one("page", 1)), MAX_RESULT_WINDOW))
+            # page is NOT pre-clamped: an over-deep request must hit the
+            # window error below, not silently serve the clamp page's data
+            page = max(1, int(_one("page", 1)))
             if size * page > MAX_RESULT_WINDOW:
                 raise ValueError(
                     f"size*page ({size * page}) exceeds the result window "
@@ -833,8 +835,13 @@ def _make_handler(
                 content = (
                     (qs.get("content") or ["true"])[0].lower() == "true"
                 )
+                # pin the engine handle under the lock (a /bulk or alias
+                # swap may replace it mid-request), but run the pyarrow
+                # reads OUTSIDE it — fetch_docs touches no engine mutable
+                # state, and seconds of disk I/O must not stall /search
                 with lock:
-                    docs = engine.get_docs([did], include_content=content)
+                    eng = engine
+                docs = eng.get_docs([did], include_content=content)
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return
@@ -866,8 +873,9 @@ def _make_handler(
                 content = (
                     (qs.get("content") or ["true"])[0].lower() == "true"
                 )
-                with lock:
-                    docs = engine.get_docs(ids, include_content=content)
+                with lock:  # pin the handle; I/O runs outside (see /doc)
+                    eng = engine
+                docs = eng.get_docs(ids, include_content=content)
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return
@@ -1961,7 +1969,11 @@ def _make_handler(
                 f"{classify_agent(ua)} {ip} - {status} {self.command} "
                 f"{self.path} User-Agent: {ua or '-'}\n"
             )
-            if status != 200:
+            # WARN echo for client/server ERRORS only — 304 Not Modified
+            # is a healthy cache validation, and flooding the log with it
+            # would drown real failures (the reference warns any non-200;
+            # its clients never used conditional GETs)
+            if status >= 400:
                 lines += (
                     f"WARN {self.command} {self.path} responded with "
                     f"{status}\n"

@@ -367,3 +367,25 @@ def test_terms_query_context_boost_reaches_weight(eng):
     plan = dsl.translate(body, eng, field_map=FIELD_MAP)
     (g,) = plan.groups
     assert g.weight == pytest.approx(4.0)
+
+
+def test_multi_value_meta_terms_filter_notes_not_first_value(eng):
+    """ES terms is an OR over values; only a single-value repo/path_prefix
+    filter maps. A multi-value filter must be NOTED and dropped (strict:
+    raised), never silently narrowed to values[0]."""
+    body = {
+        "query": {"bool": {
+            "must": [{"match": {"full_text": "alpha"}}],
+            "filter": [{"terms": {"repo": ["org/a", "org/b"]}}],
+        }},
+        "size": 10,
+    }
+    res, plan = dsl.run_dsl(eng, body, field_map=FIELD_MAP)
+    assert plan.repo is None  # NOT narrowed to "org/a"
+    assert any("repo values" in n for n in plan.notes)
+    with pytest.raises(ValueError, match="repo values"):
+        dsl.run_dsl(eng, body, field_map=FIELD_MAP, strict=True)
+    # single-value form still filters
+    body["query"]["bool"]["filter"] = [{"terms": {"repo": ["org/r"]}}]
+    _, plan2 = dsl.run_dsl(eng, body, field_map=FIELD_MAP)
+    assert plan2.repo == "org/r"

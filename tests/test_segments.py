@@ -801,6 +801,20 @@ def test_fetch_docs_across_generations(spark, base, tmp_path_factory):
     )
     got2 = segments.fetch_docs(root, [untouched, 12345])
     assert untouched in got2 and 12345 not in got2
+    # per-index state cache invalidation: fetch_docs has now cached this
+    # index's (tombstones, generations); a SECOND segment must invalidate
+    # via the manifest signature, or its docs would be invisible forever
+    segments.add_segment(
+        spark, _v(corpus0, 0, 5, "v3", extra="fetchmarker3"), root,
+        n_buckets=4,
+    )
+    eng2 = segments.open_multi_search(root)
+    hit3 = eng2.search_hits(
+        "fetchmarker3", SearchOptions(k=1, prefix=False, fuzzy=False)
+    )[0]
+    assert segments.fetch_docs(root, [hit3.doc_id])[hit3.doc_id][
+        "path"
+    ] == hit3.path
 
 
 def test_cli_doc_command(spark, base, tmp_path_factory, capsys):
@@ -842,3 +856,16 @@ def test_cli_doc_command(spark, base, tmp_path_factory, capsys):
     ]
     assert lines[0]["found"] is True and lines[0]["path"] == hit.path
     assert lines[1] == {"doc_id": old_id, "found": False}
+
+
+def test_cli_doc_bad_id_exits_2(base, capsys):
+    """Bad-usage exit code: a non-integer --id reports a clean error with
+    exit 2 (argparse convention), distinct from exit 1 = id not found."""
+    import pytest as _pytest
+
+    from gazetteer_search_spark.cli import main
+
+    root0, _, _ = base
+    with _pytest.raises(SystemExit) as exc:
+        main(["doc", "--index", root0, "--id", "abc"])
+    assert exc.value.code == 2

@@ -1337,6 +1337,13 @@ def test_search_result_window_bounded(eng):
             _get(port, "/search?q=alpha&size=1000&page=9999")
         assert ei.value.code == 400
         assert "result window" in json.loads(ei.value.read())["error"]
+        # over-deep page with a SMALL size must 400 too, not get clamped
+        # into silently serving the clamp page's data (regression: page
+        # was min()'d to the window before the size*page check)
+        with pytest.raises(urllib.error.HTTPError) as ei2:
+            _get(port, "/search?q=alpha&size=1&page=20000")
+        assert ei2.value.code == 400
+        assert "result window" in json.loads(ei2.value.read())["error"]
         # negative size is clamped up, not accepted
         env = _get(port, "/search?q=alpha&size=-5")
         assert env["total_hits"] >= 1
@@ -1447,6 +1454,22 @@ def test_http_access_log(eng, tmp_path):
         # 404: access line with the bing marker plus the WARN line
         assert lines[2].startswith("BOT.BING 127.0.0.1 - 404 GET /nope")
         assert lines[3] == "WARN GET /nope responded with 404"
+        # 304 Not Modified is a HEALTHY cache validation: an access line,
+        # but no WARN flood (regression: any non-200 warned)
+        req3 = urllib.request.Request(
+            f"{base}/search?q=alpha&size=1",
+            headers={"If-Modified-Since": "Fri, 01 Jan 2100 00:00:00 GMT"},
+        )
+        try:
+            urllib.request.urlopen(req3)
+            code = 200
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code in (200, 304)
+        tail = log_path.read_text().splitlines()[4:]
+        if code == 304:
+            assert tail and tail[-1].startswith("HUMAN 127.0.0.1 - 304")
+            assert not any(ln.startswith("WARN") for ln in tail)
     finally:
         srv.shutdown()
 
