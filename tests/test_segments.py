@@ -869,3 +869,47 @@ def test_cli_doc_bad_id_exits_2(base, capsys):
     with _pytest.raises(SystemExit) as exc:
         main(["doc", "--index", root0, "--id", "abc"])
     assert exc.value.code == 2
+
+
+def test_fetch_docs_agrees_with_live_docs_truth(spark, base, tmp_path_factory):
+    """Randomized upsert sequence (seeded): fetch_docs' found-set and
+    stored fields must agree EXACTLY with live_docs — the established
+    batch-analytics truth (per-generation anti-join against the union of
+    newer tombstones) — for every id that ever existed in any generation."""
+    import random
+    import shutil
+
+    root0, corpus0, _ = base
+    root = str(tmp_path_factory.mktemp("seg_fdprop"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+
+    rng = random.Random(20260819)
+    for tag in ("p1", "p2", "p3"):
+        lo = rng.randrange(0, N - 30)
+        segments.add_segment(
+            spark,
+            _v(corpus0, lo, lo + rng.randrange(5, 30), tag,
+               extra=f"prop{tag}"),
+            root, n_buckets=4,
+        )
+
+    live = {
+        int(r["doc_id"]): (r["repo"], r["path"], r["commit"])
+        for r in segments.live_docs(spark, root)
+        .select("doc_id", "repo", "path", "commit").collect()
+    }
+    # every id that ever existed: union of all generations' docs tables
+    import pyarrow.dataset as ds_mod
+
+    all_ids = set()
+    for _gid, gdir, _np in segments._fetch_state(root)[1]:
+        t = ds_mod.dataset(
+            builder.IndexPaths(gdir).docs, partitioning="hive"
+        ).to_table(columns=["doc_id"])
+        all_ids.update(int(x) for x in t["doc_id"].to_pylist())
+
+    got = segments.fetch_docs(root, sorted(all_ids), include_content=False)
+    assert set(got) == set(live)
+    for did, row in got.items():
+        assert (row["repo"], row["path"], row["commit"]) == live[did], did
