@@ -857,9 +857,25 @@ def fetch_docs(
     for gid, gdir, npart in reversed(gens):
         if not want:
             break
-        dset = ds_mod.dataset(
-            os.path.join(gdir, "docs"), partitioning="hive"
-        )
+        docs_root = os.path.join(gdir, "docs")
+        # discovery itself is pruned: list only the doc_part directories
+        # the requested ids can live in, so per-fetch file discovery
+        # scales with the k residues touched, not with the corpus's full
+        # partition tree (datasets are rebuilt per call on purpose —
+        # update_docs_columns overwrites partitions in place without
+        # touching the segment manifest, so a cached handle could point
+        # at deleted files)
+        if npart:
+            part_dirs = [
+                d
+                for i in sorted({i % int(npart) for i in want})
+                if os.path.isdir(d := os.path.join(docs_root, f"doc_part={i}"))
+            ]
+            if not part_dirs:
+                continue
+            dset = ds_mod.dataset([ds_mod.dataset(d) for d in part_dirs])
+        else:
+            dset = ds_mod.dataset(docs_root, partitioning="hive")
         cols = [
             c
             for c in dset.schema.names
