@@ -770,6 +770,28 @@ class MultiExecutor:
         return list(out)[:MAX_REGEX_EXPANSIONS]
 
 
+def open_docs_pruned(ds_mod, docs_root: str, ids: list[int], npart):
+    """Docs dataset whose FILE DISCOVERY is limited to the doc_part
+    directories the requested ids can live in (<= k residues), so a point
+    read never lists the full partition tree. Returns ``None`` when none
+    of the residue directories exist — no requested id can be present.
+    Rebuilt per call on purpose: update_docs_columns overwrites partitions
+    in place without touching the segment manifest, so a cached handle
+    could point at deleted files."""
+    if npart:
+        dirs = [
+            d
+            for i in sorted({int(x) % int(npart) for x in ids})
+            if os.path.isdir(
+                d := os.path.join(docs_root, f"doc_part={i}")
+            )
+        ]
+        if not dirs:
+            return None
+        return ds_mod.dataset([ds_mod.dataset(d) for d in dirs])
+    return ds_mod.dataset(docs_root, partitioning="hive")
+
+
 def doc_point_filter(ds_mod, dset, ids: list[int], npart: int | None):
     """Shared docs-table point-read predicate (fetch_docs + the engine's
     hydration reads — ONE owner for the partition formula): doc_id row
@@ -857,25 +879,11 @@ def fetch_docs(
     for gid, gdir, npart in reversed(gens):
         if not want:
             break
-        docs_root = os.path.join(gdir, "docs")
-        # discovery itself is pruned: list only the doc_part directories
-        # the requested ids can live in, so per-fetch file discovery
-        # scales with the k residues touched, not with the corpus's full
-        # partition tree (datasets are rebuilt per call on purpose —
-        # update_docs_columns overwrites partitions in place without
-        # touching the segment manifest, so a cached handle could point
-        # at deleted files)
-        if npart:
-            part_dirs = [
-                d
-                for i in sorted({i % int(npart) for i in want})
-                if os.path.isdir(d := os.path.join(docs_root, f"doc_part={i}"))
-            ]
-            if not part_dirs:
-                continue
-            dset = ds_mod.dataset([ds_mod.dataset(d) for d in part_dirs])
-        else:
-            dset = ds_mod.dataset(docs_root, partitioning="hive")
+        dset = open_docs_pruned(
+            ds_mod, os.path.join(gdir, "docs"), sorted(want), npart
+        )
+        if dset is None:
+            continue
         cols = [
             c
             for c in dset.schema.names

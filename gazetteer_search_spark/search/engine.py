@@ -2887,6 +2887,18 @@ class SearchEngine:
             ds_mod, dset, ids, getattr(self.index, "n_doc_parts", None)
         )
 
+    def _open_docs_pruned(self, ds_mod, ids: list[int]):
+        """Docs dataset limited to the requested ids' doc_part directories
+        (segments.open_docs_pruned): hydration's file DISCOVERY scales with
+        the <= k residues touched, not the full partition tree. None =
+        provably no requested id present."""
+        from gazetteer_search_spark.index.segments import open_docs_pruned
+
+        return open_docs_pruned(
+            ds_mod, self.index.paths.docs, ids,
+            getattr(self.index, "n_doc_parts", None),
+        )
+
     def _doc_content(self, ids: list[int]) -> dict[int, str]:
         """Stored content for specific winners (stored-fields / _source
         analog): partition-pruned point read of the docs table's content
@@ -2897,7 +2909,9 @@ class SearchEngine:
         inherits) and omit content otherwise."""
         import pyarrow.dataset as ds_mod
 
-        dset = ds_mod.dataset(self.index.paths.docs, partitioning="hive")
+        dset = self._open_docs_pruned(ds_mod, ids)
+        if dset is None:
+            return {}
         if "content" not in dset.schema.names:
             raise ValueError(
                 "index has no stored content — rebuild with "
@@ -2954,7 +2968,9 @@ class SearchEngine:
         restores full coverage)."""
         import pyarrow.dataset as ds_mod
 
-        dset = ds_mod.dataset(self.index.paths.docs, partitioning="hive")
+        dset = self._open_docs_pruned(ds_mod, ids)
+        if dset is None:
+            return {}
         cols = [
             c for c in ("doc_id", "commit", "content_sha256", "ref_count")
             if c in dset.schema.names
