@@ -186,10 +186,12 @@ API_ENDPOINTS: tuple[dict, ...] = (
               doc_id="document id"),
     _endpoint("/doc", "single-document fetch (GET _doc/{id})",
               id="document id",
-              content="false = omit stored content (default true)"),
+              content="false = omit stored content (default true)",
+              index="federated index name (default: the primary)"),
     _endpoint("/mget", "multi-document fetch (GET _mget)",
               ids="comma-separated ids (or repeated id=; cap 1000)",
-              content="false = omit stored content (default true)"),
+              content="false = omit stored content (default true)",
+              index="federated index name (default: the primary)"),
     _endpoint("/spell", "did-you-mean suggestions", q="query string",
               mode="term|phrase (phrase = whole-query rewrites)",
               size="suggestions (default 5)"),
@@ -820,11 +822,35 @@ def _make_handler(
                 },
             )
 
+        def _pick_doc_engine(self, qs):
+            """index=NAME routes a doc fetch at a named federated index
+            (the ES ``GET /{index}/_doc/{id}`` shape); absent -> the
+            hot-swappable primary, pinned under the lock. Raises KeyError
+            on an unknown name."""
+            name = (qs.get("index") or [None])[0]
+            primary_name = (
+                os.path.basename(index_path.rstrip("/"))
+                if index_path
+                else "primary"
+            )
+            if name is None or name == primary_name:
+                with lock:
+                    return engine
+            if federated and name in federated:
+                return federated[name]
+            known = sorted(
+                {primary_name, *(federated or {})}
+            )
+            raise KeyError(
+                f"unknown index {name!r}; known: {', '.join(known)}"
+            )
+
         def _do_doc(self, u) -> None:
             """Single-document fetch (ES ``GET _doc/{id}`` analog): GET
-            /doc?id=N[&content=false] — stored fields of one LIVE document
-            across all generations (tombstoned/missing -> 404 with
-            ``found: false``, the ES not-found body shape)."""
+            /doc?id=N[&content=false][&index=NAME] — stored fields of one
+            LIVE document across all generations (tombstoned/missing ->
+            404 with ``found: false``, the ES not-found body shape);
+            ``index=`` addresses a federated index by name."""
             qs = parse_qs(u.query)
             raw = (qs.get("id") or [None])[0]
             if raw is None:
@@ -839,9 +865,11 @@ def _make_handler(
                 # swap may replace it mid-request), but run the pyarrow
                 # reads OUTSIDE it — fetch_docs touches no engine mutable
                 # state, and seconds of disk I/O must not stall /search
-                with lock:
-                    eng = engine
+                eng = self._pick_doc_engine(qs)
                 docs = eng.get_docs([did], include_content=content)
+            except KeyError as e:
+                self._send(404, {"error": str(e).strip("'\"")})
+                return
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return
@@ -873,9 +901,11 @@ def _make_handler(
                 content = (
                     (qs.get("content") or ["true"])[0].lower() == "true"
                 )
-                with lock:  # pin the handle; I/O runs outside (see /doc)
-                    eng = engine
+                eng = self._pick_doc_engine(qs)  # I/O outside the lock
                 docs = eng.get_docs(ids, include_content=content)
+            except KeyError as e:
+                self._send(404, {"error": str(e).strip("'\"")})
+                return
             except Exception as e:
                 self._send(400, {"error": str(e)})
                 return

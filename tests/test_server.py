@@ -1530,3 +1530,52 @@ def test_http_doc_and_mget(eng, spark, tmp_path_factory):
         assert "content" not in d2["doc"]
     finally:
         srv2.shutdown()
+
+
+def test_doc_fetch_routes_to_federated_index(spark, tmp_path):
+    """index=NAME on /doc and /mget (ES GET /{index}/_doc/{id} shape):
+    the named federated engine answers; the primary's basename also
+    addresses the live engine; an unknown name is a 404 listing the
+    known names."""
+    def _mk(name, marker, n):
+        corpus = spark.range(0, n).select(
+            F.col("id").alias("doc_id"), F.lit("org/r").alias("repo"),
+            F.format_string("src/%d.py", "id").alias("path"),
+            F.lit("c").alias("commit"), F.lit("python").alias("lang"),
+            F.lit(f"alpha {marker}").alias("content"),
+        )
+        out = str(tmp_path / name)
+        builder.build_index(spark, corpus, out, n_buckets=2)
+        return out
+
+    p1 = _mk("main_idx", "uniqueone", 20)
+    p2 = _mk("other_idx", "uniquetwo", 5)
+
+    def _open(t):
+        return SearchEngine(spark, builder.load_index(spark, t), serving=True)
+
+    srv = make_server(
+        _open(p1), SearchOptions(k=5, prefix=False, fuzzy=False), port=0,
+        index_path=p1, federated={"other": _open(p2)},
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        # id 10 exists only in the primary (the federated index has 0..4)
+        assert _get(port, "/doc?id=10")["found"] is True
+        assert _get(port, "/doc?id=10&index=main_idx")["found"] is True
+        with pytest.raises(urllib.error.HTTPError) as e1:
+            _get(port, "/doc?id=10&index=other")
+        assert e1.value.code == 404
+        assert json.loads(e1.value.read())["found"] is False
+        # id 2 exists in both; the federated row is the federated corpus's
+        d = _get(port, "/mget?ids=2,10&index=other")["docs"]
+        assert d[0]["found"] is True and d[1]["found"] is False
+        # unknown index name: 404 naming the known indexes
+        with pytest.raises(urllib.error.HTTPError) as e2:
+            _get(port, "/doc?id=2&index=nope")
+        assert e2.value.code == 404
+        body = json.loads(e2.value.read())["error"]
+        assert "main_idx" in body and "other" in body
+    finally:
+        srv.shutdown()
