@@ -455,7 +455,14 @@ def cmd_doc(args: argparse.Namespace) -> None:
         # exit 1 = id not found (the scriptable existence-check contract)
         print(f"doc: --id must be integer doc ids: {e}", file=sys.stderr)
         raise SystemExit(2) from None
-    got = fetch_docs(args.index, ids, include_content=not args.no_content)
+    cols = (
+        [c.strip() for c in args.fields.split(",") if c.strip()]
+        if args.fields
+        else None
+    )
+    got = fetch_docs(
+        args.index, ids, include_content=not args.no_content, columns=cols
+    )
     for i in ids:
         row = got.get(i)
         print(json.dumps(
@@ -1265,6 +1272,11 @@ def main(argv: list[str] | None = None) -> None:
     dg.add_argument(
         "--no-content", action="store_true",
         help="omit stored content on store_content indexes",
+    )
+    dg.add_argument(
+        "--fields", metavar="A,B",
+        help="_source_includes projection: only the named stored fields "
+        "(doc_id always kept)",
     )
     dg.set_defaults(fn=cmd_doc)
 

@@ -855,7 +855,10 @@ def _fetch_state(index_dir: str) -> tuple[list, list]:
 
 
 def fetch_docs(
-    index_dir: str, ids: list[int], include_content: bool = True
+    index_dir: str,
+    ids: list[int],
+    include_content: bool = True,
+    columns: list[str] | None = None,
 ) -> dict[int, dict]:
     """ES ``GET _doc`` / ``_mget`` analog: point-read specific doc_ids
     across every generation — partition-pruned pyarrow reads of each
@@ -867,7 +870,10 @@ def fetch_docs(
     docs only — absent keys are missing or deleted, the caller's
     ``found: false``. ``content`` rides along only when the generation
     stores it and ``include_content`` asks; the physical ``doc_part``
-    partition column never leaks."""
+    partition column never leaks. ``columns`` (the ES _source_includes
+    analog) projects the read down to the named stored fields — pushed
+    into the parquet scan, not post-filtered — with ``doc_id`` always
+    kept (it is the join key for liveness)."""
     import pyarrow.dataset as ds_mod
 
     want = {int(i) for i in ids}
@@ -889,6 +895,8 @@ def fetch_docs(
             for c in dset.schema.names
             if c != "doc_part" and (include_content or c != "content")
         ]
+        if columns is not None:
+            cols = [c for c in cols if c == "doc_id" or c in columns]
         rows = dset.to_table(
             filter=doc_point_filter(ds_mod, dset, sorted(want), npart),
             columns=cols,

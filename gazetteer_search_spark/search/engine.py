@@ -2930,16 +2930,22 @@ class SearchEngine:
         }
 
     def get_docs(
-        self, ids: list[int], include_content: bool = True
+        self,
+        ids: list[int],
+        include_content: bool = True,
+        columns: list[str] | None = None,
     ) -> dict[int, dict]:
         """ES ``GET _doc`` / ``_mget`` analog: stored-fields point fetch of
         live documents across every generation (segments.fetch_docs — k
         partition-pruned pyarrow reads, Spark never involved, so Spark-free
         serving nodes answer identically). Absent keys are missing or
-        tombstoned — the route's ``found: false``."""
+        tombstoned — the route's ``found: false``. ``columns`` = the ES
+        _source_includes projection (scan-level, doc_id always kept)."""
         from gazetteer_search_spark.index.segments import fetch_docs
 
-        return fetch_docs(self.index.paths.root, ids, include_content)
+        return fetch_docs(
+            self.index.paths.root, ids, include_content, columns=columns
+        )
 
     def snippets_for(
         self,

@@ -187,11 +187,15 @@ API_ENDPOINTS: tuple[dict, ...] = (
     _endpoint("/doc", "single-document fetch (GET _doc/{id})",
               id="document id",
               content="false = omit stored content (default true)",
-              index="federated index name (default: the primary)"),
+              index="federated index name (default: the primary)",
+              fields="_source_includes projection (comma-separated; "
+                     "doc_id always kept)"),
     _endpoint("/mget", "multi-document fetch (GET _mget)",
               ids="comma-separated ids (or repeated id=; cap 1000)",
               content="false = omit stored content (default true)",
-              index="federated index name (default: the primary)"),
+              index="federated index name (default: the primary)",
+              fields="_source_includes projection (comma-separated; "
+                     "doc_id always kept)"),
     _endpoint("/spell", "did-you-mean suggestions", q="query string",
               mode="term|phrase (phrase = whole-query rewrites)",
               size="suggestions (default 5)"),
@@ -273,6 +277,14 @@ def _parse_fuzziness(v: str | int) -> int | str:
     (validation itself happens in engine.resolve_fuzziness)."""
     s = str(v).strip().lower()
     return "auto" if s == "auto" else int(s)
+
+
+def _fields_param(qs) -> list[str] | None:
+    """fields= (repeatable or comma-separated) -> the ES _source_includes
+    projection for doc fetches; None = all stored fields."""
+    raw = [x for chunk in (qs.get("fields") or []) for x in chunk.split(",")]
+    vals = [x.strip() for x in raw if x.strip()]
+    return vals or None
 
 
 def _not_param_terms(words) -> tuple[str, ...]:
@@ -866,7 +878,10 @@ def _make_handler(
                 # reads OUTSIDE it — fetch_docs touches no engine mutable
                 # state, and seconds of disk I/O must not stall /search
                 eng = self._pick_doc_engine(qs)
-                docs = eng.get_docs([did], include_content=content)
+                docs = eng.get_docs(
+                    [did], include_content=content,
+                    columns=_fields_param(qs),
+                )
             except KeyError as e:
                 self._send(404, {"error": str(e).strip("'\"")})
                 return
@@ -902,7 +917,9 @@ def _make_handler(
                     (qs.get("content") or ["true"])[0].lower() == "true"
                 )
                 eng = self._pick_doc_engine(qs)  # I/O outside the lock
-                docs = eng.get_docs(ids, include_content=content)
+                docs = eng.get_docs(
+                    ids, include_content=content, columns=_fields_param(qs)
+                )
             except KeyError as e:
                 self._send(404, {"error": str(e).strip("'\"")})
                 return

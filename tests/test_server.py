@@ -1579,3 +1579,20 @@ def test_doc_fetch_routes_to_federated_index(spark, tmp_path):
         assert "main_idx" in body and "other" in body
     finally:
         srv.shutdown()
+
+
+def test_doc_fetch_fields_projection(eng):
+    """fields= (ES _source_includes): the point read projects down to the
+    named stored fields at the parquet scan — doc_id always kept — on
+    both /doc and /mget."""
+    srv, port = _serve(eng, SearchOptions(k=5, prefix=False))
+    try:
+        d = _get(port, "/doc?id=2&fields=repo,lang")["doc"]
+        assert set(d) == {"doc_id", "repo", "lang"}
+        m = _get(port, "/mget?ids=2,3&fields=path")["docs"]
+        assert all(set(x) == {"doc_id", "found", "path"} for x in m)
+        # unknown field names are simply not present (ES behavior)
+        d2 = _get(port, "/doc?id=2&fields=nope")["doc"]
+        assert set(d2) == {"doc_id"}
+    finally:
+        srv.shutdown()
