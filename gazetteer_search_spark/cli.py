@@ -455,11 +455,13 @@ def cmd_doc(args: argparse.Namespace) -> None:
         # exit 1 = id not found (the scriptable existence-check contract)
         print(f"doc: --id must be integer doc ids: {e}", file=sys.stderr)
         raise SystemExit(2) from None
+    # an all-separator value collapses to None = all fields — the server's
+    # _fields_param twin does the same, and [] would project to doc_id-only
     cols = (
         [c.strip() for c in args.fields.split(",") if c.strip()]
         if args.fields
         else None
-    )
+    ) or None
     got = fetch_docs(
         args.index, ids, include_content=not args.no_content, columns=cols
     )

@@ -2911,6 +2911,16 @@ class SearchEngine:
 
         dset = self._open_docs_pruned(ds_mod, ids)
         if dset is None:
+            # no residue dir exists for any requested id — but the
+            # store_content contract must STILL surface (meta carries it),
+            # or behavior would differ between ids in existing vs missing
+            # partitions and the operator never learns to rebuild
+            if not (self.index.meta or {}).get("stored_content"):
+                raise ValueError(
+                    "index has no stored content — rebuild with "
+                    "store_content=True (build-index --store-content) to "
+                    "serve snippets"
+                )
             return {}
         if "content" not in dset.schema.names:
             raise ValueError(

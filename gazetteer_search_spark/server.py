@@ -279,6 +279,11 @@ def _parse_fuzziness(v: str | int) -> int | str:
     return "auto" if s == "auto" else int(s)
 
 
+class _UnknownIndex(LookupError):
+    """index=NAME named no known index — the routes' 404, kept distinct
+    from internal KeyErrors so corruption never masquerades as not-found."""
+
+
 def _fields_param(qs) -> list[str] | None:
     """fields= (repeatable or comma-separated) -> the ES _source_includes
     projection for doc fetches; None = all stored fields."""
@@ -834,26 +839,40 @@ def _make_handler(
                 },
             )
 
-        def _pick_doc_engine(self, qs):
-            """index=NAME routes a doc fetch at a named federated index
-            (the ES ``GET /{index}/_doc/{id}`` shape); absent -> the
-            hot-swappable primary, pinned under the lock. Raises KeyError
-            on an unknown name."""
-            name = (qs.get("index") or [None])[0]
-            primary_name = (
+        def _primary_name(self) -> str:
+            """The live primary's addressable name (basename of the
+            CURRENT index_path — hot-swaps repoint it). Callers must hold
+            ``lock``: index_path is reassigned by _maybe_swap under it."""
+            return (
                 os.path.basename(index_path.rstrip("/"))
                 if index_path
                 else "primary"
             )
-            if name is None or name == primary_name:
-                with lock:
+
+        def _pick_doc_engine(self, qs):
+            """index=NAME routes a doc fetch at a named federated index
+            (the ES ``GET /{index}/_doc/{id}`` shape); absent -> the
+            hot-swappable primary, pinned under the lock. Raises
+            _UnknownIndex on an unknown name (routes map it to 404) —
+            never bare KeyError, which the routes' generic handler would
+            misreport."""
+            name = (qs.get("index") or [None])[0]
+            with lock:  # index_path and engine both swap under this lock
+                primary_name = self._primary_name()
+                if federated and primary_name in federated:
+                    # same invariant /fsearch enforces: a federated entry
+                    # must not SHADOW the live primary (cli serve forbids
+                    # it; a direct make_server caller could still collide)
+                    raise RuntimeError(
+                        f"federated index {primary_name!r} shadows the "
+                        "primary — rename the --also entry"
+                    )
+                if name is None or name == primary_name:
                     return engine
             if federated and name in federated:
                 return federated[name]
-            known = sorted(
-                {primary_name, *(federated or {})}
-            )
-            raise KeyError(
+            known = sorted({primary_name, *(federated or {})})
+            raise _UnknownIndex(
                 f"unknown index {name!r}; known: {', '.join(known)}"
             )
 
@@ -882,8 +901,8 @@ def _make_handler(
                     [did], include_content=content,
                     columns=_fields_param(qs),
                 )
-            except KeyError as e:
-                self._send(404, {"error": str(e).strip("'\"")})
+            except _UnknownIndex as e:
+                self._send(404, {"error": str(e)})
                 return
             except Exception as e:
                 self._send(400, {"error": str(e)})
@@ -920,8 +939,8 @@ def _make_handler(
                 docs = eng.get_docs(
                     ids, include_content=content, columns=_fields_param(qs)
                 )
-            except KeyError as e:
-                self._send(404, {"error": str(e).strip("'\"")})
+            except _UnknownIndex as e:
+                self._send(404, {"error": str(e)})
                 return
             except Exception as e:
                 self._send(400, {"error": str(e)})
@@ -1530,11 +1549,8 @@ def _make_handler(
             except ValueError:
                 self._send(400, {"error": "size must be an integer"})
                 return
-            primary_name = (
-                os.path.basename(index_path.rstrip("/"))
-                if index_path
-                else "primary"
-            )
+            with lock:  # index_path swaps under the lock
+                primary_name = self._primary_name()
             if primary_name in federated:
                 # a federated entry must not SHADOW the live (hot-swappable)
                 # primary — results from the primary would silently vanish
