@@ -1596,3 +1596,30 @@ def test_doc_fetch_fields_projection(eng):
         assert set(d2) == {"doc_id"}
     finally:
         srv.shutdown()
+
+
+def test_doc_fetch_rejects_shadowed_primary(spark, tmp_path):
+    """A federated entry named like the primary must error loudly on /doc
+    (the /fsearch invariant) — never silently serve the primary's data
+    under the federated index's name."""
+    corpus = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"), F.lit("python").alias("lang"),
+        F.lit("alpha").alias("content"),
+    )
+    p1 = str(tmp_path / "same_name")
+    idx = builder.build_index(spark, corpus, p1, n_buckets=2)
+    e1 = SearchEngine(spark, idx, serving=True)
+    srv = make_server(
+        e1, SearchOptions(k=5, prefix=False), port=0, index_path=p1,
+        federated={"same_name": e1},
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(port, "/doc?id=2&index=same_name")
+        assert "shadows the primary" in json.loads(e.value.read())["error"]
+    finally:
+        srv.shutdown()
