@@ -1057,6 +1057,36 @@ def delete_by_query(
     return {"seg_id": int(seg_id), "n_tombstones": n_dead}
 
 
+def delete_by_keys(
+    spark: SparkSession,
+    index_dir: str,
+    keys,
+    key_cols: tuple[str, ...] = ("repo", "path"),
+) -> dict:
+    """ES ``_bulk`` delete-action analog: tombstone every LIVE doc whose
+    key tuple appears in ``keys`` — the same (repo, path) upsert identity
+    ``add_segment`` supersedes on, so a bulk body mixing index and delete
+    actions stays key-consistent. Resolution is one broadcast left-semi
+    join against the live view (the key list is request-bounded NDJSON;
+    the corpus side never leaves the executors), then the tombstone-only
+    segment from :func:`delete_by_query`. Unknown keys match nothing; a
+    zero-match call creates no segment and reports deleted=0, like ES."""
+    uniq = list(dict.fromkeys(tuple(k) for k in keys))
+    if not uniq:
+        return {"seg_id": None, "n_tombstones": 0}
+    if any(len(k) != len(key_cols) for k in uniq):
+        raise ValueError(f"each key needs exactly {len(key_cols)} values")
+    kdf = spark.createDataFrame(
+        uniq, schema=", ".join(f"`{c}` string" for c in key_cols)
+    )
+    ids = (
+        live_docs(spark, index_dir)
+        .join(F.broadcast(kdf), on=list(key_cols), how="left_semi")
+        .select("doc_id")
+    )
+    return delete_by_query(spark, index_dir, doc_ids=ids)
+
+
 def update_by_query(
     spark: SparkSession,
     index_dir: str,

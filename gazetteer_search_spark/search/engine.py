@@ -1499,6 +1499,132 @@ class SearchEngine:
             "analyzer_hash": self.rules.content_hash(),
         }
 
+    def validate_query(
+        self, q: str | Query, options: SearchOptions | None = None
+    ) -> dict:
+        """ES ``GET _validate/query?explain=true`` analog: parse + plan the
+        strict rung WITHOUT executing it. The reference fires its ES queries
+        blind and leans on the coalesce ladder to recover from zero-hit
+        plans (api/search/ESCoalesce.java); this surfaces the plan a query
+        WOULD run — per-clause analyzed terms, requiredness/weight, document
+        frequency, phrase/pattern/prefix expansions, msm, and an estimated
+        postings cost (sum of clause dfs = upper bound on rows the strict
+        rung touches) — so callers can see unsatisfiable or pathologically
+        expensive queries before paying for them. Never raises: an
+        unparseable query returns ``valid: False`` with the error, matching
+        ES's 200-with-valid:false envelope. Driver-side only: dictionary
+        lookups are k-bounded (serving: cached dict; Spark: a <=|terms|-row
+        bucket-pruned term_stats filter)."""
+        options = options or SearchOptions()
+        try:
+            return {"valid": True, **self._validate_plan(q, options)}
+        except Exception as e:  # noqa: BLE001 — the ES envelope contract
+            return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+
+    def _validate_plan(self, q: str | Query, options: SearchOptions) -> dict:
+        """The plan body behind validate_query — mirrors _search_ladder's
+        pre-processing (negations, quoted phrases, /regex/ + *glob*
+        patterns, analysis, rung-1 group construction) step for step, so
+        what it reports is exactly what search() would run first."""
+        raw = q if isinstance(q, str) else "<Query IR>"
+        excl = tuple(options.exclude_terms)
+        if isinstance(q, str) and "-" in q and '"' not in q:
+            from gazetteer_search_spark.analyzer.query_ir import (
+                extract_negations,
+            )
+
+            residual, negs = extract_negations(q)
+            if negs:
+                excl = tuple(dict.fromkeys((*excl, *negs)))
+                q = residual
+        phrases: list[dict] = []
+        phrase_terms: list[str] = []
+        if isinstance(q, str) and '"' in q:
+            from gazetteer_search_spark.search import phrase as _ph
+
+            parsed = _ph.parse_phrase_query(q)
+            if parsed is not None:
+                for toks, slop, pfx in parsed[0]:
+                    phrases.append(
+                        {
+                            "terms": list(toks),
+                            "slop": int(slop),
+                            **({"prefix": pfx} if pfx else {}),
+                        }
+                    )
+                    phrase_terms.extend(toks)
+                q = parsed[1]
+        patterns: list[dict] = []
+        if isinstance(q, str) and '"' not in q:
+            from gazetteer_search_spark.search import patterns as _pat
+
+            residual, clauses = _pat.extract_patterns(q)
+            if clauses:
+                q = residual
+                for c in clauses:
+                    exp = self.expand_regexp(c.regex)
+                    patterns.append(
+                        {
+                            "pattern": c.raw,
+                            "expanded_terms": len(exp),
+                            "sample": list(exp[:5]),
+                        }
+                    )
+        query = (
+            analyze_query(q, prefix=options.prefix, rule_set=self.rules)
+            if isinstance(q, str)
+            else q
+        )
+        groups, msm = self._build_groups(
+            query, options, fuzzy=False, with_prefix=True
+        )
+        all_terms = sorted(
+            {t for g in groups for t in g.terms} | set(phrase_terms)
+        )
+        dfs = self._df_for_terms(all_terms) if all_terms else {}
+        clauses_out = []
+        for g in groups:
+            clauses_out.append(
+                {
+                    "name": g.name or f"g{g.group_id}",
+                    "required": bool(g.required),
+                    "weight": float(g.weight),
+                    "n_terms": len(g.terms),
+                    "df": int(sum(dfs.get(t, 0) for t in g.terms)),
+                    "sample": list(g.terms[:5]),
+                }
+            )
+        for p in phrases:
+            # a phrase can never match more docs than its rarest term
+            p["df"] = int(
+                min((dfs.get(t, 0) for t in p["terms"]), default=0)
+            )
+        cost = sum(c["df"] for c in clauses_out) + sum(
+            dfs.get(t, 0) for t in phrase_terms
+        )
+        unsat = (
+            any(c["required"] and c["df"] == 0 for c in clauses_out)
+            or any(p["expanded_terms"] == 0 for p in patterns)
+            or any(p["df"] == 0 for p in phrases)
+        )
+        return {
+            "query": raw,
+            "clauses": clauses_out,
+            "msm": int(msm),
+            "removed": list(getattr(query, "removed", ()) or ()),
+            "must_not": list(excl),
+            "phrases": phrases,
+            "patterns": patterns,
+            "estimated_postings": int(cost),
+            "unsatisfiable": bool(unsat),
+            # the ladder search() would relax through, statically described
+            "rungs": [
+                "strict: AND of required clauses + trailing-prefix group",
+                "fuzzy: per-term OSA<=fuzziness dictionary expansion",
+                "relaxed: minimum_should_match over the OR of clauses",
+            ],
+        }
+
     def spell_suggest(self, q: str, k: int = 3, max_df: int = 0) -> dict:
         """ES term-suggester / phrase-suggester "did you mean" analog
         (beyond reference): for each analyzed query token whose dictionary

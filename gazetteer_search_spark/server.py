@@ -215,13 +215,22 @@ API_ENDPOINTS: tuple[dict, ...] = (
               size="merged page size"),
     _endpoint("/ui", "HTML results page (SearchHtml analog)",
               q="query string"),
+    _endpoint("/validate", "query plan validation without execution "
+                           "(GET _validate/query; POST body = ES DSL)",
+              q="query string", prefix="true|false trailing-token prefix",
+              fuzziness="0|1|2|auto (reported, rung-2 only)"),
+    _endpoint("/field_caps", "field capabilities (GET _field_caps): term "
+                             "namespaces + docs-store columns with "
+                             "searchable/filterable/aggregatable flags"),
     _endpoint("/healthz", "liveness probe (never auth-gated)"),
     _endpoint("/api", "this endpoint registry"),
     _endpoint("/sendq", "stored-query registry search (SendQAPI analog)",
               method="POST"),
     _endpoint("/msearch", "NDJSON multi-search (POST _msearch)",
               method="POST"),
-    _endpoint("/bulk", "NDJSON live segment ingest (POST _bulk)",
+    _endpoint("/bulk", "NDJSON live segment ingest + deletes (POST _bulk: "
+                       "bare document lines, or {\"index\":{}} / "
+                       "{\"delete\":{repo,path}} action lines)",
               method="POST"),
     _endpoint("/rank_eval", "rated-query evaluation (POST _rank_eval)",
               method="POST"),
@@ -707,6 +716,12 @@ def _make_handler(
             if u.path == "/hybrid":
                 self._do_hybrid(u)
                 return
+            if u.path == "/validate":
+                self._do_validate_get(u)
+                return
+            if u.path == "/field_caps":
+                self._do_field_caps(u)
+                return
             if u.path != "/search":
                 self._send(
                     404,
@@ -718,7 +733,7 @@ def _make_handler(
                             "/count", "/composite", "/tophits", "/facetcard",
                             "/termvectors", "/spell", "/analyze", "/stats",
                             "/classes", "/ui", "/knn", "/hybrid", "/api",
-                            "/doc", "/mget"
+                            "/doc", "/mget", "/validate", "/field_caps"
                         ],
                     },
                 )
@@ -1779,6 +1794,153 @@ def _make_handler(
             except Exception as e:
                 self._send(400, {"error": str(e)})
 
+        def _do_validate_get(self, u) -> None:
+            """Query-plan validation (ES GET _validate/query?explain=true
+            analog): parse + plan the query WITHOUT executing — clauses
+            with per-term dictionary df, msm, phrase/pattern expansions,
+            estimated postings cost, unsatisfiable flag. Always 200 with
+            ``valid`` true/false (the ES envelope); 400 only for a missing
+            ``q``. POST /validate is the DSL-body twin."""
+            try:
+                qs = parse_qs(u.query)
+
+                def _one(name, default=None):
+                    v = qs.get(name)
+                    return v[0] if v else default
+
+                q = _one("q")
+                if q is None:
+                    self._send(400, {"error": "q required"})
+                    return
+                opts = replace(
+                    default_opts,
+                    prefix=_one("prefix", str(default_opts.prefix)).lower()
+                    == "true",
+                    fuzziness=_parse_fuzziness(
+                        _one("fuzziness", str(default_opts.fuzziness))
+                    ),
+                )
+                with lock:
+                    self._send(200, engine.validate_query(q, opts))
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
+        def _do_validate_post(self) -> None:
+            """POST /validate: the ES _validate/query DSL-body form — the
+            body (bare DSL, or {"dsl":..., "field_map":..., "strict":...},
+            the same envelope /dsl takes) runs through the translator
+            WITHOUT executing; the response reports the translated group
+            algebra + per-clause df + the translation notes. A translator
+            error answers 200 with valid:false (ES semantics)."""
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if "dsl" in body:
+                    dsl_body = body["dsl"]
+                    field_map = body.get("field_map") or {}
+                    strict = bool(body.get("strict", False))
+                else:
+                    dsl_body, field_map, strict = body, {}, False
+                from gazetteer_search_spark.search import dsl as _dsl
+
+                try:
+                    with lock:
+                        plan = _dsl.translate(
+                            dsl_body, engine, field_map, strict
+                        )
+                        terms = sorted(
+                            {t for g in plan.groups for t in g.terms}
+                        )
+                        dfs = (
+                            engine._df_for_terms(terms) if terms else {}
+                        )
+                except Exception as e:  # noqa: BLE001 — ES valid:false envelope
+                    self._send(
+                        200,
+                        {"valid": False, "error": f"{type(e).__name__}: {e}"},
+                    )
+                    return
+                clauses = [
+                    {
+                        "name": g.name or f"g{g.group_id}",
+                        "required": bool(g.required),
+                        "weight": float(g.weight),
+                        "n_terms": len(g.terms),
+                        "df": int(sum(dfs.get(t, 0) for t in g.terms)),
+                        "sample": list(g.terms[:5]),
+                    }
+                    for g in plan.groups
+                ]
+                self._send(
+                    200,
+                    {
+                        "valid": True,
+                        "clauses": clauses,
+                        "msm": int(plan.msm),
+                        "notes": list(plan.notes),
+                        "estimated_postings": int(
+                            sum(c["df"] for c in clauses)
+                        ),
+                        "unsatisfiable": any(
+                            c["required"] and c["df"] == 0 for c in clauses
+                        ),
+                    },
+                )
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
+        def _do_field_caps(self, u) -> None:
+            """Field-capabilities route (ES GET _field_caps analog): every
+            queryable term namespace (full_text + the per-field postings
+            namespaces the builder persisted) plus every docs-store column
+            with its storage type and capability flags — searchable (the
+            query algebra reaches it), filterable (a SearchOptions / route
+            filter exists), aggregatable (usable as a facet / stats /
+            sort key). Schema-only metadata reads — no data scan."""
+            try:
+                meta = dict(getattr(engine.index, "meta", {}) or {})
+                out: dict[str, dict] = {}
+                for fld in ("full_text", *sorted(meta.get("fields") or ())):
+                    out[fld] = {
+                        "type": "text",
+                        "searchable": True,
+                        "filterable": False,
+                        "aggregatable": False,
+                    }
+                filterable = {"repo", "path", "lang", "doc_id"}
+                cols: list[tuple[str, str]] = []
+                if index_path is not None:
+                    import pyarrow.dataset as ds_mod
+
+                    sch = ds_mod.dataset(
+                        os.path.join(index_path, "docs"),
+                        format="parquet",
+                        partitioning="hive",
+                    ).schema
+                    cols = [(nm, str(sch.field(nm).type)) for nm in sch.names]
+                else:
+                    docs = getattr(engine.index, "docs", None)
+                    if docs is not None:
+                        cols = [
+                            (f.name, f.dataType.simpleString())
+                            for f in docs.schema.fields
+                        ]
+                for nm, tp in cols:
+                    if nm.startswith("_"):
+                        continue
+                    out.setdefault(
+                        nm,
+                        {
+                            "type": tp,
+                            "searchable": nm == "content",
+                            "filterable": nm in filterable,
+                            "aggregatable": True,
+                        },
+                    )
+                self._send(200, {"fields": out, "n_fields": len(out)})
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+
         def _do_segments(self, u) -> None:
             """Generation listing (ES _cat/segments analog): one row per
             live generation with docs/tombstones, plus the total."""
@@ -1831,6 +1993,10 @@ def _make_handler(
                 if self._authorized():
                     self._do_percolate()
                 return
+            if p == "/validate":
+                if self._authorized():
+                    self._do_validate_post()
+                return
             if p != "/sendq":
                 self._send(
                     404,
@@ -1838,7 +2004,7 @@ def _make_handler(
                         "error": "not found",
                         "routes": [
                             "/sendq", "/msearch", "/bulk", "/rank_eval",
-                            "/dsl", "/percolate",
+                            "/dsl", "/percolate", "/validate",
                         ],
                     },
                 )
@@ -1936,12 +2102,23 @@ def _make_handler(
                 self._send(400, {"error": str(e)})
 
         def _do_bulk(self) -> None:
-            """Bulk-ingest route (ES _bulk analog): body is NDJSON documents
-            (repo, path, commit, lang, content — the corpus shape). The
-            batch lands as ONE new segment generation (add_segment: frozen
-            stats, (repo, path)-keyed supersession) and the serving engine
-            reopens over all generations — subsequent searches see the
-            docs, ES refresh semantics. Needs a Spark-backed server (the
+            """Bulk-ingest route (ES _bulk analog): body is NDJSON. Two
+            accepted shapes, mixable line by line:
+
+            - a bare document line (repo, path, commit, lang, content — the
+              corpus shape): an implicit index action (the original form);
+            - ES action lines: ``{"index": {}}`` followed by a document
+              line, or a standalone ``{"delete": {"repo": R, "path": P}}``.
+
+            ES applies actions in order; per upsert key that reduces to
+            last-action-wins, which is exactly how the batch executes:
+            index survivors land as ONE new segment generation
+            (add_segment: frozen stats, (repo, path)-keyed supersession),
+            delete survivors become one tombstone-only generation
+            (delete_by_keys), and the serving engine reopens over all
+            generations — subsequent searches see the changes, ES refresh
+            semantics. The whole body validates BEFORE any mutation (a 400
+            leaves the index untouched). Needs a Spark-backed server (the
             micro-batch build's tokenize pass is one Spark job); Spark-free
             nodes answer 501 and defer to the add-segment CLI."""
             nonlocal engine, mtime, last_modified
@@ -1959,38 +2136,109 @@ def _make_handler(
                 return
             try:
                 n = int(self.headers.get("Content-Length", "0"))
-                docs = [
+                lines = [
                     json.loads(ln)
                     for ln in self.rfile.read(n).decode("utf-8").splitlines()
                     if ln.strip()
                 ]
                 required = {"repo", "path", "commit", "lang", "content"}
-                bad = [i for i, d in enumerate(docs) if not required <= set(d)]
-                if not docs or bad:
+
+                def _action(d):
+                    """The action verb when the line is an ES action-meta
+                    line (exactly one top-level key in the action
+                    vocabulary), else None (a bare document line)."""
+                    if isinstance(d, dict) and len(d) == 1:
+                        k = next(iter(d))
+                        if k in ("index", "delete"):
+                            return k
+                    return None
+
+                # parse the whole body to an ordered op list BEFORE any
+                # mutation: a malformed line 400s with the index untouched
+                ops: list[tuple[str, tuple[str, str], dict | None]] = []
+                bad: list[int] = []
+                i = 0
+                while i < len(lines):
+                    act = _action(lines[i])
+                    if act == "delete":
+                        m = lines[i]["delete"] or {}
+                        if not (
+                            isinstance(m.get("repo"), str)
+                            and isinstance(m.get("path"), str)
+                        ):
+                            self._send(
+                                400,
+                                {
+                                    "error": "delete action needs repo and "
+                                    "path (the upsert key)",
+                                    "line": i,
+                                },
+                            )
+                            return
+                        ops.append(("delete", (m["repo"], m["path"]), None))
+                        i += 1
+                        continue
+                    if act == "index":
+                        if i + 1 >= len(lines) or _action(lines[i + 1]):
+                            self._send(
+                                400,
+                                {
+                                    "error": "index action needs a document "
+                                    "on the following line",
+                                    "line": i,
+                                },
+                            )
+                            return
+                        i += 1  # fall through to the document line
+                    d = lines[i]
+                    if not (isinstance(d, dict) and required <= set(d)):
+                        bad.append(i)
+                    else:
+                        ops.append(("index", (d["repo"], d["path"]), d))
+                    i += 1
+                if not ops or bad:
                     self._send(
                         400,
                         {
-                            "error": "each line needs repo/path/commit/lang/"
-                            "content",
+                            "error": "each document line needs repo/path/"
+                            "commit/lang/content",
                             **({"bad_lines": bad[:10]} if bad else {}),
                         },
                     )
                     return
+                # ES applies actions in order -> last action per key wins
+                last: dict[tuple[str, str], tuple[str, dict | None]] = {}
+                for op, key, doc in ops:
+                    last[key] = (op, doc)
+                docs = [d for op, d in last.values() if op == "index"]
+                del_keys = [
+                    k for k, (op, _) in last.items() if op == "delete"
+                ]
                 from gazetteer_search_spark.index import segments as _segs
 
+                seg_docs = 0
+                deleted = 0
                 with lock:
-                    rows = [
-                        (d["repo"], d["path"], d["commit"], d["lang"],
-                         d["content"])
-                        for d in docs
-                    ]
-                    batch = spark.createDataFrame(
-                        rows, "repo string, path string, commit string, "
-                        "lang string, content string",
-                    )
+                    if del_keys:
+                        deleted = int(
+                            _segs.delete_by_keys(
+                                spark, index_path, del_keys
+                            )["n_tombstones"]
+                        )
+                    if docs:
+                        rows = [
+                            (d["repo"], d["path"], d["commit"], d["lang"],
+                             d["content"])
+                            for d in docs
+                        ]
+                        batch = spark.createDataFrame(
+                            rows, "repo string, path string, commit string, "
+                            "lang string, content string",
+                        )
+                        seg_idx = _segs.add_segment(spark, batch, index_path)
+                        seg_docs = int(seg_idx.n_docs)
                     import time as _time
 
-                    seg_idx = _segs.add_segment(spark, batch, index_path)
                     engine = _segs.open_multi_search(index_path, spark)
                     # refresh the conditional-GET watermark: a client whose
                     # If-Modified-Since predates this ingest must get a
@@ -2005,7 +2253,8 @@ def _make_handler(
                     200,
                     {
                         "indexed": len(docs),
-                        "seg_docs": seg_idx.n_docs,
+                        "deleted": deleted,
+                        "seg_docs": seg_docs,
                         "generations": len(_segs.list_segments(index_path)) + 1,
                     },
                 )

@@ -673,3 +673,51 @@ def test_collapse_field(spark, corpus, engine):
 
     with pytest.raises(ValueError, match="collapse"):
         engine.search_rung(groups, 1, SearchOptions(k=5, collapse="nope")).collect()
+
+
+def test_validate_query_plan_without_execution(engine):
+    """ES _validate/query?explain=true analog: validate_query reports the
+    strict-rung plan (clause dfs, msm, expansions, estimated cost) without
+    running it, never raises, and its unsatisfiable verdict agrees with
+    the engine's actual behavior on an all-out-of-vocabulary query."""
+    noprefix = SearchOptions(prefix=False)
+    v = engine.validate_query("merge postings", noprefix)
+    assert v["valid"] is True and v["msm"] == 2
+    by = {c["name"]: c for c in v["clauses"]}
+    assert by["merge"]["required"] and by["merge"]["df"] > 0
+    assert by["postings"]["df"] > 0
+    assert v["estimated_postings"] == sum(c["df"] for c in v["clauses"])
+    assert v["unsatisfiable"] is False
+
+    # default options: the trailing token plans as the prefix group —
+    # exactly what search() would run
+    vpfx = engine.validate_query("merge postings")
+    assert {c["name"] for c in vpfx["clauses"]} == {"merge", "prefix"}
+
+    # negation syntax surfaces as must_not, not as a clause
+    vn = engine.validate_query("merge -postings", noprefix)
+    assert vn["valid"] is True and vn["must_not"]
+    assert "postings" not in {c["name"] for c in vn["clauses"]}
+
+    # quoted phrase: reported with its rarest-term df bound
+    vp = engine.validate_query('"merge postings"', noprefix)
+    assert vp["valid"] is True and vp["phrases"]
+    ph = vp["phrases"][0]
+    assert ph["terms"] and ph["df"] <= min(
+        engine._df_for_terms(ph["terms"]).values()
+    )
+
+    # /regex/ pattern: dictionary expansion size, no execution
+    vr = engine.validate_query("merge /post.*/", noprefix)
+    assert vr["valid"] is True and vr["patterns"]
+    assert vr["patterns"][0]["expanded_terms"] > 0
+
+    # malformed regexp: ES 200-with-valid:false envelope, never a raise
+    vb = engine.validate_query("/unclosed(/", noprefix)
+    assert vb["valid"] is False and "error" in vb
+
+    # out-of-vocabulary required clause: flagged unsatisfiable, and the
+    # real search of an ALL-OOV query indeed returns nothing
+    vu = engine.validate_query("zzzqqq merge", noprefix)
+    assert vu["unsatisfiable"] is True
+    assert engine.search_hits("zzzqqq wwwxxx", noprefix) == []

@@ -627,6 +627,46 @@ def test_delete_by_query_docids_spark_free(spark, base, tmp_path_factory):
         segments.delete_by_query(None, root, where="lang = 'go'")
 
 
+def test_delete_by_keys_upsert_identity(spark, base, tmp_path_factory):
+    """ES _bulk delete-action analog: tombstone by (repo, path) — the same
+    key add_segment supersedes on. Unknown keys match nothing; an all-
+    unknown batch creates NO segment (ES deleted=0); key arity errors."""
+    root0, _, _ = base
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("seg_dbk"))
+    shutil.rmtree(root)
+    shutil.copytree(root0, root)
+
+    victims = segments.live_docs(spark, root).select(
+        "repo", "path", "doc_id"
+    ).orderBy("doc_id").limit(3).collect()
+    keys = [(r.repo, r.path) for r in victims]
+    res = segments.delete_by_keys(
+        spark, root, keys + [("org/nowhere", "src/none.py")]
+    )
+    assert res["n_tombstones"] == 3
+    live = {
+        (r.repo, r.path)
+        for r in segments.live_docs(spark, root).select("repo", "path").collect()
+    }
+    assert not (set(keys) & live)
+    assert len(live) == N - 3
+
+    # nothing-matched and empty batches leave the index untouched
+    n_gens = len(segments.list_segments(root))
+    assert segments.delete_by_keys(spark, root, [("org/x", "no.py")]) == {
+        "seg_id": None, "n_tombstones": 0,
+    }
+    assert segments.delete_by_keys(spark, root, []) == {
+        "seg_id": None, "n_tombstones": 0,
+    }
+    assert len(segments.list_segments(root)) == n_gens
+
+    with pytest.raises(ValueError, match="exactly 2"):
+        segments.delete_by_keys(spark, root, [("only-repo",)])
+
+
 def test_update_by_query_with_source(spark, base, tmp_path_factory):
     """ES _update_by_query analog (source-corpus form): matched live docs
     re-index as a new generation with the SQL 'script' applied; their old

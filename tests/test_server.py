@@ -782,6 +782,90 @@ def test_http_bulk_ingest_and_refresh(spark, tmp_path_factory):
         srv2.shutdown()
 
 
+def test_http_bulk_action_lines(spark, tmp_path_factory):
+    """POST /bulk with ES action lines: {"index":{}} + doc, bare docs, and
+    {"delete":{repo,path}} mix in one body; last action per upsert key
+    wins; malformed action lines 400 with the index untouched."""
+    corpus = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        F.lit("org/r").alias("repo"),
+        F.format_string("src/%d.py", "id").alias("path"),
+        F.lit("c").alias("commit"),
+        F.lit("python").alias("lang"),
+        F.lit("bulkmix shared plain words").alias("content"),
+    )
+    out = str(tmp_path_factory.mktemp("idx_srv_bulkmix"))
+    from gazetteer_search_spark.index import builder as _b
+
+    idx = _b.build_index(spark, corpus, out, n_buckets=4)
+    eng0 = SearchEngine(spark, idx, serving=True)
+    srv = make_server(eng0, SearchOptions(k=20, prefix=False), port=0,
+                      index_path=out)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+
+        def _bulk(lines, expect_code=200):
+            body = "\n".join(json.dumps(ln) for ln in lines).encode()
+            req = urllib.request.Request(f"{base}/bulk", data=body,
+                                         method="POST")
+            try:
+                with urllib.request.urlopen(req) as r:
+                    return 200, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        doc = {"repo": "org/new", "path": "src/a.py", "commit": "d",
+               "lang": "python", "content": "mixmarker alpha"}
+        code, env = _bulk([
+            {"index": {}},                                 # explicit action
+            doc,
+            {"repo": "org/new", "path": "src/b.py", "commit": "d",
+             "lang": "python", "content": "mixmarker beta"},  # bare doc
+            {"delete": {"repo": "org/r", "path": "src/3.py"}},
+            # last-action-wins: indexed then deleted in the SAME body
+            {**doc, "path": "src/gone.py"},
+            {"delete": {"repo": "org/new", "path": "src/gone.py"}},
+            # ...and deleted then re-indexed
+            {"delete": {"repo": "org/new", "path": "src/back.py"}},
+            {**doc, "path": "src/back.py",
+             "content": "mixmarker resurrected"},
+        ])
+        assert code == 200
+        assert env["indexed"] == 3 and env["seg_docs"] == 3
+        assert env["deleted"] == 1  # src/3.py; gone.py/back.py never lived
+
+        with urllib.request.urlopen(
+            f"{base}/search?q=mixmarker&size=20&prefix=false"
+        ) as r:
+            paths = {h["path"] for h in json.loads(r.read())["hits"]}
+        assert paths == {"src/a.py", "src/b.py", "src/back.py"}
+        with urllib.request.urlopen(
+            f"{base}/search?q=bulkmix&size=20&prefix=false"
+        ) as r:
+            hits = json.loads(r.read())["hits"]
+        assert len(hits) == 19 and "src/3.py" not in {h["path"] for h in hits}
+
+        # malformed bodies 400 and mutate nothing
+        n_gens0 = json.loads(
+            urllib.request.urlopen(f"{base}/segments").read()
+        )["generations"]
+        code, err = _bulk([{"delete": {"repo": "org/r"}}])  # missing path
+        assert code == 400 and "delete action needs" in err["error"]
+        code, err = _bulk([{"index": {}}])  # dangling action
+        assert code == 400 and "needs a document" in err["error"]
+        code, err = _bulk([{"index": {}}, {"delete": {"repo": "r",
+                                                      "path": "p"}}])
+        assert code == 400
+        n_gens1 = json.loads(
+            urllib.request.urlopen(f"{base}/segments").read()
+        )["generations"]
+        assert n_gens1 == n_gens0
+    finally:
+        srv.shutdown()
+
+
 def test_http_spell_did_you_mean(eng):
     """GET /spell (ES term-suggester analog): OOV tokens get OSA<=1
     dictionary suggestions ranked by df, in-vocabulary tokens stay
@@ -1621,5 +1705,77 @@ def test_doc_fetch_rejects_shadowed_primary(spark, tmp_path):
         with pytest.raises(urllib.error.HTTPError) as e:
             _get(port, "/doc?id=2&index=same_name")
         assert "shadows the primary" in json.loads(e.value.read())["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_http_validate_routes(eng):
+    """GET /validate (ES _validate/query?explain=true analog): the plan
+    without execution — clause dfs, msm, unsatisfiable flag, always the
+    200 valid:true/false envelope; POST /validate is the DSL-body twin
+    (strict translation errors -> valid:false, not 4xx/5xx)."""
+    srv, port = _serve(eng, SearchOptions(k=5, prefix=False))
+    try:
+        v = _get(port, "/validate?q=alpha+beta&prefix=false")
+        assert v["valid"] is True and v["msm"] == 2
+        by = {c["name"]: c for c in v["clauses"]}
+        assert by["alpha"]["df"] == 80 and by["beta"]["df"] == 10
+        assert v["estimated_postings"] == 90
+        assert v["unsatisfiable"] is False
+        # out-of-vocabulary required clause -> unsatisfiable, still valid
+        v2 = _get(port, "/validate?q=alpha+zzznope&prefix=false")
+        assert v2["valid"] is True and v2["unsatisfiable"] is True
+        # malformed regexp -> valid:false with the error, HTTP 200
+        v3 = _get(port, "/validate?q=/unclosed(/&prefix=false")
+        assert v3["valid"] is False and "error" in v3
+        # missing q -> 400 (the only non-200 shape)
+        try:
+            _get(port, "/validate")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # POST twin: bare DSL body
+        body = json.dumps(
+            {"query": {"match": {"content": "alpha"}}}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/validate", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            pv = json.loads(r.read())
+        assert pv["valid"] is True and pv["clauses"][0]["df"] == 80
+        assert pv["estimated_postings"] == 80 and pv["msm"] == 1
+        # strict + untranslatable clause -> valid:false (ES envelope)
+        bad = json.dumps(
+            {"dsl": {"query": {"frobnicate": {}}}, "strict": True}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/validate", data=bad, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            pb = json.loads(r.read())
+        assert pb["valid"] is False and "frobnicate" in pb["error"]
+    finally:
+        srv.shutdown()
+
+
+def test_http_field_caps(eng):
+    """GET /field_caps (ES _field_caps analog): term namespaces marked
+    searchable, docs-store columns typed with filterable/aggregatable
+    flags — schema-only, no data scan."""
+    srv, port = _serve(eng, SearchOptions(k=5, prefix=False))
+    try:
+        fc = _get(port, "/field_caps")
+        fields = fc["fields"]
+        assert fields["full_text"]["searchable"] is True
+        assert fields["repo"]["filterable"] is True
+        assert fields["repo"]["aggregatable"] is True
+        assert fields["lang"]["filterable"] is True
+        assert "doc_id" in fields
+        # this fixture builds WITHOUT store_content: the docs store has no
+        # content column, so the caps listing must not invent one (the
+        # full_text namespace above is how its tokens are searchable)
+        assert "content" not in fields
+        assert fc["n_fields"] == len(fields)
     finally:
         srv.shutdown()
