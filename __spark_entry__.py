@@ -312,6 +312,49 @@ def _dbq_engine(spark: SparkSession, sf_dir: str):
     return _DBQ_ENGINES[sf_dir]
 
 
+_DBK_PRED = "doc_id % 13 = 5"  # bulk delete-action key predicate (both dialects)
+_DBK_ENGINES: dict[str, object] = {}
+
+
+def _dbk_engine(spark: SparkSession, sf_dir: str):
+    """Multi-generation engine for the bulk_delete entry: a base index over
+    the documents corpus, then ES ``_bulk`` delete actions — ``delete_by_keys``
+    over the (repo, path) upsert keys of every ``doc_id % 13 == 5`` doc (the
+    request-bounded key list POST /bulk collects from its NDJSON body) — ONE
+    tombstone-only generation masking the base at decode, BM25 statistics
+    untouched (ES deletes leave segment stats frozen until merge). The
+    documents path embeds doc_id, so (repo, path) is unique per doc and the
+    oracle's doc_id predicate is the exact key-set twin. Cached per sf_dir;
+    on-disk manifest state guards re-entry."""
+    if sf_dir in _DBK_ENGINES:
+        return _DBK_ENGINES[sf_dir]
+    from gazetteer_search_spark.index import segments as segs
+
+    tag = re.sub(r"\W+", "_", sf_dir.rstrip("/"))
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        fp = "na"
+    base_dir = os.path.join(
+        tempfile.gettempdir(), f"gss_dbkbase_v{__version__}_{tag}_{fp}"
+    )
+    corpus = documents_as_corpus(spark, sf_dir)
+    builder.build_index(
+        spark, corpus, base_dir, tokenizer="pandas", n_buckets=8,
+        postings_per_group=1 << 14,
+    )
+    if not segs.list_segments(base_dir):
+        keys = [
+            (r.repo, r.path)
+            for r in corpus.filter(_DBK_PRED).select("repo", "path").collect()
+        ]
+        segs.delete_by_keys(spark, base_dir, keys)
+    _DBK_ENGINES[sf_dir] = segs.open_multi_search(base_dir, spark)
+    return _DBK_ENGINES[sf_dir]
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1642,6 +1685,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
         return _topk_out(multi.search_rung(g, 2, SearchOptions()))
 
+    def bulk_delete(spark, sf):
+        """Search after ES _bulk delete actions (segments.delete_by_keys:
+        (repo, path) upsert-key tombstones landed as ONE tombstone-only
+        generation — the POST /bulk delete-line path): deleted keys masked
+        at decode in every generation, frozen statistics untouched. Oracle:
+        the same search with the key predicate as a final filter."""
+        multi = _dbk_engine(spark, sf)
+        g = [_grp(0, ["merge"]), _grp(1, ["sort"])]
+        return _topk_out(multi.search_rung(g, 2, SearchOptions()))
+
     def update_by_query_q(spark, sf):
         """Search after ES-style _update_by_query (matched docs re-indexed
         with a SQL 'script' applied, superseding their old versions via
@@ -1656,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         near_sort=near_sort,
         delete_by_query=delete_by_query_q,
         update_by_query=update_by_query_q,
+        bulk_delete=bulk_delete,
         phrase_match=phrase_match,
         phrase_near=phrase_near,
         phrase_quoted=phrase_quoted,
@@ -1956,6 +2010,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # ---- training-data ops --------------------------------------------------
+    def novelty_dedup(spark, sf):
+        """Incremental novelty filter (Bloom-prefiltered dedup of a NEW
+        batch against an EXISTING corpus — the incremental-ingest shape at
+        100 TB): corpus = doc_id % 3 = 0 docs, batch = doc_id % 2 = 0 docs.
+        A distributed-built Bloom over the corpus's content hashes certifies
+        bloom-negative batch rows novel with NO join; only bloom-positive
+        candidates verify exactly through broadcast semi/anti joins (the
+        corpus is scanned once, never shuffled). False positives cost
+        verification only — the result is bit-identical to the exact text
+        anti-join the oracle runs."""
+        d = _docs(spark, sf).select("doc_id", "text")
+        corpus = d.filter("doc_id % 3 = 0")
+        batch = d.filter("doc_id % 2 = 0")
+        return dedup.novel_rows(
+            spark, batch, corpus, n_bits=1 << 20
+        ).select("doc_id")
+
     def jaccard_pairs(spark, sf):
         # max_shingle_df is the hot-key suppression bound (at 100 TB an
         # uncapped shingle self-join blows up on boilerplate shingles);
@@ -2647,6 +2718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multi_terms=multi_terms_q,
         adjacency_matrix=adjacency_matrix_q,
         jaccard_pairs=jaccard_pairs,
+        novelty_dedup=novelty_dedup,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
         stream_neardup=stream_neardup,
@@ -2685,6 +2757,11 @@ def oracle_sql() -> dict[str, str]:
     )
     o["update_by_query"] = _dbq_sql(
         _values_groups([("merge", 0, True, 1.0), (_DBQ_MARK, 1, True, 1.0)]), 1
+    )
+    o["bulk_delete"] = _search_sql(
+        _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]),
+        2,
+        extra_where=f"AND NOT (d.{_DBK_PRED})",
     )
     o["near_sort"] = _near_sql(
         _values_groups([("merge", 0, True, 1.0), ("sort", 1, True, 1.0)]), 1
@@ -3493,6 +3570,15 @@ FROM y GROUP BY user_id, sess
     )
 
     _w = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    o["novelty_dedup"] = """
+SELECT d.doc_id
+FROM documents d
+WHERE d.doc_id % 2 = 0
+  AND NOT EXISTS (
+    SELECT 1 FROM documents c
+    WHERE c.doc_id % 3 = 0 AND c.text = d.text
+  )
+"""
     o["jaccard_pairs"] = f"""
 WITH sh0 AS (SELECT DISTINCT doc_id, unnest({_w}) AS shingle FROM documents),
 sh AS (

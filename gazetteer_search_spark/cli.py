@@ -537,6 +537,17 @@ def cmd_dedup(args: argparse.Namespace) -> None:
         print(json.dumps({"out": args.out, "rows": out_df.count(),
                           "method": "exact"}))
         return
+    if args.method == "novel":
+        # incremental novelty: keep only batch rows whose content the
+        # existing corpus has never seen (Bloom-certified or join-verified)
+        if not args.against:
+            raise SystemExit("--method novel needs --against CORPUS_PARQUET")
+        corpus = spark.read.parquet(args.against)
+        out_df = dedup.novel_rows(spark, d, corpus, text_col=args.text_col)
+        out_df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": out_df.count(),
+                          "method": "novel", "against": args.against}))
+        return
     if args.method == "spanstats":
         # cross-corpus duplicated-span mass per doc (MassiveText signal)
         out_df = dedup.span_dup_stats(
@@ -1322,7 +1333,11 @@ def main(argv: list[str] | None = None) -> None:
     _src_args(dd)
     dd.add_argument("--method", default="minhash",
                     choices=["exact", "minhash", "simhash", "jaccard",
-                             "spanstats", "crosssource"])
+                             "spanstats", "crosssource", "novel"])
+    dd.add_argument("--against",
+                    help="novel: parquet corpus of already-ingested docs; "
+                    "only batch rows UNSEEN there are written (Bloom "
+                    "prefilter + exact broadcast verify)")
     dd.add_argument("--priority", nargs="*",
                     help="crosssource: source=rank pairs (lower wins)")
     dd.add_argument("--threshold", type=float, default=0.8)

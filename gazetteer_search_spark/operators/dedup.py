@@ -17,6 +17,7 @@ Scale design notes (100 TB target):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -522,4 +523,193 @@ def cross_source_dedup(
         .select(
             "doc_id", "source", (F.col("_rn") == 1).alias("is_kept")
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental novelty filter (Bloom-prefiltered dedup of NEW data against an
+# EXISTING corpus — the incremental-ingest shape at 100 TB)
+# ---------------------------------------------------------------------------
+#
+# The ES-era reference re-imports whole regions and delete-purges the old
+# generation (imp/addr/AddressesImporter.java:156-163); a training-data
+# pipeline instead asks "which of these NEW documents have we never seen?"
+# against a corpus too large to shuffle per batch. Shape:
+#
+#   1. ONE distributed pass over the corpus builds a Bloom filter of content
+#      hashes (mapInPandas folds a per-partition bitmap; the driver ORs the
+#      <=P one-megabyte partials — the same merge Spark's Scala-only
+#      DataFrameStatFunctions.bloomFilter performs).
+#   2. Per new batch, membership is a broadcast numpy probe: bloom-NEGATIVE
+#      rows are DEFINITELY novel and never touch a join; only the
+#      bloom-positive candidates (true dups + the documented false-positive
+#      rate) are verified exactly — corpus side via a broadcast LEFT SEMI
+#      join on the candidate keys (the corpus is scanned but never
+#      shuffled), batch side via a broadcast anti-join on the matched keys.
+#
+# False positives cost only verification work, never correctness: the result
+# is bit-identical to `batch ANTI JOIN corpus ON sha2(text)`, which is the
+# oracle. Sizing: ~9.6 bits/key + 5 hashes gives ~1% FP (n_bits=1<<23 covers
+# ~0.9M keys; at 10^11 keys use 1<<40 sharded by key range).
+
+_BLOOM_SEED = 0x5EEDB100
+
+
+class NoveltyBloom:
+    """Persisted Bloom filter over a corpus's content hashes."""
+
+    MAGIC = b"GSSBLOOM1\n"
+
+    def __init__(self, bits: bytes, n_bits: int, n_hashes: int) -> None:
+        if n_bits & (n_bits - 1):
+            raise ValueError("n_bits must be a power of two")
+        if len(bits) != n_bits // 8:
+            raise ValueError("bitmap length does not match n_bits")
+        self.bits = bits
+        self.n_bits = int(n_bits)
+        self.n_hashes = int(n_hashes)
+
+    def save(self, path: str) -> None:
+        import json as _json
+
+        hdr = _json.dumps(
+            {"n_bits": self.n_bits, "n_hashes": self.n_hashes}
+        ).encode() + b"\n"
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(self.MAGIC + hdr + self.bits)
+        import os as _os
+
+        _os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "NoveltyBloom":
+        import json as _json
+
+        with open(path, "rb") as f:
+            if f.read(len(cls.MAGIC)) != cls.MAGIC:
+                raise ValueError(f"not a novelty-bloom file: {path}")
+            hdr = _json.loads(f.readline())
+            bits = f.read()
+        return cls(bits, hdr["n_bits"], hdr["n_hashes"])
+
+
+def _bloom_hash_cols(text_col: str) -> tuple[Column, Column]:
+    """The double-hash pair (Kirsch-Mitzenmacher) — native xxhash64, computed
+    with the SAME expressions at build and probe time."""
+    return (
+        F.xxhash64(F.col(text_col)),
+        F.xxhash64(F.col(text_col), F.lit(_BLOOM_SEED)),
+    )
+
+
+def _bloom_positions(h1, h2, n_bits: int, n_hashes: int):
+    """k bit positions per row as a (rows, k) uint64 array; wraparound in
+    uint64 matches between build and probe by construction."""
+    import numpy as np
+
+    a = h1.astype(np.uint64)[:, None]
+    b = h2.astype(np.uint64)[:, None]
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return (a + i * b) & np.uint64(n_bits - 1)
+
+
+def build_novelty_bloom(
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+) -> NoveltyBloom:
+    """Distributed Bloom build: fold a per-partition bitmap over the corpus's
+    native hash pairs (one corpus scan, no shuffle), OR the partials on the
+    driver (<= n_partitions rows of n_bits/8 bytes each)."""
+    import numpy as np
+
+    h1, h2 = _bloom_hash_cols(text_col)
+    hdf = corpus.select(h1.alias("h1"), h2.alias("h2"))
+
+    def _fold(batches):
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = _bloom_positions(
+                pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), n_bits, n_hashes
+            )
+            np.bitwise_or.at(
+                bm,
+                (pos >> np.uint64(3)).astype(np.int64).ravel(),
+                (np.uint64(1) << (pos & np.uint64(7))).astype(np.uint8).ravel(),
+            )
+        if seen:
+            yield pd.DataFrame({"bloom": [bm.tobytes()]})
+
+    parts = hdf.mapInPandas(_fold, "bloom binary").collect()
+    bm = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in parts:
+        bm |= np.frombuffer(row.bloom, dtype=np.uint8)
+    return NoveltyBloom(bm.tobytes(), n_bits, n_hashes)
+
+
+def novelty_candidates(
+    spark,
+    batch: DataFrame,
+    bloom: NoveltyBloom,
+    text_col: str = "text",
+) -> DataFrame:
+    """The batch with a ``_maybe_dup`` flag: False = Bloom-certified novel
+    (needs no verification), True = candidate (true dup or false positive).
+    One broadcast numpy probe per Arrow batch — no join, no shuffle."""
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(
+        np.frombuffer(bloom.bits, dtype=np.uint8)
+    )
+    n_bits, n_hashes = bloom.n_bits, bloom.n_hashes
+
+    @F.pandas_udf("boolean")
+    def _maybe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        arr = bc.value
+        pos = _bloom_positions(h1.to_numpy(), h2.to_numpy(), n_bits, n_hashes)
+        byte = arr[(pos >> np.uint64(3)).astype(np.int64)]
+        bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+        return pd.Series(bit.all(axis=1))
+
+    c1, c2 = _bloom_hash_cols(text_col)
+    return batch.withColumn("_maybe_dup", _maybe(c1, c2))
+
+
+def novel_rows(
+    spark,
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    bloom: NoveltyBloom | None = None,
+    n_bits: int = 1 << 23,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Rows of ``batch`` whose content does not occur in ``corpus`` —
+    bit-identical to the plain anti-join on sha2(text), but the corpus is
+    never shuffled: bloom-negative rows skip verification entirely, and the
+    bloom-positive candidates verify through two broadcast joins (candidate
+    keys -> corpus LEFT SEMI scan -> matched keys -> batch anti-join)."""
+    if bloom is None:
+        bloom = build_novelty_bloom(corpus, text_col, n_bits, n_hashes)
+    key = F.sha2(F.col(text_col), 256)
+    tagged = novelty_candidates(spark, batch, bloom, text_col)
+    cand_keys = (
+        tagged.filter(F.col("_maybe_dup")).select(key.alias("_k")).distinct()
+    )
+    matched = (
+        corpus.select(key.alias("_k"))
+        .join(F.broadcast(cand_keys), on="_k", how="left_semi")
+        .distinct()
+    )
+    return (
+        tagged.drop("_maybe_dup")
+        .withColumn("_k", key)
+        .join(F.broadcast(matched), on="_k", how="left_anti")
+        .drop("_k")
     )

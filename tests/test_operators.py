@@ -1060,3 +1060,84 @@ def test_percolate_msm0_join_semantics_parity(spark):
     for i, t in enumerate(texts):
         assert percolate_doc(t, regs) == sorted(sp.get(i, [])), (i, t)
     assert percolate_doc("nothing relevant", regs) == []
+
+
+# ---------------------------------------------------------------------------
+# incremental novelty filter (Bloom-prefiltered dedup against a corpus)
+# ---------------------------------------------------------------------------
+
+def test_novelty_filter_bit_identical_to_antijoin(spark, tmp_path):
+    """novel_rows == the plain sha2 anti-join on every bloom size — a tiny
+    bitmap FORCES false positives, which must cost verification only, never
+    correctness; a roomy bitmap must certify most novel rows join-free."""
+    corpus = spark.range(0, 400).select(
+        "id", F.format_string("corpus document body %d", "id").alias("text")
+    )
+    # 30 of the 100 batch rows repeat corpus texts (ids 0..29), 70 are new
+    batch = spark.range(0, 100).select(
+        (F.col("id") + 10_000).alias("id"),
+        F.when(
+            F.col("id") < 30,
+            F.format_string("corpus document body %d", "id"),
+        ).otherwise(
+            F.format_string("brand new document %d", "id")
+        ).alias("text"),
+    )
+    expect = {
+        r.id
+        for r in batch.join(
+            corpus.select("text"), on="text", how="left_anti"
+        ).collect()
+    }
+    assert len(expect) == 70
+
+    for n_bits in (256, 1 << 20):
+        bloom = dedup.build_novelty_bloom(corpus, n_bits=n_bits)
+        got = dedup.novel_rows(spark, batch, corpus, bloom=bloom)
+        assert {r.id for r in got.collect()} == expect, f"n_bits={n_bits}"
+        # schema passthrough: the batch's own columns, no helper residue
+        assert got.columns == batch.columns
+
+        flags = dedup.novelty_candidates(spark, batch, bloom).collect()
+        maybe = {r.id for r in flags if r._maybe_dup}
+        # Bloom filters have NO false negatives: every true dup is flagged
+        assert set(range(10_000, 10_030)) <= maybe
+        if n_bits == 256:
+            # 400 keys in 256 bits: saturated -> false positives exist
+            assert len(maybe) > 30
+        else:
+            # ~0 FP at 1<<20 bits for 400 keys: novel rows skip verification
+            assert len(maybe) <= 35
+
+    # persisted artifact roundtrip
+    p = str(tmp_path / "corpus.bloom")
+    bloom = dedup.build_novelty_bloom(corpus, n_bits=1 << 16)
+    bloom.save(p)
+    loaded = dedup.NoveltyBloom.load(p)
+    assert (loaded.n_bits, loaded.n_hashes) == (bloom.n_bits, bloom.n_hashes)
+    assert loaded.bits == bloom.bits
+    got = dedup.novel_rows(spark, batch, corpus, bloom=loaded)
+    assert {r.id for r in got.collect()} == expect
+    with pytest.raises(ValueError, match="novelty-bloom"):
+        (tmp_path / "junk").write_bytes(b"nope")
+        dedup.NoveltyBloom.load(str(tmp_path / "junk"))
+
+
+def test_novelty_filter_corpus_never_shuffled(spark):
+    """100-TB shape: the verification joins are BROADCAST on the (small)
+    candidate/matched key sets — no sort-merge join, no corpus shuffle —
+    and empty corpora / empty batches behave."""
+    corpus = spark.range(0, 50).select(
+        "id", F.format_string("c %d", "id").alias("text")
+    )
+    batch = spark.range(0, 20).select(
+        "id", F.format_string("c %d", "id").alias("text")
+    )
+    plan = dedup.novel_rows(spark, batch, corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
+
+    # all-dup batch -> empty; empty corpus -> everything is novel
+    assert dedup.novel_rows(spark, batch, corpus).count() == 0
+    empty = corpus.filter("id < 0")
+    assert dedup.novel_rows(spark, batch, empty).count() == 20
