@@ -2044,6 +2044,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hash_fn="md5_60",
         ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
+    def novelty_neardup(spark, sf):
+        """Incremental NEAR-dup mining (new batch vs EXISTING corpus —
+        minhash_lsh_against): banded MinHash candidates from corpus
+        signatures computable ONCE and persisted, batch band rows broadcast
+        into the band equi-join (the corpus never shuffles for candidate
+        generation), exact hashed-shingle Jaccard verify of candidates only.
+        The near-dup complement of novelty_dedup's exact filter. md5_60
+        family: the oracle recomputes signatures, buckets and the verify
+        bit-for-bit."""
+        d = _docs(spark, sf)
+        return dedup.minhash_lsh_against(
+            d.filter("doc_id % 5 = 1"), d.filter("doc_id % 5 <> 1"),
+            n=1, num_hashes=32, bands=8, threshold=0.8, hash_fn="md5_60",
+        ).select(
+            "id_batch", "id_corpus", F.round("jaccard", 6).alias("jaccard")
+        )
+
     def simhash_pairs(spark, sf):
         # md5_60: same banded-Hamming pipeline, SQL-recomputable end to end
         return dedup.simhash_pairs(
@@ -2719,6 +2736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         adjacency_matrix=adjacency_matrix_q,
         jaccard_pairs=jaccard_pairs,
         novelty_dedup=novelty_dedup,
+        novelty_neardup=novelty_neardup,
         minhash_lsh=minhash_lsh,
         simhash_pairs=simhash_pairs,
         stream_neardup=stream_neardup,
@@ -3871,6 +3889,32 @@ j AS (
   FROM cand JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b)
 SELECT id_a, id_b, round(i / (na + nb - i), 6) AS jaccard
 FROM j WHERE i / (na + nb - i) >= 0.8
+"""
+
+    o["novelty_neardup"] = f"""
+WITH sh AS (SELECT DISTINCT doc_id, unnest({_w}) AS shingle FROM documents),
+sig AS (SELECT doc_id,
+         {_sig_aggs}
+        FROM sh GROUP BY doc_id),
+bandrows AS (
+  {_band_selects}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS id_batch, c.doc_id AS id_corpus
+  FROM bandrows b JOIN bandrows c
+    ON b.band = c.band AND b.bucket = c.bucket
+  WHERE b.doc_id % 5 = 1 AND c.doc_id % 5 <> 1),
+ids AS (SELECT id_batch AS doc_id FROM cand UNION SELECT id_corpus FROM cand),
+sets AS (
+  SELECT doc_id, list_sort(list_distinct(list({_H('shingle')}))) AS s
+  FROM sh JOIN ids USING (doc_id) GROUP BY doc_id),
+j AS (
+  SELECT id_batch, id_corpus,
+         len(list_intersect(sb.s, sc.s)) AS i,
+         len(sb.s) AS nb, len(sc.s) AS nc
+  FROM cand JOIN sets sb ON sb.doc_id = id_batch
+            JOIN sets sc ON sc.doc_id = id_corpus)
+SELECT id_batch, id_corpus, round(i / (nb + nc - i), 6) AS jaccard
+FROM j WHERE i / (nb + nc - i) >= 0.8
 """
 
     _agree = " + ".join(

@@ -571,6 +571,30 @@ def cmd_dedup(args: argparse.Namespace) -> None:
         print(json.dumps({"out": args.out, "kept": kept,
                           "method": "crosssource"}))
         return
+    if args.method == "minhash" and args.against:
+        # incremental NEAR-dup: batch vs an existing corpus; --drop-dups
+        # keeps only batch rows with NO near-dup in the corpus (the
+        # near-dup novelty filter, complementing --method novel's exact one)
+        corpus = spark.read.parquet(args.against)
+        pairs = dedup.minhash_lsh_against(
+            d, corpus, n=args.ngram, num_hashes=args.num_hashes,
+            bands=args.bands, threshold=args.threshold,
+            text_col=args.text_col, id_col=args.id_col,
+        )
+        if args.drop_dups:
+            dup_ids = pairs.select(
+                F.col("id_batch").alias(args.id_col)
+            ).distinct()
+            kept = d.join(F.broadcast(dup_ids), args.id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"out": args.out, "rows": kept.count(),
+                              "method": "minhash", "against": args.against,
+                              "dropped_dups": True}))
+        else:
+            pairs.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"out": args.out, "pairs": pairs.count(),
+                              "method": "minhash", "against": args.against}))
+        return
     if args.method == "minhash":
         pairs = dedup.minhash_lsh_pairs(
             d, n=args.ngram, num_hashes=args.num_hashes, bands=args.bands,

@@ -317,6 +317,98 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_against(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    hash_fn: str = "xxhash64",
+    corpus_sigs: DataFrame | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-dup pairs ``(id_batch, id_corpus, jaccard)`` between a NEW batch
+    and an EXISTING corpus — the incremental twin of
+    :func:`minhash_lsh_pairs` and the near-dup complement of
+    :func:`novel_rows`' exact filter.
+
+    100-TB shape: the corpus side costs ONE signature pass that can be
+    persisted once and reused across every batch (pass ``corpus_sigs`` = a
+    saved :func:`minhash_signatures` output — same hash family => same band
+    buckets, the contract :func:`band_rows_from_sigs` documents); each batch
+    then costs its own signatures plus a band equi-join in which the batch's
+    band rows are broadcast (``broadcast_batch``, default on — a batch is
+    request-sized; flip it off for backfill-scale batches and let AQE pick).
+    Verification recomputes exact hashed-shingle Jaccard for candidates
+    only, exactly as the self-join operator does, so one oracle family
+    covers both."""
+    assert num_hashes % bands == 0
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(
+            corpus, text_col, id_col, n, num_hashes, hash_fn
+        )
+    bsig = minhash_signatures(batch, text_col, id_col, n, num_hashes, hash_fn)
+    cband = band_rows_from_sigs(corpus_sigs, num_hashes, bands, hash_fn)
+    bband = band_rows_from_sigs(bsig, num_hashes, bands, hash_fn)
+    if broadcast_batch:
+        bband = F.broadcast(bband)
+    cand = (
+        cband.alias("c")
+        .join(
+            bband.alias("b"),
+            (F.col("c.band") == F.col("b.band"))
+            & (F.col("c.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("id_batch"),
+            F.col("c.doc_id").alias("id_corpus"),
+        )
+        .distinct()
+        .persist()
+    )
+    cand.count()  # materialize the band join once; both branches reuse it
+
+    def _sets(src: DataFrame, ids: DataFrame) -> DataFrame:
+        sh = shingle_table(src, text_col, id_col, n).withColumn(
+            "h", hash64_col(hash_fn, F.col("shingle"))
+        )
+        return (
+            sh.join(ids, "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_set("h")).alias("s"))
+            .withColumn("ns", F.size("s"))
+        )
+
+    sb = _sets(
+        batch, cand.select(F.col("id_batch").alias("doc_id")).distinct()
+    ).select(
+        F.col("doc_id").alias("id_batch"),
+        F.col("s").alias("set_b"),
+        F.col("ns").alias("nb"),
+    )
+    sc = _sets(
+        corpus, cand.select(F.col("id_corpus").alias("doc_id")).distinct()
+    ).select(
+        F.col("doc_id").alias("id_corpus"),
+        F.col("s").alias("set_c"),
+        F.col("ns").alias("nc"),
+    )
+    return (
+        cand.join(sb, "id_batch")
+        .join(sc, "id_corpus")
+        .withColumn("inter", F.size(F.array_intersect("set_b", "set_c")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("nb") + F.col("nc") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_batch", "id_corpus", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1141,3 +1141,62 @@ def test_novelty_filter_corpus_never_shuffled(spark):
     assert dedup.novel_rows(spark, batch, corpus).count() == 0
     empty = corpus.filter("id < 0")
     assert dedup.novel_rows(spark, batch, empty).count() == 20
+
+
+def test_minhash_lsh_against_matches_selfjoin(spark):
+    """Incremental near-dup (batch vs corpus) agrees with the self-join
+    operator restricted to cross-split pairs — under fresh AND persisted
+    corpus signatures (the reuse contract: same hash family => same band
+    buckets)."""
+    rows = []
+    for i in range(40):
+        base = f"shared tokens alpha beta gamma delta epsilon zeta {i % 8}"
+        rows.append((i, base))
+    # 8 text groups of 5 members each -> plenty of near/exact dup pairs
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = df.filter("doc_id % 2 = 0")
+    batch = df.filter("doc_id % 2 = 1")
+    kw = dict(n=1, num_hashes=16, bands=4, threshold=0.8)
+
+    self_pairs = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in dedup.minhash_lsh_pairs(df, **kw).collect()
+    }
+    expect = {}
+    for (a, b), j in self_pairs.items():
+        if a % 2 == 1 and b % 2 == 0:
+            expect[(a, b)] = j
+        elif b % 2 == 1 and a % 2 == 0:
+            expect[(b, a)] = j
+    assert expect  # the construction must actually produce cross pairs
+
+    got = {
+        (r.id_batch, r.id_corpus): round(r.jaccard, 6)
+        for r in dedup.minhash_lsh_against(batch, corpus, **kw).collect()
+    }
+    assert got == expect
+
+    # persisted-signature reuse: precomputed corpus sigs, identical output
+    sigs = dedup.minhash_signatures(corpus, n=1, num_hashes=16)
+    got2 = {
+        (r.id_batch, r.id_corpus): round(r.jaccard, 6)
+        for r in dedup.minhash_lsh_against(
+            batch, corpus, corpus_sigs=sigs, **kw
+        ).collect()
+    }
+    assert got2 == expect
+
+    # the batch band rows ride a broadcast join (the corpus never shuffles
+    # for candidate generation)
+    plan = (
+        dedup.minhash_lsh_against(batch, corpus, **kw)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    # disjoint vocabularies -> zero pairs
+    other = spark.createDataFrame(
+        [(100 + i, f"totally different words {i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    assert dedup.minhash_lsh_against(other, corpus, **kw).count() == 0
