@@ -1820,8 +1820,9 @@ def _make_handler(
                         _one("fuzziness", str(default_opts.fuzziness))
                     ),
                 )
-                with lock:
-                    self._send(200, engine.validate_query(q, opts))
+                with lock:  # compute under the lock, send after releasing
+                    body = engine.validate_query(q, opts)
+                self._send(200, body)
             except Exception as e:
                 self._send(400, {"error": str(e)})
 
@@ -1898,7 +1899,14 @@ def _make_handler(
             filter exists), aggregatable (usable as a facet / stats /
             sort key). Schema-only metadata reads — no data scan."""
             try:
-                meta = dict(getattr(engine.index, "meta", {}) or {})
+                # snapshot swap-mutable state under the lock (index_path and
+                # engine are reassigned by _maybe_swap under it), then do
+                # the pyarrow schema read OUTSIDE it — same discipline as
+                # /doc//mget
+                with lock:
+                    meta = dict(getattr(engine.index, "meta", {}) or {})
+                    ipath = index_path
+                    docs = getattr(engine.index, "docs", None)
                 out: dict[str, dict] = {}
                 for fld in ("full_text", *sorted(meta.get("fields") or ())):
                     out[fld] = {
@@ -1909,22 +1917,20 @@ def _make_handler(
                     }
                 filterable = {"repo", "path", "lang", "doc_id"}
                 cols: list[tuple[str, str]] = []
-                if index_path is not None:
+                if ipath is not None:
                     import pyarrow.dataset as ds_mod
 
                     sch = ds_mod.dataset(
-                        os.path.join(index_path, "docs"),
+                        os.path.join(ipath, "docs"),
                         format="parquet",
                         partitioning="hive",
                     ).schema
                     cols = [(nm, str(sch.field(nm).type)) for nm in sch.names]
-                else:
-                    docs = getattr(engine.index, "docs", None)
-                    if docs is not None:
-                        cols = [
-                            (f.name, f.dataType.simpleString())
-                            for f in docs.schema.fields
-                        ]
+                elif docs is not None:
+                    cols = [
+                        (f.name, f.dataType.simpleString())
+                        for f in docs.schema.fields
+                    ]
                 for nm, tp in cols:
                     if nm.startswith("_"):
                         continue
