@@ -1172,6 +1172,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             [_grp(0, ["merge"])], 1, SearchOptions(), size=10, min_doc_count=2
         )
 
+    def significant_text_q(spark, sf):
+        # ES sampler + significant_text: terms over-represented in the
+        # stored content of the 30 BEST 'merge' hits (vs significant_terms'
+        # full match set) — bounded point reads + dictionary df, JLH-scored
+        rows = _engine(spark, sf).significant_text_rows(
+            [_grp(0, ["merge"])], 1, SearchOptions(),
+            sample_size=30, size=10, min_doc_count=2,
+        )
+        return spark.createDataFrame(
+            rows, "term string, fg_count long, bg_count long, score double"
+        )
+
     def term_vectors_q(spark, sf):
         # ES _termvectors analog: (term, tf, df) of stored doc 0 — point
         # content read + index-kernel re-analysis + dictionary df lookup
@@ -1742,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rescore_window=rescore_window,
         term_vectors=term_vectors_q,
         significant_terms=significant_terms_q,
+        significant_text=significant_text_q,
         spell_suggest=spell_suggest_q,
         phrase_suggest=phrase_suggest_q,
         hybrid_rrf=hybrid_rrf,
@@ -2316,6 +2329,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             hash_fn="md5_60",
         )
 
+    def diversified_sample_q(spark, sf):
+        # ES diversified_sampler agg analog: the 20 longest docs with at
+        # most 3 per lang — per-value window cap BEFORE the global
+        # TakeOrdered, NULL diversity values drop
+        from gazetteer_search_spark.operators import sampling
+
+        return sampling.diversified_sample(
+            spark.read.parquet(f"{sf}/documents.parquet").select(
+                "doc_id", "lang", "n_chars"
+            ),
+            order_col="n_chars",
+            diversity_col="lang",
+            max_per_value=3,
+            size=20,
+        )
+
     def hist_nchars(spark, sf):
         # ES histogram agg analog: fixed-interval buckets over a numeric
         # column, keyed by lower bound, empty buckets omitted
@@ -2723,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         quality_classifier=quality_classifier_q,
         stratified_sample=stratified_sample_q,
         mixture_sample=mixture_sample_q,
+        diversified_sample=diversified_sample_q,
         dup_clusters=dup_clusters_q,
         pack_sequences=pack_sequences_q,
         date_histogram=date_histogram_q,
@@ -3008,6 +3038,33 @@ fgt AS (SELECT count(*)::DOUBLE AS ft FROM m),
 fg AS (
   SELECT term, count(*)::BIGINT AS fg_count
   FROM tf JOIN m USING (doc_id) GROUP BY term
+)
+SELECT term, fg_count, d.df AS bg_count,
+       round((fg_count / ft - d.df / cst.n_docs)
+             * ((fg_count / ft) / (d.df / cst.n_docs)), 6) AS score
+FROM fg JOIN dfreq d USING (term) CROSS JOIN fgt CROSS JOIN cst
+WHERE fg_count >= 2 AND fg_count / ft > d.df / cst.n_docs
+ORDER BY round((fg_count / ft - d.df / cst.n_docs)
+               * ((fg_count / ft) / (d.df / cst.n_docs)), 9) DESC, term ASC
+LIMIT 10
+"""
+
+    # significant text (ES sampler + significant_text analog): the sample is
+    # the top-30 'merge' hits by the engine's exact rank order (round-9 score
+    # desc, doc_id asc); fg df comes from re-tokenizing only those docs, bg
+    # df from the corpus, same JLH as significant_terms
+    o["significant_text"] = f"""
+WITH {_BM25_CTES},
+sample AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, max(score) AS raw FROM scored
+    WHERE term = 'merge' GROUP BY doc_id
+  ) ORDER BY round(raw, 9) DESC, doc_id ASC LIMIT 30
+),
+fgt AS (SELECT count(*)::DOUBLE AS ft FROM sample),
+fg AS (
+  SELECT term, count(*)::BIGINT AS fg_count
+  FROM tf JOIN sample USING (doc_id) GROUP BY term
 )
 SELECT term, fg_count, d.df AS bg_count,
        round((fg_count / ft - d.df / cst.n_docs)
@@ -4346,6 +4403,20 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000 <
                 WHEN 'es' THEN 500000
                 WHEN 'zh' THEN 1000000
                 ELSE 100000 END
+"""
+
+    # diversified sampler: per-lang row_number cap before the global cut,
+    # NULL-lang rows dropped, (n_chars desc, doc_id asc) everywhere
+    o["diversified_sample"] = """
+WITH capped AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC
+         ) AS rn
+  FROM documents WHERE lang IS NOT NULL
+)
+SELECT doc_id, lang, n_chars FROM capped WHERE rn <= 3
+ORDER BY n_chars DESC, doc_id ASC LIMIT 20
 """
 
     # sort-by-field + keyset shape: the 2-clause AND match set with the

@@ -17,7 +17,7 @@ recompute the exact sample membership independently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from gazetteer_search_spark.operators.dedup import hash64_col
@@ -111,3 +111,42 @@ def mixture_sample(
         df, strata_col, rates, default_rate=0.0,
         key_col=key_col, salt=salt, hash_fn=hash_fn,
     )
+
+
+def diversified_sample(
+    df: DataFrame,
+    order_col: str,
+    diversity_col: str | None = None,
+    max_per_value: int = 1,
+    size: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES ``sampler`` / ``diversified_sampler`` agg analog: the best ``size``
+    rows by ``order_col`` (descending; ties break ``id_col``-ascending so the
+    sample is reproducible), with at most ``max_per_value`` rows sharing any
+    one value of ``diversity_col`` — the de-biasing cap ES puts under its
+    significance/terms aggs so one over-represented source cannot dominate
+    the sample. ``diversity_col=None`` is the plain sampler (rank cut only).
+    Rows with a NULL diversity value drop (ES missing-bucket semantics).
+
+    Scale shape: one window partitioned by the diversity value applies the
+    per-value cap BEFORE the global cut, so the final ordering sees at most
+    |values| x max_per_value rows; the cut itself is a TakeOrdered — the
+    corpus never fully sorts. No UDF, no driver state."""
+    if max_per_value < 1:
+        raise ValueError(
+            f"max_per_value must be >= 1, got {max_per_value}"
+        )
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    order = [F.col(order_col).desc(), F.col(id_col).asc()]
+    out = df
+    if diversity_col is not None:
+        w = Window.partitionBy(diversity_col).orderBy(*order)
+        out = (
+            df.filter(F.col(diversity_col).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.lit(int(max_per_value)))
+            .drop("_rn")
+        )
+    return out.orderBy(*order).limit(size)

@@ -1208,6 +1208,69 @@ class SearchEngine:
             rows, "term string, fg_count long, bg_count long, score double"
         )
 
+    def significant_text_rows(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        sample_size: int = 50,
+        size: int = 10,
+        min_doc_count: int = 2,
+    ) -> list[tuple]:
+        """ES ``sampler`` + ``significant_text`` analog — the SERVING-shaped
+        twin of :meth:`significant_terms`. That method decodes the full
+        postings (a corpus-shaped pass, right for the Spark analytics tier);
+        this one re-analyzes the STORED content of only the best
+        ``sample_size`` hits — exactly the composition the ES docs
+        prescribe (significant_text re-tokenizes _source per doc, so it is
+        wrapped in a sampler agg to bound that work). fg df comes from the
+        bounded sample, bg df from the persisted dictionary (no second
+        corpus pass), and the score is the same JLH heuristic, so terms
+        over-represented in a query's BEST matches surface in milliseconds
+        on a Spark-free serving node. Requires a store_content index (the
+        same contract as snippets and /mlt by doc_id — ``_doc_content``
+        raises with the rebuild hint otherwise). Hits whose generation
+        carries no stored content count toward the sample total but
+        contribute no terms. Output rows: (term, fg_count, bg_count, score)
+        ordered (score desc, term asc), top ``size``.
+
+        Bounded by construction: ``sample_size`` point content reads, one
+        dictionary df lookup per distinct sample term (<= sample docs x
+        tokens/doc; the serving tier answers from the cached dict, the
+        Spark tier from one bucket-pruned filter over term_stats)."""
+        from dataclasses import replace as _replace
+
+        from gazetteer_search_spark.analyzer.tokenizer import tokenize_text
+
+        options = options or SearchOptions()
+        hits = self.search_rung_rows(
+            groups, msm, _replace(options, k=int(sample_size))
+        )
+        if not hits:
+            return []
+        content = self._doc_content([int(r.doc_id) for r in hits])
+        ft = float(len(hits))
+        fg: dict[str, int] = {}
+        for r in hits:
+            for t in set(tokenize_text(content.get(int(r.doc_id), ""))):
+                fg[t] = fg.get(t, 0) + 1
+        dfm = self._df_for_terms(sorted(fg))
+        n = float(self.index.n_docs)
+        scored: list[tuple[str, int, int, float]] = []
+        for t, c in fg.items():
+            if c < int(min_doc_count):
+                continue
+            bg = dfm.get(t, 0)
+            if bg <= 0:
+                continue
+            fgp = c / ft
+            bgp = bg / n
+            if fgp <= bgp:
+                continue
+            scored.append((t, c, bg, (fgp - bgp) * (fgp / bgp)))
+        scored.sort(key=lambda x: (-round(x[3], 9), x[0]))
+        return [(t, c, bg, round(s, 6)) for t, c, bg, s in scored[:size]]
+
     def count_matches(
         self,
         groups: list[TermGroup],

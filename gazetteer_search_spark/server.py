@@ -182,6 +182,12 @@ API_ENDPOINTS: tuple[dict, ...] = (
               key="bucket key", n="hits per bucket"),
     _endpoint("/facetcard", "per-bucket cardinality", q="query string",
               key="bucket key", metric="distinct-counted field"),
+    _endpoint("/sigtext", "significant text of the best hits (ES sampler + "
+                          "significant_text; needs a store_content index)",
+              q="query string", size="terms returned (default 10)",
+              sample="best hits re-analyzed (1..200, default 50)",
+              min_doc_count="minimum sample df per term (default 2)",
+              lang="class filter", repo="repo filter"),
     _endpoint("/termvectors", "stored term vector for one document",
               doc_id="document id"),
     _endpoint("/doc", "single-document fetch (GET _doc/{id})",
@@ -691,6 +697,9 @@ def _make_handler(
             if u.path == "/facetcard":
                 self._do_facetcard(u)
                 return
+            if u.path == "/sigtext":
+                self._do_sigtext(u)
+                return
             if u.path == "/termvectors":
                 self._do_termvectors(u)
                 return
@@ -731,6 +740,7 @@ def _make_handler(
                             "/search", "/suggest", "/near", "/sorted",
                             "/mapping", "/segments", "/mlt",
                             "/count", "/composite", "/tophits", "/facetcard",
+                            "/sigtext",
                             "/termvectors", "/spell", "/analyze", "/stats",
                             "/classes", "/ui", "/knn", "/hybrid", "/api",
                             "/doc", "/mget", "/validate", "/field_caps"
@@ -1129,6 +1139,58 @@ def _make_handler(
                 "buckets": [
                     {"value": v, "doc_count": int(c), "n_distinct": int(d)}
                     for v, c, d in rows
+                ],
+            })
+
+        def _do_sigtext(self, u) -> None:
+            """Significant-text route (ES sampler + significant_text
+            analog): GET /sigtext?q=...&sample=50&size=10 — terms
+            over-represented in the stored content of the query's best
+            ``sample`` hits relative to the corpus dictionary, JLH-scored.
+            Bounded per request: ``sample`` point content reads + one
+            cached-dictionary df lookup per distinct sample term; no
+            corpus-shaped work (that form is the Spark tier's
+            significant_terms). 400 on a no-stored-content index, with the
+            rebuild hint."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            try:
+                size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
+                sample = max(
+                    1, min(int((qs.get("sample") or ["50"])[0]), 200)
+                )
+                mdc = max(
+                    1, int((qs.get("min_doc_count") or ["2"])[0])
+                )
+                opts = replace(
+                    default_opts,
+                    lang=(qs.get("lang") or [default_opts.lang])[0],
+                    repo=(qs.get("repo") or [default_opts.repo])[0],
+                )
+                rows = None
+                with lock:  # sends happen AFTER release
+                    _rows, meta = engine._search_ladder(q, opts)
+                    if "msm" in meta:
+                        rows = engine.significant_text_rows(
+                            meta["groups"], meta["msm"], opts,
+                            sample_size=sample, size=size,
+                            min_doc_count=mdc,
+                        )
+                if rows is None:
+                    self._send(400, {"error": "unsupported query shape"})
+                    return
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(200, {
+                "query": q, "sample": sample,
+                "terms": [
+                    {"term": t, "fg_count": int(c), "bg_count": int(b),
+                     "score": round(float(s), 6)}
+                    for t, c, b, s in rows
                 ],
             })
 

@@ -1200,3 +1200,58 @@ def test_minhash_lsh_against_matches_selfjoin(spark):
         ["doc_id", "text"],
     )
     assert dedup.minhash_lsh_against(other, corpus, **kw).count() == 0
+
+
+def test_diversified_sample(spark):
+    """ES sampler / diversified_sampler analog: per-value cap before the
+    global rank cut, NULL diversity values drop, plain-sampler form with
+    diversity_col=None, deterministic (order desc, id asc) everywhere."""
+    from gazetteer_search_spark.operators import sampling
+
+    rows = [
+        # (doc_id, lang, n): 'en' has 4 rows so the cap must bite
+        (0, "en", 100), (1, "en", 90), (2, "en", 80), (3, "en", 70),
+        (4, "fr", 95), (5, "fr", 60),
+        (6, None, 99),  # NULL diversity -> dropped
+        (7, "zh", 50),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n"])
+
+    got = [
+        (r.doc_id, r.lang, r.n)
+        for r in sampling.diversified_sample(
+            df, "n", "lang", max_per_value=2, size=5
+        ).collect()
+    ]
+    # en keeps its best 2 (100, 90); fr both; zh its one; NULL row gone;
+    # global order (n desc, doc_id asc), size cut at 5
+    assert got == [
+        (0, "en", 100), (4, "fr", 95), (1, "en", 90), (5, "fr", 60),
+        (7, "zh", 50),
+    ]
+
+    # plain sampler: no diversity cap, NULL rows kept, pure rank cut
+    plain = [
+        r.doc_id
+        for r in sampling.diversified_sample(
+            df, "n", None, size=3
+        ).collect()
+    ]
+    assert plain == [0, 6, 4]
+
+    # ties in the order column break doc_id-ascending (reproducible sample)
+    tied = spark.createDataFrame(
+        [(3, "en", 10), (1, "en", 10), (2, "en", 10)],
+        ["doc_id", "lang", "n"],
+    )
+    assert [
+        r.doc_id
+        for r in sampling.diversified_sample(
+            tied, "n", "lang", max_per_value=2, size=10
+        ).collect()
+    ] == [1, 2]
+
+    with pytest.raises(ValueError):
+        sampling.diversified_sample(df, "n", "lang", max_per_value=0)
+    with pytest.raises(ValueError):
+        sampling.diversified_sample(df, "n", "lang", size=0)

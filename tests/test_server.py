@@ -685,6 +685,62 @@ def test_http_termvectors(ceng):
         srv.shutdown()
 
 
+def test_http_sigtext(ceng, eng):
+    """GET /sigtext (ES sampler + significant_text analog): with the top-5
+    'alpha' hits as the sample (doc 0 outranks the uniform tail on tf, then
+    doc_id ties), only beta/gamma are over-represented vs the dictionary —
+    fg 1/5 vs bg 1/30 gives JLH exactly 1.0 for both. alpha (fg%==bg%) and
+    plain/words (under-represented) must NOT appear. A no-stored-content
+    index 400s with the rebuild hint; missing q 400s."""
+    from gazetteer_search_spark.search.engine import SearchEngine, TermGroup
+
+    srv, port = _serve(ceng, SearchOptions(k=5, prefix=False))
+    try:
+        env = _get(
+            port, "/sigtext?q=alpha&sample=5&size=10&min_doc_count=1"
+        )
+        assert env["sample"] == 5
+        assert env["terms"] == [
+            {"term": "beta", "fg_count": 1, "bg_count": 1, "score": 1.0},
+            {"term": "gamma", "fg_count": 1, "bg_count": 1, "score": 1.0},
+        ]
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/sigtext")
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+
+    # serving tier (local kernel) == Spark tier, row for row
+    g = [TermGroup(group_id=0, terms=("alpha",), required=True)]
+    kw = dict(sample_size=5, size=10, min_doc_count=1)
+    local_rows = ceng.significant_text_rows(
+        g, 1, SearchOptions(prefix=False), **kw
+    )
+    spark_eng = SearchEngine(ceng.spark, ceng.index)
+    spark_rows = spark_eng.significant_text_rows(
+        g, 1, SearchOptions(prefix=False), **kw
+    )
+    assert local_rows == spark_rows
+    assert [(t, c, b, s) for t, c, b, s in local_rows] == [
+        ("beta", 1, 1, 1.0), ("gamma", 1, 1, 1.0)
+    ]
+
+    # an index without stored content must 400, naming the rebuild flag
+    srv2, port2 = _serve(eng, SearchOptions(k=5, prefix=False))
+    try:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{port2}/sigtext?q=alpha&sample=5"
+        )
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "store_content" in json.loads(e.read())["error"]
+    finally:
+        srv2.shutdown()
+
+
 def test_http_msearch(eng):
     """POST /msearch (ES _msearch analog): NDJSON of search requests, one
     envelope per line in order; a bad line yields a per-line error without
