@@ -2345,6 +2345,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             size=20,
         )
 
+    def select_budget_q(spark, sf):
+        # token-budget corpus selection: the best-ranked prefix (n_chars
+        # desc) whose char total fits 30000 — distributed prefix sum
+        # (bucketed two-pass), bit-identical to the oracle's one-window form
+        from gazetteer_search_spark.operators import sampling
+
+        return sampling.select_to_budget(
+            spark.read.parquet(f"{sf}/documents.parquet").select(
+                "doc_id", "lang", "n_chars"
+            ),
+            30000,
+            order_col="n_chars",
+            token_col="n_chars",
+            n_buckets=8,
+        )
+
     def hist_nchars(spark, sf):
         # ES histogram agg analog: fixed-interval buckets over a numeric
         # column, keyed by lower bound, empty buckets omitted
@@ -2753,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stratified_sample=stratified_sample_q,
         mixture_sample=mixture_sample_q,
         diversified_sample=diversified_sample_q,
+        select_budget=select_budget_q,
         dup_clusters=dup_clusters_q,
         pack_sequences=pack_sequences_q,
         date_histogram=date_histogram_q,
@@ -4403,6 +4420,19 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000 <
                 WHEN 'es' THEN 500000
                 WHEN 'zh' THEN 1000000
                 ELSE 100000 END
+"""
+
+    # token-budget selection: the oracle runs the NAIVE one-window global
+    # prefix sum the operator deliberately avoids; the bucketed two-pass
+    # form must reproduce it row for row
+    o["select_budget"] = """
+WITH c AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents WHERE n_chars IS NOT NULL
+)
+SELECT doc_id, lang, n_chars FROM c WHERE cum <= 30000
 """
 
     # diversified sampler: per-lang row_number cap before the global cut,

@@ -150,3 +150,87 @@ def diversified_sample(
             .drop("_rn")
         )
     return out.orderBy(*order).limit(size)
+
+
+def select_to_budget(
+    df: DataFrame,
+    budget: int,
+    order_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Token-budget corpus selection: the maximal quality-ranked PREFIX of
+    the corpus whose token sum fits ``budget`` — "fill a 10B-token training
+    budget with the best documents first". A row is kept iff its running
+    token total in (``order_col`` desc, ``id_col`` asc) order is <= budget
+    (greedy prefix, the knapsack-free form every data-curation pipeline
+    uses; rows with a NULL order or token value drop). Deterministic: the
+    same corpus selects identically at any parallelism.
+
+    Scale shape — a DISTRIBUTED PREFIX SUM, never the naive global window
+    (``sum() OVER (ORDER BY ...)`` collapses the corpus into ONE task):
+
+    1. bound the order column into ``n_buckets`` rank-ordered value ranges
+       (approxQuantile sketch — one pass; the cut VALUES are only a
+       partitioning aid, the selection never depends on them);
+    2. one hash aggregation gives per-bucket token sums; the driver prefix-
+       sums <= n_buckets rows to find the single BOUNDARY bucket where the
+       budget is crossed — every better-ranked bucket is kept whole with no
+       per-row ordering work at all;
+    3. only the boundary bucket (~1/n_buckets of the corpus) runs an exact
+       in-bucket running sum, offset by the driver's prefix.
+
+    Equal order values always share a bucket (cuts compare strictly), so
+    bucket ranges respect the global order and the result is bit-identical
+    to the one-window form — which is the DuckDB oracle. Worst case: an
+    order column with one distinct value collapses every row into the
+    boundary bucket (= the naive form); rank on a column with spread."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    base = df.filter(
+        F.col(order_col).isNotNull() & F.col(token_col).isNotNull()
+    )
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = (
+        sorted(set(base.stat.approxQuantile(order_col, probes, 0.001)))
+        if probes
+        else []
+    )
+    bkt = F.lit(0)
+    for c in cuts:
+        bkt = bkt + F.when(F.col(order_col) < F.lit(c), 1).otherwise(0)
+    tagged = base.withColumn("_bkt", bkt.cast("int"))
+    sums = {
+        int(r._bkt): int(r.t)
+        for r in tagged.groupBy("_bkt")
+        .agg(F.sum(token_col).alias("t"))
+        .collect()
+    }
+    cum = 0
+    boundary = None
+    keep_whole: list[int] = []
+    for b in sorted(sums):
+        if cum + sums[b] <= budget:
+            keep_whole.append(b)
+            cum += sums[b]
+        else:
+            boundary = (b, cum)
+            break
+    out = tagged.filter(F.col("_bkt").isin(keep_whole) if keep_whole
+                        else F.lit(False))
+    if boundary is not None:
+        b, offset = boundary
+        w = (
+            Window.partitionBy("_bkt")
+            .orderBy(F.col(order_col).desc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        edge = (
+            tagged.filter(F.col("_bkt") == b)
+            .withColumn("_cum", F.sum(token_col).over(w) + F.lit(offset))
+            .filter(F.col("_cum") <= F.lit(int(budget)))
+            .drop("_cum")
+        )
+        out = out.unionByName(edge)
+    return out.drop("_bkt")

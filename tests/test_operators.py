@@ -1255,3 +1255,52 @@ def test_diversified_sample(spark):
         sampling.diversified_sample(df, "n", "lang", max_per_value=0)
     with pytest.raises(ValueError):
         sampling.diversified_sample(df, "n", "lang", size=0)
+
+
+def test_select_to_budget(spark):
+    """Token-budget corpus selection == the brute-force one-window prefix
+    on every input tried: randomized corpora, tied order values straddling
+    bucket cuts, degenerate n_buckets, budget edges, NULL drops."""
+    import random
+
+    from gazetteer_search_spark.operators import sampling
+
+    def brute(rows, budget):
+        kept, cum = [], 0
+        for did, _, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
+            cum += tok
+            if cum > budget:
+                break
+            kept.append(did)
+        return set(kept)
+
+    rng = random.Random(7)
+    for trial in range(4):
+        rows = [
+            (i, rng.choice([1.0, 2.0, 3.0, 5.0]), rng.randint(0, 40))
+            for i in range(120)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "q", "tok"])
+        total = sum(t for _, _, t in rows)
+        for budget in (0, 37, total // 3, total - 1, total, total + 10):
+            for nb in (1, 4, 64):
+                got = {
+                    r.doc_id
+                    for r in sampling.select_to_budget(
+                        df, budget, "q", "tok", n_buckets=nb
+                    ).collect()
+                }
+                assert got == brute(rows, budget), (trial, budget, nb)
+
+    # NULL order or token values drop before selection
+    df2 = spark.createDataFrame(
+        [(0, 2.0, 5), (1, None, 5), (2, 1.0, None), (3, 1.0, 5)],
+        "doc_id long, q double, tok long",
+    )
+    assert {
+        r.doc_id
+        for r in sampling.select_to_budget(df2, 10, "q", "tok").collect()
+    } == {0, 3}
+
+    with pytest.raises(ValueError):
+        sampling.select_to_budget(df2, -1, "q", "tok")
