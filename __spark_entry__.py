@@ -1184,6 +1184,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows, "term string, fg_count long, bg_count long, score double"
         )
 
+    def significant_meta_q(spark, sf):
+        # ES significant_terms over a KEYWORD field: lang values
+        # over-represented in the 'merge' match set vs the corpus —
+        # match-set facets + corpus value counts, JLH-scored
+        rows = _engine(spark, sf).significant_meta_rows(
+            [_grp(0, ["merge"])], 1, SearchOptions(),
+            key="lang", size=10, min_doc_count=2,
+        )
+        return spark.createDataFrame(
+            rows, "value string, fg_count long, bg_count long, score double"
+        )
+
     def term_vectors_q(spark, sf):
         # ES _termvectors analog: (term, tf, df) of stored doc 0 — point
         # content read + index-kernel re-analysis + dictionary df lookup
@@ -1755,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         term_vectors=term_vectors_q,
         significant_terms=significant_terms_q,
         significant_text=significant_text_q,
+        significant_meta=significant_meta_q,
         spell_suggest=spell_suggest_q,
         phrase_suggest=phrase_suggest_q,
         hybrid_rrf=hybrid_rrf,
@@ -3090,6 +3103,44 @@ FROM fg JOIN dfreq d USING (term) CROSS JOIN fgt CROSS JOIN cst
 WHERE fg_count >= 2 AND fg_count / ft > d.df / cst.n_docs
 ORDER BY round((fg_count / ft - d.df / cst.n_docs)
                * ((fg_count / ft) / (d.df / cst.n_docs)), 9) DESC, term ASC
+LIMIT 10
+"""
+
+    # significant keyword-field values (ES significant_terms on a keyword
+    # field): fg = per-lang counts within the match set, bg = corpus-wide
+    # lang counts, n = the documents rowcount (the engine's index n_docs),
+    # same JLH/ordering as the term forms
+    o["significant_meta"] = f"""
+WITH {_BM25_CTES},
+grp AS (SELECT DISTINCT term, group_id, required, weight FROM ({_sig_g})),
+per_group AS (
+  SELECT s.doc_id, g.group_id, g.required
+  FROM scored s JOIN grp g USING (term)
+  GROUP BY s.doc_id, g.group_id, g.required
+),
+m AS (
+  SELECT doc_id FROM per_group
+  GROUP BY doc_id
+  HAVING sum(CASE WHEN required THEN 1 ELSE 0 END) >= 1
+),
+fgt AS (SELECT count(*)::DOUBLE AS ft FROM m),
+nd AS (SELECT count(*)::DOUBLE AS n FROM documents),
+fg AS (
+  SELECT d.lang AS value, count(*)::BIGINT AS fg_count
+  FROM m JOIN documents d USING (doc_id)
+  WHERE d.lang IS NOT NULL GROUP BY d.lang
+),
+bgc AS (
+  SELECT lang AS value, count(*)::BIGINT AS bg_count
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+)
+SELECT value, fg_count, bg_count,
+       round((fg_count / ft - bg_count / nd.n)
+             * ((fg_count / ft) / (bg_count / nd.n)), 6) AS score
+FROM fg JOIN bgc USING (value) CROSS JOIN fgt CROSS JOIN nd
+WHERE fg_count >= 2 AND fg_count / ft > bg_count / nd.n
+ORDER BY round((fg_count / ft - bg_count / nd.n)
+               * ((fg_count / ft) / (bg_count / nd.n)), 9) DESC, value ASC
 LIMIT 10
 """
 

@@ -1271,6 +1271,56 @@ class SearchEngine:
         scored.sort(key=lambda x: (-round(x[3], 9), x[0]))
         return [(t, c, bg, round(s, 6)) for t, c, bg, s in scored[:size]]
 
+    def significant_meta_rows(
+        self,
+        groups: list[TermGroup],
+        msm: int,
+        options: SearchOptions | None = None,
+        key: str = "lang",
+        size: int = 10,
+        min_doc_count: int = 2,
+    ) -> list[tuple]:
+        """ES ``significant_terms`` over a KEYWORD field (lang/repo/... —
+        the docs-store metadata columns, vs :meth:`significant_terms`'
+        content tokens): which values of ``key`` are OVER-represented in
+        the query's match set relative to the corpus. Pure composition of
+        machinery both tiers already have — fg = the match set's facet
+        counts (one facet pass), fg_total = the exact match count, bg = the
+        corpus-wide value counts (``tag_stats``' single-column pruned scan;
+        base-generation contract, same as GET /stats) — scored with the
+        same JLH heuristic and (score desc, value asc) cut as the term
+        forms. Output rows: (value, fg_count, bg_count, score)."""
+        options = options or SearchOptions()
+        fg = {
+            str(v): int(c)
+            for _f, v, c in self.facet_rows(
+                groups, msm, options, keys=(key,), size=1_000_000,
+                min_doc_count=1,
+            )
+        }
+        if not fg:
+            return []
+        ft = float(self.count_matches(groups, msm, options))
+        bg = {
+            str(b["value"]): int(b["doc_count"])
+            for b in self.tag_stats(key, min_doc_count=1, size=1_000_000)
+        }
+        n = float(self.index.n_docs)
+        scored: list[tuple[str, int, int, float]] = []
+        for v, c in fg.items():
+            if c < int(min_doc_count):
+                continue
+            b = bg.get(v, 0)
+            if b <= 0:
+                continue
+            fgp = c / ft
+            bgp = b / n
+            if fgp <= bgp:
+                continue
+            scored.append((v, c, b, (fgp - bgp) * (fgp / bgp)))
+        scored.sort(key=lambda x: (-round(x[3], 9), x[0]))
+        return [(v, c, b, round(s, 6)) for v, c, b, s in scored[:size]]
+
     def count_matches(
         self,
         groups: list[TermGroup],

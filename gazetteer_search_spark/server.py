@@ -188,6 +188,11 @@ API_ENDPOINTS: tuple[dict, ...] = (
               sample="best hits re-analyzed (1..200, default 50)",
               min_doc_count="minimum sample df per term (default 2)",
               lang="class filter", repo="repo filter"),
+    _endpoint("/sigmeta", "significant keyword-field values of the match "
+                          "set (ES significant_terms on a keyword field)",
+              q="query string", key="docs metadata column (default lang)",
+              size="values returned (default 10)",
+              min_doc_count="minimum match-set df per value (default 2)"),
     _endpoint("/termvectors", "stored term vector for one document",
               doc_id="document id"),
     _endpoint("/doc", "single-document fetch (GET _doc/{id})",
@@ -700,6 +705,9 @@ def _make_handler(
             if u.path == "/sigtext":
                 self._do_sigtext(u)
                 return
+            if u.path == "/sigmeta":
+                self._do_sigmeta(u)
+                return
             if u.path == "/termvectors":
                 self._do_termvectors(u)
                 return
@@ -740,7 +748,7 @@ def _make_handler(
                             "/search", "/suggest", "/near", "/sorted",
                             "/mapping", "/segments", "/mlt",
                             "/count", "/composite", "/tophits", "/facetcard",
-                            "/sigtext",
+                            "/sigtext", "/sigmeta",
                             "/termvectors", "/spell", "/analyze", "/stats",
                             "/classes", "/ui", "/knn", "/hybrid", "/api",
                             "/doc", "/mget", "/validate", "/field_caps"
@@ -1191,6 +1199,52 @@ def _make_handler(
                     {"term": t, "fg_count": int(c), "bg_count": int(b),
                      "score": round(float(s), 6)}
                     for t, c, b, s in rows
+                ],
+            })
+
+        def _do_sigmeta(self, u) -> None:
+            """Significant keyword-field route (ES significant_terms on a
+            keyword field): GET /sigmeta?q=...&key=lang — values of a docs
+            metadata column over-represented in the match set vs the
+            corpus, JLH-scored. One facet pass over the match set + the
+            cached corpus value counts; unknown columns 400 with the
+            available list (tag_stats' contract)."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            if not q:
+                self._send(400, {"error": "missing q"})
+                return
+            key = (qs.get("key") or ["lang"])[0]
+            try:
+                size = max(1, min(int((qs.get("size") or ["10"])[0]), 100))
+                mdc = max(
+                    1, int((qs.get("min_doc_count") or ["2"])[0])
+                )
+                opts = replace(
+                    default_opts,
+                    lang=(qs.get("lang") or [default_opts.lang])[0],
+                    repo=(qs.get("repo") or [default_opts.repo])[0],
+                )
+                rows = None
+                with lock:  # sends happen AFTER release
+                    _rows, meta = engine._search_ladder(q, opts)
+                    if "msm" in meta:
+                        rows = engine.significant_meta_rows(
+                            meta["groups"], meta["msm"], opts,
+                            key=key, size=size, min_doc_count=mdc,
+                        )
+                if rows is None:
+                    self._send(400, {"error": "unsupported query shape"})
+                    return
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(200, {
+                "query": q, "key": key,
+                "values": [
+                    {"value": v, "fg_count": int(c), "bg_count": int(b),
+                     "score": round(float(s), 6)}
+                    for v, c, b, s in rows
                 ],
             })
 

@@ -741,6 +741,48 @@ def test_http_sigtext(ceng, eng):
         srv2.shutdown()
 
 
+def test_http_sigmeta(ceng):
+    """GET /sigmeta (ES significant_terms on a keyword field): 'beta'
+    matches only doc 0, so its unique path is maximally over-represented
+    (fg 1/1 vs bg 1/30 -> JLH (1 - 1/30) * 30 = 29.0) while lang is NOT
+    (every doc is python: fg% == bg% drops) — the route must return the
+    positive and the correctly-empty case. Unknown column 400s naming the
+    available ones; the serving tier equals the Spark tier row for row."""
+    from gazetteer_search_spark.search.engine import SearchEngine, TermGroup
+
+    srv, port = _serve(ceng, SearchOptions(k=5, prefix=False))
+    try:
+        env = _get(port, "/sigmeta?q=beta&key=path&min_doc_count=1")
+        assert env["key"] == "path"
+        assert env["values"] == [
+            {"value": "src/0.py", "fg_count": 1, "bg_count": 1,
+             "score": 29.0},
+        ]
+        assert _get(
+            port, "/sigmeta?q=beta&key=lang&min_doc_count=1"
+        )["values"] == []
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/sigmeta?q=beta&key=nosuchcol"
+            )
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "nosuchcol" in json.loads(e.read())["error"]
+    finally:
+        srv.shutdown()
+
+    g = [TermGroup(group_id=0, terms=("beta",), required=True)]
+    kw = dict(key="path", size=10, min_doc_count=1)
+    local_rows = ceng.significant_meta_rows(
+        g, 1, SearchOptions(prefix=False), **kw
+    )
+    spark_rows = SearchEngine(ceng.spark, ceng.index).significant_meta_rows(
+        g, 1, SearchOptions(prefix=False), **kw
+    )
+    assert local_rows == spark_rows == [("src/0.py", 1, 1, 29.0)]
+
+
 def test_http_msearch(eng):
     """POST /msearch (ES _msearch analog): NDJSON of search requests, one
     envelope per line in order; a bad line yields a per-line error without
