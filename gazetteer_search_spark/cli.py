@@ -1007,6 +1007,7 @@ def cmd_serve(args: argparse.Namespace) -> None:
             alias_path=getattr(args, "index_alias", None), reopen=_open,
             federated=federated or None,
             access_log=getattr(args, "access_log", None),
+            slow_ms=getattr(args, "slow_ms", None),
         )
         print(json.dumps({
             "ready": True, "serving_local": eng._local is not None,
@@ -1493,6 +1494,12 @@ def main(argv: list[str] | None = None) -> None:
         help="write one HttpLogger-style line per HTTP response (UA-"
         "classified marker, client ip, status, method, url) to PATH; "
         "'-' logs to stderr; absent = silent (the default)",
+    )
+    sv.add_argument(
+        "--slow-ms", type=float, metavar="MS",
+        help="ES search-slowlog analog: log a SLOW line (elapsed ms, "
+        "status, method, url) for any request whose compute time reaches "
+        "MS — to --access-log's sink when set, else stderr",
     )
     sv.add_argument(
         "--lazy", action="store_true",

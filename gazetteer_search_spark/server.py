@@ -325,6 +325,7 @@ def _not_param_terms(words) -> tuple[str, ...]:
 def _make_handler(
     engine, default_opts, auth=None, cors_origin=None, index_path=None,
     alias_path=None, reopen=None, federated=None, access_log=None,
+    slow_ms=None,
 ):
     lock = threading.Lock()
     # access log writes are single lines behind their own lock so concurrent
@@ -651,6 +652,7 @@ def _make_handler(
                 alias_sig = m
 
         def do_GET(self) -> None:  # noqa: N802 — http.server API
+            self._t0 = _now()
             self._maybe_swap()
             u = urlparse(self.path)
             if u.path == "/healthz":
@@ -2093,6 +2095,7 @@ def _make_handler(
                 self._send(400, {"error": str(e)})
 
         def do_POST(self) -> None:  # noqa: N802 — http.server API
+            self._t0 = _now()
             self._maybe_swap()
             p = urlparse(self.path).path
             if p == "/msearch":
@@ -2388,13 +2391,35 @@ def _make_handler(
             completed response — UA-classified marker, client ip (X-Real-IP
             preferred, the reference's proxy-aware rule), status, method,
             url, User-Agent — plus a WARN line for non-200s. Silent when no
-            --access-log sink is configured (the prior behavior)."""
-            if access_log is None:
-                return
+            --access-log sink is configured (the prior behavior).
+
+            ES search-slowlog analog: with ``slow_ms`` set, any request
+            whose compute time (request start to response headers — the
+            "took", not the body transfer) reaches the threshold writes a
+            SLOW line with the elapsed ms. Slow lines go to the access-log
+            sink when one exists, else stderr — so the slowlog works
+            without enabling the full access log, like ES's independent
+            slowlog thresholds."""
             try:
                 status = int(code)
             except (TypeError, ValueError):
                 status = 0
+            t0 = getattr(self, "_t0", None)
+            if slow_ms is not None and t0 is not None:
+                ms = (_now() - t0) * 1000.0
+                if ms >= slow_ms:
+                    sink = access_log if access_log is not None else sys.stderr
+                    try:
+                        with log_lock:
+                            sink.write(
+                                f"SLOW {ms:.1f}ms {status} {self.command} "
+                                f"{self.path}\n"
+                            )
+                            sink.flush()
+                    except (OSError, ValueError):
+                        pass
+            if access_log is None:
+                return
             ua = self.headers.get("User-Agent") if self.headers else None
             ip = (
                 self.headers.get("X-Real-IP") if self.headers else None
@@ -2449,6 +2474,7 @@ def make_server(
     reopen=None,
     federated: dict | None = None,
     access_log=None,
+    slow_ms: float | None = None,
 ):
     """Build (not start) the HTTP server; port 0 binds an ephemeral port
     (``server_address[1]`` reports it). Caller runs ``serve_forever()``.
@@ -2461,7 +2487,9 @@ def make_server(
     ``federated``: {name: engine} of EXTRA indexes — enables GET /fsearch
     (the ES multi-index ``GET /idx1,idx2/_search`` shape); ``access_log``:
     a path (opened append, line-buffered), ``"-"`` for stderr, or an open
-    text sink — one HttpLogger-style line per response."""
+    text sink — one HttpLogger-style line per response; ``slow_ms``: the
+    ES search-slowlog threshold — requests at or above it log a SLOW line
+    (to the access-log sink, else stderr)."""
     if isinstance(access_log, str):
         access_log = (
             sys.stderr
@@ -2473,6 +2501,6 @@ def make_server(
         _make_handler(
             engine, options, auth, cors_origin, index_path,
             alias_path=alias_path, reopen=reopen, federated=federated,
-            access_log=access_log,
+            access_log=access_log, slow_ms=slow_ms,
         ),
     )

@@ -1593,6 +1593,52 @@ def test_http_api_endpoint_registry(eng):
         srv.shutdown()
 
 
+def test_http_slowlog(eng, tmp_path):
+    """--slow-ms (ES search-slowlog analog): a zero threshold logs a SLOW
+    line (elapsed ms + status + method + url) for every request; a huge
+    threshold logs none; the access log's normal lines are unaffected."""
+    log_path = tmp_path / "slow.log"
+    srv = make_server(
+        eng, SearchOptions(k=5, prefix=False), port=0,
+        access_log=str(log_path), slow_ms=0.0,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/search?q=alpha&size=1"
+        ) as r:
+            assert r.status == 200
+    finally:
+        srv.shutdown()
+    lines = log_path.read_text().splitlines()
+    slow = [ln for ln in lines if ln.startswith("SLOW ")]
+    assert len(slow) == 1
+    assert "ms 200 GET /search?q=alpha&size=1" in slow[0]
+    assert float(slow[0].split()[1].rstrip("ms")) >= 0.0
+    # the normal access-log line still present alongside
+    assert any(ln.startswith("HUMAN ") for ln in lines)
+
+    log2 = tmp_path / "quiet.log"
+    srv2 = make_server(
+        eng, SearchOptions(k=5, prefix=False), port=0,
+        access_log=str(log2), slow_ms=1e9,
+    )
+    port2 = srv2.server_address[1]
+    threading.Thread(target=srv2.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port2}/search?q=alpha&size=1"
+        ) as r:
+            assert r.status == 200
+    finally:
+        srv2.shutdown()
+    assert not [
+        ln for ln in log2.read_text().splitlines()
+        if ln.startswith("SLOW ")
+    ]
+
+
 def test_http_access_log(eng, tmp_path):
     """--access-log sink (HttpLogger.java:38-74 analog): one line per
     response with the UA-classified marker (HUMAN / BOT.GOOGLE / BOT.YANDEX
