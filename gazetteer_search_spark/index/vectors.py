@@ -144,14 +144,32 @@ class KnnIndex:
         n = float(np.sqrt((v * v).sum()))
         return v / n if n > 0 else v
 
-    def knn(self, query, k: int = 10) -> list[tuple[int, float]]:
+    def knn(
+        self, query, k: int = 10, mask: np.ndarray | None = None
+    ) -> list[tuple[int, float]]:
         """Exact cosine top-k: (doc_id, cosine) ordered by the engine's
         deterministic tie-break (round(cosine, 9) desc, doc_id). ``query``
         is text or a vector. Stored vectors are unit (or zero) norm, so
         cosine = dot; zero-vector docs score 0 and lose every tie-break
-        against real matches."""
+        against real matches. ``mask``: the ES filtered-kNN form — a
+        boolean array aligned with ``doc_ids``; top-k is taken AMONG the
+        allowed docs (pre-filter semantics: the page fills with the best
+        allowed docs, never fewer because good unallowed ones were cut
+        first)."""
         qv = self.embed(query) if isinstance(query, str) else np.asarray(query, dtype=np.float64)
         sims = self.matrix @ qv
+        if mask is None:
+            return self._topk(sims, self.doc_ids, k)
+        idx = np.flatnonzero(mask)
+        return self._topk(sims[idx], self.doc_ids[idx], k)
+
+    def mask_for_ids(self, allowed_ids) -> np.ndarray:
+        """Boolean mask aligned with ``doc_ids`` from an allowed-id array
+        (the route's filter scan output)."""
+        return np.isin(self.doc_ids, np.asarray(allowed_ids, dtype=np.int64))
+
+    @staticmethod
+    def _topk(sims: np.ndarray, ids: np.ndarray, k: int) -> list[tuple[int, float]]:
         k = min(k, len(sims))
         if k <= 0:
             return []
@@ -164,13 +182,13 @@ class KnnIndex:
             part = np.argpartition(-sims, m - 1)
             cand, rest = part[:m], part[m:]
             kept = sorted(
-                ((int(self.doc_ids[i]), float(sims[i])) for i in cand),
+                ((int(ids[i]), float(sims[i])) for i in cand),
                 key=lambda r: (-round(r[1], 9), r[0]),
             )[:k]
             if round(float(sims[rest].max()), 9) < round(kept[-1][1], 9):
                 return kept
         rows = sorted(
-            ((int(self.doc_ids[i]), float(sims[i])) for i in range(len(sims))),
+            ((int(ids[i]), float(sims[i])) for i in range(len(sims))),
             key=lambda r: (-round(r[1], 9), r[0]),
         )[:k]
         return rows

@@ -193,6 +193,11 @@ API_ENDPOINTS: tuple[dict, ...] = (
               q="query string", key="docs metadata column (default lang)",
               size="values returned (default 10)",
               min_doc_count="minimum match-set df per value (default 2)"),
+    _endpoint("/explain", "why does THIS doc match/not match (GET "
+                          "_explain/{id}): per-term BM25 contributions + "
+                          "msm verdict for an arbitrary document",
+              q="query string", doc_id="document id",
+              lang="class filter", repo="repo filter"),
     _endpoint("/termvectors", "stored term vector for one document",
               doc_id="document id"),
     _endpoint("/doc", "single-document fetch (GET _doc/{id})",
@@ -217,8 +222,9 @@ API_ENDPOINTS: tuple[dict, ...] = (
               min_doc_count="minimum bucket size", size="bucket count"),
     _endpoint("/classes", "class-dimension browse (OSMDocAPI analog); "
                           "/classes/{id} looks one class up"),
-    _endpoint("/knn", "vector sidecar cosine KNN", q="query text",
-              size="neighbors"),
+    _endpoint("/knn", "vector sidecar cosine KNN (lang/repo = the ES "
+                      "filtered-kNN pre-filter)", q="query text",
+              size="neighbors", lang="class filter", repo="repo filter"),
     _endpoint("/hybrid", "BM25 + KNN reciprocal-rank fusion",
               q="query text", size="page size"),
     _endpoint("/fsearch", "federated multi-index search",
@@ -710,6 +716,9 @@ def _make_handler(
             if u.path == "/sigmeta":
                 self._do_sigmeta(u)
                 return
+            if u.path == "/explain":
+                self._do_explain(u)
+                return
             if u.path == "/termvectors":
                 self._do_termvectors(u)
                 return
@@ -750,7 +759,7 @@ def _make_handler(
                             "/search", "/suggest", "/near", "/sorted",
                             "/mapping", "/segments", "/mlt",
                             "/count", "/composite", "/tophits", "/facetcard",
-                            "/sigtext", "/sigmeta",
+                            "/sigtext", "/sigmeta", "/explain",
                             "/termvectors", "/spell", "/analyze", "/stats",
                             "/classes", "/ui", "/knn", "/hybrid", "/api",
                             "/doc", "/mget", "/validate", "/field_caps"
@@ -1250,6 +1259,73 @@ def _make_handler(
                 ],
             })
 
+        def _do_explain(self, u) -> None:
+            """Single-document explain route (ES GET /{index}/_explain/{id}
+            analog — the /search?explain=true form only covers RETURNED
+            hits; this one answers for an arbitrary document, including a
+            non-matching one): per-term BM25 contributions from the same
+            k-bounded block point-lookup the envelope explain uses, plus
+            the msm verdict ("matched") and the term-level score the doc
+            would carry (sum over clauses of max weighted contribution —
+            doc-side boosts/demotions excluded, like ES's per-field
+            explanation). 404 for a doc_id that is missing or tombstoned."""
+            qs = parse_qs(u.query)
+            q = (qs.get("q") or [""])[0]
+            did = (qs.get("doc_id") or [None])[0]
+            if not q or did is None:
+                self._send(400, {"error": "need q= and doc_id="})
+                return
+            try:
+                doc_id = int(did)
+                opts = replace(
+                    default_opts,
+                    lang=(qs.get("lang") or [default_opts.lang])[0],
+                    repo=(qs.get("repo") or [default_opts.repo])[0],
+                )
+                out = None
+                with lock:  # sends happen AFTER release
+                    found = doc_id in engine.get_docs(
+                        [doc_id], include_content=False
+                    )
+                    if found:
+                        _rows, meta = engine._search_ladder(q, opts)
+                        if "msm" in meta:
+                            contribs = engine.explain_hits(
+                                [doc_id], meta["groups"], opts
+                            ).get(doc_id, [])
+                            best: dict[int, float] = {}
+                            for c in contribs:
+                                g = int(c["group"])
+                                best[g] = max(
+                                    best.get(g, 0.0), float(c["weighted"])
+                                )
+                            req = {
+                                g.group_id
+                                for g in meta["groups"]
+                                if g.required
+                            }
+                            n_req = len(req & set(best))
+                            out = {
+                                "doc_id": doc_id,
+                                "query": q,
+                                "matched": n_req >= int(meta["msm"]),
+                                "matched_required": n_req,
+                                "msm": int(meta["msm"]),
+                                "score": round(sum(best.values()), 4),
+                                "contributions": contribs,
+                            }
+                if not found:
+                    self._send(404, {"error": "doc not found",
+                                     "doc_id": doc_id})
+                    return
+                if out is None:
+                    self._send(400, {"error": "unsupported query shape"})
+                    return
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
+            self._send(200, out)
+
         def _do_mlt(self, u) -> None:
             """More-like-this route (ES _mlt analog): GET /mlt with either
             ``text=<free text>`` or ``doc_id=<id>`` (the latter needs a
@@ -1599,9 +1675,47 @@ def _make_handler(
                 self._send(400, {"error": "size must be an integer"})
                 return
             t0 = _now()
-            rows = h.knn(q, k=size)
+            # ES filtered kNN: lang=/repo= restrict the candidate set
+            # BEFORE the top-k cut (the page fills with the best ALLOWED
+            # docs). The allowed ids come from one predicate-pushdown scan
+            # of the docs store; at bitmap-worthy scale the same mask would
+            # persist per value like the index's attr bits. Sidecar
+            # snapshot contract: vectors and the filter scan both reflect
+            # the corpus at vectorize time.
+            mask = None
+            flt = {
+                p: (qs.get(p) or [None])[0]
+                for p in ("lang", "repo")
+                if (qs.get(p) or [None])[0]
+            }
+            if flt:
+                try:
+                    import pyarrow.dataset as ds_mod
+
+                    with lock:
+                        docs_path = engine.index.paths.docs
+                    dset = ds_mod.dataset(
+                        docs_path, format="parquet", partitioning="hive"
+                    )
+                    cond = None
+                    for kcol, v in flt.items():
+                        if kcol not in dset.schema.names:
+                            raise ValueError(
+                                f"unknown filter column {kcol!r}"
+                            )
+                        c = ds_mod.field(kcol) == v
+                        cond = c if cond is None else cond & c
+                    ids = dset.to_table(
+                        filter=cond, columns=["doc_id"]
+                    )["doc_id"].to_numpy()
+                    mask = h.mask_for_ids(ids)
+                except Exception as e:
+                    self._send(400, {"error": str(e)})
+                    return
+            rows = h.knn(q, k=size, mask=mask)
             self._send(200, {
                 "query": q,
+                **({"filter": flt} if flt else {}),
                 "answer_time_ms": round((_now() - t0) * 1000, 3),
                 "hits": [
                     {"doc_id": d, "cosine": round(round(c, 9), 4)}

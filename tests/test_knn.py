@@ -192,3 +192,67 @@ def test_http_knn_hybrid_param_validation(spark, vidx):
         assert code("/knn?q=alpha&size=3") == 200
     finally:
         srv.shutdown()
+
+
+def test_http_knn_filtered(spark, vidx):
+    """ES filtered kNN (lang= pre-filter): the page is taken AMONG the
+    allowed docs — every hit carries the filter lang, the page still fills
+    to k, and the ranking equals a brute-force cosine over exactly the
+    allowed subset. An unknown filter column 400s."""
+    import urllib.error
+
+    from gazetteer_search_spark.index import builder as _b
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    root, corpus = vidx
+    eng = SearchEngine(spark, _b.load_index(spark, root), serving=True)
+    srv = make_server(
+        eng, SearchOptions(k=5, prefix=False, fuzzy=False), port=0,
+        index_path=root,
+    )
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        langs = {r.lang: r.doc_id for r in corpus.collect()}
+        lang = sorted(langs)[0]
+        row0 = corpus.orderBy("doc_id").limit(1).collect()[0]
+        text = " ".join(row0.content.split()[:6])
+        q = urllib.request.quote(text)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/knn?q={q}&size=5&lang={lang}"
+        ) as r:
+            env = json.loads(r.read())
+        assert env["filter"] == {"lang": lang}
+        assert len(env["hits"]) == 5  # pre-filter fills the page
+
+        allowed = {
+            r.doc_id for r in corpus.filter(F.col("lang") == lang).collect()
+        }
+        assert set(x["doc_id"] for x in env["hits"]) <= allowed
+
+        # ranking == brute-force cosine over exactly the allowed subset
+        h = vectors.KnnIndex(root)
+        qv = h.embed(text)
+        sims = h.matrix @ qv
+        brute = sorted(
+            (
+                (int(d), float(s))
+                for d, s in zip(h.doc_ids, sims)
+                if int(d) in allowed
+            ),
+            key=lambda r: (-round(r[1], 9), r[0]),
+        )[:5]
+        assert [x["doc_id"] for x in env["hits"]] == [d for d, _ in brute]
+
+        # handle-level mask form agrees with the route
+        mask = h.mask_for_ids(np.array(sorted(allowed), dtype=np.int64))
+        assert h.knn(text, k=5, mask=mask) == brute
+
+        # a filter matching nothing returns an empty page, never an error
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/knn?q={q}&size=5&repo=no/such/repo"
+        ) as r:
+            assert json.loads(r.read())["hits"] == []
+    finally:
+        srv.shutdown()

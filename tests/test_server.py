@@ -741,6 +741,53 @@ def test_http_sigtext(ceng, eng):
         srv2.shutdown()
 
 
+def test_http_explain_doc(ceng):
+    """GET /explain (ES GET _explain/{id} analog): explains an ARBITRARY
+    document — doc 0 matches 'alpha beta' (both required clauses, tf(alpha)
+    = 2) with matched: true; doc 5 carries only alpha so matched: false at
+    msm 2 yet still shows its alpha contribution; a missing id 404s and
+    missing params 400."""
+    srv, port = _serve(ceng, SearchOptions(k=5, prefix=False))
+    try:
+        env = _get(port, "/explain?q=alpha+beta&doc_id=0")
+        assert env["matched"] is True
+        assert env["matched_required"] == 2 and env["msm"] == 2
+        terms = {c["term"] for c in env["contributions"]}
+        assert terms == {"alpha", "beta"}
+        assert env["score"] == round(
+            sum(
+                max(
+                    c["weighted"]
+                    for c in env["contributions"]
+                    if c["group"] == g
+                )
+                for g in {c["group"] for c in env["contributions"]}
+            ),
+            4,
+        )
+
+        env5 = _get(port, "/explain?q=alpha+beta&doc_id=5")
+        assert env5["matched"] is False
+        assert env5["matched_required"] == 1 and env5["msm"] == 2
+        assert {c["term"] for c in env5["contributions"]} == {"alpha"}
+        assert env5["score"] > 0  # the partial contribution is reported
+
+        for bad, code in (
+            ("q=alpha+beta&doc_id=999999", 404),
+            ("q=alpha+beta", 400),
+            ("doc_id=0", 400),
+        ):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/explain?{bad}"
+                )
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == code, bad
+    finally:
+        srv.shutdown()
+
+
 def test_http_sigmeta(ceng):
     """GET /sigmeta (ES significant_terms on a keyword field): 'beta'
     matches only doc 0, so its unique path is maximally over-represented
