@@ -2358,6 +2358,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             size=20,
         )
 
+    def weighted_sample_q(spark, sf):
+        # DSIR-style importance resampling: per-row keep rate n_chars/600
+        # (longer docs likelier), md5_60 so the oracle recomputes exact
+        # membership; NULL rates drop, >1 rates clamp to keep-always
+        from gazetteer_search_spark.operators import sampling
+
+        return sampling.weighted_sample(
+            spark.read.parquet(f"{sf}/documents.parquet").select(
+                "doc_id", "lang", "n_chars"
+            ),
+            F.col("n_chars") / F.lit(600.0),
+            hash_fn="md5_60",
+        )
+
     def select_budget_q(spark, sf):
         # token-budget corpus selection: the best-ranked prefix (n_chars
         # desc) whose char total fits 30000 — distributed prefix sum
@@ -2783,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mixture_sample=mixture_sample_q,
         diversified_sample=diversified_sample_q,
         select_budget=select_budget_q,
+        weighted_sample=weighted_sample_q,
         dup_clusters=dup_clusters_q,
         pack_sequences=pack_sequences_q,
         date_histogram=date_histogram_q,
@@ -4471,6 +4486,14 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000 <
                 WHEN 'es' THEN 500000
                 WHEN 'zh' THEN 1000000
                 ELSE 100000 END
+"""
+
+    # importance resampling: per-row md5_60 bucket vs the per-row rate
+    # threshold (clamped), exactly the operator's predicate
+    o["weighted_sample"] = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '|0'), 1, 15))::BIGINT % 1000000 <
+      least(1000000.0, greatest(0.0, (n_chars / 600.0) * 1000000.0))
 """
 
     # token-budget selection: the oracle runs the NAIVE one-window global

@@ -17,7 +17,7 @@ recompute the exact sample membership independently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gazetteer_search_spark.operators.dedup import hash64_col
@@ -111,6 +111,30 @@ def mixture_sample(
         df, strata_col, rates, default_rate=0.0,
         key_col=key_col, salt=salt, hash_fn=hash_fn,
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    rate_col: str | Column,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Importance resampling (DSIR-style): keep each row with its OWN
+    probability — ``rate_col`` is a per-row keep rate in [0, 1] (a quality
+    classifier score, an importance weight ratio, a per-domain factor),
+    applied through the same deterministic content-addressed filter as
+    :func:`hash_sample`, so membership is reproducible, incremental-safe,
+    and a pure map-side predicate (the CASE-threshold form of
+    stratified_sample generalized from per-stratum constants to an
+    arbitrary per-row expression). Rates outside [0, 1] clamp; NULL rates
+    drop the row."""
+    r = F.col(rate_col) if isinstance(rate_col, str) else rate_col
+    thr = F.least(
+        F.lit(float(MODULUS)),
+        F.greatest(F.lit(0.0), r * F.lit(float(MODULUS))),
+    )
+    return df.filter(_bucket(key_col, salt, hash_fn) < thr)
 
 
 def diversified_sample(

@@ -1304,3 +1304,39 @@ def test_select_to_budget(spark):
 
     with pytest.raises(ValueError):
         sampling.select_to_budget(df2, -1, "q", "tok")
+
+
+def test_weighted_sample(spark):
+    """DSIR-style importance resampling: per-row keep rates — rate 1.0
+    always keeps, 0.0 never keeps, NULL drops, out-of-range clamps, and
+    membership at a mid rate equals the hash predicate computed directly."""
+    from gazetteer_search_spark.operators import sampling
+    from gazetteer_search_spark.operators.dedup import hash64_col
+
+    rows = [
+        (0, 1.0), (1, 0.0), (2, None), (3, 2.5), (4, -1.0),
+        *[(i, 0.5) for i in range(5, 105)],
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, rate double")
+    got = {r.doc_id for r in sampling.weighted_sample(df, "rate").collect()}
+    assert 0 in got and 3 in got        # rate >= 1 (clamped) always keeps
+    assert 1 not in got and 4 not in got  # rate <= 0 never keeps
+    assert 2 not in got                  # NULL rate drops
+
+    buckets = {
+        r.doc_id: r.b
+        for r in df.select(
+            "doc_id",
+            F.pmod(
+                hash64_col(
+                    "xxhash64", F.col("doc_id").cast("string"), F.lit("0")
+                ),
+                F.lit(sampling.MODULUS),
+            ).alias("b"),
+        ).collect()
+    }
+    expect_mid = {
+        i for i in range(5, 105) if buckets[i] < 0.5 * sampling.MODULUS
+    }
+    assert got & set(range(5, 105)) == expect_mid
+    assert 0 < len(expect_mid) < 100  # the mid rate actually splits
