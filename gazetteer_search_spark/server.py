@@ -225,8 +225,10 @@ API_ENDPOINTS: tuple[dict, ...] = (
     _endpoint("/knn", "vector sidecar cosine KNN (lang/repo = the ES "
                       "filtered-kNN pre-filter)", q="query text",
               size="neighbors", lang="class filter", repo="repo filter"),
-    _endpoint("/hybrid", "BM25 + KNN reciprocal-rank fusion",
-              q="query text", size="page size"),
+    _endpoint("/hybrid", "BM25 + KNN reciprocal-rank fusion (lang/repo "
+                         "scope BOTH legs)",
+              q="query text", size="page size",
+              lang="class filter", repo="repo filter"),
     _endpoint("/fsearch", "federated multi-index search",
               q="query string", index="restrict to one named index",
               size="merged page size"),
@@ -1652,6 +1654,39 @@ def _make_handler(
                         knn_handle = KnnIndex(root)
             return knn_handle
 
+        def _knn_filter_mask(self, h, qs):
+            """ES filtered kNN: lang=/repo= restrict the candidate set
+            BEFORE the top-k cut (the page fills with the best ALLOWED
+            docs). The allowed ids come from one predicate-pushdown scan
+            of the docs store; at bitmap-worthy scale the same mask would
+            persist per value like the index's attr bits. Sidecar snapshot
+            contract: vectors and the filter scan both reflect the corpus
+            at vectorize time. Returns (mask-or-None, filter dict)."""
+            flt = {
+                p: (qs.get(p) or [None])[0]
+                for p in ("lang", "repo")
+                if (qs.get(p) or [None])[0]
+            }
+            if not flt:
+                return None, flt
+            import pyarrow.dataset as ds_mod
+
+            with lock:
+                docs_path = engine.index.paths.docs
+            dset = ds_mod.dataset(
+                docs_path, format="parquet", partitioning="hive"
+            )
+            cond = None
+            for kcol, v in flt.items():
+                if kcol not in dset.schema.names:
+                    raise ValueError(f"unknown filter column {kcol!r}")
+                c = ds_mod.field(kcol) == v
+                cond = c if cond is None else cond & c
+            ids = dset.to_table(
+                filter=cond, columns=["doc_id"]
+            )["doc_id"].to_numpy()
+            return h.mask_for_ids(ids), flt
+
         def _do_knn(self, u) -> None:
             """Exact-KNN route (ES knn search analog): hashed-TF-IDF query
             embedding + cosine top-k over the persisted vector sidecar —
@@ -1675,43 +1710,11 @@ def _make_handler(
                 self._send(400, {"error": "size must be an integer"})
                 return
             t0 = _now()
-            # ES filtered kNN: lang=/repo= restrict the candidate set
-            # BEFORE the top-k cut (the page fills with the best ALLOWED
-            # docs). The allowed ids come from one predicate-pushdown scan
-            # of the docs store; at bitmap-worthy scale the same mask would
-            # persist per value like the index's attr bits. Sidecar
-            # snapshot contract: vectors and the filter scan both reflect
-            # the corpus at vectorize time.
-            mask = None
-            flt = {
-                p: (qs.get(p) or [None])[0]
-                for p in ("lang", "repo")
-                if (qs.get(p) or [None])[0]
-            }
-            if flt:
-                try:
-                    import pyarrow.dataset as ds_mod
-
-                    with lock:
-                        docs_path = engine.index.paths.docs
-                    dset = ds_mod.dataset(
-                        docs_path, format="parquet", partitioning="hive"
-                    )
-                    cond = None
-                    for kcol, v in flt.items():
-                        if kcol not in dset.schema.names:
-                            raise ValueError(
-                                f"unknown filter column {kcol!r}"
-                            )
-                        c = ds_mod.field(kcol) == v
-                        cond = c if cond is None else cond & c
-                    ids = dset.to_table(
-                        filter=cond, columns=["doc_id"]
-                    )["doc_id"].to_numpy()
-                    mask = h.mask_for_ids(ids)
-                except Exception as e:
-                    self._send(400, {"error": str(e)})
-                    return
+            try:
+                mask, flt = self._knn_filter_mask(h, qs)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
             rows = h.knn(q, k=size, mask=mask)
             self._send(200, {
                 "query": q,
@@ -1751,15 +1754,31 @@ def _make_handler(
             from gazetteer_search_spark.index.vectors import rrf_fuse_rows
 
             t0 = _now()
+            # the same lang=/repo= filter scopes BOTH legs (ES retriever
+            # filters apply per retriever): BM25 through SearchOptions,
+            # kNN through the pre-filter mask
+            try:
+                mask, flt = self._knn_filter_mask(h, qs)
+            except Exception as e:
+                self._send(400, {"error": str(e)})
+                return
             # engine calls are serialized like every other route — the
             # serving engine's lazy caches are not thread-safe
             with lock:
-                bm25 = engine.search_hits(q, _replace(default_opts, k=size))
+                bm25 = engine.search_hits(
+                    q,
+                    _replace(
+                        default_opts, k=size,
+                        lang=flt.get("lang", default_opts.lang),
+                        repo=flt.get("repo", default_opts.repo),
+                    ),
+                )
             bm25_page = [(int(r.doc_id), float(r.score)) for r in bm25]
-            knn_page = h.knn(q, k=size)
+            knn_page = h.knn(q, k=size, mask=mask)
             fused = rrf_fuse_rows([bm25_page, knn_page], k0=k0, topk=size)
             self._send(200, {
                 "query": q,
+                **({"filter": flt} if flt else {}),
                 "answer_time_ms": round((_now() - t0) * 1000, 3),
                 "k0": k0,
                 "lexical_hits": len(bm25_page),

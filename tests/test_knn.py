@@ -256,3 +256,49 @@ def test_http_knn_filtered(spark, vidx):
             assert json.loads(r.read())["hits"] == []
     finally:
         srv.shutdown()
+
+
+def test_http_hybrid_filtered(spark, vidx):
+    """/hybrid with lang=: BOTH legs scope to the filter — every fused hit
+    is from the allowed lang, and the page equals the pinned RRF over the
+    lang-scoped BM25 page and the mask-filtered kNN page."""
+    from dataclasses import replace
+
+    from gazetteer_search_spark.index import builder as _b
+    from gazetteer_search_spark.search.engine import SearchEngine, SearchOptions
+    from gazetteer_search_spark.server import make_server
+
+    root, corpus = vidx
+    eng = SearchEngine(spark, _b.load_index(spark, root), serving=True)
+    opts = SearchOptions(k=5, prefix=False, fuzzy=False)
+    srv = make_server(eng, opts, port=0, index_path=root)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        lang = sorted({r.lang for r in corpus.select("lang").collect()})[0]
+        row0 = corpus.orderBy("doc_id").limit(1).collect()[0]
+        text = " ".join(row0.content.split()[:6])
+        q = urllib.request.quote(text)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/hybrid?q={q}&size=5&lang={lang}"
+        ) as r:
+            env = json.loads(r.read())
+        assert env["filter"] == {"lang": lang}
+        allowed = {
+            r.doc_id for r in corpus.filter(F.col("lang") == lang).collect()
+        }
+        assert set(x["doc_id"] for x in env["hits"]) <= allowed
+
+        h = vectors.KnnIndex(root)
+        mask = h.mask_for_ids(np.array(sorted(allowed), dtype=np.int64))
+        bm = eng.search_hits(text, replace(opts, lang=lang))
+        fused = vectors.rrf_fuse_rows(
+            [
+                [(int(x.doc_id), float(x.score)) for x in bm],
+                h.knn(text, k=5, mask=mask),
+            ],
+            k0=60, topk=5,
+        )
+        assert [x["doc_id"] for x in env["hits"]] == [d for d, _ in fused]
+    finally:
+        srv.shutdown()
