@@ -3115,6 +3115,50 @@ class SearchEngine:
         buckets.sort(key=lambda b: (-b["doc_count"], str(b["value"])))
         return buckets[:size]
 
+    def numeric_tag_stats(
+        self, key: str, percentiles: tuple[float, ...] = (0.5, 0.95)
+    ) -> dict:
+        """ES stats + percentiles aggs over a NUMERIC docs column at the
+        serving tier (the numeric sibling of :meth:`tag_stats` — same
+        single-column pruned pyarrow scan, works identically on
+        Spark-backed and Spark-free engines; the Spark groupBy form is
+        ``operators.aggs.numeric_stats``). Percentiles use linear
+        interpolation, matching the Spark twin's exact ``percentile``.
+        NULLs drop (ES missing-value behavior)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as ds_mod
+
+        dset = ds_mod.dataset(self.index.paths.docs, partitioning="hive")
+        if key not in dset.schema.names:
+            raise ValueError(
+                f"unknown docs column {key!r}; available: "
+                f"{sorted(dset.schema.names)}"
+            )
+        col = dset.to_table(columns=[key])[key]
+        if not (
+            pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+        ):
+            raise ValueError(
+                f"column {key!r} is {col.type}, not numeric — use the "
+                "terms form (no numeric=true) for string columns"
+            )
+        col = col.drop_null()
+        n = len(col)
+        if n == 0:
+            return {"count": 0}
+        out = {
+            "count": n,
+            "min": pc.min(col).as_py(),
+            "max": pc.max(col).as_py(),
+            "sum": pc.sum(col).as_py(),
+            "mean": round(float(pc.mean(col).as_py()), 6),
+        }
+        qs = pc.quantile(col, q=list(percentiles)).to_pylist()
+        for p, v in zip(percentiles, qs):
+            out[f"p{p * 100:g}".replace(".", "_")] = round(float(v), 6)
+        return out
+
     def _doc_point_filter(self, ds_mod, dset, ids: list[int]):
         """Point-read predicate for the docs table: doc_id row filter AND
         doc_part hive pruning, so k-id hydration reads a few row groups

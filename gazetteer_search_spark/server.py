@@ -219,7 +219,9 @@ API_ENDPOINTS: tuple[dict, ...] = (
               q="text to run through the index analyzer"),
     _endpoint("/stats", "terms aggregation / corpus stats",
               key="group-by key (lang | repo | ...)",
-              min_doc_count="minimum bucket size", size="bucket count"),
+              min_doc_count="minimum bucket size", size="bucket count",
+              numeric="true = stats+percentiles over a numeric column "
+                      "(count/min/max/sum/mean/p50/p95)"),
     _endpoint("/classes", "class-dimension browse (OSMDocAPI analog); "
                           "/classes/{id} looks one class up"),
     _endpoint("/knn", "vector sidecar cosine KNN (lang/repo = the ES "
@@ -1882,6 +1884,12 @@ def _make_handler(
                 self._send(400, {"error": "missing ?key= parameter"})
                 return
             try:
+                if (_one("numeric", "false") or "").lower() == "true":
+                    # ES stats+percentiles agg over a numeric docs column
+                    with lock:
+                        stats = engine.numeric_tag_stats(key)
+                    self._send(200, {"key": key, "stats": stats})
+                    return
                 with lock:
                     rows = engine.tag_stats(
                         key,

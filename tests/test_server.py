@@ -1640,6 +1640,39 @@ def test_http_api_endpoint_registry(eng):
         srv.shutdown()
 
 
+def test_http_stats_numeric(ceng):
+    """GET /stats?numeric=true (ES stats + percentiles agg at the serving
+    tier): exact count/min/max/sum/mean and linear-interpolation p50/p95
+    over a numeric docs column — ceng stores 30 docs, doc 0 with 4 tokens
+    and 29 with 3. String columns 400 pointing at the terms form."""
+    srv, port = _serve(ceng, SearchOptions(k=5, prefix=False))
+    try:
+        env = _get(port, "/stats?key=doc_len&numeric=true")
+        s = env["stats"]
+        assert s["count"] == 30 and s["min"] == 3 and s["max"] == 4
+        assert s["sum"] == 29 * 3 + 4
+        assert s["mean"] == round((29 * 3 + 4) / 30, 6)
+        assert s["p50"] == 3.0
+        # linear interpolation at p95 over [3]*29 + [4]: numpy's value
+        import numpy as np
+
+        assert s["p95"] == round(
+            float(np.percentile([3] * 29 + [4], 95)), 6
+        )
+        for bad in ("key=lang&numeric=true", "key=nosuchcol&numeric=true"):
+            try:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/stats?{bad}"
+                )
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+        # the terms form is untouched
+        assert _get(port, "/stats?key=lang")["buckets"][0]["value"] == "python"
+    finally:
+        srv.shutdown()
+
+
 def test_http_slowlog(eng, tmp_path):
     """--slow-ms (ES search-slowlog analog): a zero threshold logs a SLOW
     line (elapsed ms + status + method + url) for every request; a huge
