@@ -75,8 +75,14 @@ PER_DOC_SCHEMA = T.StructType(
 # rest ("dense" groups — the hot, stop-term-like lists) stay metadata-only
 # until an interval that needs them survives theta
 UPFRONT_MIN_POSTINGS = 512
-# intervals scored per theta-update round
+# intervals scored per theta-update round (the FIRST round; later rounds
+# grow geometrically — see _kernel_bmw's theta loop)
 CHUNK_INTERVALS = 8
+# geometric growth cap for the per-round interval chunk: rounds stay
+# O(log n_intervals) when theta never prunes (df-uniform corpora, broad
+# OR/msm queries like more-like-this), while the small first rounds keep
+# early theta cut-offs as tight as before on prunable (Zipfian) shapes
+CHUNK_INTERVALS_MAX = 4096
 # rounding margin: global rank orders by round(score, 9); a doc whose upper
 # bound is more than 1e-9 below theta cannot round into a tie with it
 THETA_MARGIN = 1e-9
@@ -571,10 +577,21 @@ def make_range_kernel(
         order = order[np.argsort(-total_ub[order], kind="stable")]
 
         # ---- theta loop -----------------------------------------------------
+        # The chunk grows geometrically (8, 16, 32, ... CHUNK_INTERVALS_MAX):
+        # when theta never rises above the interval bounds (df-uniform
+        # corpora — broad OR/msm queries where nothing is prunable), the
+        # round count is O(log n_intervals) instead of O(n_intervals / 8),
+        # and each round's full pass over the decoded segments stops
+        # dominating (measured 63x blow-up on the more-like-this bench line
+        # at sf1.0 under the fixed-8 form). Rank-safety is unchanged:
+        # processing MORE intervals before a theta check only adds exactly-
+        # scored candidates, and the final keep-ties truncation retains
+        # every potential winner either way.
         res: list[tuple] = []
         n_res = 0
         theta: float | None = None
         pos = 0
+        chunk_sz = CHUNK_INTERVALS
         while pos < order.size:
             if (
                 truncate
@@ -593,8 +610,9 @@ def make_range_kernel(
                     if counters is not None:
                         counters.timed_out = True
                     break
-            chunk = order[pos : pos + CHUNK_INTERVALS]
-            pos += CHUNK_INTERVALS
+            chunk = order[pos : pos + chunk_sz]
+            pos += chunk_sz
+            chunk_sz = min(2 * chunk_sz, CHUNK_INTERVALS_MAX)
             chosen = np.zeros(n_i, dtype=bool)
             chosen[chunk] = True
             csum = np.concatenate(([0], np.cumsum(chosen)))
