@@ -1075,42 +1075,57 @@ def build_index(
 
         # metrics: ONE read-back scan of the written blocks (two-level agg —
         # also validates the write), plus distinct-docs from the persisted tf
-        # lineage (no payload decode needed)
+        # lineage (no payload decode needed). The two metric jobs are
+        # INDEPENDENT actions — submitted from a 2-thread pool so the HLL
+        # pass back-fills executors freed by the read-back's tail instead of
+        # waiting for it (guide §2.6 overlap-independent-jobs).
         written = spark.read.parquet(paths.postings).filter(
             F.col("term_bucket").isin(batch)
         )
-        m = (
-            written.groupBy("term_bucket", "term")
-            .agg(
-                F.sum("doc_count").alias("postings_t"),
-                F.sum("block_bytes").alias("bytes_t"),
-                F.countDistinct(F.shiftright("block_id", SALT_SHIFT)).alias("fan_in"),
+
+        def _readback_metrics():
+            return (
+                written.groupBy("term_bucket", "term")
+                .agg(
+                    F.sum("doc_count").alias("postings_t"),
+                    F.sum("block_bytes").alias("bytes_t"),
+                    F.countDistinct(F.shiftright("block_id", SALT_SHIFT)).alias("fan_in"),
+                )
+                .groupBy("term_bucket")
+                .agg(
+                    F.sum("postings_t").alias("postings"),
+                    F.sum("bytes_t").alias("bytes"),
+                    F.max("fan_in").alias("merge_fan_in"),
+                )
+                .collect()
             )
-            .groupBy("term_bucket")
-            .agg(
-                F.sum("postings_t").alias("postings"),
-                F.sum("bytes_t").alias("bytes"),
-                F.max("fan_in").alias("merge_fan_in"),
-            )
-            .collect()
-        )
+
         # operational lineage metric — approx distinct (HLL, single pass)
         # STRAIGHT from the exploded tokens: groupBy(bucket) carries map-side
         # HLL partials (32 tiny sketches shuffled), so this never pays the
         # 7M-row (term, doc_id) shuffle the tf aggregation does. Going
         # through `tf` here re-ran that shuffle per commit purely for a
         # lineage counter (~9 s of a 30 s build at 100k docs).
-        docs_per_bucket = {
-            r.term_bucket: r.docs
-            for r in lineage_tokens.select(
-                term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"),
-                "doc_id",
-            )
-            .filter(F.col("term_bucket").isin(batch))
-            .groupBy("term_bucket")
-            .agg(F.approx_count_distinct("doc_id", 0.02).alias("docs"))
-            .collect()
-        }
+        def _lineage_hll():
+            return {
+                r.term_bucket: r.docs
+                for r in lineage_tokens.select(
+                    term_bucket_col(F.col("term"), n_buckets).alias("term_bucket"),
+                    "doc_id",
+                )
+                .filter(F.col("term_bucket").isin(batch))
+                .groupBy("term_bucket")
+                .agg(F.approx_count_distinct("doc_id", 0.02).alias("docs"))
+                .collect()
+            }
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as _pool:
+            _m_f = _pool.submit(_readback_metrics)
+            _hll_f = _pool.submit(_lineage_hll)
+            m = _m_f.result()
+            docs_per_bucket = _hll_f.result()
         finished = pd.Timestamp.utcnow().tz_localize(None)
         rows = [
             (

@@ -66,17 +66,28 @@ def featurize(
     """(doc_id, feat, val) hashed-BoW rows: tf/doc_len per hashed token
     plus a bias row (feat=BIAS, val=1.0) for every doc — so every doc has
     at least one feature row and the margin join never drops a doc."""
-    # the explode+pmod(hash)+groupBy tf stage is similarity.hashed_feats —
-    # ONE definition of the feature-hashing scheme engine-wide (a tokenizer
-    # or pmod change applies everywhere at once); doc length is the sum of
-    # tf over a doc's feature rows, so no second tokenize pass is needed
-    from gazetteer_search_spark.operators.similarity import hashed_feats
+    # the explode+pmod(hash)+groupBy tf stage mirrors similarity.hashed_feats
+    # (same tokenizer, same pmod), with the doc length carried through the
+    # explode as a grouping column instead of re-aggregated + joined back
+    # (guide §2.4 — one shuffle, not two plus a join): n = size(words) =
+    # sum of tf over the doc's features, the identical integer.
+    from gazetteer_search_spark.operators.dedup import hash64_col
+    from gazetteer_search_spark.operators.textstats import words_col
 
-    tf = hashed_feats(
-        df, n_features, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        words_col(F.col(text_col)).alias("_ws"),
+    ).select(
+        "doc_id", F.size("_ws").alias("n"), F.explode("_ws").alias("t")
     )
-    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("n"))
-    feats = tf.join(dlen, "doc_id").select(
+    tf = (
+        toks.withColumn(
+            "feat", F.pmod(hash64_col(hash_fn, F.col("t")), F.lit(n_features))
+        )
+        .groupBy("doc_id", "n", "feat")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    feats = tf.select(
         "doc_id", "feat", (F.col("tf") / F.col("n")).alias("val")
     )
     bias = df.select(
@@ -127,7 +138,10 @@ def train_logreg(
         g = {int(r.feat): float(r.g) for r in grad_rows}
         w = {f: wv - lr * (g.get(f, 0.0) + l2 * wv) for f, wv in w.items()}
     fl.unpersist()
-    feats.unpersist()
+    # feats stays persisted DELIBERATELY: the caller passed it and almost
+    # always scores the same frame next (classifier.score) — releasing it
+    # here would force a full featurize recompute; ownership of the cache
+    # stays with the caller's session (evictable storage level).
     return w
 
 

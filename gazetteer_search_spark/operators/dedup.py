@@ -343,49 +343,26 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("doc_id", "nsh", "bb.band", "bb.bucket")
 
-    # Size-compatibility prune INSIDE the band join (exact, guide §2.3 —
-    # fewer rows into the distinct exchange): Jaccard is at most
-    # min(na,nb)/max(na,nb) (achieved when the smaller set is contained in
-    # the larger), and the bound expression below is the final verify's own
-    # jaccard formula evaluated at inter = min(na,nb). Float rounding is
-    # monotone, so any pair the verify would keep also passes the bound —
-    # dropping bound-failers changes nothing.
-    a = band_rows.alias("a")
-    b_ = band_rows.alias("b")
-    _mn = F.least(F.col("a.nsh"), F.col("b.nsh")).cast("double")
-    _bound = _mn / (F.col("a.nsh") + F.col("b.nsh") - _mn)
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (_bound >= F.lit(float(threshold))),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-
-    # Exact verification of CROSS-set candidates only, from the per-set
-    # hashed shingle sets (Jaccard over hashed sets equals shingle Jaccard
-    # unless the hash collides within a pair's union, ~2^-64 per pair).
-    # Two formulations, both exact:
+    # Exact verification of CROSS-set candidates, from the per-set hashed
+    # shingle sets (Jaccard over hashed sets equals shingle Jaccard unless
+    # the hash collides within a pair's union, ~2^-64 per pair). Two
+    # formulations, both exact:
     #
-    # - SMALL-DICTIONARY fast path: when the corpus-wide distinct hashed-
+    # - SMALL-DICTIONARY fused path: when the corpus-wide distinct hashed-
     #   shingle universe fits 63 bits (word-level shingles over a bounded
     #   vocabulary — the attr_bits trick applied to the verify), each set
-    #   becomes one int64 bitmask and the per-pair intersection is
-    #   bit_count(mask_a & mask_b) — pure codegen arithmetic, no array
-    #   hydration, 16 bytes/side through the join instead of the full sets
-    #   (guide §2.3 "narrower types"). The integers (inter, na, nb) are
-    #   identical to the array form's, so the jaccard doubles match
-    #   bit-for-bit.
-    # - general path: per-set sorted int64 arrays, array_intersect per
-    #   pair. The set table holds ONE row per distinct set — usually
-    #   broadcastable, making the verify a map-side pass over the candidate
-    #   stream (zero shuffle of the candidate pairs; guide §3.1); above the
-    #   broadcast budget, a candidate materialization + semi-join hydrates
-    #   only candidate sets before a shuffle join.
+    #   is one int64 bitmask RIDING THE BAND ROWS, and the exact Jaccard
+    #   (inter = bit_count(mask_a & mask_b), identical integers to the
+    #   array form) evaluates INSIDE the band-join condition — no separate
+    #   verify join, and the dedup exchange runs over verified pairs only
+    #   instead of every band collision (guide §2.3/§3: the candidate
+    #   stream is never materialized wider than 24 bytes).
+    # - general path: band self-join -> distinct -> per-set sorted int64
+    #   arrays, array_intersect per pair. The set table holds ONE row per
+    #   distinct set — usually broadcastable, making the verify a map-side
+    #   pass over the candidate stream (guide §3.1); above the broadcast
+    #   budget, a candidate materialization + semi-join hydrates only
+    #   candidate sets before a shuffle join.
     _bcast_max = 2_000_000
     n_groups = groups.count()
     universe = (
@@ -399,29 +376,75 @@ def minhash_lsh_pairs(
                 for x in (F.lit(h), F.lit(1 << i).cast("long"))
             ]
         )
-        masks = groups.select(
-            "rep",
+        mask_rows = groups.select(
+            F.col("rep").alias("doc_id"),
+            "nsh",
             F.aggregate(
                 F.transform("sh_set", lambda h: bit_map[h]),
                 F.lit(0).cast("long"),
                 lambda acc, x: acc.bitwiseOR(x),
             ).alias("mask"),
-            F.col("nsh").alias("n_shingles"),
+            "sig",
+        ).persist()
+        brows = mask_rows.select(
+            "doc_id",
+            "nsh",
+            "mask",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            hash64_col(
+                                hash_fn,
+                                *[F.col("sig")[b * rpb + r] for r in range(rpb)],
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "nsh", "mask", "bb.band", "bb.bucket")
+        a = brows.alias("a")
+        b_ = brows.alias("b")
+        _inter = F.bit_count(F.col("a.mask").bitwiseAND(F.col("b.mask")))
+        _jac = _inter / (F.col("a.nsh") + F.col("b.nsh") - _inter)
+        rep_pairs = (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (_jac >= F.lit(float(threshold))),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                _jac.alias("jaccard"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
         )
-        if n_groups <= _bcast_max:
-            masks = F.broadcast(masks)
-        sa = masks.select(
-            F.col("rep").alias("id_a"),
-            F.col("mask").alias("mask_a"),
-            F.col("n_shingles").alias("na"),
-        )
-        sb = masks.select(
-            F.col("rep").alias("id_b"),
-            F.col("mask").alias("mask_b"),
-            F.col("n_shingles").alias("nb"),
-        )
-        inter_col = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     else:
+        # Size-compatibility prune INSIDE the band join (exact): Jaccard is
+        # at most min(na,nb)/max(na,nb), and the bound below is the verify's
+        # own jaccard formula evaluated at inter = min(na,nb). Float
+        # rounding is monotone, so any pair the verify would keep also
+        # passes the bound — dropping bound-failers changes nothing.
+        a = band_rows.alias("a")
+        b_ = band_rows.alias("b")
+        _mn = F.least(F.col("a.nsh"), F.col("b.nsh")).cast("double")
+        _bound = _mn / (F.col("a.nsh") + F.col("b.nsh") - _mn)
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (_bound >= F.lit(float(threshold))),
+            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+            .distinct()
+        )
         hsets = groups.select("rep", "sh_set", F.col("nsh").alias("n_shingles"))
         if n_groups <= _bcast_max:
             hsets = F.broadcast(hsets)
@@ -444,17 +467,17 @@ def minhash_lsh_pairs(
             F.col("sh_set").alias("set_b"),
             F.col("n_shingles").alias("nb"),
         )
-        inter_col = F.size(F.array_intersect("set_a", "set_b"))
-    rep_pairs = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("inter", inter_col)
-        .withColumn(
-            "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        rep_pairs = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
 
     # expand set-level results back to doc pairs:
     # - cross-set: every (member of A) x (member of B) pair inherits the

@@ -59,12 +59,17 @@ def mine_hard_negatives(
             F.col(query_ids.columns[0]).cast("long").alias("query_id")
         )
 
+    # ONE tokenize pass (guide §4.1 — the Arrow tokenizer kernel is the
+    # expensive stage): the corpus-stats action, the scored-postings
+    # pipeline, the query-term projection and the sha dup-exclusion all
+    # read this persisted frame instead of re-running the UDF per subtree
+    # (the unpersisted form evaluated the tokenizer up to 4x per call).
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("content"),
         F.sha2(F.col(text_col), 256).alias("sha"),
         bm25.tokens_col(F.col(text_col), tokenizer).alias("tokens"),
-    ).withColumn("doc_len", F.size("tokens"))
+    ).withColumn("doc_len", F.size("tokens")).persist()
 
     tf = bm25.term_freqs(base.select("doc_id", "doc_len", "tokens"))
     tstats = bm25.term_stats(tf)

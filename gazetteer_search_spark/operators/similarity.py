@@ -549,13 +549,19 @@ def vectorize_docs(
             ).alias("v"),
         )
     )
+    # norm computed ONCE per row into its own projection: higher-order
+    # functions are interpreted (no codegen), so an aggregate embedded in
+    # the per-element lambda would re-walk the whole norm expression dim
+    # times per row — measured as ~the entire vectorize cost at dim=64
+    # (guide §1.4 empirics; the values are bit-identical either way)
     norm = F.sqrt(
         F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    dense = dense.withColumn("_nrm", norm)
     # ANSI-safe: a zero-norm (tokenless) doc divides by 1 and keeps its
     # zero vector — never a conditional around the division (ANSI mode may
     # evaluate both CASE branches inside a transform)
-    safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
+    safe = F.when(F.col("_nrm") > 0, F.col("_nrm")).otherwise(F.lit(1.0))
     normed = dense.select(
         "doc_id",
         F.transform("v", lambda x: x / safe).alias("vector"),
