@@ -92,11 +92,61 @@ def _fold_series(s: pd.Series) -> pd.Series:
     return s.str.lower()
 
 
+def _fold_values_arrow(values) -> pd.Series:
+    """The fold pipeline over a string sequence, with the regex-heavy passes
+    in pyarrow.compute (RE2, one C++ pass per step over the whole batch)
+    instead of pandas .str.replace (a Python re.sub call per element —
+    measured as the dominant cost of the whole kernel, guide §4.2).
+
+    Exactness: utf8_normalize implements the same Unicode NFD the Python
+    path used; the combining-mark class and the camel/digit break patterns
+    are plain ASCII-class regexes on which RE2 and `re` agree (leftmost,
+    non-overlapping, \\1/\\2 backrefs). The LOWERCASE step deliberately
+    stays in Python: utf8proc's per-codepoint lower misses Unicode's
+    context-dependent Final_Sigma rule, which str.lower applies.
+    Returns a fresh range-indexed Series."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    arr = _pa.array(values, type=_pa.string())
+    arr = _pc.utf8_normalize(arr, form="NFD")
+    arr = _pc.replace_substring_regex(
+        # the class must hold the literal combining-mark codepoints — RE2
+        # has no \uXXXX escape form
+        arr, pattern="[" + chr(0x0300) + "-" + chr(0x036F) + "]", replacement=""
+    )
+    for pat, repl in _STEPS:
+        arr = _pc.replace_substring_regex(
+            arr, pattern=pat, replacement=repl  # \1 \2 refs: same in RE2
+        )
+    return pd.Series(arr.to_pandas(), copy=False).str.lower()
+
+
+def _split_nonempty_arrow(folded: pd.Series, sep_class: str) -> list[list[str]]:
+    """Split every string on runs of ``sep_class`` chars and drop empty
+    tokens, as two RE2 passes (edge trim + split): after trimming leading/
+    trailing separator runs, a split on internal runs can produce no empty
+    tokens, so the per-row Python filter of the old path disappears. Rows
+    that trim to "" yield []."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    arr = _pa.array(folded.to_numpy(dtype=object), type=_pa.string())
+    arr = _pc.replace_substring_regex(
+        arr, pattern=f"^{sep_class}+|{sep_class}+$", replacement=""
+    )
+    lists = _pc.split_pattern_regex(arr, pattern=f"{sep_class}+").to_pylist()
+    return [xs if xs != [""] else [] for xs in lists]
+
+
 def tokenize_pandas(s: pd.Series, joined_identifiers: bool = True) -> pd.Series:
-    """Series[str] -> Series[list[str]]. Vectorized (pandas C string ops over
-    the whole Arrow batch; no Spark row-at-a-time Python)."""
+    """Series[str] -> Series[list[str]]. Vectorized: the regex pipeline runs
+    as pyarrow.compute (RE2) passes over the whole Arrow batch; only the
+    Unicode-casing step and the small per-unique-identifier table stay in
+    Python (see _fold_values_arrow)."""
+    index = s.index
     s = s.fillna("").astype(str)
-    folded = _fold_series(s)
+    folded = _fold_values_arrow(s.to_numpy(dtype=object))
     # transliteration doubling (A9): rows containing mapped non-Latin letters
     # (regex containment is one C pass; the common all-Latin batch pays
     # nothing else) get (a) their folded string transliterated for the base
@@ -109,19 +159,14 @@ def tokenize_pandas(s: pd.Series, joined_identifiers: bool = True) -> pd.Series:
                 nonlatin_by_row[idx] = list(runs)
         folded = folded.copy()
         folded[nl_mask] = folded[nl_mask].str.translate(_TRANSLIT_TABLE)
-    sub_lists = folded.str.split(TOKEN_SPLIT_RE, regex=True)
-    # remove empty tokens (leading/trailing separators)
-    sub_lists = sub_lists.map(lambda xs: [t for t in xs if t])
+    sub_lists = _split_nonempty_arrow(folded, "[^a-z0-9]")
     if nonlatin_by_row:
-        sub_lists = pd.Series(
-            [
-                (toks + nonlatin_by_row[idx]) if idx in nonlatin_by_row else toks
-                for idx, toks in sub_lists.items()
-            ],
-            index=sub_lists.index,
-        )
+        sub_lists = [
+            (toks + nonlatin_by_row[i]) if i in nonlatin_by_row else toks
+            for i, toks in enumerate(sub_lists)
+        ]
     if not joined_identifiers:
-        return sub_lists
+        return pd.Series(sub_lists, index=index, dtype=object)
 
     # joined-identifier doubling: explode identifiers, DEDUPE, fold each
     # unique identifier once, map back. Identifier frequency is Zipfian in
@@ -129,15 +174,17 @@ def tokenize_pandas(s: pd.Series, joined_identifiers: bool = True) -> pd.Series:
     # per-occurrence cuts the kernel's dominant cost ~10-50x (VERDICT r1
     # "what's wrong" #4: this was the hottest loop of the build). The
     # sub-token count is one regex run-count — no split, no per-row Python.
-    idents = s.str.findall(_IDENT_RE)
-    ex = idents.explode().dropna()
+    ident_lists = _split_nonempty_arrow(s, "[^A-Za-z0-9_]")
+    ex = pd.Series(ident_lists, dtype=object).explode().dropna()
     if len(ex):
         ex = ex.astype(str)
         uniq = pd.Series(ex.unique())
         # number of non-empty sub-tokens == number of [a-z0-9] runs after fold
-        n_subs_u = _fold_series(uniq).str.count("[a-z0-9]+")
+        n_subs_u = _fold_values_arrow(uniq.to_numpy(dtype=object)).str.count(
+            "[a-z0-9]+"
+        )
         joined_u = uniq.str.replace("_", "", regex=False).str.lower()
-        keep = (n_subs_u > 1) & (joined_u != "")
+        keep = (n_subs_u.to_numpy() > 1) & (joined_u.to_numpy() != "")
         lut = pd.Series(joined_u[keep].to_numpy(), index=uniq[keep].to_numpy())
         extra = ex.map(lut).dropna()
         extra_by_row: dict[int, list[str]] = {}
@@ -147,12 +194,11 @@ def tokenize_pandas(s: pd.Series, joined_identifiers: bool = True) -> pd.Series:
         extra_by_row = {}
 
     if extra_by_row:
-        out = []
-        for idx, toks in sub_lists.items():
-            add = extra_by_row.get(idx)
-            out.append(toks + add if add else toks)
-        return pd.Series(out, index=sub_lists.index)
-    return sub_lists
+        sub_lists = [
+            toks + extra_by_row[i] if i in extra_by_row else toks
+            for i, toks in enumerate(sub_lists)
+        ]
+    return pd.Series(sub_lists, index=index, dtype=object)
 
 
 def tokenize_text(text: str, joined_identifiers: bool = True) -> list[str]:

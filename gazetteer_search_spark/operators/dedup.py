@@ -283,41 +283,43 @@ def minhash_lsh_pairs(
         F.array_sort(_word_shingles(F.col(text_col), n)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
 
-    # minhash signature per DISTINCT set: sig[i] = min over shingles of
-    # hash64(i, shingle) — map-side transform+array_min, no explode.
-    # NOTE: the slot index must ride a single-arg closure — a two-arg
-    # lambda would be interpreted by F.transform as (element, array_index)
-    def _slot_hash(i: int):
-        return lambda s: hash64_col(hash_fn, F.lit(i), s)
-
     # ONE persisted row per distinct set carrying everything downstream
     # needs — members (expansion), hashed set + size (verify), signature
-    # (banding). Persisting here is load-bearing: the band SELF-join reads
-    # this frame twice, and without the cache each branch would re-evaluate
-    # the num_hashes transform+array_min expressions (measured 5x the whole
-    # candidate stage at sf1.0).
-    groups = (
+    # (banding). Persisting is load-bearing: the band SELF-join reads this
+    # frame twice. The signatures and hashed sets come from an explode +
+    # codegen'd min/collect_set aggregation over the (distinct-set, shingle)
+    # rows rather than per-slot array transforms: higher-order functions
+    # are interpreted, and the num_hashes transform+array_min formulation
+    # re-walked the hash expression num_hashes times per set (measured 2x
+    # the whole stage at sf1.0; guide §1.2 per-task work).
+    gb = (
         docsets.groupBy("shingles")
         .agg(
             F.min("doc_id").alias("rep"),
             F.collect_list("doc_id").alias("members"),
             F.count("*").alias("gsize"),
         )
+        .persist()
+    )
+    exp = gb.select("rep", F.explode("shingles").alias("_s"))
+    sig_agg = exp.groupBy("rep").agg(
+        *[
+            F.min(hash64_col(hash_fn, F.lit(i), F.col("_s"))).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
+        F.array_sort(
+            F.collect_set(hash64_col(hash_fn, F.col("_s")))
+        ).alias("sh_set"),
+    )
+    groups = (
+        gb.select("rep", "members", "gsize")
+        .join(sig_agg, "rep")
         .select(
             "rep",
             "members",
             "gsize",
-            F.array_sort(
-                F.array_distinct(
-                    F.transform("shingles", lambda s: hash64_col(hash_fn, s))
-                )
-            ).alias("sh_set"),
-            F.array(
-                *[
-                    F.array_min(F.transform("shingles", _slot_hash(i)))
-                    for i in range(num_hashes)
-                ]
-            ).alias("sig"),
+            "sh_set",
+            F.array(*[F.col(f"_h{i}") for i in range(num_hashes)]).alias("sig"),
         )
         .withColumn("nsh", F.size("sh_set"))
         .persist()
@@ -365,6 +367,7 @@ def minhash_lsh_pairs(
     #   candidate sets before a shuffle join.
     _bcast_max = 2_000_000
     n_groups = groups.count()
+    gb.unpersist()  # groups (materialized by the count) subsumes it
     universe = (
         groups.select(F.explode("sh_set").alias("h")).distinct().limit(64).collect()
     )

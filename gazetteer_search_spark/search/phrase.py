@@ -206,6 +206,21 @@ def phrase_candidates(
 # serving twin (Spark-free): pyarrow pruned reads + numpy chain
 # ---------------------------------------------------------------------------
 
+def _ranges_concat(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenation of [starts[i], starts[i]+counts[i]) ranges as one
+    vectorized gather-index array (the r5 forms built a Python list of
+    np.arange / slice objects per row — the measured hot spot of the
+    positional verifies at 50k docs)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    reset = np.repeat(starts, counts)
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    return reset + within
+
+
 def local_phrase_ids(index: Index, terms: list, slop: int = 0) -> np.ndarray:
     """Sorted int64 doc ids matching the phrase — the serving tier's
     positional verify. slop=0 is fully vectorized: per phrase offset k the
@@ -265,10 +280,9 @@ def local_phrase_ids(index: Index, terms: list, slop: int = 0) -> np.ndarray:
         o = np.minimum(o, common.size - 1)
         keep = common[o] == ids_a[rows]
         rows, o = rows[keep], o[keep]
-        counts = offs[rows + 1] - offs[rows]
+        counts = (offs[rows + 1] - offs[rows]).astype(np.int64)
         ords = np.repeat(o, counts)
-        idx = np.concatenate([np.arange(offs[r], offs[r + 1]) for r in rows]) \
-            if rows.size else np.empty(0, dtype=np.int64)
+        idx = _ranges_concat(offs[rows].astype(np.int64), counts)
         p = vals[idx] - shift
         ok = p >= 0
         return ords[ok], p[ok]
@@ -284,33 +298,27 @@ def local_phrase_ids(index: Index, terms: list, slop: int = 0) -> np.ndarray:
             return np.empty(0, dtype=np.int64)
         return common[np.unique(starts // big)]
 
-    # slop > 0: window chain per intersection doc
-    per_doc: list[dict[int, np.ndarray]] = []
-    for sl in slots:
+    # slop > 0: the window chain runs over ALL intersection docs at once on
+    # (doc_ordinal * big + pos) keys — `big` exceeds max_pos + 1 + slop, so a
+    # frontier position's [p+1, p+slop] window can never cross into another
+    # doc's key range and the per-doc python loop of the r5 form collapses
+    # into three vectorized passes per slot (sort, searchsorted, gather).
+    big = int(vals.max(initial=0)) + 2 + int(slop)
+    frontier = None
+    for k, sl in enumerate(slots):
         ords, p = slot_pairs(tuple(sl), 0)
-        order = np.argsort(ords, kind="stable")
-        ords, p = ords[order], p[order]
-        cuts = np.searchsorted(ords, np.arange(common.size + 1))
-        per_doc.append(
-            {d: np.sort(p[cuts[d] : cuts[d + 1]]) for d in range(common.size)}
-        )
-    out = []
-    for d in range(common.size):
-        frontier = per_doc[0].get(d, np.empty(0, dtype=np.int64))
-        for k in range(1, len(slots)):
-            nxt = per_doc[k].get(d, np.empty(0, dtype=np.int64))
-            if frontier.size == 0 or nxt.size == 0:
-                frontier = np.empty(0, dtype=np.int64)
-                break
-            lo = np.searchsorted(nxt, frontier + 1, side="left")
-            hi = np.searchsorted(nxt, frontier + 1 + slop, side="right")
-            reach = np.unique(
-                np.concatenate([nxt[a:b] for a, b in zip(lo, hi)])
-            ) if frontier.size else np.empty(0, dtype=np.int64)
-            frontier = reach
-        if frontier.size:
-            out.append(common[d])
-    return np.asarray(sorted(out), dtype=np.int64)
+        keys = np.unique(ords.astype(np.int64) * big + p)
+        if k == 0:
+            frontier = keys
+            continue
+        if frontier.size == 0 or keys.size == 0:
+            return np.empty(0, dtype=np.int64)
+        lo = np.searchsorted(keys, frontier + 1, side="left")
+        hi = np.searchsorted(keys, frontier + 1 + slop, side="right")
+        frontier = np.unique(keys[_ranges_concat(lo, hi - lo)])
+    if frontier is None or frontier.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return common[np.unique(frontier // big)]
 
 
 # ---------------------------------------------------------------------------
@@ -404,14 +412,10 @@ def local_unordered_near_ids(
             rows = rows_by_term[t]
             keep = np.isin(ids_a[rows], common)
             rows = rows[keep]
-            counts = offs[rows + 1] - offs[rows]
+            counts = (offs[rows + 1] - offs[rows]).astype(np.int64)
             docs_parts.append(np.repeat(ids_a[rows], counts))
             pos_parts.append(
-                np.concatenate(
-                    [vals[offs[r] : offs[r + 1]] for r in rows]
-                )
-                if rows.size
-                else np.empty(0, dtype=np.int64)
+                vals[_ranges_concat(offs[rows].astype(np.int64), counts)]
             )
             side_parts.append(
                 np.full(int(counts.sum()), side, dtype=np.int8)

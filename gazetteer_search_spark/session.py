@@ -31,7 +31,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local mode puts driver + executor in ONE JVM; 32g on the 128 GiB
+        # rig keeps the sf1.0 dedup/cluster caches out of eviction churn
+        # (r5's driver sample died with an executor error under the old
+        # 24g + 233M-row cached edge sets). Env-overridable for smaller
+        # boxes; on a real cluster executor memory is sized separately.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
