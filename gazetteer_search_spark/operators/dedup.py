@@ -267,9 +267,10 @@ def minhash_lsh_pairs(
       set, so a bucket of B identical docs contributes ONE row, not B —
       the quadratic blow-up inside an LSH bucket is now bounded by the
       number of distinct sets that share it;
-    - signatures come from `array_min(transform(shingles, h))` over the
-      per-set shingle array — no exploded-row shuffle at all for the
-      signature pass (the r5 form shuffled every (doc, shingle) row).
+    - the signature aggregation explodes (distinct-set, shingle) rows —
+      one row per DISTINCT set's shingle, not per (doc, shingle) as the
+      r5 form did, so the signature shuffle shrinks by the duplication
+      factor of the corpus.
 
     Output is IDENTICAL to the per-doc formulation: band agreement and
     hashed-set Jaccard are set-level functions, so candidate membership

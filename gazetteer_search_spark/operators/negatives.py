@@ -71,7 +71,10 @@ def mine_hard_negatives(
         bm25.tokens_col(F.col(text_col), tokenizer).alias("tokens"),
     ).withColumn("doc_len", F.size("tokens")).persist()
 
-    tf = bm25.term_freqs(base.select("doc_id", "doc_len", "tokens"))
+    # tf appears TWICE in the scored-postings plan (the term_stats branch
+    # and the postings side of their join) — persist so the explode +
+    # hash-agg over the corpus tokens runs once, not per branch
+    tf = bm25.term_freqs(base.select("doc_id", "doc_len", "tokens")).persist()
     tstats = bm25.term_stats(tf)
     cs = base.agg(
         F.count("*").alias("n_docs"), F.avg("doc_len").alias("avg_doc_len")

