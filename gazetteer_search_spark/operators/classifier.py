@@ -71,9 +71,11 @@ def featurize(
     # explode as a grouping column instead of re-aggregated + joined back
     # (guide §2.4 — one shuffle, not two plus a join): n = size(words) =
     # sum of tf over the doc's features, the identical integer.
+    from gazetteer_search_spark.operators import ensure_min_partitions
     from gazetteer_search_spark.operators.dedup import hash64_col
     from gazetteer_search_spark.operators.textstats import words_col
 
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         words_col(F.col(text_col)).alias("_ws"),

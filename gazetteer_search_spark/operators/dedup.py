@@ -276,9 +276,12 @@ def minhash_lsh_pairs(
     hashed-set Jaccard are set-level functions, so candidate membership
     and every emitted (id_a, id_b, jaccard) row match bit-for-bit."""
     assert num_hashes % bands == 0
+    from gazetteer_search_spark.operators import ensure_min_partitions
+
     # per-doc distinct-shingle array (docs with zero shingles drop out here,
     # exactly as the exploded groupBy formulation dropped them), then ONE
     # aggregation keyed by the set — identical sets collapse to a group
+    df = ensure_min_partitions(df)
     docsets = df.select(
         F.col(id_col).alias("doc_id"),
         F.array_sort(_word_shingles(F.col(text_col), n)).alias("shingles"),

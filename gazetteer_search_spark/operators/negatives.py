@@ -64,6 +64,9 @@ def mine_hard_negatives(
     # pipeline, the query-term projection and the sha dup-exclusion all
     # read this persisted frame instead of re-running the UDF per subtree
     # (the unpersisted form evaluated the tokenizer up to 4x per call).
+    from gazetteer_search_spark.operators import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
     base = df.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("content"),

@@ -506,9 +506,11 @@ def hashed_feats(
 ) -> DataFrame:
     """(doc_id, feat, tf): hashed term frequencies — the shared first stage
     of TF-IDF vectorization (one explode + one hash agg)."""
+    from gazetteer_search_spark.operators import ensure_min_partitions
     from gazetteer_search_spark.operators.dedup import hash64_col
     from gazetteer_search_spark.operators.textstats import words_col
 
+    df = ensure_min_partitions(df)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(words_col(F.col(text_col))).alias("t"),
