@@ -118,7 +118,17 @@ def train_logreg(
     spark = feats.sparkSession
     feats = feats.persist()
     n_docs = labels.count()
-    fl = feats.join(labels.select("doc_id", "y"), "doc_id").persist()
+    # fl is cached HASH-PARTITIONED BY doc_id: every later iteration's
+    # margin is a window over doc_id (see below), and a cached partitioning
+    # that already satisfies the window's distribution means iterations
+    # 1..n-1 pay ZERO data exchanges over the feature rows — only the
+    # <= n_features-row gradient shuffle (guide §2.4 remove shuffles:
+    # establish the partitioning once, reuse it every round).
+    fl = (
+        feats.join(labels.select("doc_id", "y"), "doc_id")
+        .repartition("doc_id")
+        .persist()
+    )
     if iters <= 0:
         # contract: zero-trained weights still enumerate present features
         w0 = {
@@ -139,19 +149,28 @@ def train_logreg(
             # per training run, same math to the last ulp).
             grad_src = fl.withColumn("p", F.lit(0.5))
         else:
+            from pyspark.sql.window import Window as _W
+
             wdf = spark.createDataFrame(
                 [(int(f), float(v)) for f, v in w.items()], "feat long, wv double"
             )
-            margins = (
-                feats.join(F.broadcast(wdf), "feat")
-                .groupBy("doc_id")
-                .agg(F.sum(F.col("val") * F.col("wv")).alias("m"))
-                .select(
-                    "doc_id",
-                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m")))).alias("p"),
-                )
+            # per-doc margin as a WINDOW over the doc_id-partitioned cached
+            # fl instead of a separate aggregate + join back (the r6-start
+            # form exchanged the feature rows TWICE per iteration: once for
+            # the margin groupBy, once to join margins onto fl). The weight
+            # lookup is a broadcast join (map-side), the window's required
+            # distribution is fl's cached partitioning, and the only
+            # remaining exchange is the <= n_features-row gradient agg.
+            # Unlabeled docs never reach fl, and their old margins were
+            # dropped by the join anyway — the gradient sums the identical
+            # multiset of (p - y) * val terms. w covers every feat present
+            # in fl (the iteration-0 gradient enumerates exactly that set),
+            # so the inner join drops no rows.
+            m = F.sum(F.col("val") * F.col("wv")).over(_W.partitionBy("doc_id"))
+            grad_src = (
+                fl.join(F.broadcast(wdf), "feat")
+                .withColumn("p", F.lit(1.0) / (F.lit(1.0) + F.exp(-m)))
             )
-            grad_src = fl.join(margins, "doc_id")
         grad_rows = (
             grad_src
             .groupBy("feat")

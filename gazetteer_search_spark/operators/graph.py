@@ -60,11 +60,19 @@ def _star_checkpoint(df: DataFrame) -> DataFrame:
 
 def _sym_min(e: DataFrame) -> DataFrame:
     """(n, m) with m = min(N(n) + {n}) over a NORMALIZED (lo < hi) edge set.
-    Both directions come from reading the frame twice (union — no shuffle);
-    the single aggregation does map-side partial mins."""
-    nbrs = e.select(F.col("lo").alias("n"), F.col("hi").alias("v")).union(
-        e.select(F.col("hi").alias("n"), F.col("lo").alias("v"))
-    )
+    Both directions come from ONE scan that explodes each edge into its two
+    orientations (the union form read the frame twice — on the huge raw
+    pair set that is two full passes over a multi-hundred-million-row
+    cache; guide §2.4). The single aggregation does map-side partial
+    mins over the exploded rows, so nothing wider than (n, v) shuffles."""
+    nbrs = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("lo").alias("n"), F.col("hi").alias("v")),
+                F.struct(F.col("hi").alias("n"), F.col("lo").alias("v")),
+            )
+        ).alias("_s")
+    ).select("_s.n", "_s.v")
     return (
         nbrs.groupBy("n")
         .agg(F.min("v").alias("mn"))

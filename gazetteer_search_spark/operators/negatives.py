@@ -110,7 +110,10 @@ def mine_hard_negatives(
         .filter(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id")
     )
-    pairs = pairs.join(dup, ["query_id", "doc_id"], "left_anti")
+    # dup is bounded by (batch size x exact-duplicate multiplicity) — tiny
+    # next to the scored pairs; broadcasting turns the anti-join map-side
+    # (the planner's SMJ LeftAnti exchanged + sorted every scored pair)
+    pairs = pairs.join(F.broadcast(dup), ["query_id", "doc_id"], "left_anti")
 
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("score"), 9).desc(), F.col("doc_id").asc()

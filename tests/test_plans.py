@@ -240,6 +240,24 @@ def test_hard_negatives_broadcasts_queries_no_cartesian(spark):
     assert len(out.collect()) > 0
 
 
+def test_hard_negatives_dup_exclusion_is_broadcast_anti(spark):
+    """Round-6: the exact-duplicate exclusion (tiny: batch x duplicate
+    multiplicity) must anti-join as a BROADCAST hash join — the planner's
+    SortMergeJoin LeftAnti exchanged + sorted every scored pair."""
+    from gazetteer_search_spark.operators import negatives
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma") for i in range(30)],
+        "doc_id long, text string",
+    )
+    out = negatives.mine_hard_negatives(docs, [0, 1], k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, "expected a LeftAnti join in the plan"
+    assert all("BroadcastHashJoin" in ln for ln in anti_lines), anti_lines
+    assert not any("SortMergeJoin" in ln for ln in anti_lines), anti_lines
+
+
 def test_span_dup_no_self_join(spark):
     """span_dup_stats joins exploded spans to the df table on the span
     HASH — never a doc-x-doc self-join, never cartesian."""
