@@ -112,7 +112,11 @@ def mine_hard_negatives(
     )
     # dup is bounded by (batch size x exact-duplicate multiplicity) — tiny
     # next to the scored pairs; broadcasting turns the anti-join map-side
-    # (the planner's SMJ LeftAnti exchanged + sorted every scored pair)
+    # (the planner's SMJ LeftAnti exchanged + sorted every scored pair).
+    # Same contract as decontaminate's broadcast: if a pathological corpus
+    # (every query a boilerplate text duplicated millions of times) ever
+    # outgrows broadcast range, drop the hint and this degrades gracefully
+    # to a shuffle anti-join with identical semantics.
     pairs = pairs.join(F.broadcast(dup), ["query_id", "doc_id"], "left_anti")
 
     w = Window.partitionBy("query_id").orderBy(
