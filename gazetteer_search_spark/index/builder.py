@@ -1061,7 +1061,14 @@ def build_index(
         started = pd.Timestamp.utcnow().tz_localize(None)
 
         part = scored.filter(F.col("term_bucket").isin(batch))
-        packed = part.groupBy("term_bucket", "salt").applyInPandas(
+        # project to exactly the columns the pack kernel touches BEFORE the
+        # Arrow boundary: Spark cannot see inside applyInPandas, so every
+        # extra column (doc_len, df, nsalts, avg_dl) would be shuffled AND
+        # serialized into pandas for nothing (guide §4.1 — select first)
+        _pack_cols = ["term_bucket", "salt", "term", "doc_id", "tf", "score"]
+        if "attr_id" in part.columns:
+            _pack_cols.append("attr_id")
+        packed = part.select(*_pack_cols).groupBy("term_bucket", "salt").applyInPandas(
             _make_pack_groups(postings_codec), schema=POSTINGS_SCHEMA
         )
         (
